@@ -1,0 +1,97 @@
+"""As-of and range joins — operators the reference approximates with its
+hour-bucket trick (SURVEY.md §2.3 J2) and that Spark lacks natively.
+
+Implemented as compositions of built-in operators (no UDFs):
+
+- ``asof_join``: the classic "latest right row at or before each left
+  row" — union both sides tagged, one window pass per key, filter. One
+  shuffle on the key; no range explosion.
+- ``range_join_bucketed``: interval containment join without the O(n*m)
+  broadcast-nested-loop trap: bucketize both sides to an equi-join on
+  bucket id, then post-filter exact bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """Left as-of join: for each left row, attach the most recent right row
+    with ``right_ts <= left_ts`` (direction='backward'), per ``on`` key.
+
+    Union-tag-window strategy: concatenate both inputs ordered by time,
+    carry the last-seen right payload forward with ``last(..., ignorenulls)``
+    over a single key-partitioned window, keep left rows. Equivalent to a
+    merge-asof but expressed so Spark plans exactly one exchange + sort.
+    """
+    if direction != "backward":
+        raise NotImplementedError("forward as-of: flip the window ordering")
+    lt = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    payload = [F.col(c).alias(f"__r_{c}") for c in right_cols]
+    rt = (
+        right.select(F.col(on), F.col(right_ts).alias("__ts"), *payload)
+        .withColumn("__is_left", F.lit(0))
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # Right rows sort before left rows at identical timestamps so an exact
+    # tie matches (<= semantics).
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        carried.where(F.col("__is_left") == 1)
+        .drop("__is_left", "__ts", *[f"__r_{c}" for c in right_cols])
+    )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Join points to containing [lo, hi) intervals via bucketization.
+
+    Each interval is exploded to the buckets it overlaps (cheap when
+    interval width ~ bucket_width); the join is then a plain equi-join on
+    bucket id — shuffle-hash/broadcast eligible — with an exact range
+    post-filter. Avoids BroadcastNestedLoopJoin, which dies at scale.
+    """
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return p.join(iv, "__bucket").where(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    ).drop("__bucket")

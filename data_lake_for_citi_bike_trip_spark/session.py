@@ -1,0 +1,80 @@
+"""SparkSession factory and runtime configuration.
+
+Generalizes the reference's session builder (spark_elt_emr.py:4-16, which
+sets only ``appName``) with the configuration a scale-out deployment needs:
+pinned UTC session timezone (the hour-bucket join key in SURVEY.md §2.3 J2
+is timezone-sensitive), AQE enabled for runtime re-planning (skew joins,
+partition coalescing), and sane shuffle parallelism.
+
+``configure_runtime`` is idempotent and safe to call on a session we did
+not create (the driver hands us one); it only sets runtime-settable confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to every session we touch.
+RUNTIME_CONF: dict[str, str] = {
+    # J2's hour-bucket epoch key must be timezone-stable (SURVEY.md §4).
+    "spark.sql.session.timeZone": "UTC",
+    # The driver's events.parquet stores TIMESTAMP(NANOS); Spark 4 rejects
+    # it unless read as raw int64 nanos (we convert in sources.registry).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones. On by default in Spark 3.2+; pinned for determinism.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dims in this engine are small (covid ~735 rows, weather ~9k/yr in the
+    # reference; nation/region/supplier here) — keep broadcast joins on.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Idempotent partitioned re-writes (fixes reference rerun-duplication,
+    # SURVEY.md §2.12 #4).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Conf not settable at runtime in this deployment — skip; the
+            # builder path below sets it at construction time instead.
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "data-lake-for-citi-bike-trip-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session configured for this engine.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[N]`` with N from ``$SPARK_GRAFT_CPUS``.
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8))
+    )
+    for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    builder = builder.config("spark.ui.enabled", "false")
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    spark = builder.getOrCreate()
+    return configure_runtime(spark)
