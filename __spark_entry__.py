@@ -13,8 +13,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from data_lake_for_citi_bike_trip_spark import oracles
-from data_lake_for_citi_bike_trip_spark.operators import analytics, staging, star
+from data_lake_for_citi_bike_trip_spark.operators import (
+    analytics,
+    asof,
+    setops,
+    staging,
+    star,
+)
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 from data_lake_for_citi_bike_trip_spark.plans import checks
 
@@ -80,6 +88,98 @@ def q_dq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- analytics layer ---------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_top_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trips, _, _ = _staged(spark, sf_dir)
+    return analytics.top_stations(trips, k=10)
+
+
+def q_rides_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trips, _, _ = _staged(spark, sf_dir)
+    return analytics.rides_per_hour(trips)
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.revenue_by_nation(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.event_type_pivot(load_table(spark, sf_dir, "events"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("p_ts_us"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof.asof_join(
+        errors, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["p_ts_us", "p_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "asof_p_ts_us",
+        "asof_p_value",
+    )
+
+
+def q_range_price_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        (F.col("p_retailprice") - 5.0).alias("lo"),
+        (F.col("p_retailprice") + 5.0).alias("hi"),
+    )
+    return asof.range_join_bucketed(
+        lineitem, part, point_col="l_extendedprice", lo_col="lo", hi_col="hi",
+        bucket_width=10.0,
+    ).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "p_partkey", "p_retailprice"
+    )
+
+
+def q_union_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    data = events.where(F.col("event_type").isin("view", "click")).select(
+        "event_id", "event_type", "value", "user_id"
+    )
+    complement = events.where(F.col("event_type") == "signup").select(
+        "event_id", "event_type"
+    )
+    return setops.union_backfill(data, complement)
+
+
+def q_anti_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    return setops.anti_join_manifest(users, supplier, "user_id", "s_suppkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_fact_trips(spark, SF_SMOKE)
@@ -95,6 +195,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_weather": q_dim_weather,
         "dim_station": q_dim_station,
         "dq_counts": q_dq_counts,
+        "pricing_summary": q_pricing_summary,
+        "top_stations": q_top_stations,
+        "rides_per_hour": q_rides_per_hour,
+        "revenue_by_nation": q_revenue_by_nation,
+        "event_type_pivot": q_event_type_pivot,
+        "sessionize": q_sessionize,
+        "asof_purchase": q_asof_purchase,
+        "range_price_match": q_range_price_match,
+        "union_backfill": q_union_backfill,
+        "anti_users": q_anti_users,
     }
 
 
@@ -108,4 +218,14 @@ def oracle_sql() -> dict[str, str]:
         "dim_weather": oracles.DIM_WEATHER,
         "dim_station": oracles.DIM_STATION,
         "dq_counts": oracles.DQ_COUNTS,
+        "pricing_summary": oracles.PRICING_SUMMARY,
+        "top_stations": oracles.TOP_STATIONS,
+        "rides_per_hour": oracles.RIDES_PER_HOUR,
+        "revenue_by_nation": oracles.REVENUE_BY_NATION,
+        "event_type_pivot": oracles.EVENT_TYPE_PIVOT,
+        "sessionize": oracles.SESSIONIZE,
+        "asof_purchase": oracles.ASOF_PURCHASE,
+        "range_price_match": oracles.RANGE_PRICE_MATCH,
+        "union_backfill": oracles.UNION_BACKFILL,
+        "anti_users": oracles.ANTI_USERS,
     }

@@ -42,7 +42,7 @@ def top_stations(trips: DataFrame, k: int = 10) -> DataFrame:
     )
     w = Window.orderBy(F.desc("rides"), F.asc("start_station_id"))
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= k)
         .select("start_station_id", "rides", "rnk")
     )
@@ -52,8 +52,8 @@ def rides_per_hour(trips: DataFrame) -> DataFrame:
     """Hour-of-day x weekday usage matrix."""
     return (
         trips.groupBy(
-            F.hour("starttime").alias("hour"),
-            F.dayofweek("starttime").alias("weekday"),
+            F.hour("starttime").cast("bigint").alias("hour"),
+            F.dayofweek("starttime").cast("bigint").alias("weekday"),
         )
         .agg(F.count(F.lit(1)).alias("rides"))
     )
@@ -70,7 +70,7 @@ def revenue_by_nation(
         .groupBy(
             F.col("r_name").alias("region_name"),
             F.col("n_name").alias("nation_name"),
-            F.year("o_orderdate").alias("order_year"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
         )
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
@@ -83,7 +83,7 @@ def event_type_pivot(events: DataFrame) -> DataFrame:
     """Daily conditional-aggregation pivot (the covid-period comparison
     shape from SURVEY.md §7 step 6), expressed as CASE-WHEN sums so the
     plan is a single pass."""
-    day = F.to_date("ts").alias("day")
+    day = F.to_date("ts").cast("string").alias("day")
     aggs = [
         F.count(F.when(F.col("event_type") == t, 1)).alias(f"cnt_{t}")
         for t in ["click", "view", "purchase", "signup", "error"]
@@ -94,25 +94,28 @@ def event_type_pivot(events: DataFrame) -> DataFrame:
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization via lag + cumulative sum windows (per-user).
 
-    At scale this is one shuffle on user_id; both windows share the same
-    partitioning so Catalyst plans a single exchange.
+    Gap arithmetic uses exact epoch-micros integers (float/second
+    truncation behaves differently across engines). At scale this is one
+    shuffle on user_id; both windows share the same partitioning so
+    Catalyst plans a single exchange.
     """
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.unix_seconds(F.col("ts").cast("timestamp")) - F.unix_seconds(
-        F.lag("ts").over(w).cast("timestamp")
-    )
-    with_flag = events.select(
+    ts_us = F.unix_micros("ts")
+    base = events.select("user_id", "event_id", ts_us.alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    with_flag = base.select(
         "user_id",
-        "ts",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0).alias(
-            "new_session"
-        ),
+        "ts_us",
+        "event_id",
+        F.when(gap.isNull() | (gap > gap_minutes * 60_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
     )
     with_session = with_flag.withColumn(
-        "session_seq", F.sum("new_session").over(w)
+        "session_id", F.sum("new_session").over(w).cast("bigint")
     )
-    return with_session.groupBy("user_id", "session_seq").agg(
+    return with_session.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("session_start_us"),
-        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("session_end_us"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
     )

@@ -180,3 +180,127 @@ UNION ALL SELECT 'stations', COUNT(*) FROM stations
 UNION ALL SELECT 'null_trip_ids', COUNT(*) FROM trips WHERE bikeid IS NULL
 """
 )
+
+# ---------------------------------------------------------------------------
+# Analytics-layer oracles (operators/analytics.py, asof.py, setops.py)
+# ---------------------------------------------------------------------------
+
+PRICING_SUMMARY = r"""
+SELECT
+  l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+TOP_STATIONS = with_staging(
+    r"""
+SELECT start_station_id, rides, rnk FROM (
+  SELECT start_station_id, rides,
+         CAST(row_number() OVER (ORDER BY rides DESC, start_station_id ASC) AS BIGINT) AS rnk
+  FROM (
+    SELECT start_station_id, COUNT(*) AS rides FROM trips GROUP BY 1
+  )
+) WHERE rnk <= 10
+"""
+)
+
+RIDES_PER_HOUR = with_staging(
+    r"""
+SELECT
+  CAST(hour(starttime) AS BIGINT) AS hour,
+  CAST(dayofweek(starttime) + 1 AS BIGINT) AS weekday,
+  COUNT(*) AS rides
+FROM trips GROUP BY 1, 2
+"""
+)
+
+REVENUE_BY_NATION = r"""
+SELECT
+  r_name AS region_name,
+  n_name AS nation_name,
+  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  round(sum(o_totalprice), 2) AS revenue,
+  COUNT(*) AS order_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2, 3
+"""
+
+EVENT_TYPE_PIVOT = r"""
+SELECT
+  CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS cnt_click,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS cnt_view,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS cnt_purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS cnt_signup,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS cnt_error
+FROM events GROUP BY 1
+"""
+
+SESSIONIZE = r"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, event_id,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessions AS (
+  SELECT user_id, ts_us,
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+  COUNT(*) AS n_events,
+  min(ts_us) AS session_start_us,
+  max(ts_us) AS session_end_us
+FROM sessions GROUP BY 1, 2
+"""
+
+ASOF_PURCHASE = r"""
+SELECT
+  e.event_id,
+  e.user_id,
+  epoch_us(e.ts) AS ts_us,
+  p.p_ts_us AS asof_p_ts_us,
+  p.p_value AS asof_p_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, epoch_us(ts) AS p_ts_us, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+RANGE_PRICE_MATCH = r"""
+SELECT
+  l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+  p.p_partkey, p.p_retailprice
+FROM lineitem l
+JOIN part p
+  ON l.l_extendedprice >= p.p_retailprice - 5.0
+ AND l.l_extendedprice <  p.p_retailprice + 5.0
+"""
+
+UNION_BACKFILL = r"""
+SELECT event_id, event_type, value, user_id
+FROM events WHERE event_type IN ('view', 'click')
+UNION ALL BY NAME
+SELECT event_id, event_type FROM events WHERE event_type = 'signup'
+"""
+
+ANTI_USERS = r"""
+SELECT DISTINCT user_id FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)
+"""

@@ -1,0 +1,66 @@
+"""Analytics-layer semantics tests (as-of, range join, sessions)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.operators import analytics, asof
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_with_tie(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00")), (1, _ts("2024-01-01 09:00:00")), (2, _ts("2024-01-01 10:00:00"))],
+        "k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 10.0),
+            (1, _ts("2024-01-01 10:00:00"), 20.0),  # exact tie: <= matches
+            (2, _ts("2024-01-01 11:00:00"), 30.0),  # after left: no match
+        ],
+        "k int, ts timestamp, v double",
+    )
+    out = asof.asof_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["v"])
+    got = {(r.k, r.ts.isoformat()): r.asof_v for r in out.collect()}
+    assert got[(1, "2024-01-01T10:00:00")] == 20.0  # tie matched
+    assert got[(1, "2024-01-01T09:00:00")] is None  # nothing at or before
+    assert got[(2, "2024-01-01T10:00:00")] is None  # right row is in future
+
+
+def test_range_join_bucketed_equals_naive(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    points = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") - 5.0).alias("lo"),
+        (F.col("p_retailprice") + 5.0).alias("hi"),
+    )
+    bucketed = asof.range_join_bucketed(points, part, "l_extendedprice", "lo", "hi", 10.0)
+    naive = points.join(
+        part,
+        (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")),
+    )
+    assert bucketed.count() == naive.count()
+    # bucketed plan must avoid the nested-loop join the naive form needs
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, 100, _ts("2024-01-01 10:00:00")),
+        (1, 101, _ts("2024-01-01 10:10:00")),  # same session (10 min)
+        (1, 102, _ts("2024-01-01 11:00:00")),  # 50 min gap -> new session
+        (2, 103, _ts("2024-01-01 10:00:00")),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = analytics.sessionize(events, gap_minutes=30)
+    per_user = {r.user_id: r.cnt for r in out.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert per_user == {1: 2, 2: 1}
