@@ -19,10 +19,14 @@ from data_lake_for_citi_bike_trip_spark import oracles
 from data_lake_for_citi_bike_trip_spark.operators import (
     analytics,
     asof,
+    dedup,
+    multimodal,
     setops,
+    similarity,
     staging,
     star,
 )
+from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 from data_lake_for_citi_bike_trip_spark.plans import checks
 
@@ -180,6 +184,85 @@ def q_anti_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.anti_join_manifest(users, supplier, "user_id", "s_suppkey")
 
 
+# -- LLM-pipeline extensions -------------------------------------------------
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus re-keyed copies of every 10th doc (dedup targets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionAll(copies)
+
+
+def _embeddings_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings plus exactly-colinear copies (x2.0 is float-exact)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    return emb.unionAll(copies)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs_with_planted_dups(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_docs(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=4)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_dup_pairs(
+        _embeddings_with_planted_dups(spark, sf_dir), threshold=0.999
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 50), k=5)
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.payload_stats(load_table(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_fact_trips(spark, SF_SMOKE)
@@ -205,6 +288,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_price_match": q_range_price_match,
         "union_backfill": q_union_backfill,
         "anti_users": q_anti_users,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash_docs": q_dedup_simhash_docs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_language_id": q_text_language_id,
+        "text_quality": q_text_quality,
+        "text_token_stats": q_text_token_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_payload_stats": q_multimodal_payload_stats,
     }
 
 
@@ -228,4 +324,17 @@ def oracle_sql() -> dict[str, str]:
         "range_price_match": oracles.RANGE_PRICE_MATCH,
         "union_backfill": oracles.UNION_BACKFILL,
         "anti_users": oracles.ANTI_USERS,
+        "dedup_exact": oracles.DEDUP_EXACT,
+        "dedup_minhash": oracles.DEDUP_MINHASH,
+        "dedup_simhash_docs": oracles.DEDUP_SIMHASH_DOCS,
+        "dedup_simhash_pairs": oracles.DEDUP_SIMHASH_PAIRS,
+        "dedup_ngram_jaccard": oracles.DEDUP_NGRAM_JACCARD,
+        "dedup_embedding": oracles.DEDUP_EMBEDDING,
+        "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
+        "ann_lsh_topk": oracles.ANN_LSH_TOPK,
+        "text_language_id": oracles.TEXT_LANGUAGE_ID,
+        "text_quality": oracles.TEXT_QUALITY,
+        "text_token_stats": oracles.TEXT_TOKEN_STATS,
+        "text_fingerprint": oracles.TEXT_FINGERPRINT,
+        "multimodal_payload_stats": oracles.MULTIMODAL_PAYLOAD_STATS,
     }

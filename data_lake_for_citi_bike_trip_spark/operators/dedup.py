@@ -1,1 +1,195 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies over the ``documents`` / ``embeddings`` tables, all
+expressed as declarative DataFrame plans (no UDFs):
+
+- exact         — content-hash groupBy. One shuffle on a 16-byte key.
+- minhash_lsh   — shingle -> 16-perm min-hash -> 4 banded buckets ->
+                  bucket self-join -> signature-similarity filter. The
+                  standard near-dup pipeline: candidate generation is a
+                  hash join on band keys, never an all-pairs product.
+- simhash       — 32-bit SimHash; candidates from half-signature bands,
+                  verified by hamming distance <= k.
+- ngram_jaccard — exact Jaccard via shingle-posting self-join (the
+                  verify-stage companion to minhash_lsh).
+- embedding     — cosine near-dup via sign-bucket LSH + in-bucket pairs.
+
+Scale notes (100 TB): every self-join here keys on a *bucket/posting*
+value, so work concentrates where candidates are; the known failure mode
+is hot shingles/buckets (stop-gram skew) — at production scale add a
+frequency cap on posting lists (drop shingles appearing in > X% of docs)
+before the join; AQE skew-join splitting is enabled as a backstop.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vectors as V
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Content-hash dedup summary: one row per distinct text with its copy
+    count and the survivor (min doc_id)."""
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("copies"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+    )
+
+
+def _signatures(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    sh = TX.word_shingles(F.col("text"), shingle_n)
+    return docs.select("doc_id", *TX.minhash_signature(sh))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3
+) -> DataFrame:
+    """Candidate pairs from banded LSH, scored by estimated Jaccard
+    (fraction of matching min-hashes), filtered at ``threshold``."""
+    sigs = _signatures(docs, shingle_n).cache()
+    sig_cols = [F.col(f"mh_{i}") for i in range(TX.MINHASH_PERMS)]
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        TX.band_key(sig_cols, b).alias("key"),
+                    )
+                    for b in range(TX.MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_no", "band.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("d1"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(TX.MINHASH_PERMS)])
+    sb = sigs.select(F.col("doc_id").alias("d2"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(TX.MINHASH_PERMS)])
+    matches = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+            for i in range(TX.MINHASH_PERMS)
+        ],
+    )
+    return (
+        cand.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            (matches.cast("double") / TX.MINHASH_PERMS).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """Per-document 32-bit SimHash (bigint)."""
+    return docs.select(
+        "doc_id", TX.simhash(TX.tokens(F.col("text"))).alias("simhash")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-dup candidates: equal 16-bit half-signature (pigeonhole for
+    hamming<=k over 2 bands), verified with exact bit_count(xor)."""
+    sh = simhash_docs(docs)
+    halves = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.concat_ws(":", F.lit(0), (F.col("simhash") % F.lit(65536)).cast("string")),
+                F.concat_ws(":", F.lit(1), F.floor(F.col("simhash") / F.lit(65536)).cast("string")),
+            )
+        ).alias("half_key"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.half_key") == F.col("b.half_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("bigint")
+    return cand.select("d1", "d2", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word shingles via a
+    posting-list self-join (shuffle keyed on shingle)."""
+    postings = docs.select(
+        "doc_id", F.explode(TX.word_shingles(F.col("text"), shingle_n)).alias("s")
+    ).distinct()
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.999, bucket_bits: int = 8
+) -> DataFrame:
+    """Cosine near-dup via sign-bucket LSH: pairs sharing a sign pattern,
+    verified by exact (rounded) cosine. Scaled/identical-direction copies
+    land in the same bucket by construction."""
+    e = embeddings.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", V.sign_bucket(F.col("v"), bucket_bits))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("d1"),
+            F.col("b.vec_id").alias("d2"),
+            V.cosine_r6(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

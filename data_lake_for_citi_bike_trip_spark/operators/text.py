@@ -1,1 +1,118 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Text analysis over the ``documents`` table — language ID, quality
+scoring, token counting, fingerprinting. All built-in expressions
+(whole-stage codegen); per-row arithmetic, no shuffles beyond the scan.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: Order matters: ties resolve to the earlier language.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que"],
+}
+
+#: The "BPE-ish" token pattern: runs of letters, runs of digits, or a
+#: single non-space symbol — a cheap proxy for subword tokenizers.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _hit_ratio(toks: Column, words: list[str]) -> Column:
+    hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+    return hits.cast("double") / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)).cast("double")
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit-ratio language ID with deterministic tie-breaking.
+
+    Emits the per-language scores plus the argmax (``pred_lang``) and the
+    labeled ``lang`` column for accuracy inspection.
+    """
+    toks = TX.tokens(F.col("text"))
+    scores = {lang: _hit_ratio(toks, words) for lang, words in LANG_STOPWORDS.items()}
+    # argmax with first-wins tie-break, as a CASE chain
+    best = F.lit(None).cast("string")
+    langs = list(LANG_STOPWORDS)
+    expr = None
+    for lang in langs:
+        cond = reduce(
+            lambda acc, other: acc & (scores[lang] >= scores[other]),
+            [o for o in langs if o != lang],
+            F.lit(True),
+        )
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    best = expr.otherwise(F.lit("und"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.round(scores[lang], 6).alias(f"score_{lang}") for lang in langs],
+        best.alias("pred_lang"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + combined score (Gopher-rules-style):
+    length, mean word length, stopword ratio, alpha ratio."""
+    toks = TX.tokens(F.col("text"))
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")).cast(
+        "bigint"
+    )
+    stop_ratio = _hit_ratio(toks, LANG_STOPWORDS["en"])
+    mean_word_len = n_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    alpha_ratio = alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    score = (
+        F.when((n_tok >= 50) & (n_tok <= 100000), 0.25).otherwise(0.0)
+        + F.when((mean_word_len >= 3.0) & (mean_word_len <= 12.0), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.25).otherwise(0.0)
+        + F.when(alpha_ratio >= 0.6, 0.25).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 2).alias("quality"),
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace words and BPE-ish regex tokens
+    (a deterministic stand-in for a real subword tokenizer)."""
+    ws = F.size(TX.tokens(F.col("text"))).cast("bigint")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)).cast(
+        "bigint"
+    )
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (bpe.cast("double") / F.greatest(ws, F.lit(1)).cast("double")).alias(
+            "subword_ratio"
+        ),
+    )
+
+
+def fingerprint(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """Document fingerprints: winnowing-style minimum shingle hash (stable
+    under small edits) and an order-insensitive bag-of-words hash."""
+    sh = TX.word_shingles(F.col("text"), shingle_n)
+    min_shingle_hash = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    bag_hash = F.md5(F.array_join(F.array_sort(F.array_distinct(TX.tokens(F.col("text")))), " "))
+    return docs.select(
+        "doc_id",
+        min_shingle_hash.alias("min_shingle_fp"),
+        bag_hash.alias("bag_fp"),
+    )

@@ -304,3 +304,298 @@ ANTI_USERS = r"""
 SELECT DISTINCT user_id FROM events e
 WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)
 """
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extension oracles (operators/dedup.py, similarity.py,
+# text.py, multimodal.py). Repetitive SQL (16 minhash columns, 32 simhash
+# bits) is generated so the formulas can't drift per-column.
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+#: word 3-grams, distinct, guarded for short docs — mirror of
+#: functions.text.word_shingles(n=3)
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(w) >= 3 "
+    "THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) "
+    "ELSE [] END)"
+)
+
+_N_PERMS, _BAND_SIZE, _N_BANDS = 16, 4, 4
+
+_SIG_COLS = ",\n    ".join(
+    f"list_min(list_transform(sh, x -> md5('{s}:' || x))) AS mh_{s}"
+    for s in range(_N_PERMS)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_no, md5(concat_ws(',', {cols})) AS key FROM sigs".format(
+        b=b,
+        cols=", ".join(f"mh_{i}" for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)),
+    )
+    for b in range(_N_BANDS)
+)
+_MATCHES = " + ".join(
+    f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(_N_PERMS)
+)
+
+_DOC_SIGS = f"""
+toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+sigs AS (
+  SELECT doc_id,
+    {_SIG_COLS}
+  FROM shingled
+)
+"""
+
+DEDUP_EXACT = """
+WITH source AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS content_hash,
+       COUNT(*) AS copies,
+       min(doc_id) AS survivor_doc_id
+FROM source GROUP BY 1
+"""
+
+DEDUP_MINHASH = f"""
+WITH {_DOC_SIGS},
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT d1, d2,
+  CAST({_MATCHES} AS DOUBLE) / {_N_PERMS} AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = d1
+JOIN sigs sb ON sb.doc_id = d2
+WHERE CAST({_MATCHES} AS DOUBLE) / {_N_PERMS} >= 0.5
+"""
+
+_HASHES32 = (
+    "list_transform(w, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))"
+)
+_SIMHASH_SUM = " + ".join(
+    f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {j}) & 1)) >= len(hs) "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(32)
+)
+
+_SIMHASH_DOCS = f"""
+toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+hashed AS (SELECT doc_id, {_HASHES32} AS hs FROM toks),
+sim AS (SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM hashed)
+"""
+
+DEDUP_SIMHASH_DOCS = f"WITH {_SIMHASH_DOCS} SELECT doc_id, simhash FROM sim"
+
+DEDUP_SIMHASH_PAIRS = f"""
+WITH {_SIMHASH_DOCS},
+halves AS (
+  SELECT doc_id, simhash, '0:' || CAST(simhash % 65536 AS VARCHAR) AS half_key FROM sim
+  UNION ALL
+  SELECT doc_id, simhash, '1:' || CAST(simhash // 65536 AS VARCHAR) AS half_key FROM sim
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         a.simhash AS s1, b.simhash AS s2
+  FROM halves a JOIN halves b
+    ON a.half_key = b.half_key AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 4
+"""
+
+DEDUP_NGRAM_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+postings AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM postings GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+"""
+
+# -- vectors ----------------------------------------------------------------
+
+_DOT = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})), 6)"
+    )
+
+
+_SIGN_BUCKET = (
+    "array_to_string(list_transform({v}[1:8], "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+DEDUP_EMBEDDING = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+bucketed AS (
+  SELECT vec_id, v, {_SIGN_BUCKET.format(v='v')} AS bucket FROM corpus
+)
+SELECT a.vec_id AS d1, b.vec_id AS d2, {_cos('a.v', 'b.v')} AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos('a.v', 'b.v')} >= 0.999
+"""
+
+ANN_COSINE_TOPK = f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+queries AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, vec_id, {_cos('qv', 'v')} AS cos_sim
+  FROM corpus CROSS JOIN queries WHERE vec_id <> q_id
+)
+SELECT q_id, vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+ANN_LSH_TOPK = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_SIGN_BUCKET.format(v='(embedding::DOUBLE[])')} AS bucket
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv,
+         {_SIGN_BUCKET.format(v='(embedding::DOUBLE[])')} AS bucket
+  FROM embeddings WHERE vec_id < 50
+),
+scored AS (
+  SELECT q_id, vec_id, {_cos('qv', 'v')} AS cos_sim
+  FROM corpus JOIN queries USING (bucket) WHERE vec_id <> q_id
+)
+SELECT q_id, vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+# -- text analysis ----------------------------------------------------------
+
+_LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que"],
+}
+
+
+def _hit_ratio(words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"CAST(len(list_intersect(dw, {arr})) AS DOUBLE) / "
+        f"CAST(greatest(len(dw), 1) AS DOUBLE)"
+    )
+
+
+_LANGS = list(_LANG_STOPWORDS)
+_SCORE_SELECTS = ",\n  ".join(
+    f"round({_hit_ratio(_LANG_STOPWORDS[lang])}, 6) AS score_{lang}" for lang in _LANGS
+)
+_RAW_SCORES = ",\n  ".join(
+    f"{_hit_ratio(_LANG_STOPWORDS[lang])} AS raw_{lang}" for lang in _LANGS
+)
+_ARGMAX = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(f"raw_{lang} >= raw_{o}" for o in _LANGS if o != lang)
+    + f" THEN '{lang}'"
+    for lang in _LANGS
+) + " ELSE 'und' END"
+
+TEXT_LANGUAGE_ID = f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_distinct({_TOKS}) AS dw FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+  {_SCORE_SELECTS},
+  {_RAW_SCORES}
+  FROM toks
+)
+SELECT doc_id, lang AS labeled_lang,
+  {", ".join(f"score_{lang}" for lang in _LANGS)},
+  {_ARGMAX} AS pred_lang
+FROM scored
+"""
+
+TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS w, list_distinct({_TOKS}) AS dw FROM documents
+),
+feats AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars_measured,
+    CAST(length(text) AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE) AS mean_word_len,
+    {_hit_ratio(_LANG_STOPWORDS["en"])} AS stopword_ratio,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars_measured,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(alpha_ratio, 6) AS alpha_ratio,
+  round(CAST(
+    (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2) AS quality
+FROM feats
+"""
+
+TEXT_TOKEN_STATS = rf"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+  FROM documents
+)
+SELECT doc_id, ws_tokens, bpe_tokens,
+  CAST(bpe_tokens AS DOUBLE) / CAST(greatest(ws_tokens, 1) AS DOUBLE) AS subword_ratio
+FROM base
+"""
+
+TEXT_FINGERPRINT = f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS w FROM documents),
+shingled AS (SELECT doc_id, w, {_SHINGLES} AS sh FROM toks)
+SELECT doc_id,
+  list_min(list_transform(sh, s -> md5(s))) AS min_shingle_fp,
+  md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_fp
+FROM shingled
+"""
+
+MULTIMODAL_PAYLOAD_STATS = """
+SELECT doc_id AS media_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_md5,
+  (octet_length(encode(text)) + 255) // 256 AS n_chunks
+FROM documents
+"""

@@ -1,0 +1,61 @@
+"""Dedup / similarity semantics tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.operators import dedup, similarity
+from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+
+def test_exact_duplicates_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    out = dedup.exact_duplicates(docs.unionAll(copies)).cache()
+    n_docs = docs.count()
+    assert out.count() == n_docs  # one row per distinct text
+    dupes = out.where(F.col("copies") == 2)
+    assert dupes.count() == docs.where(F.col("doc_id") % 10 == 0).count()
+    # survivor is always the original, not the re-keyed copy
+    assert dupes.where(F.col("survivor_doc_id") >= 1000000).count() == 0
+    out.unpersist()
+
+
+def test_minhash_agrees_with_true_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    est = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    true = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    est_pairs = {(r.d1, r.d2) for r in est.collect()}
+    true_pairs = {(r.d1, r.d2) for r in true.collect()}
+    assert true_pairs, "testdata should contain planted near-dups"
+    # banded LSH at these settings should recover the high-jaccard pairs
+    recall = len(est_pairs & true_pairs) / len(true_pairs)
+    assert recall >= 0.8, (recall, est_pairs, true_pairs)
+
+
+def test_embedding_dup_pairs_find_planted_copies(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    out = dedup.embedding_dup_pairs(emb.unionAll(planted), threshold=0.999)
+    got = {(r.d1, r.d2): r.cos_sim for r in out.collect()}
+    expected_n = emb.where(F.col("vec_id") % 20 == 0).count()
+    assert len(got) == expected_n
+    assert all(v == 1.0 for v in got.values())
+
+
+def test_cosine_topk_is_exact_and_ranked(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 2), k=5)
+    rows = out.collect()
+    assert len(rows) == 10  # 2 queries x k
+    for q in (0, 1):
+        sims = [r.cos_sim for r in rows if r.q_id == q]
+        assert sims == sorted(sims, reverse=True)
+    assert all(r.vec_id != r.q_id for r in rows)  # self excluded

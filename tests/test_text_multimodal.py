@@ -1,0 +1,66 @@
+"""Text-analysis and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.operators import multimodal
+from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
+from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+
+def test_language_id_schema_and_scores(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_ops.language_id(docs)
+    row = out.first()
+    assert row.pred_lang in {"en", "de", "fr", "es", "und"}
+    assert 0.0 <= row.score_en <= 1.0
+
+
+def test_quality_score_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_ops.quality_score(docs)
+    assert out.where((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+    # n_tokens should roughly track the generator's n_chars metadata
+    joined = out.join(docs, "doc_id")
+    assert joined.where(F.col("n_chars_measured") != F.col("n_chars")).count() == 0
+
+
+def test_fingerprint_stable_under_token_shuffle(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "s", 22),
+         (2, "delta gamma beta alpha", "en", "s", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in text_ops.fingerprint(docs).collect()}
+    # bag fingerprint ignores order; shingle fingerprint does not
+    assert out[1].bag_fp == out[2].bag_fp
+    assert out[1].min_shingle_fp != out[2].min_shingle_fp
+
+
+def test_decode_images_with_fake_codec(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.media_table(docs)
+
+    def fake_decode(payload: bytes):
+        return (len(payload) % 640, len(payload) % 480, 3)
+
+    multimodal.register_decoder("fake", fake_decode)
+    out = multimodal.decode_images(media, decoder="fake").collect()
+    assert len(out) == 20
+    src = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for r in out:
+        raw = src[r.media_id].encode()
+        assert r.n_bytes == len(raw)
+        assert r.sha1 == hashlib.sha1(raw).hexdigest()
+        assert (r.width, r.height, r.n_channels) == (len(raw) % 640, len(raw) % 480, 3)
+
+
+def test_decode_images_unregistered_raises(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    media = multimodal.media_table(docs)
+    with pytest.raises(Exception, match="not registered"):
+        multimodal.decode_images(media, decoder="real").collect()
