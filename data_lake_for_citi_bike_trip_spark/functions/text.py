@@ -1,13 +1,16 @@
 """Text column expressions — tokens, shingles, deterministic hashes.
 
 Everything is built-in-expression based (JVM-side, whole-stage codegen):
-no Python UDFs in any hot path. Hashes use md5 hex strings because md5 is
-bit-identical across engines (the DuckDB oracle mirrors every formula);
-lexicographic MIN over hex strings is a valid uniform min-hash.
+no Python UDFs in any hot path. Hashes derive from md5 because md5 is
+bit-identical across engines (the DuckDB oracle mirrors every formula).
 
-At 100 TB the per-row work here (split/transform/md5) scales linearly and
-stays inside codegen; the expensive parts are the *joins* built on top
-(operators/dedup.py), not these expressions.
+Performance shape (learned from bench): doc-level signatures are computed
+by EXPLODING shingles/tokens and aggregating with shallow expressions, not
+by deep nested higher-order functions over arrays — a 16-permutation HOF
+formulation re-evaluated the shingle construction per permutation and fell
+out of codegen (~10x slower at sf0.1). The explode->partial-agg shape also
+scales: map-side combine collapses to one row per (partition, doc) before
+any shuffle.
 """
 
 from __future__ import annotations
@@ -46,17 +49,26 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _seeded_hash(seed: int):
-    # NB: a plain `lambda s, seed=seed:` would change the lambda's arity —
-    # pyspark's HOFs bind extra params to the element *index* column.
-    return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+#: Pairwise-independent permutation family h_i(x) = (a_i*x + b_i) mod p
+#: over 32-bit base hashes. One md5 per shingle; 16 permutations derived
+#: arithmetically. A naive "h1 + i*h2" (no modulus) leaves permutations
+#: correlated and inflates Jaccard estimates ~5x (observed) — the modulus
+#: is load-bearing. Constants are fixed so the DuckDB oracle derives the
+#: exact same SQL from this module.
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    ((((i + 1) * 2_654_435_761) % (1 << 29)) | 1, ((i + 1) * 40_503) % MINHASH_PRIME)
+    for i in range(MINHASH_PERMS)
+]
+# overflow check: a < 2^29, x < 2^32 -> a*x + b < 2^61 + 2^32, fits int64
 
 
-def minhash_signature(shingles: Column, perms: int = MINHASH_PERMS) -> list[Column]:
-    """One min-hash per seeded permutation: min(md5('<seed>:' || s))."""
+def minhash_agg_columns(h: Column, perms: int = MINHASH_PERMS) -> list[Column]:
+    """Aggregate expressions for a per-doc signature over *exploded*
+    shingles: sig_i = min((a_i*h + b_i) mod p)."""
     return [
-        F.array_min(F.transform(shingles, _seeded_hash(seed))).alias(f"mh_{seed}")
-        for seed in range(perms)
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:perms])
     ]
 
 
@@ -72,24 +84,16 @@ def token_hash32(token: Column) -> Column:
     return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("bigint")
 
 
-def simhash(tokens_col: Column) -> Column:
-    """32-bit SimHash over a token array, as a single expression tree.
-
-    Per-bit balance = sum over tokens of +-1 by that bit of the token's
-    hash; bit set where balance >= 0. Integer arithmetic only — exact and
-    order-insensitive, so Spark and the oracle agree.
-    """
-    hashes = F.transform(tokens_col, token_hash32)
+def simhash_agg(hash_col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash as a groupBy aggregate over *exploded* token hashes: bit j
+    is set where at least half the token hashes have bit j set
+    (2*ones >= n). Integer-only arithmetic — exact, order-insensitive,
+    oracle-mirrorable."""
+    n = F.count(F.lit(1))
     total = F.lit(0).cast("bigint")
-    n = F.size(tokens_col)
-
-    def bit_adder(j: int):
-        return lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
-
-    for j in range(SIMHASH_BITS):
-        ones = F.aggregate(hashes, F.lit(0), bit_adder(j))
-        # balance = ones - (n - ones) >= 0  <=>  2*ones >= n
-        total = total + F.when(ones * 2 >= n, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+    for j in range(bits):
+        ones = F.sum(F.shiftright(hash_col, j).bitwiseAND(F.lit(1)))
+        total = total + F.when(
+            ones * 2 >= n, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
     return total

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions import vectors as V
+from ..session import spread
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -45,8 +46,15 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def _signatures(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
-    sh = TX.word_shingles(F.col("text"), shingle_n)
-    return docs.select("doc_id", *TX.minhash_signature(sh))
+    """Per-doc minhash signature: explode shingles, md5 once per shingle,
+    derive all permutations via (a_i*h + b_i) mod p, aggregate mins. Docs
+    with fewer than ``shingle_n`` words have no shingles and drop out
+    (they can't be near-dup candidates)."""
+    postings = spread(docs).select(
+        "doc_id", F.explode(TX.word_shingles(F.col("text"), shingle_n)).alias("s")
+    )
+    hashed = postings.select("doc_id", TX.token_hash32(F.col("s")).alias("h"))
+    return hashed.groupBy("doc_id").agg(*TX.minhash_agg_columns(F.col("h")))
 
 
 def minhash_lsh_pairs(
@@ -103,9 +111,15 @@ def minhash_lsh_pairs(
 
 
 def simhash_docs(docs: DataFrame) -> DataFrame:
-    """Per-document 32-bit SimHash (bigint)."""
-    return docs.select(
-        "doc_id", TX.simhash(TX.tokens(F.col("text"))).alias("simhash")
+    """Per-document 32-bit SimHash (bigint): explode tokens, hash each
+    once, per-bit majority vote as a single shallow aggregate. Docs with
+    no tokens drop out."""
+    exploded = spread(docs).select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("t")
+    )
+    hashed = exploded.select("doc_id", TX.token_hash32(F.col("t")).alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        TX.simhash_agg(F.col("h")).alias("simhash")
     )
 
 
@@ -149,7 +163,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word shingles via a
     posting-list self-join (shuffle keyed on shingle)."""
-    postings = docs.select(
+    postings = spread(docs).select(
         "doc_id", F.explode(TX.word_shingles(F.col("text"), shingle_n)).alias("s")
     ).distinct()
     sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -176,7 +190,7 @@ def embedding_dup_pairs(
     """Cosine near-dup via sign-bucket LSH: pairs sharing a sign pattern,
     verified by exact (rounded) cosine. Scaled/identical-direction copies
     land in the same bucket by construction."""
-    e = embeddings.select(
+    e = spread(embeddings).select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     ).withColumn("bucket", V.sign_bucket(F.col("v"), bucket_bits))
     a, b = e.alias("a"), e.alias("b")

@@ -22,10 +22,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..session import spread
 
 
 def _prepared(embeddings: DataFrame) -> DataFrame:
-    return embeddings.select(
+    return spread(embeddings).select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.keys import hour_bucket_epoch
+from ..session import spread
 
 #: props is a JSON-ish string '{"k": 87}'; extract the int without a JSON
 #: parser so the DuckDB oracle can use the identical regex.
@@ -37,7 +38,9 @@ K_PATTERN = r'"k":\s*(\d+)'
 
 def trips(events: DataFrame) -> DataFrame:
     k = F.regexp_extract("props", K_PATTERN, 1).cast("int")
-    return events.select(
+    # single-file testdata arrives as one split; the downstream fact build
+    # is per-row heavy (md5 keys, joins), so rebalance to all cores first
+    return spread(events).select(
         F.col("ts").alias("starttime"),
         F.unix_micros("ts").alias("start_epoch_us"),
         F.col("user_id").cast("string").alias("bikeid"),
@@ -55,7 +58,7 @@ def covid(events: DataFrame) -> DataFrame:
     those days get NULL covid_id (late/missing-data behavior)."""
     day = F.to_date("ts")
     return (
-        events.groupBy(day.alias("d"))
+        spread(events).groupBy(day.alias("d"))
         .agg(
             F.count(F.lit(1)).alias("case_count"),
             F.count(F.when(F.col("event_type") == "error", 1)).alias(
@@ -82,7 +85,7 @@ def weather(events: DataFrame) -> DataFrame:
     weather_id); hour 7 duplicated (join fan-out). gust-analog is NULL for
     hours with no 'error' events (exercises the CASE WHEN default, P3)."""
     hourly = (
-        events.groupBy(F.date_trunc("hour", "ts").alias("obs_hour"))
+        spread(events).groupBy(F.date_trunc("hour", "ts").alias("obs_hour"))
         .agg(
             F.max("value").alias("temp"),
             F.count(F.lit(1)).alias("rh"),

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..session import spread
 
 #: Tiny per-language stopword lists for the n-gram/stopword heuristic.
 #: Order matters: ties resolve to the earlier language.
@@ -107,12 +108,25 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 def fingerprint(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
     """Document fingerprints: winnowing-style minimum shingle hash (stable
-    under small edits) and an order-insensitive bag-of-words hash."""
-    sh = TX.word_shingles(F.col("text"), shingle_n)
-    min_shingle_hash = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    bag_hash = F.md5(F.array_join(F.array_sort(F.array_distinct(TX.tokens(F.col("text")))), " "))
-    return docs.select(
-        "doc_id",
-        min_shingle_hash.alias("min_shingle_fp"),
-        bag_hash.alias("bag_fp"),
+    under small edits) and an order-insensitive bag-of-words hash.
+
+    The shingle minimum aggregates over exploded shingles (shallow exprs,
+    codegen-friendly) and left-joins back so short docs keep a NULL
+    ``min_shingle_fp`` — same semantics as array_min over an empty array.
+    """
+    min_fp = (
+        spread(docs).select(
+            "doc_id",
+            F.explode(TX.word_shingles(F.col("text"), shingle_n)).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("s")).alias("min_shingle_fp"))
+    )
+    bag_hash = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(TX.tokens(F.col("text")))), " ")
+    )
+    return (
+        spread(docs).select("doc_id", bag_hash.alias("bag_fp"))
+        .join(min_fp, "doc_id", "left")
+        .select("doc_id", "min_shingle_fp", "bag_fp")
     )

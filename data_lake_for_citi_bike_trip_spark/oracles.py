@@ -323,9 +323,15 @@ _SHINGLES = (
 
 _N_PERMS, _BAND_SIZE, _N_BANDS = 16, 4, 4
 
+# One md5 per shingle; permutations from the pairwise-independent family
+# (a_i*h + b_i) mod p — constants imported so both engines share them
+# (mirror of functions.text.minhash_agg_columns).
+from .functions.text import MINHASH_COEFFS as _COEFFS
+from .functions.text import MINHASH_PRIME as _PRIME
+
 _SIG_COLS = ",\n    ".join(
-    f"list_min(list_transform(sh, x -> md5('{s}:' || x))) AS mh_{s}"
-    for s in range(_N_PERMS)
+    f"min(({a} * h + {b}) % {_PRIME}) AS mh_{i}"
+    for i, (a, b) in enumerate(_COEFFS[:_N_PERMS])
 )
 _BAND_SELECTS = "\n  UNION ALL ".join(
     "SELECT doc_id, {b} AS band_no, md5(concat_ws(',', {cols})) AS key FROM sigs".format(
@@ -341,10 +347,15 @@ _MATCHES = " + ".join(
 _DOC_SIGS = f"""
 toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+postings AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h
+  FROM postings
+),
 sigs AS (
   SELECT doc_id,
     {_SIG_COLS}
-  FROM shingled
+  FROM hashed GROUP BY doc_id
 )
 """
 
@@ -379,19 +390,22 @@ JOIN sigs sb ON sb.doc_id = d2
 WHERE CAST({_MATCHES} AS DOUBLE) / {_N_PERMS} >= 0.5
 """
 
-_HASHES32 = (
-    "list_transform(w, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))"
-)
+# SimHash per-bit majority as a GROUP BY aggregate over exploded token
+# hashes (mirror of functions.text.simhash_agg)
 _SIMHASH_SUM = " + ".join(
-    f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {j}) & 1)) >= len(hs) "
+    f"(CASE WHEN 2 * sum((h >> {j}) & 1) >= count(*) "
     f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
     for j in range(32)
 )
 
 _SIMHASH_DOCS = f"""
 toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-hashed AS (SELECT doc_id, {_HASHES32} AS hs FROM toks),
-sim AS (SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM hashed)
+exploded AS (SELECT doc_id, unnest(w) AS t FROM toks),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h
+  FROM exploded
+),
+sim AS (SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM hashed GROUP BY doc_id)
 """
 
 DEDUP_SIMHASH_DOCS = f"WITH {_SIMHASH_DOCS} SELECT doc_id, simhash FROM sim"
@@ -585,11 +599,14 @@ FROM base
 
 TEXT_FINGERPRINT = f"""
 WITH toks AS (SELECT doc_id, text, {_TOKS} AS w FROM documents),
-shingled AS (SELECT doc_id, w, {_SHINGLES} AS sh FROM toks)
-SELECT doc_id,
-  list_min(list_transform(sh, s -> md5(s))) AS min_shingle_fp,
+shingled AS (SELECT doc_id, w, {_SHINGLES} AS sh FROM toks),
+minfp AS (
+  SELECT doc_id, min(md5(s)) AS min_shingle_fp
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled) GROUP BY doc_id
+)
+SELECT t.doc_id, m.min_shingle_fp,
   md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_fp
-FROM shingled
+FROM toks t LEFT JOIN minfp m ON t.doc_id = m.doc_id
 """
 
 MULTIMODAL_PAYLOAD_STATS = """

@@ -41,6 +41,19 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def spread(df, multiplier: int = 1):
+    """Repartition a small-but-CPU-heavy input to full parallelism.
+
+    Single-file parquet tables arrive as ONE input split; per-row-expensive
+    stages (shingling, hashing, vector math) would then run on one core.
+    Shuffling the compact pre-explode rows is microseconds; the unlocked
+    parallelism is the win. On a real multi-file/large dataset splits are
+    already parallel and this is a cheap no-op-ish rebalance.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    return df.repartition(target)
+
+
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent)."""
     for key, value in RUNTIME_CONF.items():
