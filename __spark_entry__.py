@@ -29,6 +29,7 @@ from data_lake_for_citi_bike_trip_spark.operators import (
 from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 from data_lake_for_citi_bike_trip_spark.plans import checks
+from data_lake_for_citi_bike_trip_spark.streaming import pipeline as streaming
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -263,6 +264,15 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming drain: tumbling-window counts via
+    Trigger.AvailableNow + memory sink, complete output mode (equivalent
+    to the batch tumbling aggregation, hence oracle-checkable)."""
+    stream = streaming.stream_events(spark, sf_dir)
+    result = streaming.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    return streaming.run_available_now(result, "q_stream_window_counts", "complete")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_fact_trips(spark, SF_SMOKE)
@@ -301,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_payload_stats": q_multimodal_payload_stats,
+        "stream_window_counts": q_stream_window_counts,
     }
 
 
@@ -337,4 +348,5 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": oracles.TEXT_TOKEN_STATS,
         "text_fingerprint": oracles.TEXT_FINGERPRINT,
         "multimodal_payload_stats": oracles.MULTIMODAL_PAYLOAD_STATS,
+        "stream_window_counts": oracles.STREAM_WINDOW_COUNTS,
     }

@@ -616,3 +616,11 @@ SELECT doc_id AS media_id,
   (octet_length(encode(text)) + 255) // 256 AS n_chunks
 FROM documents
 """
+
+STREAM_WINDOW_COUNTS = """
+SELECT
+  epoch_us(date_trunc('hour', ts)) AS window_start_us,
+  event_type,
+  COUNT(*) AS cnt
+FROM events GROUP BY 1, 2
+"""

@@ -1,0 +1,116 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.10); this module adds
+the standard micro-batch shapes a trip/event feed needs, expressed so the
+same logical plan serves batch and streaming:
+
+- ``stream_events``     — file-source readStream with an explicit schema
+  (streaming requires one; also skips inference) + the nanos->timestamp
+  normalization the batch registry applies.
+- ``windowed_counts``   — tumbling-window counts with a watermark bounding
+  state: late rows beyond the delay are dropped instead of growing state
+  forever (the scale-critical property).
+- ``sliding_avg``       — overlapping windows (update-mode analytics).
+- ``run_available_now`` — drain everything currently in the source as
+  micro-batches into an in-memory table and return it (test/backfill
+  driver; production would writeStream to parquet/kafka with the same
+  plan).
+
+At 100 TB/day the knobs that matter: watermark delay bounds state size,
+``maxFilesPerTrigger`` bounds batch size, and the shuffle behind the
+windowed groupBy is the same partial-agg exchange as batch (tune
+spark.sql.shuffle.partitions; state store is partitioned on the same
+keys).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import configure_runtime
+
+#: Parquet-on-disk schema of the events table (ts is TIMESTAMP(NANOS),
+#: read as int64 under nanosAsLong — converted right after the source).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over the events parquet (file source)."""
+    configure_runtime(spark)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # The file source requires a *directory* basePath; a glob keeps the
+    # base at sf_dir while matching just the events file(s).
+    raw = reader.parquet(os.path.join(sf_dir, "events.parquet*"))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window event counts per type, state bounded by watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window running aggregate (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "cnt",
+            "avg_value",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the source with Trigger.AvailableNow into a memory sink and
+    return the materialized table."""
+    spark = result.sparkSession
+    query = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,54 @@
+"""Structured Streaming semantics tests (availableNow drains)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+from data_lake_for_citi_bike_trip_spark.streaming import pipeline
+
+
+def test_stream_window_counts_match_batch(spark, sf_dir):
+    stream = pipeline.stream_events(spark, sf_dir)
+    result = pipeline.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    streamed = pipeline.run_available_now(result, "t_win_counts", "complete")
+
+    events = load_table(spark, sf_dir, "events")
+    batch = (
+        events.groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = {(r.window_start_us, r.event_type): r.cnt for r in streamed.collect()}
+    want = {(r.window_start_us, r.event_type): r.cnt for r in batch.collect()}
+    assert got == want  # complete-mode drain == batch aggregation
+
+
+def test_stream_append_mode_emits_only_closed_windows(spark, sf_dir):
+    stream = pipeline.stream_events(spark, sf_dir, max_files_per_trigger=1)
+    result = pipeline.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    appended = pipeline.run_available_now(result, "t_win_append", "append")
+    # single-source drain: windows more than the watermark delay before the
+    # max event time are closed and emitted; the trailing ones are held back
+    events = load_table(spark, sf_dir, "events")
+    n_all_windows = (
+        events.select(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .distinct()
+        .count()
+    )
+    n_emitted = appended.count()
+    assert 0 < n_emitted < n_all_windows
+
+
+def test_sliding_avg_windows_overlap(spark, sf_dir):
+    stream = pipeline.stream_events(spark, sf_dir)
+    result = pipeline.sliding_avg(stream, window="1 hour", slide="30 minutes")
+    out = pipeline.run_available_now(result, "t_slide", "complete")
+    rows = out.collect()
+    # every hour of data appears in ~2 overlapping windows
+    events = load_table(spark, sf_dir, "events")
+    n_hours = events.select(F.date_trunc("hour", "ts")).distinct().count()
+    assert len(rows) > n_hours
+    assert sum(r.cnt for r in rows) == 2 * events.count()
