@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis) for load-bearing key expressions."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.functions.keys import (
+    WEATHER_OBS_OFFSET_SECONDS,
+    hour_bucket_epoch,
+    user_agg_id,
+)
+
+# Timestamps across DST boundaries, leap day, year ends, fractional seconds.
+TS = st.datetimes(
+    min_value=datetime.datetime(2019, 1, 1),
+    max_value=datetime.datetime(2021, 12, 31),
+).map(lambda d: d.replace(microsecond=d.second * 10101 % 1000000))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TS, min_size=1, max_size=24, unique=True))
+def test_hour_bucket_matches_reference_string_slice(spark, batch):
+    """Our idiomatic J2 key (date_trunc+unix_seconds-540) must equal the
+    reference's string-slice trick: unix_timestamp of the first 13 chars of
+    the timestamp string + ':00:00' minus 540 (spark_elt_emr.py:79), for
+    every timestamp — including fractional seconds and boundary hours."""
+    df = spark.createDataFrame(
+        [(t.strftime("%Y-%m-%d %H:%M:%S.%f"),) for t in batch], "starttime string"
+    )
+    ts = F.to_timestamp("starttime")
+    ours = hour_bucket_epoch(ts)
+    reference = (
+        F.unix_timestamp(
+            F.to_timestamp(F.concat(F.substring("starttime", 0, 13), F.lit(":00:00")))
+        )
+        - WEATHER_OBS_OFFSET_SECONDS
+    )
+    mismatch = df.select(ours.alias("a"), reference.alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    assert mismatch.count() == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.one_of(st.none(), st.sampled_from(["Subscriber", "Customer"])),
+    st.one_of(st.none(), st.sampled_from(["0", "1", "2"])),
+    st.one_of(st.none(), st.sampled_from(["1950", "1990", "2003"])),
+)
+def test_user_agg_id_null_propagation(spark, usertype, gender, birth_year):
+    """concat (not concat_ws): any NULL component nulls the whole key."""
+    df = spark.createDataFrame(
+        [(usertype, gender, birth_year)], "u string, g string, b string"
+    )
+    got = df.select(
+        user_agg_id(F.col("u"), F.col("g"), F.col("b")).alias("k")
+    ).first()["k"]
+    if None in (usertype, gender, birth_year):
+        assert got is None
+    else:
+        assert got == usertype + gender + birth_year

@@ -1,0 +1,176 @@
+"""End-to-end reference-ELT test on reference-shaped staging fixtures
+(FIXTURES.md §1-4): gzipped CSVs with the real feeds' header quirks and a
+single-line JSON weather array, through run_elt to partitioned parquet.
+"""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.pipelines import elt
+
+TRIP_HEADERS = (
+    "tripduration,starttime,stoptime,start station id,start station name,"
+    "start station latitude,start station longitude,end station id,"
+    "end station name,end station latitude,end station longitude,bikeid,"
+    "usertype,birth year,gender"
+)
+
+
+def _hour(day: int, hour: int, month: int = 1) -> datetime.datetime:
+    return datetime.datetime(2020, month, day, hour, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def staging_paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("staging")
+
+    # trips: two months; mixed-digit-length bikeids; NULL gender/birth year;
+    # duplicate (starttime, bikeid); hours 10 (1 obs), 11 (2 obs), 12 (0 obs)
+    trips = [root / "trips", root / "stations", root / "covids", root / "weathers"]
+    for d in trips:
+        d.mkdir()
+    rows = []
+    for i in range(30):
+        month = 1 if i < 20 else 2
+        ts = _hour(1 + i % 3, 10 + i % 3, month).replace(minute=i % 60)
+        bike = ["9981", "16214", "777"][i % 3]
+        birth = "" if i % 13 == 0 else str(1950 + i % 40)
+        gender = "" if i % 10 == 0 else str(i % 3)
+        rows.append(
+            f"{300 + i},{ts} ,{ts},{i % 5},S{i % 5},40.7,-74.0,{(i * 7) % 5},"
+            f"E{(i * 7) % 5},40.8,-74.1,{bike},Subscriber,{birth},{gender}".replace(
+                f"{ts} ", f"{ts}"
+            )
+        )
+    rows.append(rows[0])  # exact duplicate trip (md5 id collision path)
+    with gzip.open(root / "trips" / "202001-trips.csv.gz", "wt") as f:
+        f.write(TRIP_HEADERS + "\n" + "\n".join(rows) + "\n")
+
+    station_header = (
+        ",station_id,external_id,name,short_name,region_id,legacy_id,"
+        "station_type,lat,lon,capacity,has_kiosk,"
+        "electric_bike_surcharge_waiver,eightd_has_key_dispenser,rental_methods"
+    )
+    station_rows = [
+        f"{i},{sid},ext-{sid},Station {sid},69{i}.01,71,{sid},classic,40.76,"
+        f"-73.99,55,True,False,False,\"['KEY', 'CREDITCARD']\""
+        for i, sid in enumerate(["72", "9981", "116"])
+    ]
+    station_rows.append(station_rows[0])  # duplicate snapshot row
+    with gzip.open(root / "stations" / "stations.csv.gz", "wt") as f:
+        f.write(station_header + "\n" + "\n".join(station_rows) + "\n")
+
+    covid_header = (
+        ",DATE_OF_INTEREST,CASE_COUNT,PROBABLE_CASE_COUNT,BX_CASE_COUNT,"
+        "BX_PROBABLE_CASE_COUNT,BK_CASE_COUNT,BK_PROBABLE_CASE_COUNT,"
+        "MN_CASE_COUNT,MN_PROBABLE_CASE_COUNT,QN_CASE_COUNT,"
+        "QN_PROBABLE_CASE_COUNT,SI_CASE_COUNT,SI_PROBABLE_CASE_COUNT,INCOMPLETE"
+    )
+    # only January days -> February trips get NULL covid_id
+    covid_rows = [
+        f"{i},01/{d:02d}/2020,0,0,1,0,2,0,3,0,4,0,5,0,0" for i, d in enumerate((1, 2, 3))
+    ]
+    with gzip.open(root / "covids" / "covid.csv.gz", "wt") as f:
+        f.write(covid_header + "\n" + "\n".join(covid_rows) + "\n")
+
+    # weather: obs at hourstart-540 (the :51-past-previous-hour quirk);
+    # hour 11 duplicated (fan-out); hour 12 missing entirely (NULL weather_id)
+    obs = []
+    for day in (1, 2, 3):
+        for month in (1, 2):
+            for hour, n in ((10, 1), (11, 2)):
+                epoch = int(_hour(day, hour, month).replace(tzinfo=datetime.timezone.utc).timestamp()) - 540
+                for j in range(n):
+                    obs.append(
+                        {
+                            "valid_time_gmt": epoch,
+                            "temp": 39 + day + j,
+                            "dewPt": 29,
+                            "rh": 67,
+                            "day_ind": "N",
+                            "wspd": 10,
+                            "gust": None if j == 0 else 25,
+                            "pressure": 30.04,
+                            "precip_hrly": 0.0,
+                            "wx_phrase": "Fair",
+                        }
+                    )
+    with open(root / "weathers" / "day1.json", "w") as f:
+        json.dump(obs, f)
+
+    return {
+        "trips": str(root / "trips" / "*.csv.gz"),
+        "stations": str(root / "stations" / "*.csv.gz"),
+        "covid": str(root / "covids" / "*.csv.gz"),
+        "weather": str(root / "weathers" / "*.json"),
+    }
+
+
+def test_elt_end_to_end(spark, staging_paths, tmp_path):
+    out = str(tmp_path / "lake")
+    tables = elt.run_elt(spark, staging_paths, out)
+
+    fact = spark.read.parquet(os.path.join(out, "bikeshare_fact_table"))
+    n_trips = 31
+    # hour-11 trips fan out against the duplicated observation
+    assert fact.count() > n_trips
+    # missing covid month / missing weather hour surface as NULLs
+    assert fact.where(F.col("covid_id").isNull()).count() > 0
+    assert fact.where(F.col("weather_id").isNull()).count() > 0
+    assert fact.where(F.col("id").isNull()).count() == 0
+    # partitioned layout on disk
+    assert os.path.isdir(os.path.join(out, "bikeshare_fact_table", "year=2020", "month=1"))
+    assert os.path.isdir(os.path.join(out, "bikeshare_fact_table", "year=2020", "month=2"))
+    assert os.path.isdir(
+        os.path.join(out, "dim_user_agg_table", "usertype=Subscriber")
+    )
+
+    # weather joined rows carry the -540s observation timestamps
+    matched = fact.where(F.col("weather_id").isNotNull()).select("weather_id")
+    stamps = [(r.weather_id.minute, r.weather_id.second) for r in matched.collect()]
+    assert set(stamps) == {(51, 0)}  # :51:00 past the previous hour (-540 s)
+
+    # station dim: duplicate collapsed, lexicographic order, sic alias
+    station = spark.read.parquet(os.path.join(out, "dim_station"))
+    ids = [r.station_id for r in station.orderBy("station_id").collect()]
+    assert ids == sorted(ids) and len(ids) == 3
+    assert "longtitude" in station.columns
+
+    # reference DQ suite passes against the written lake
+    results = elt.reference_checks(spark, out)
+    assert all(passed for _, _, passed in results)
+
+
+def test_elt_rerun_is_idempotent(spark, staging_paths, tmp_path):
+    out = str(tmp_path / "lake2")
+    elt.run_elt(spark, staging_paths, out)
+    n1 = spark.read.parquet(os.path.join(out, "bikeshare_fact_table")).count()
+    elt.run_elt(spark, staging_paths, out)  # reference append would duplicate
+    n2 = spark.read.parquet(os.path.join(out, "bikeshare_fact_table")).count()
+    assert n1 == n2
+
+
+def test_elt_legacy_string_mode(spark, staging_paths, tmp_path):
+    out = str(tmp_path / "lake3")
+    tables = elt.run_elt(spark, staging_paths, out, legacy_string_mode=True)
+    fact_types = dict(tables["bikeshare_fact_table"].dtypes)
+    assert fact_types["duration"] == "string"  # all-string CSV accident preserved
+    bikes = [r.bike_id for r in tables["dim_bike_table"].collect()]
+    assert bikes == sorted(bikes)  # '16214' < '777' < '9981' lexicographic
+    assert bikes[0] == "16214" and bikes[-1] == "9981"
+
+
+def test_elt_null_propagating_user_key(spark, staging_paths, tmp_path):
+    out = str(tmp_path / "lake4")
+    tables = elt.run_elt(spark, staging_paths, out)
+    dim = tables["dim_user_agg_table"]
+    nulls = dim.where(F.col("gender").isNull() | F.col("birth_year").isNull())
+    assert nulls.count() > 0
+    assert nulls.where(F.col("user_agg_id").isNotNull()).count() == 0
