@@ -26,10 +26,12 @@ from data_lake_for_citi_bike_trip_spark.operators import (
     staging,
     star,
 )
+from data_lake_for_citi_bike_trip_spark.operators import sqlsurface
 from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 from data_lake_for_citi_bike_trip_spark.plans import checks
 from data_lake_for_citi_bike_trip_spark.streaming import pipeline as streaming
+from data_lake_for_citi_bike_trip_spark.streaming import stateful
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -273,6 +275,18 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(result, "q_stream_window_counts", "complete")
 
 
+def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): per-user
+    running totals drained with availableNow; the max update per user is
+    the final state == the batch count (oracle-checkable)."""
+    stream = streaming.stream_events(spark, sf_dir)
+    updates = stateful.user_running_totals(stream)
+    drained = streaming.run_available_now(updates, "q_stream_user_totals", "update")
+    return drained.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_fact_trips(spark, SF_SMOKE)
@@ -312,6 +326,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "multimodal_payload_stats": q_multimodal_payload_stats,
         "stream_window_counts": q_stream_window_counts,
+        "stream_user_totals": q_stream_user_totals,
+        "rollup_revenue": sqlsurface.rollup_revenue,
+        "cube_priority": sqlsurface.cube_priority,
+        "intersect_users": sqlsurface.intersect_users,
+        "except_parts": sqlsurface.except_parts,
+        "exists_big_spenders": sqlsurface.exists_big_spenders,
+        "above_average_orders": sqlsurface.above_average_orders,
+        "cte_monthly_top_segment": sqlsurface.cte_monthly_top_segment,
     }
 
 
@@ -349,4 +371,12 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": oracles.TEXT_FINGERPRINT,
         "multimodal_payload_stats": oracles.MULTIMODAL_PAYLOAD_STATS,
         "stream_window_counts": oracles.STREAM_WINDOW_COUNTS,
+        "stream_user_totals": oracles.STREAM_USER_TOTALS,
+        "rollup_revenue": oracles.ROLLUP_REVENUE,
+        "cube_priority": oracles.CUBE_PRIORITY,
+        "intersect_users": oracles.INTERSECT_USERS,
+        "except_parts": oracles.EXCEPT_PARTS,
+        "exists_big_spenders": oracles.EXISTS_BIG_SPENDERS,
+        "above_average_orders": oracles.ABOVE_AVERAGE_ORDERS,
+        "cte_monthly_top_segment": oracles.CTE_MONTHLY_TOP_SEGMENT,
     }

@@ -1,0 +1,132 @@
+"""SQL-entry operators — the ``spark.sql`` surface of the engine.
+
+The reference drives everything through SQL strings over temp views
+(spark_elt_emr.py:62-185); this module keeps that entry path first-class
+and extends it with the SQL shapes the reference never needed: ROLLUP /
+CUBE grouping sets, INTERSECT / EXCEPT, correlated EXISTS, scalar
+subqueries, and multi-CTE pipelines. Catalyst plans these identically to
+the DataFrame API — partial aggregates, broadcast joins, subquery
+decorrelation — so there is no penalty for the SQL form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.registry import load_table
+
+
+def _views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals: (year, status), (year), () — one pass, partial
+    aggregation per grouping set."""
+    _views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               o_orderstatus,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               COUNT(*) AS order_cnt,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+        """
+    )
+
+
+def cube_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets."""
+    _views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               COUNT(*) AS order_cnt
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """
+    )
+
+
+def intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: users active in both halves of the event window."""
+    _views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT user_id FROM events WHERE day(ts) <= 15
+        INTERSECT
+        SELECT user_id FROM events WHERE day(ts) > 15
+        """
+    )
+
+
+def except_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: parts never shipped at near-max quantity with a
+    deep discount (a slow-mover report)."""
+    _views(spark, sf_dir, ["part", "lineitem"])
+    return spark.sql(
+        """
+        SELECT p_partkey FROM part
+        EXCEPT
+        SELECT l_partkey FROM lineitem
+        WHERE l_quantity >= 49 AND l_discount >= 0.08
+        """
+    )
+
+
+def exists_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: customers holding at least one order over 400k.
+    Catalyst decorrelates this into a left-semi join."""
+    _views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        """
+    )
+
+
+def above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery threshold: orders priced over 2x the global mean.
+    The comparison value is rounded so both engines agree at the boundary."""
+    _views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT 1.5 * round(avg(o_totalprice), 2) FROM orders)
+        """
+    )
+
+
+def cte_monthly_top_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE pipeline (C1 parity): monthly revenue per segment, then
+    each month's top segment by window rank."""
+    _views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        WITH monthly AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                 CAST(month(o_orderdate) AS BIGINT) AS m,
+                 c_mktsegment,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY y, m ORDER BY revenue DESC, c_mktsegment ASC
+                 ) AS BIGINT) AS rnk
+          FROM monthly
+        )
+        SELECT y, m, c_mktsegment, revenue FROM ranked WHERE rnk = 1
+        """
+    )

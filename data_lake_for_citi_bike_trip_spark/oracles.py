@@ -624,3 +624,75 @@ SELECT
   COUNT(*) AS cnt
 FROM events GROUP BY 1, 2
 """
+
+# ---------------------------------------------------------------------------
+# SQL-surface oracles (operators/sqlsurface.py)
+# ---------------------------------------------------------------------------
+
+ROLLUP_REVENUE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       o_orderstatus,
+       CAST(GROUPING(year(o_orderdate), o_orderstatus) AS BIGINT) AS gid,
+       COUNT(*) AS order_cnt,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+"""
+
+CUBE_PRIORITY = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS order_cnt
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+INTERSECT_USERS = """
+SELECT user_id FROM events WHERE day(CAST(ts AS DATE)) <= 15
+INTERSECT
+SELECT user_id FROM events WHERE day(CAST(ts AS DATE)) > 15
+"""
+
+EXCEPT_PARTS = """
+SELECT p_partkey FROM part
+EXCEPT
+SELECT l_partkey FROM lineitem
+WHERE l_quantity >= 49 AND l_discount >= 0.08
+"""
+
+EXISTS_BIG_SPENDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+"""
+
+ABOVE_AVERAGE_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT 1.5 * round(avg(o_totalprice), 2) FROM orders)
+"""
+
+CTE_MONTHLY_TOP_SEGMENT = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         c_mktsegment,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY y, m ORDER BY revenue DESC, c_mktsegment ASC
+         ) AS BIGINT) AS rnk
+  FROM monthly
+)
+SELECT y, m, c_mktsegment, revenue FROM ranked WHERE rnk = 1
+"""
+
+STREAM_USER_TOTALS = """
+SELECT user_id, COUNT(*) AS total_events FROM events GROUP BY 1
+"""

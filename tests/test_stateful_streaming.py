@@ -1,0 +1,36 @@
+"""applyInPandasWithState: state must persist across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+from data_lake_for_citi_bike_trip_spark.streaming import pipeline, stateful
+
+
+def test_running_totals_accumulate_across_batches(spark, sf_dir, tmp_path):
+    # split events into several files so availableNow produces MULTIPLE
+    # micro-batches (state carries between them)
+    events = load_table(spark, sf_dir, "events")
+    multi = str(tmp_path / "events_multi")
+    events.repartition(4).write.parquet(multi)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    result = stateful.user_running_totals(stream)
+    out = pipeline.run_available_now(result, "t_user_totals", "update")
+
+    updates = out.groupBy("user_id").agg(
+        F.max("total_events").alias("final_total"),
+        F.count(F.lit(1)).alias("n_updates"),
+    )
+    batch = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("want"))
+    joined = updates.join(batch, "user_id").cache()
+    # final state equals the batch count for every user...
+    assert joined.where(F.col("final_total") != F.col("want")).count() == 0
+    # ...and state was built over >1 micro-batch (multiple update rows)
+    assert joined.where(F.col("n_updates") > 1).count() > 0
+    joined.unpersist()
