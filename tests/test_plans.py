@@ -1,0 +1,43 @@
+"""Plan-shape assertions: the scale properties that must not regress."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from data_lake_for_citi_bike_trip_spark.plans.explain import plan_facts
+
+
+def _facts(spark, sf_dir, name):
+    return plan_facts(entrymod.queries()[name](spark, sf_dir))
+
+
+def test_fact_build_broadcasts_both_dims(spark, sf_dir):
+    f = _facts(spark, sf_dir, "fact_trips")
+    assert f["broadcast_joins"] >= 2
+    assert f["sortmerge_joins"] == 0
+    assert f["nested_loop_joins"] == 0
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    f = _facts(spark, sf_dir, "pricing_summary")
+    assert f["pushed_filters"], "shipdate filter must reach the parquet scan"
+    assert "ReadSchema" in f["plan"]
+    # projection pruning: the scan must not read the l_orderkey/l_partkey ids
+    scan = f["plan"].split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+
+
+def test_dim_chain_stays_broadcast(spark, sf_dir):
+    f = _facts(spark, sf_dir, "revenue_by_nation")
+    assert f["broadcast_joins"] >= 3
+    assert f["sortmerge_joins"] == 0
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    f = _facts(spark, sf_dir, "range_price_match")
+    assert f["nested_loop_joins"] == 0
+
+
+def test_exists_decorrelates_without_cartesian(spark, sf_dir):
+    f = _facts(spark, sf_dir, "exists_big_spenders")
+    assert f["nested_loop_joins"] == 0
+    assert "SemiJoin" in f["plan"] or "LeftSemi" in f["plan"]
