@@ -26,7 +26,7 @@ from data_lake_for_citi_bike_trip_spark.operators import (
     staging,
     star,
 )
-from data_lake_for_citi_bike_trip_spark.operators import sqlsurface
+from data_lake_for_citi_bike_trip_spark.operators import corpus, sqlsurface
 from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 from data_lake_for_citi_bike_trip_spark.plans import checks
@@ -266,6 +266,34 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.train_test_split(load_table(spark, sf_dir, "documents"))
+
+
+def q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.sample_by_hash(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.vocabulary(load_table(spark, sf_dir, "documents"), top_k=50)
+
+
+def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact bob@example.com via https://ex.com/x?q=1")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus.scrub_text(dirty)
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.length_histogram(load_table(spark, sf_dir, "documents"))
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming drain: tumbling-window counts via
     Trigger.AvailableNow + memory sink, complete output mode (equivalent
@@ -325,6 +353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_payload_stats": q_multimodal_payload_stats,
+        "train_test_split": q_train_test_split,
+        "sample_by_hash": q_sample_by_hash,
+        "corpus_vocabulary": q_corpus_vocabulary,
+        "scrub_text": q_scrub_text,
+        "length_histogram": q_length_histogram,
         "stream_window_counts": q_stream_window_counts,
         "stream_user_totals": q_stream_user_totals,
         "rollup_revenue": sqlsurface.rollup_revenue,
@@ -370,6 +403,11 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": oracles.TEXT_TOKEN_STATS,
         "text_fingerprint": oracles.TEXT_FINGERPRINT,
         "multimodal_payload_stats": oracles.MULTIMODAL_PAYLOAD_STATS,
+        "train_test_split": oracles.TRAIN_TEST_SPLIT,
+        "sample_by_hash": oracles.SAMPLE_BY_HASH,
+        "corpus_vocabulary": oracles.CORPUS_VOCABULARY,
+        "scrub_text": oracles.SCRUB_TEXT,
+        "length_histogram": oracles.LENGTH_HISTOGRAM,
         "stream_window_counts": oracles.STREAM_WINDOW_COUNTS,
         "stream_user_totals": oracles.STREAM_USER_TOTALS,
         "rollup_revenue": oracles.ROLLUP_REVENUE,

@@ -40,11 +40,13 @@ def top_stations(trips: DataFrame, k: int = 10) -> DataFrame:
     counts = trips.groupBy("start_station_id").agg(
         F.count(F.lit(1)).alias("rides")
     )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition partial
+    # top-k, merged at the driver) — a global row_number window would move
+    # every group to one partition first
+    topk = counts.orderBy(F.desc("rides"), F.asc("start_station_id")).limit(k)
     w = Window.orderBy(F.desc("rides"), F.asc("start_station_id"))
-    return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rnk") <= k)
-        .select("start_station_id", "rides", "rnk")
+    return topk.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
+        "start_station_id", "rides", "rnk"
     )
 
 

@@ -696,3 +696,64 @@ SELECT y, m, c_mktsegment, revenue FROM ranked WHERE rnk = 1
 STREAM_USER_TOTALS = """
 SELECT user_id, COUNT(*) AS total_events FROM events GROUP BY 1
 """
+
+# ---------------------------------------------------------------------------
+# Corpus data-prep oracles (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+_HB = "CAST('0x' || substr(md5({key}), 1, 8) AS BIGINT) % 100"
+
+TRAIN_TEST_SPLIT = f"""
+SELECT doc_id,
+  {_HB.format(key="CAST(doc_id AS VARCHAR) || 'split-v1'")} AS bucket,
+  CASE WHEN {_HB.format(key="CAST(doc_id AS VARCHAR) || 'split-v1'")} < 10 THEN 'test'
+       WHEN {_HB.format(key="CAST(doc_id AS VARCHAR) || 'split-v1'")} < 20 THEN 'val'
+       ELSE 'train' END AS split
+FROM documents
+"""
+
+SAMPLE_BY_HASH = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_HB.format(key="CAST(doc_id AS VARCHAR) || 'sample-v1'")} < 10
+"""
+
+CORPUS_VOCABULARY = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+exploded AS (SELECT doc_id, unnest(w) AS token FROM toks),
+counts AS (
+  SELECT token, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+  FROM exploded GROUP BY 1
+)
+SELECT token, cf, df, rank FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY cf DESC, token ASC) AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= 50
+"""
+
+SCRUB_TEXT = r"""
+WITH dirty AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN text || ' contact bob@example.com via https://ex.com/x?q=1'
+         ELSE text END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, text,
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      'https?://[^\s]+', '<URL>', 'g') AS clean_text
+  FROM dirty
+)
+SELECT doc_id, clean_text,
+  CAST(length(text) - length(clean_text) AS BIGINT) AS chars_removed
+FROM scrubbed
+"""
+
+LENGTH_HISTOGRAM = """
+SELECT n_chars // 100 AS len_bucket,
+  COUNT(*) AS n_docs,
+  min(n_chars) AS min_chars,
+  max(n_chars) AS max_chars
+FROM documents GROUP BY 1
+"""
