@@ -266,6 +266,14 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.json_props_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.approx_distinct_users(load_table(spark, sf_dir, "events"))
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.train_test_split(load_table(spark, sf_dir, "documents"))
 
@@ -353,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_payload_stats": q_multimodal_payload_stats,
+        "json_props_rollup": q_json_props_rollup,
+        "approx_distinct_users": q_approx_distinct_users,
         "train_test_split": q_train_test_split,
         "sample_by_hash": q_sample_by_hash,
         "corpus_vocabulary": q_corpus_vocabulary,
@@ -403,6 +413,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": oracles.TEXT_TOKEN_STATS,
         "text_fingerprint": oracles.TEXT_FINGERPRINT,
         "multimodal_payload_stats": oracles.MULTIMODAL_PAYLOAD_STATS,
+        "json_props_rollup": oracles.JSON_PROPS_ROLLUP,
+        # approx_distinct_users: HLL estimates differ per engine -> rows-only
         "train_test_split": oracles.TRAIN_TEST_SPLIT,
         "sample_by_hash": oracles.SAMPLE_BY_HASH,
         "corpus_vocabulary": oracles.CORPUS_VOCABULARY,

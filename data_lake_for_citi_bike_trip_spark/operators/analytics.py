@@ -121,3 +121,40 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
     )
+
+
+def json_props_rollup(events: DataFrame) -> DataFrame:
+    """JSON scalar extraction (get_json_object) feeding an aggregate:
+    parse the props payload JVM-side, no Python. At scale prefer from_json
+    with an explicit schema once per column; get_json_object is the
+    ad-hoc single-path form (both shown here to cover the surface)."""
+    from pyspark.sql import types as T
+
+    k_path = F.get_json_object("props", "$.k").cast("bigint")
+    k_struct = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return (
+        events.select(
+            k_path.alias("k"),
+            k_struct.getField("k").alias("k2"),
+        )
+        .where(F.col("k") == F.col("k2"))  # both parse paths agree
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def approx_distinct_users(events: DataFrame) -> DataFrame:
+    """HLL approximate distinct (estimator differs per engine, so this is
+    a rows-only contract entry; the pytest suite bounds its error vs the
+    exact count)."""
+    return events.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        # default rsd=0.05 was observed to produce 5.2% error on real
+        # groups; 0.01 keeps the estimate inside the test's 5% bound with
+        # a still-tiny sketch
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )

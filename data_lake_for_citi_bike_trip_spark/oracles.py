@@ -757,3 +757,11 @@ SELECT n_chars // 100 AS len_bucket,
   max(n_chars) AS max_chars
 FROM documents GROUP BY 1
 """
+
+JSON_PROPS_ROLLUP = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+  COUNT(*) AS n,
+  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
