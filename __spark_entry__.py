@@ -323,6 +323,30 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark) drained via
+    availableNow; emits the deduped key set (deterministic — which
+    physical row survives is arrival-order dependent, the key set is not).
+    """
+    stream = streaming.stream_events(spark, sf_dir)
+    deduped = streaming.dedup_stream(stream, keys=["user_id", "event_type"])
+    drained = streaming.run_available_now(
+        deduped.select("user_id", "event_type"), "q_stream_dedup_keys", "append"
+    )
+    return drained.distinct()
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, nprobe inverted lists). Iterative
+    float means are not SQL-expressible -> rows-only contract entry; recall
+    vs brute force is bounded in tests/test_dedup.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.train_ivf_centroids(emb, k=8, iters=2)
+    return similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), centroids, k=10, nprobe=4
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_fact_trips(spark, SF_SMOKE)
@@ -370,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "stream_window_counts": q_stream_window_counts,
         "stream_user_totals": q_stream_user_totals,
+        "stream_dedup_keys": q_stream_dedup_keys,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "rollup_revenue": sqlsurface.rollup_revenue,
         "cube_priority": sqlsurface.cube_priority,
         "intersect_users": sqlsurface.intersect_users,
@@ -422,6 +448,8 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": oracles.LENGTH_HISTOGRAM,
         "stream_window_counts": oracles.STREAM_WINDOW_COUNTS,
         "stream_user_totals": oracles.STREAM_USER_TOTALS,
+        "stream_dedup_keys": oracles.STREAM_DEDUP_KEYS,
+        # ann_ivf_topk: iterative (k-means) -> rows-only
         "rollup_revenue": oracles.ROLLUP_REVENUE,
         "cube_priority": oracles.CUBE_PRIORITY,
         "intersect_users": oracles.INTERSECT_USERS,

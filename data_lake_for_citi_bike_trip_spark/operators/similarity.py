@@ -75,3 +75,95 @@ def lsh_bucket_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF: k-means coarse quantizer + inverted lists. The scale path for ANN —
+# probe cost drops from |corpus| to ~nprobe/k of it. Centroid training is
+# an iterative driver loop of small Spark jobs (Lloyd's); assignment and
+# search are single declarative plans. Non-SQL-expressible end-to-end
+# (iterative float means), so the contract entry is rows-only.
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (broadcast centroids, argmin via
+    min_by — no window, no shuffle beyond the aggregation)."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cid", _l2sq(F.col("v"), F.col("cv")).alias("d2")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(F.col("cid"), F.struct(F.col("d2"), F.col("cid"))).alias("cid"),
+            F.first("v").alias("v"),
+        )
+    )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame, k: int = 16, iters: int = 3
+) -> DataFrame:
+    """Lloyd's k-means with deterministic init (the k lowest vec_ids).
+
+    Each iteration: assign (map-side, centroids broadcast) then
+    recompute per-dimension means via posexplode -> two-level aggregate.
+    k*dim floats per iteration cross the driver — nothing else does.
+    """
+    corpus = _prepared(embeddings)
+    centroids = (
+        corpus.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = _assign(corpus, centroids)
+        dims = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        means = dims.groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+        centroids = (
+            means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s.getField("m")).alias("cv"))
+        )
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN search: route each query to its ``nprobe`` nearest centroids,
+    scan only those inverted lists, rank by cosine."""
+    index = _assign(_prepared(embeddings), centroids)
+    q = _prepared(queries).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    q_routes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("q_id", "qv", "cid", _l2sq(F.col("qv"), F.col("cv")).alias("d2"))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cid"))
+            ),
+        )
+        .where(F.col("probe_rank") <= nprobe)
+        .select("q_id", "qv", "cid")
+    )
+    cand = q_routes.join(index, "cid").where(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "vec_id", V.cosine_r6(F.col("qv"), F.col("v")).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= k
+    )

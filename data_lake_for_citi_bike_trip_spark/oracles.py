@@ -765,3 +765,7 @@ SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY 1
 """
+
+STREAM_DEDUP_KEYS = """
+SELECT DISTINCT user_id, event_type FROM events
+"""

@@ -20,7 +20,8 @@ def write_table(
     *,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
-    target_file_rows: int | None = None,
+    compression: str | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Write parquet with the engine's layout rules.
 
@@ -30,8 +31,17 @@ def write_table(
       - "overwrite_partitions" — dynamic partition overwrite: idempotent
         incremental load (requires
         spark.sql.sources.partitionOverwriteMode=dynamic, set by session).
+
+    File hygiene at scale: ``compression`` (zstd beats snappy ~30% on
+    text-heavy tables at similar CPU) and ``max_records_per_file`` (bound
+    file sizes so downstream scans split evenly; pair with AQE coalescing
+    so partitions don't fragment into many small files).
     """
     writer = df.write.format("parquet")
+    if compression:
+        writer = writer.option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if mode == "overwrite_partitions":

@@ -114,3 +114,15 @@ def run_available_now(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within the
+    watermark horizon (state for a key is dropped once the watermark
+    passes it — bounded state, the property that makes streaming dedup
+    viable at scale; an unbounded dropDuplicates would grow forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

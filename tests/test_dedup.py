@@ -59,3 +59,20 @@ def test_cosine_topk_is_exact_and_ranked(spark, sf_dir):
         sims = [r.cos_sim for r in rows if r.q_id == q]
         assert sims == sorted(sims, reverse=True)
     assert all(r.vec_id != r.q_id for r in rows)  # self excluded
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    centroids = similarity.train_ivf_centroids(emb, k=8, iters=2)
+    assert centroids.count() == 8
+    ivf = similarity.ivf_topk(emb, queries, centroids, k=10, nprobe=4)
+    bf = similarity.cosine_topk(emb, queries, k=10)
+    ivf_pairs = {(r.q_id, r.vec_id) for r in ivf.collect()}
+    bf_pairs = {(r.q_id, r.vec_id) for r in bf.collect()}
+    recall = len(ivf_pairs & bf_pairs) / len(bf_pairs)
+    # nprobe=4 of 8 clusters scans ~half the corpus; near-random vectors
+    # put ~half the true neighbors in probed lists
+    assert recall >= 0.35, recall
+    # every query produced a full top-k from its probed lists
+    assert ivf.groupBy("q_id").count().where(F.col("count") != 10).count() == 0

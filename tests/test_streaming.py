@@ -52,3 +52,20 @@ def test_sliding_avg_windows_overlap(spark, sf_dir):
     n_hours = events.select(F.date_trunc("hour", "ts")).distinct().count()
     assert len(rows) > n_hours
     assert sum(r.cnt for r in rows) == 2 * events.count()
+
+
+def test_stream_dedup_drops_within_watermark(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    # duplicate every 5th event into a second file: same event_id, same ts
+    dups = events.where(F.col("event_id") % 5 == 0)
+    src = str(tmp_path / "dup_events")
+    events.write.parquet(src)
+    dups.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema).parquet(src)
+    )
+    deduped = pipeline.dedup_stream(stream, keys=["event_id"], watermark="2 hours")
+    out = pipeline.run_available_now(deduped.groupBy("event_id").count(), "t_dedup", "complete")
+    assert out.where(F.col("count") > 1).count() == 0
+    assert out.count() == events.count()
