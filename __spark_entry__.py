@@ -42,7 +42,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # ---------------------------------------------------------------------------
 
 def _staged(spark: SparkSession, sf_dir: str):
-    events = load_table(spark, sf_dir, "events")
+    events = staging.rebalanced(load_table(spark, sf_dir, "events"))
     return staging.trips(events), staging.covid(events), staging.weather(events)
 
 

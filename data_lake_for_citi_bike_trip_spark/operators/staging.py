@@ -36,11 +36,17 @@ from ..session import spread
 K_PATTERN = r'"k":\s*(\d+)'
 
 
+def rebalanced(events: DataFrame) -> DataFrame:
+    """One shared spread() for all three staging derivations: identical
+    exchange subtrees let Spark plan a ReusedExchange instead of
+    re-shuffling the source three times (single-file inputs arrive as one
+    split; CPU-heavy staging needs full parallelism)."""
+    return spread(events)
+
+
 def trips(events: DataFrame) -> DataFrame:
     k = F.regexp_extract("props", K_PATTERN, 1).cast("int")
-    # single-file testdata arrives as one split; the downstream fact build
-    # is per-row heavy (md5 keys, joins), so rebalance to all cores first
-    return spread(events).select(
+    return events.select(
         F.col("ts").alias("starttime"),
         F.unix_micros("ts").alias("start_epoch_us"),
         F.col("user_id").cast("string").alias("bikeid"),
@@ -58,7 +64,7 @@ def covid(events: DataFrame) -> DataFrame:
     those days get NULL covid_id (late/missing-data behavior)."""
     day = F.to_date("ts")
     return (
-        spread(events).groupBy(day.alias("d"))
+        events.groupBy(day.alias("d"))
         .agg(
             F.count(F.lit(1)).alias("case_count"),
             F.count(F.when(F.col("event_type") == "error", 1)).alias(
@@ -85,7 +91,7 @@ def weather(events: DataFrame) -> DataFrame:
     weather_id); hour 7 duplicated (join fan-out). gust-analog is NULL for
     hours with no 'error' events (exercises the CASE WHEN default, P3)."""
     hourly = (
-        spread(events).groupBy(F.date_trunc("hour", "ts").alias("obs_hour"))
+        events.groupBy(F.date_trunc("hour", "ts").alias("obs_hour"))
         .agg(
             F.max("value").alias("temp"),
             F.count(F.lit(1)).alias("rh"),

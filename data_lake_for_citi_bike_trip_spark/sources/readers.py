@@ -68,3 +68,13 @@ def read_staging_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def parse_stringified_list(col):
+    """Recover a real ArrayType from the reference's stringified Python
+    list ("['KEY', 'CREDITCARD']" — produced by pandas round-tripping GBFS
+    JSON through CSV, SURVEY.md §1.3). Single->double quote rewrite then
+    from_json; malformed input yields NULL rather than an error."""
+    from pyspark.sql import functions as F
+
+    return F.from_json(F.regexp_replace(col, "'", '"'), "array<string>")

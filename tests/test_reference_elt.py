@@ -174,3 +174,17 @@ def test_elt_null_propagating_user_key(spark, staging_paths, tmp_path):
     nulls = dim.where(F.col("gender").isNull() | F.col("birth_year").isNull())
     assert nulls.count() > 0
     assert nulls.where(F.col("user_agg_id").isNotNull()).count() == 0
+
+
+def test_rental_methods_list_recovery(spark):
+    from data_lake_for_citi_bike_trip_spark.sources.readers import parse_stringified_list
+
+    df = spark.createDataFrame(
+        [("['KEY', 'CREDITCARD']",), ("[]",), ("not a list",), (None,)],
+        "rental_methods string",
+    )
+    out = df.select(parse_stringified_list(F.col("rental_methods")).alias("arr")).collect()
+    assert out[0].arr == ["KEY", "CREDITCARD"]
+    assert out[1].arr == []
+    assert out[2].arr is None  # malformed -> NULL, not an exception
+    assert out[3].arr is None
