@@ -302,6 +302,14 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.length_histogram(load_table(spark, sf_dir, "documents"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.llm_prep_pipeline(load_table(spark, sf_dir, "documents"))
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming drain: tumbling-window counts via
     Trigger.AvailableNow + memory sink, complete output mode (equivalent
@@ -392,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocabulary": q_corpus_vocabulary,
         "scrub_text": q_scrub_text,
         "length_histogram": q_length_histogram,
+        "chunk_documents": q_chunk_documents,
+        "llm_prep_pipeline": q_llm_prep_pipeline,
         "stream_window_counts": q_stream_window_counts,
         "stream_user_totals": q_stream_user_totals,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -446,6 +456,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_vocabulary": oracles.CORPUS_VOCABULARY,
         "scrub_text": oracles.SCRUB_TEXT,
         "length_histogram": oracles.LENGTH_HISTOGRAM,
+        "chunk_documents": oracles.CHUNK_DOCUMENTS,
+        "llm_prep_pipeline": oracles.LLM_PREP_PIPELINE,
         "stream_window_counts": oracles.STREAM_WINDOW_COUNTS,
         "stream_user_totals": oracles.STREAM_USER_TOTALS,
         "stream_dedup_keys": oracles.STREAM_DEDUP_KEYS,

@@ -98,3 +98,64 @@ def length_histogram(docs: DataFrame, bucket_chars: int = 100) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks (training-prep
+    windowing). One explode over precomputed window starts; chunk text is
+    rebuilt with slice/array_join so everything stays in codegen.
+
+    Windows start at 0, stride, 2*stride, ... and the last window is the
+    first one that reaches the end of the doc (no degenerate tail chunks).
+    """
+    w = TX.tokens(F.col("text"))
+    n = F.size(w)
+    n_starts = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)).cast("double") / stride).cast("int") + 1,
+        F.lit(1),
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_starts - 1), lambda i: i * stride
+    )
+    chunked = spread(docs).select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(starts).alias("start"),
+    )
+    piece = F.slice(F.col("w"), F.col("start") + 1, chunk_tokens)
+    return chunked.select(
+        "doc_id",
+        F.col("start").cast("bigint").alias("chunk_start"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("chunk_tokens"),
+    )
+
+
+def llm_prep_pipeline(docs: DataFrame, quality_threshold: float = 0.75) -> DataFrame:
+    """The composed training-data pipeline: scrub -> quality gate ->
+    exact-dedup (survivor = min doc_id per content hash) -> split.
+
+    Each stage is one of this module's/text.py's operators; composing them
+    keeps a single declarative plan end-to-end (Catalyst pipelines the
+    scans; the only shuffles are the dedup groupBy and nothing else —
+    split/scrub/quality are map-side)."""
+    from . import text as text_ops
+
+    scrubbed = scrub_text(docs).select("doc_id", "clean_text")
+    quality = text_ops.quality_score(docs).select("doc_id", "quality")
+    survivors = (
+        scrubbed.join(quality, "doc_id")
+        .where(F.col("quality") >= quality_threshold)
+        # dedup on the SCRUBBED content: two docs differing only in
+        # stripped PII/URLs are duplicates for training purposes
+        .groupBy(F.md5("clean_text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    split = train_test_split(docs).select("doc_id", "split")
+    return (
+        survivors.join(split, "doc_id")
+        .join(quality, "doc_id")
+        .select("doc_id", "content_hash", "split", "quality")
+    )

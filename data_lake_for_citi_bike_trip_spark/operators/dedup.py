@@ -159,13 +159,32 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_doc_frequency: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word shingles via a
-    posting-list self-join (shuffle keyed on shingle)."""
+    posting-list self-join (shuffle keyed on shingle).
+
+    ``max_doc_frequency`` drops stop-shingles appearing in more than that
+    fraction of docs BEFORE the self-join — a shingle in f docs generates
+    f^2/2 pairs, so hot shingles dominate cost while carrying no dedup
+    signal. Capping changes the result (Jaccard is then over the capped
+    shingle sets) — use for candidate generation, not exact scoring.
+    """
     postings = spread(docs).select(
         "doc_id", F.explode(TX.word_shingles(F.col("text"), shingle_n)).alias("s")
     ).distinct()
+    if max_doc_frequency is not None:
+        n_docs = docs.count()
+        hot = (
+            postings.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_frequency * n_docs)
+            .select("s")
+        )
+        postings = postings.join(F.broadcast(hot), "s", "left_anti")
     sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = postings.alias("a"), postings.alias("b")
     inter = (

@@ -769,3 +769,49 @@ FROM events GROUP BY 1
 STREAM_DEDUP_KEYS = """
 SELECT DISTINCT user_id, event_type FROM events
 """
+
+CHUNK_DOCUMENTS = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sized AS (
+  SELECT doc_id, w,
+    greatest(CAST(ceil(CAST(len(w) - 64 AS DOUBLE) / 48) AS INT) + 1, 1) AS n_starts
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, w, unnest(list_transform(range(0, n_starts), i -> i * 48)) AS start
+  FROM sized
+)
+SELECT doc_id,
+  CAST(start AS BIGINT) AS chunk_start,
+  array_to_string(w[start + 1 : start + 64], ' ') AS chunk_text,
+  CAST(len(w[start + 1 : start + 64]) AS BIGINT) AS chunk_tokens
+FROM chunks
+"""
+
+_SCRUB_EXPR = (
+    r"regexp_replace(regexp_replace(text,"
+    r" '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    r" 'https?://[^\s]+', '<URL>', 'g')"
+)
+
+LLM_PREP_PIPELINE = f"""
+WITH quality AS (
+  SELECT doc_id, quality FROM ({TEXT_QUALITY})
+),
+scrubbed AS (
+  SELECT doc_id, {_SCRUB_EXPR} AS clean_text FROM documents
+),
+survivors AS (
+  SELECT md5(s.clean_text) AS content_hash, min(s.doc_id) AS doc_id
+  FROM scrubbed s JOIN quality q ON s.doc_id = q.doc_id
+  WHERE q.quality >= 0.75
+  GROUP BY 1
+),
+split AS (
+  SELECT doc_id, split FROM ({TRAIN_TEST_SPLIT})
+)
+SELECT sv.doc_id, sv.content_hash, sp.split, q.quality
+FROM survivors sv
+JOIN split sp ON sv.doc_id = sp.doc_id
+JOIN quality q ON sv.doc_id = q.doc_id
+"""

@@ -76,3 +76,18 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.35, recall
     # every query produced a full top-k from its probed lists
     assert ivf.groupBy("q_id").count().where(F.col("count") != 10).count() == 0
+
+
+def test_ngram_jaccard_frequency_cap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    # cap=1.0 drops nothing (no shingle is in >100% of docs)
+    capped_noop = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_frequency=1.0)
+    a = {(r.d1, r.d2) for r in uncapped.collect()}
+    b = {(r.d1, r.d2) for r in capped_noop.collect()}
+    assert a == b
+    # an aggressive cap still finds the planted near-dup pairs (their
+    # shared shingles are rare by construction)
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_frequency=0.05)
+    c = {(r.d1, r.d2) for r in capped.collect()}
+    assert a <= c or len(c & a) / len(a) >= 0.9, (len(a), len(c & a))

@@ -64,3 +64,30 @@ def test_decode_images_unregistered_raises(spark, sf_dir):
     media = multimodal.media_table(docs)
     with pytest.raises(Exception, match="not registered"):
         multimodal.decode_images(media, decoder="real").collect()
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import corpus
+
+    text = " ".join(f"w{i}" for i in range(150))  # 150 tokens
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    chunks = corpus.chunk_documents(docs, chunk_tokens=64, stride=48).collect()
+    starts = sorted(r.chunk_start for r in chunks)
+    assert starts == [0, 48, 96]  # ceil((150-64)/48)+1 = 3 windows
+    by_start = {r.chunk_start: r for r in chunks}
+    assert by_start[0].chunk_tokens == 64
+    assert by_start[96].chunk_tokens == 54  # tail clamps to doc end
+    # overlap: last 16 tokens of window 0 == first 16 of window 48
+    w0 = by_start[0].chunk_text.split()
+    w48 = by_start[48].chunk_text.split()
+    assert w0[48:] == w48[:16]
+    # short doc -> exactly one chunk
+    tiny = spark.createDataFrame(
+        [(2, "a b c", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = corpus.chunk_documents(tiny).collect()
+    assert len(out) == 1 and out[0].chunk_tokens == 3
