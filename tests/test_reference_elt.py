@@ -188,3 +188,40 @@ def test_rental_methods_list_recovery(spark):
     assert out[1].arr == []
     assert out[2].arr is None  # malformed -> NULL, not an exception
     assert out[3].arr is None
+
+
+def test_elt_incremental_monthly_load(spark, staging_paths, tmp_path_factory):
+    """The production cadence: each month's run writes only that month's
+    partitions (dynamic overwrite); earlier months survive untouched."""
+    import gzip
+
+    root = tmp_path_factory.mktemp("inc")
+    out = str(root / "lake")
+
+    def month_feed(month: int, n: int) -> str:
+        d = root / f"trips_m{month}"
+        d.mkdir()
+        # hour pinned to 10 (single weather obs) so row counts are 1:1
+        rows = [
+            f"{300 + i},2020-{month:02d}-0{1 + i % 3} 10:0{i % 6}:00.00,"
+            f"2020-{month:02d}-01 11:00:00,1,S,40.7,-74.0,2,E,40.8,-74.1,"
+            f"{900 + i},Subscriber,1990,{i % 3}"
+            for i in range(n)
+        ]
+        with gzip.open(d / "t.csv.gz", "wt") as f:
+            f.write(TRIP_HEADERS + "\n" + "\n".join(rows) + "\n")
+        return str(d / "*.csv.gz")
+
+    base = dict(staging_paths)
+    elt.run_elt(spark, {**base, "trips": month_feed(1, 10)}, out)
+    fact1 = spark.read.parquet(os.path.join(out, "bikeshare_fact_table"))
+    assert {r.month for r in fact1.select("month").distinct().collect()} == {1}
+    m1_rows = fact1.count()
+
+    # month 2 arrives; month 1 partition must be untouched
+    elt.run_elt(spark, {**base, "trips": month_feed(2, 7)}, out)
+    fact2 = spark.read.parquet(os.path.join(out, "bikeshare_fact_table"))
+    months = {r.month: r.cnt for r in fact2.groupBy("month").agg(F.count("*").alias("cnt")).collect()}
+    assert set(months) == {1, 2}
+    assert months[1] == m1_rows
+    assert months[2] == 7
