@@ -266,6 +266,15 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.stats_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trips, _, _ = _staged(spark, sf_dir)
+    return analytics.moving_average(trips)
+
+
 def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.json_props_rollup(load_table(spark, sf_dir, "events"))
 
@@ -393,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_payload_stats": q_multimodal_payload_stats,
+        "stats_summary": q_stats_summary,
+        "moving_average": q_moving_average,
         "json_props_rollup": q_json_props_rollup,
         "approx_distinct_users": q_approx_distinct_users,
         "train_test_split": q_train_test_split,
@@ -449,6 +460,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": oracles.TEXT_TOKEN_STATS,
         "text_fingerprint": oracles.TEXT_FINGERPRINT,
         "multimodal_payload_stats": oracles.MULTIMODAL_PAYLOAD_STATS,
+        "stats_summary": oracles.STATS_SUMMARY,
+        "moving_average": oracles.MOVING_AVERAGE,
         "json_props_rollup": oracles.JSON_PROPS_ROLLUP,
         # approx_distinct_users: HLL estimates differ per engine -> rows-only
         "train_test_split": oracles.TRAIN_TEST_SPLIT,

@@ -158,3 +158,41 @@ def approx_distinct_users(events: DataFrame) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+def stats_summary(lineitem: DataFrame) -> DataFrame:
+    """Statistical aggregates: exact percentiles (sort-based), correlation,
+    sample stddev/covariance. Exact percentile shuffles each group's
+    values; at very large groups switch to percentile_approx (sketch)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+    )
+
+
+def moving_average(trips: DataFrame, days: int = 7) -> DataFrame:
+    """Per-station daily rides with a trailing N-row moving window
+    (sum/avg/peak via frame aggregates + lead for tomorrow's delta).
+    One shuffle on station; every window shares the partitioning."""
+    daily = trips.groupBy(
+        F.col("start_station_id").alias("station"),
+        F.to_date("starttime").cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("rides"))
+    w = (
+        Window.partitionBy("station")
+        .orderBy("day")
+        .rowsBetween(-(days - 1), Window.currentRow)
+    )
+    wlead = Window.partitionBy("station").orderBy("day")
+    return daily.select(
+        "station",
+        "day",
+        "rides",
+        F.sum("rides").over(w).alias("window_rides"),
+        F.round(F.avg("rides").over(w), 4).alias("avg_rides"),
+        F.max("rides").over(w).alias("peak_rides"),
+        F.lead("rides").over(wlead).alias("next_day_rides"),
+    )

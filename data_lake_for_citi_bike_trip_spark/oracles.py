@@ -815,3 +815,31 @@ FROM survivors sv
 JOIN split sp ON sv.doc_id = sp.doc_id
 JOIN quality q ON sv.doc_id = q.doc_id
 """
+
+STATS_SUMMARY = """
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+  round(stddev_samp(l_quantity), 6) AS qty_stddev,
+  round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+FROM lineitem GROUP BY 1
+"""
+
+MOVING_AVERAGE = with_staging(
+    """
+, daily AS (
+  SELECT start_station_id AS station,
+         CAST(CAST(starttime AS DATE) AS VARCHAR) AS day,
+         COUNT(*) AS rides
+  FROM trips GROUP BY 1, 2
+)
+SELECT station, day, rides,
+  sum(rides) OVER w AS window_rides,
+  round(avg(rides) OVER w, 4) AS avg_rides,
+  max(rides) OVER w AS peak_rides,
+  lead(rides) OVER (PARTITION BY station ORDER BY day) AS next_day_rides
+FROM daily
+WINDOW w AS (PARTITION BY station ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+)

@@ -91,3 +91,14 @@ def test_ngram_jaccard_frequency_cap(spark, sf_dir):
     capped = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_frequency=0.05)
     c = {(r.d1, r.d2) for r in capped.collect()}
     assert a <= c or len(c & a) / len(a) >= 0.9, (len(a), len(c & a))
+
+
+def test_pandas_udf_cosine_matches_expression_path(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    expr_out = {(r.q_id, r.vec_id): r.cos_sim for r in similarity.cosine_topk(emb, queries, k=10).collect()}
+    udf_out = {(r.q_id, r.vec_id): r.cos_sim for r in similarity.cosine_topk_pandas(emb, queries, k=10).collect()}
+    # identical neighbor sets; scores equal within BLAS-order tolerance
+    assert set(expr_out) == set(udf_out)
+    for key in expr_out:
+        assert abs(expr_out[key] - udf_out[key]) < 1e-5, key
