@@ -21,6 +21,7 @@ from data_lake_for_citi_bike_trip_spark.operators import (
     asof,
     dedup,
     multimodal,
+    scd,
     setops,
     similarity,
     staging,
@@ -266,6 +267,45 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _scd2_inputs(spark: SparkSession, sf_dir: str):
+    """Deterministic SCD2 scenario from customer: keys %3==0 change,
+    %3==1 re-assert identically, %3==2 are absent from the batch; every
+    10th key also arrives re-keyed as brand-new."""
+    customer = load_table(spark, sf_dir, "customer")
+    current = customer.select(
+        F.col("c_custkey").cast("string").alias("station_id"),
+        F.col("c_nationkey").cast("bigint").alias("capacity"),
+        F.lit(0).cast("bigint").alias("valid_from_us"),
+        F.lit(scd.OPEN_END_US).alias("valid_to_us"),
+    )
+    changed = customer.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").cast("string").alias("station_id"),
+        (F.col("c_nationkey") + 1).cast("bigint").alias("capacity"),
+    )
+    same = customer.where(F.col("c_custkey") % 3 == 1).select(
+        F.col("c_custkey").cast("string").alias("station_id"),
+        F.col("c_nationkey").cast("bigint").alias("capacity"),
+    )
+    new = customer.where(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1000000).cast("string").alias("station_id"),
+        F.lit(99).cast("bigint").alias("capacity"),
+    )
+    return current, changed.unionAll(same).unionAll(new)
+
+
+def q_scd2_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    current, updates = _scd2_inputs(spark, sf_dir)
+    return scd.scd2_apply(current, updates, "station_id", ["capacity"], batch_ts_us=1000)
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.unpivot_event_counts(load_table(spark, sf_dir, "events"))
+
+
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.stats_summary(load_table(spark, sf_dir, "lineitem"))
 
@@ -402,6 +442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_payload_stats": q_multimodal_payload_stats,
+        "scd2_stations": q_scd2_stations,
+        "session_window": q_session_window,
+        "unpivot_event_counts": q_unpivot_event_counts,
         "stats_summary": q_stats_summary,
         "moving_average": q_moving_average,
         "json_props_rollup": q_json_props_rollup,
@@ -460,6 +503,9 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": oracles.TEXT_TOKEN_STATS,
         "text_fingerprint": oracles.TEXT_FINGERPRINT,
         "multimodal_payload_stats": oracles.MULTIMODAL_PAYLOAD_STATS,
+        "scd2_stations": oracles.SCD2_STATIONS,
+        "session_window": oracles.SESSION_WINDOW,
+        "unpivot_event_counts": oracles.UNPIVOT_EVENT_COUNTS,
         "stats_summary": oracles.STATS_SUMMARY,
         "moving_average": oracles.MOVING_AVERAGE,
         "json_props_rollup": oracles.JSON_PROPS_ROLLUP,

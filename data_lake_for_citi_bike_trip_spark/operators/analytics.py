@@ -196,3 +196,30 @@ def moving_average(trips: DataFrame, days: int = 7) -> DataFrame:
         F.max("rides").over(w).alias("peak_rides"),
         F.lead("rides").over(wlead).alias("next_day_rides"),
     )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions via Spark's native session_window (merging
+    windows; same semantics in batch and streaming). Emits per-session
+    bounds + counts — the built-in counterpart to ``sessionize``'s
+    lag/cumsum formulation."""
+    return (
+        events.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def unpivot_event_counts(events: DataFrame) -> DataFrame:
+    """Unpivot (wide -> long) via stack: the daily per-type count matrix
+    back to (day, event_type, cnt) rows."""
+    wide = event_type_pivot(events)
+    types = ["click", "view", "purchase", "signup", "error"]
+    stack_expr = "stack({n}, {args}) as (event_type, cnt)".format(
+        n=len(types), args=", ".join(f"'{t}', cnt_{t}" for t in types)
+    )
+    return wide.selectExpr("day", stack_expr)

@@ -115,3 +115,91 @@ def payload_stats(media_source_docs: DataFrame, chunk_bytes: int = 256) -> DataF
             "n_chunks"
         ),
     )
+
+
+#: Output schema of the resize stage.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+#: Output schema of video frame sampling (one row per sampled frame).
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+_RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {}
+_FRAMERS: dict[str, Callable[[bytes, int], list[bytes]]] = {}
+
+
+def register_resizer(name: str, fn: Callable[[bytes, int, int], bytes]) -> None:
+    _RESIZERS[name] = fn
+
+
+def register_framer(name: str, fn: Callable[[bytes, int], list[bytes]]) -> None:
+    _FRAMERS[name] = fn
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, resizer: str = "real"
+) -> DataFrame:
+    """Arrow-batched resize. Same plumbing rules as decode: the codec
+    callable is resolved DRIVER-side and ships in the closure; payloads
+    cross the JVM boundary once per Arrow batch."""
+    if resizer not in _RESIZERS:
+        # STUB: real resizing needs PIL/opencv, absent in this container.
+        raise NotImplementedError(
+            f"resizer '{resizer}' not registered; install a codec and call "
+            "register_resizer(), or register a fake for tests"
+        )
+    fn = _RESIZERS[resizer]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                (int(mid), width, height, fn(bytes(payload), width, height))
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_nth: int = 10, framer: str = "real"
+) -> DataFrame:
+    """Video frame sampling: one output row per kept frame (a flatMap
+    shape — mapInPandas yields more rows than it consumes)."""
+    if framer not in _FRAMERS:
+        # STUB: real demuxing needs ffmpeg/pyav, absent in this container.
+        raise NotImplementedError(
+            f"framer '{framer}' not registered; install a codec and call "
+            "register_framer(), or register a fake for tests"
+        )
+    fn = _FRAMERS[framer]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, frame in enumerate(fn(bytes(payload), every_nth)):
+                    rows.append((int(mid), i, frame))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )

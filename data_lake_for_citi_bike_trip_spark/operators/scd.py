@@ -1,0 +1,71 @@
+"""Slowly-changing-dimension (SCD2) merge, Delta-free.
+
+The reference refreshes its station dim by full overwrite
+(spark_elt_emr.py:185) — losing history. SCD2 keeps one row per
+(key, validity interval). Without MERGE INTO (needs Delta), the update
+is emulated as pure set algebra, which also makes it deterministic and
+oracle-checkable:
+
+  unchanged  = current rows whose key is absent from the batch
+  closed     = current OPEN rows whose tracked values changed -> valid_to set
+  reopened   = current OPEN rows re-asserted identically -> kept as-is
+  inserted   = new versions (changed keys + brand-new keys) opened at batch_ts
+
+One shuffle on the key; the batch side is typically broadcast. At 100 TB
+the current table should be partitioned/bucketed by key so the join
+co-locates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Sentinel for "still valid" (max parquet-friendly timestamp-ish epoch).
+OPEN_END_US = 253_402_300_799_000_000  # 9999-12-31T23:59:59.999999 in µs
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    batch_ts_us: int,
+) -> DataFrame:
+    """Apply an update batch to an SCD2 table.
+
+    ``current`` schema: key, tracked..., valid_from_us, valid_to_us
+    (valid_to_us == OPEN_END_US for open rows).
+    ``updates`` schema: key, tracked... (one row per key).
+    """
+    cur, upd = current.alias("c"), updates.alias("u")
+    diff = None
+    for t in tracked:
+        ineq = ~F.col(f"c.{t}").eqNullSafe(F.col(f"u.{t}"))
+        diff = ineq if diff is None else (diff | ineq)
+
+    joined = cur.join(upd, F.col(f"c.{key}") == F.col(f"u.{key}"), "left")
+    is_open = F.col("c.valid_to_us") == OPEN_END_US
+    has_update = F.col(f"u.{key}").isNotNull()
+
+    # rows kept from the current table (possibly closed)
+    kept = joined.select(
+        F.col(f"c.{key}").alias(key),
+        *[F.col(f"c.{t}").alias(t) for t in tracked],
+        F.col("c.valid_from_us").alias("valid_from_us"),
+        F.when(is_open & has_update & diff, F.lit(batch_ts_us))
+        .otherwise(F.col("c.valid_to_us"))
+        .alias("valid_to_us"),
+    )
+    # new versions: updated keys whose open row changed, or brand-new keys
+    open_cur = cur.where(F.col("c.valid_to_us") == OPEN_END_US)
+    with_open = upd.join(open_cur, F.col(f"u.{key}") == F.col(f"c.{key}"), "left")
+    new_versions = with_open.where(
+        F.col(f"c.{key}").isNull() | diff
+    ).select(
+        F.col(f"u.{key}").alias(key),
+        *[F.col(f"u.{t}").alias(t) for t in tracked],
+        F.lit(batch_ts_us).alias("valid_from_us"),
+        F.lit(OPEN_END_US).alias("valid_to_us"),
+    )
+    return kept.unionByName(new_versions)

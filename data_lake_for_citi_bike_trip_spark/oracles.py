@@ -843,3 +843,72 @@ FROM daily
 WINDOW w AS (PARTITION BY station ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 )
+
+# session_window(gap): sessions merge while consecutive gaps <= gap —
+# identical boundaries to the lag/cumsum formulation
+SESSION_WINDOW = """
+WITH base AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events),
+flagged AS (
+  SELECT user_id, ts_us,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessions AS (
+  SELECT user_id, ts_us,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts_us) AS session_start_us, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+UNPIVOT_EVENT_COUNTS = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, t.event_type,
+       COUNT(CASE WHEN events.event_type = t.event_type THEN 1 END) AS cnt
+FROM events CROSS JOIN (
+  SELECT unnest(['click','view','purchase','signup','error']) AS event_type
+) t
+GROUP BY 1, 2
+"""
+
+SCD2_STATIONS = """
+WITH current AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS station_id,
+         CAST(c_nationkey AS BIGINT) AS capacity,
+         CAST(0 AS BIGINT) AS valid_from_us,
+         CAST(253402300799000000 AS BIGINT) AS valid_to_us
+  FROM customer
+),
+updates AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS station_id,
+         CAST(c_nationkey + 1 AS BIGINT) AS capacity
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS BIGINT)
+  FROM customer WHERE c_custkey % 3 = 1
+  UNION ALL
+  SELECT CAST(c_custkey + 1000000 AS VARCHAR), CAST(99 AS BIGINT)
+  FROM customer WHERE c_custkey % 10 = 0
+),
+kept AS (
+  SELECT c.station_id, c.capacity, c.valid_from_us,
+    CASE WHEN c.valid_to_us = 253402300799000000
+           AND u.station_id IS NOT NULL
+           AND c.capacity IS DISTINCT FROM u.capacity
+         THEN 1000 ELSE c.valid_to_us END AS valid_to_us
+  FROM current c LEFT JOIN updates u ON c.station_id = u.station_id
+),
+new_versions AS (
+  SELECT u.station_id, u.capacity,
+         CAST(1000 AS BIGINT) AS valid_from_us,
+         CAST(253402300799000000 AS BIGINT) AS valid_to_us
+  FROM updates u
+  LEFT JOIN (SELECT * FROM current WHERE valid_to_us = 253402300799000000) c
+    ON u.station_id = c.station_id
+  WHERE c.station_id IS NULL OR c.capacity IS DISTINCT FROM u.capacity
+)
+SELECT * FROM kept UNION ALL SELECT * FROM new_versions
+"""

@@ -1,0 +1,59 @@
+"""SCD2 merge semantics (Delta-free set-algebra emulation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.operators import scd
+
+
+def _table(spark, rows):
+    return spark.createDataFrame(
+        rows, "station_id string, capacity long, valid_from_us long, valid_to_us long"
+    )
+
+
+def test_scd2_apply_full_matrix(spark):
+    t0, t1 = 1_000, 2_000
+    current = _table(
+        spark,
+        [
+            ("A", 10, t0, scd.OPEN_END_US),   # will change
+            ("B", 20, t0, scd.OPEN_END_US),   # re-asserted identical
+            ("C", 30, t0, scd.OPEN_END_US),   # absent from batch
+            ("A", 5, 0, t0),                  # A's already-closed history
+        ],
+    )
+    updates = spark.createDataFrame(
+        [("A", 11), ("B", 20), ("D", 40)], "station_id string, capacity long"
+    )
+    out = scd.scd2_apply(current, updates, "station_id", ["capacity"], t1).cache()
+    rows = {(r.station_id, r.capacity, r.valid_from_us, r.valid_to_us) for r in out.collect()}
+
+    assert ("A", 10, t0, t1) in rows            # old A version closed at t1
+    assert ("A", 11, t1, scd.OPEN_END_US) in rows  # new A version opened
+    assert ("A", 5, 0, t0) in rows              # history untouched
+    assert ("B", 20, t0, scd.OPEN_END_US) in rows  # identical -> unchanged
+    assert ("C", 30, t0, scd.OPEN_END_US) in rows  # absent -> unchanged
+    assert ("D", 40, t1, scd.OPEN_END_US) in rows  # brand-new key inserted
+    assert len(rows) == 6
+    # exactly one open row per live key
+    opens = out.where(F.col("valid_to_us") == scd.OPEN_END_US)
+    assert opens.groupBy("station_id").count().where(F.col("count") > 1).count() == 0
+    out.unpersist()
+
+
+def test_scd2_null_tracked_values(spark):
+    """NULL-safe comparison: NULL -> NULL is 'unchanged', NULL -> value is
+    a change (eqNullSafe semantics)."""
+    t1 = 2_000
+    current = _table(spark, [("A", None, 0, scd.OPEN_END_US), ("B", None, 0, scd.OPEN_END_US)])
+    updates = spark.createDataFrame(
+        [("A", None), ("B", 7)], "station_id string, capacity long"
+    )
+    out = scd.scd2_apply(current, updates, "station_id", ["capacity"], t1)
+    rows = {(r.station_id, r.capacity, r.valid_to_us) for r in out.collect()}
+    assert ("A", None, scd.OPEN_END_US) in rows      # NULL==NULL: no new version
+    assert ("B", None, t1) in rows                   # closed
+    assert ("B", 7, scd.OPEN_END_US) in rows         # reopened with value
+    assert len(rows) == 3

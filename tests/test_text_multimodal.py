@@ -91,3 +91,30 @@ def test_chunk_documents_overlap_and_coverage(spark):
     )
     out = corpus.chunk_documents(tiny).collect()
     assert len(out) == 1 and out[0].chunk_tokens == 3
+
+
+def test_resize_and_frame_sample_plumbing(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = multimodal.media_table(docs)
+
+    multimodal.register_resizer("fake", lambda b, w, h: b[: w * h % 64 + 1])
+    resized = multimodal.resize_images(media, 32, 32, resizer="fake").collect()
+    assert len(resized) == 10
+    assert all(r.width == 32 and r.height == 32 and len(r.resized) >= 1 for r in resized)
+
+    # framer: deterministic fake "video" — one frame per 50-byte stripe
+    multimodal.register_framer(
+        "fake", lambda b, n: [b[i : i + 50] for i in range(0, len(b), 50 * n)]
+    )
+    frames = multimodal.sample_frames(media, every_nth=4, framer="fake")
+    per_media = {r.media_id: r.cnt for r in frames.groupBy("media_id").agg(F.count("*").alias("cnt")).collect()}
+    src_len = {r.doc_id: len(r.text.encode()) for r in docs.collect()}
+    for mid, cnt in per_media.items():
+        expected = len(range(0, src_len[mid], 200))
+        assert cnt == expected, (mid, cnt, expected)
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="not registered"):
+        multimodal.resize_images(media, 8, 8, resizer="real")
