@@ -78,3 +78,38 @@ def parse_stringified_list(col):
     from pyspark.sql import functions as F
 
     return F.from_json(F.regexp_replace(col, "'", '"'), "array<string>")
+
+
+def read_lake(spark: SparkSession, path: str, *, merge_schema: bool = False) -> DataFrame:
+    """Read a (possibly partitioned) parquet lake table.
+
+    ``merge_schema=True`` unions footers across files so partitions written
+    by newer pipeline versions with added columns read cleanly (older rows
+    get NULLs). Off by default: schema merging reads every footer — at
+    100 TB turn it on only for tables known to evolve, or keep an explicit
+    contract schema instead.
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", True)
+    return reader.parquet(path)
+
+
+def read_json_permissive(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON scan that quarantines malformed records instead of failing the
+    job (PERMISSIVE + _corrupt_record): the ingest-side DQ pattern — count
+    and divert bad rows, never lose the batch.
+
+    Caveat (enforced by Spark): a query whose referenced columns reduce to
+    ONLY ``_corrupt_record`` raises QUERY_ONLY_CORRUPT_RECORD_COLUMN —
+    ``.cache()`` the parsed frame before filtering/counting on it.
+    """
+    full = schema.add("_corrupt_record", T.StringType())
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

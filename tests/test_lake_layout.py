@@ -43,3 +43,42 @@ def test_writer_codec_and_file_sizing(spark, sf_dir, tmp_path):
     meta = pq.ParquetFile(files[0]).metadata
     assert meta.row_group(0).column(0).compression.lower() == "zstd"
     assert all(pq.ParquetFile(f).metadata.num_rows <= 200 for f in files)
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    from data_lake_for_citi_bike_trip_spark.sources.readers import read_lake
+
+    path = str(tmp_path / "evolving")
+    events = load_table(spark, sf_dir, "events").limit(100)
+    v1 = events.select("event_id", "user_id")
+    v1.write.parquet(path + "/month=1")
+    v2 = events.select("event_id", "user_id", F.col("value").alias("score"))
+    v2.write.parquet(path + "/month=2")
+
+    merged = read_lake(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"event_id", "user_id", "score", "month"}
+    # old partition reads with NULL for the added column
+    assert merged.where((F.col("month") == 1) & F.col("score").isNotNull()).count() == 0
+    assert merged.where((F.col("month") == 2) & F.col("score").isNull()).count() == 0
+
+
+def test_permissive_json_quarantines_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+    from data_lake_for_citi_bike_trip_spark.sources.readers import read_json_permissive
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"valid_time_gmt": 100, "temp": 5}\n'
+        "{this is not json}\n"
+        '{"valid_time_gmt": 200, "temp": 6}\n'
+        '{"valid_time_gmt": "not-a-number", "temp": 7}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("valid_time_gmt", T.LongType()), T.StructField("temp", T.LongType())]
+    )
+    df = read_json_permissive(spark, str(p), schema).cache()
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 2  # batch survives, bad rows divert
+    assert {r.valid_time_gmt for r in good.collect()} == {100, 200}
+    df.unpersist()
