@@ -176,7 +176,14 @@ def stats_summary(lineitem: DataFrame) -> DataFrame:
 def moving_average(trips: DataFrame, days: int = 7) -> DataFrame:
     """Per-station daily rides with a trailing N-row moving window
     (sum/avg/peak via frame aggregates + lead for tomorrow's delta).
-    One shuffle on station; every window shares the partitioning."""
+    One shuffle on station; every window shares the partitioning.
+
+    The window mean is emitted as integer ten-thousandths
+    (``avg_rides_e4 = (10000 * sum) div count``) rather than
+    ``round(avg, 4)``: float rounding is engine-dependent at ``..5``
+    boundaries (Spark HALF_UP vs DuckDB HALF_EVEN), while integer
+    division is exact everywhere. ``window_n`` is emitted so callers can
+    recover the exact rational mean."""
     daily = trips.groupBy(
         F.col("start_station_id").alias("station"),
         F.to_date("starttime").cast("string").alias("day"),
@@ -192,10 +199,10 @@ def moving_average(trips: DataFrame, days: int = 7) -> DataFrame:
         "day",
         "rides",
         F.sum("rides").over(w).alias("window_rides"),
-        F.round(F.avg("rides").over(w), 4).alias("avg_rides"),
+        F.count(F.lit(1)).over(w).alias("window_n"),
         F.max("rides").over(w).alias("peak_rides"),
         F.lead("rides").over(wlead).alias("next_day_rides"),
-    )
+    ).withColumn("avg_rides_e4", F.expr("(10000 * window_rides) div window_n"))
 
 
 def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:

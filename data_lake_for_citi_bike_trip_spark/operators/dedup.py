@@ -123,25 +123,53 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """Near-dup candidates: equal 16-bit half-signature (pigeonhole for
-    hamming<=k over 2 bands), verified with exact bit_count(xor)."""
-    sh = simhash_docs(docs)
-    halves = sh.select(
+def simhash_band_layout(n_bands: int, bits: int = 32) -> list[tuple[int, int]]:
+    """(offset, width) bands covering ``bits``, widest first.
+
+    Pigeonhole: a pair with hamming distance <= k over ``bits`` shares at
+    least one FULL band when there are >= k+1 bands (k errors can dirty at
+    most k bands). Two 16-bit halves only guarantee recall for hamming<=1;
+    k+1 bands restore the documented guarantee."""
+    base, rem = divmod(bits, n_bands)
+    layout, off = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        layout.append((off, width))
+        off += width
+    return layout
+
+
+def simhash_pairs_from_signatures(
+    sigs: DataFrame, max_hamming: int = 4
+) -> DataFrame:
+    """Near-dup candidates from (doc_id, simhash) signatures: banded
+    pigeonhole candidate generation (``max_hamming + 1`` bands over the
+    32-bit hash guarantees every pair with hamming <= max_hamming shares
+    a band), verified with exact bit_count(xor)."""
+    layout = simhash_band_layout(max_hamming + 1)
+    bands = sigs.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
-                F.concat_ws(":", F.lit(0), (F.col("simhash") % F.lit(65536)).cast("string")),
-                F.concat_ws(":", F.lit(1), F.floor(F.col("simhash") / F.lit(65536)).cast("string")),
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(i),
+                        F.shiftright(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .cast("string"),
+                    )
+                    for i, (off, width) in enumerate(layout)
+                ]
             )
-        ).alias("half_key"),
+        ).alias("band_key"),
     )
-    a, b = halves.alias("a"), halves.alias("b")
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.half_key") == F.col("b.half_key"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -158,30 +186,44 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
     )
 
 
+def simhash_pairs(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-dup candidates over documents: SimHash signatures + banded
+    candidate generation (see ``simhash_pairs_from_signatures``)."""
+    return simhash_pairs_from_signatures(simhash_docs(docs), max_hamming)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    max_doc_frequency: float | None = None,
+    max_doc_frequency: float | None = 0.2,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word shingles via a
     posting-list self-join (shuffle keyed on shingle).
 
-    ``max_doc_frequency`` drops stop-shingles appearing in more than that
-    fraction of docs BEFORE the self-join — a shingle in f docs generates
-    f^2/2 pairs, so hot shingles dominate cost while carrying no dedup
+    ``max_doc_frequency`` (DEFAULT ON at 0.2) drops stop-shingles
+    appearing in more than that fraction of docs BEFORE the self-join —
+    a shingle in f docs generates f^2/2 pairs, so one hot shingle is a
+    quadratic scale-killer at corpus size while carrying no dedup
     signal. Capping changes the result (Jaccard is then over the capped
-    shingle sets) — use for candidate generation, not exact scoring.
+    shingle sets); pass ``max_doc_frequency=None`` for exact uncapped
+    scoring on pre-filtered candidates.
+
+    The threshold comparison is integer-exact (``df * 10000 > n_docs *
+    cap_bp``) and the doc count is an aggregate inside the plan — no
+    eager action, no float comparison drift vs the oracle.
     """
     postings = spread(docs).select(
         "doc_id", F.explode(TX.word_shingles(F.col("text"), shingle_n)).alias("s")
     ).distinct()
     if max_doc_frequency is not None:
-        n_docs = docs.count()
+        cap_bp = int(round(max_doc_frequency * 10000))
+        n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
         hot = (
             postings.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_doc_frequency * n_docs)
+            .crossJoin(F.broadcast(n_docs))
+            .where(F.col("df") * 10000 > F.col("n_docs") * cap_bp)
             .select("s")
         )
         postings = postings.join(F.broadcast(hot), "s", "left_anti")

@@ -410,27 +410,47 @@ sim AS (SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM hashed GROUP BY doc_id)
 
 DEDUP_SIMHASH_DOCS = f"WITH {_SIMHASH_DOCS} SELECT doc_id, simhash FROM sim"
 
+# Banded pigeonhole candidates: max_hamming+1 = 5 bands over the 32-bit
+# hash (widths 7,7,6,6,6) — exact mirror of
+# operators.dedup.simhash_band_layout / simhash_pairs_from_signatures.
+from .operators.dedup import simhash_band_layout as _simhash_band_layout
+
+_SIMHASH_BANDS = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, simhash, "
+    f"'{i}:' || CAST((simhash >> {off}) & {(1 << width) - 1} AS VARCHAR) "
+    f"AS band_key FROM sim"
+    for i, (off, width) in enumerate(_simhash_band_layout(5))
+)
+
 DEDUP_SIMHASH_PAIRS = f"""
 WITH {_SIMHASH_DOCS},
-halves AS (
-  SELECT doc_id, simhash, '0:' || CAST(simhash % 65536 AS VARCHAR) AS half_key FROM sim
-  UNION ALL
-  SELECT doc_id, simhash, '1:' || CAST(simhash // 65536 AS VARCHAR) AS half_key FROM sim
+bands AS (
+  {_SIMHASH_BANDS}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
          a.simhash AS s1, b.simhash AS s2
-  FROM halves a JOIN halves b
-    ON a.half_key = b.half_key AND a.doc_id < b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(s1, s2)) <= 4
 """
 
+# Frequency cap mirror: default max_doc_frequency=0.2 -> cap_bp=2000;
+# integer comparison df*10000 > n_docs*2000 matches the Spark plan exactly.
 DEDUP_NGRAM_JACCARD = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
-postings AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shingled),
+postings_all AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shingled),
+ndocs AS (SELECT COUNT(*) AS n_docs FROM documents),
+hot AS (
+  SELECT s FROM (SELECT s, COUNT(*) AS df FROM postings_all GROUP BY 1), ndocs
+  WHERE df * 10000 > n_docs * 2000
+),
+postings AS (
+  SELECT p.doc_id, p.s FROM postings_all p ANTI JOIN hot h ON p.s = h.s
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM postings GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
@@ -835,10 +855,11 @@ MOVING_AVERAGE = with_staging(
   FROM trips GROUP BY 1, 2
 )
 SELECT station, day, rides,
-  sum(rides) OVER w AS window_rides,
-  round(avg(rides) OVER w, 4) AS avg_rides,
+  CAST(sum(rides) OVER w AS BIGINT) AS window_rides,
+  CAST(count(*) OVER w AS BIGINT) AS window_n,
   max(rides) OVER w AS peak_rides,
-  lead(rides) OVER (PARTITION BY station ORDER BY day) AS next_day_rides
+  lead(rides) OVER (PARTITION BY station ORDER BY day) AS next_day_rides,
+  CAST((10000 * sum(rides) OVER w) // (count(*) OVER w) AS BIGINT) AS avg_rides_e4
 FROM daily
 WINDOW w AS (PARTITION BY station ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """

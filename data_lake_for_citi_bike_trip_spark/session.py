@@ -42,15 +42,27 @@ def default_parallelism() -> int:
 
 
 def spread(df, multiplier: int = 1):
-    """Repartition a small-but-CPU-heavy input to full parallelism.
+    """Repartition a small-but-CPU-heavy input to full parallelism —
+    but ONLY if it is actually under-split.
 
     Single-file parquet tables arrive as ONE input split; per-row-expensive
     stages (shingling, hashing, vector math) would then run on one core.
     Shuffling the compact pre-explode rows is microseconds; the unlocked
-    parallelism is the win. On a real multi-file/large dataset splits are
-    already parallel and this is a cheap no-op-ish rebalance.
+    parallelism is the win.
+
+    On a real multi-file/large dataset the input already has >= target
+    splits, and an unconditional ``repartition`` would force a full
+    shuffle of the corpus (and could *reduce* parallelism). The partition
+    count check is metadata-only (physical planning, no job), so inputs
+    that are already parallel pass through untouched.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        current = -1  # e.g. streaming plan — fall through to repartition
+    if current >= target:
+        return df
     return df.repartition(target)
 
 

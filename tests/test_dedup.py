@@ -80,7 +80,7 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
 
 def test_ngram_jaccard_frequency_cap(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_frequency=None)
     # cap=1.0 drops nothing (no shingle is in >100% of docs)
     capped_noop = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_frequency=1.0)
     a = {(r.d1, r.d2) for r in uncapped.collect()}
@@ -91,6 +91,57 @@ def test_ngram_jaccard_frequency_cap(spark, sf_dir):
     capped = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_frequency=0.05)
     c = {(r.d1, r.d2) for r in capped.collect()}
     assert a <= c or len(c & a) / len(a) >= 0.9, (len(a), len(c & a))
+
+
+def test_simhash_banding_recovers_split_errors(spark):
+    """Pigeonhole guarantee: hamming<=4 pairs MUST surface even when the
+    bit errors are split 2+2 across the old 16-bit halves (the round-1
+    2-band scheme silently missed exactly these)."""
+    base = 0b1010_1100_0011_0101_1001_0110_1100_0011
+    cases = {
+        # 2 errors in low half + 2 in high half — old scheme's blind spot
+        2: base ^ (1 << 3) ^ (1 << 12) ^ (1 << 18) ^ (1 << 25),
+        # one error in each of bands 0..3 (offsets 0,7,14,20) — only band 4 clean
+        3: base ^ (1 << 3) ^ (1 << 8) ^ (1 << 15) ^ (1 << 21),
+        # hamming=5 must be rejected by the exact verify stage
+        4: base ^ (1 << 1) ^ (1 << 9) ^ (1 << 16) ^ (1 << 22) ^ (1 << 30),
+    }
+    sigs = spark.createDataFrame(
+        [(1, base)] + [(k, v) for k, v in cases.items()],
+        "doc_id long, simhash long",
+    )
+    got = {(r.d1, r.d2): r.hamming for r in
+           dedup.simhash_pairs_from_signatures(sigs, max_hamming=4).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 4
+    assert (1, 3) in got and got[(1, 3)] == 4
+    assert all(h <= 4 for h in got.values())  # verify stage bounds output
+
+
+def test_simhash_band_layout_covers_hash():
+    for n_bands in (2, 5, 8):
+        layout = dedup.simhash_band_layout(n_bands)
+        assert len(layout) == n_bands
+        assert sum(w for _, w in layout) == 32
+        # contiguous, non-overlapping
+        off = 0
+        for o, w in layout:
+            assert o == off
+            off += w
+
+
+def test_ngram_hot_shingle_cap_is_default_on(spark):
+    """A shingle present in every doc is a quadratic scale-killer; the
+    default frequency cap must drop it before the posting self-join."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma unique{i} token{i} word{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    # uncapped: all 780 pairs share the hot 'alpha beta gamma' shingle
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_doc_frequency=None)
+    assert uncapped.count() == 40 * 39 // 2
+    # default cap drops the stop-shingle -> no candidate pairs at all
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.01)
+    assert capped.count() == 0
 
 
 def test_pandas_udf_cosine_matches_expression_path(spark, sf_dir):

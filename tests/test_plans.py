@@ -41,3 +41,18 @@ def test_exists_decorrelates_without_cartesian(spark, sf_dir):
     f = _facts(spark, sf_dir, "exists_big_spenders")
     assert f["nested_loop_joins"] == 0
     assert "SemiJoin" in f["plan"] or "LeftSemi" in f["plan"]
+
+
+def test_spread_is_noop_on_already_parallel_input(spark):
+    from data_lake_for_citi_bike_trip_spark.session import spread
+
+    target = spark.sparkContext.defaultParallelism
+    # already >= target splits: spread must return the SAME frame (no
+    # exchange added to the plan)
+    wide = spark.range(0, 1000).repartition(target + 4)
+    assert spread(wide) is wide
+    # under-split input still gets rebalanced to full parallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    out = spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == target
