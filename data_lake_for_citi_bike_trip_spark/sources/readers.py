@@ -51,10 +51,18 @@ def read_staging_csv(
         # cast, so header quirks ("birth year") don't break resolution.
         raw = reader.csv(path)
         raw = normalize_headers(raw, lowercase=lowercase)
+        # Schema fields absent from the file become typed NULL columns so
+        # the declared contract schema is ALWAYS honored — a misspelled or
+        # missing header yields visible NULLs downstream, never a silently
+        # narrower frame.
+        from pyspark.sql import functions as F
+
         cols = []
         for field in schema.fields:
             if field.name in raw.columns:
                 cols.append(raw[field.name].cast(field.dataType).alias(field.name))
+            else:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
         return raw.select(*cols)
     return normalize_headers(reader.csv(path), lowercase=lowercase)
 
@@ -106,7 +114,12 @@ def read_json_permissive(
     ONLY ``_corrupt_record`` raises QUERY_ONLY_CORRUPT_RECORD_COLUMN —
     ``.cache()`` the parsed frame before filtering/counting on it.
     """
-    full = schema.add("_corrupt_record", T.StringType())
+    # Build a COPY — StructType.add mutates in place, which would
+    # permanently append _corrupt_record to a shared module-level schema
+    # (and duplicate it on the next call).
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
     return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

@@ -225,3 +225,42 @@ def test_elt_incremental_monthly_load(spark, staging_paths, tmp_path_factory):
     assert set(months) == {1, 2}
     assert months[1] == m1_rows
     assert months[2] == 7
+
+
+def test_read_staging_csv_missing_schema_field_is_typed_null(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from data_lake_for_citi_bike_trip_spark.sources import readers
+
+    p = tmp_path / "narrow.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("missing_col", T.DoubleType()),
+        ]
+    )
+    out = readers.read_staging_csv(spark, str(p), schema)
+    # the declared contract schema is always honored
+    assert out.columns == ["a", "b", "missing_col"]
+    assert dict(out.dtypes)["missing_col"] == "double"
+    rows = out.collect()
+    assert len(rows) == 2 and all(r.missing_col is None for r in rows)
+
+
+def test_read_json_permissive_does_not_mutate_caller_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from data_lake_for_citi_bike_trip_spark.sources import readers
+
+    p = tmp_path / "recs.json"
+    p.write_text('{"a": 1}\n{"a": bad}\n')
+    shared = T.StructType([T.StructField("a", T.LongType())])
+    out1 = readers.read_json_permissive(spark, str(p), shared).cache()
+    out2 = readers.read_json_permissive(spark, str(p), shared).cache()
+    # the shared schema object must be untouched (StructType.add mutates)
+    assert [f.name for f in shared.fields] == ["a"]
+    for out in (out1, out2):
+        assert out.columns == ["a", "_corrupt_record"]
+        assert out.where(F.col("_corrupt_record").isNotNull()).count() == 1
