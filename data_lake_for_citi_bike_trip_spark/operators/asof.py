@@ -26,16 +26,19 @@ def asof_join(
     right_cols: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: for each left row, attach the most recent right row
-    with ``right_ts <= left_ts`` (direction='backward'), per ``on`` key.
+    """Left as-of join per ``on`` key: for each left row, attach the most
+    recent right row with ``right_ts <= left_ts`` (direction='backward')
+    or the earliest right row with ``right_ts >= left_ts``
+    (direction='forward').
 
-    Union-tag-window strategy: concatenate both inputs ordered by time,
-    carry the last-seen right payload forward with ``last(..., ignorenulls)``
-    over a single key-partitioned window, keep left rows. Equivalent to a
-    merge-asof but expressed so Spark plans exactly one exchange + sort.
+    Union-tag-window strategy: concatenate both inputs ordered by time
+    (ascending for backward, descending for forward), carry the last-seen
+    right payload with ``last(..., ignorenulls)`` over a single
+    key-partitioned window, keep left rows. Equivalent to a merge-asof but
+    expressed so Spark plans exactly one exchange + sort either way.
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip the window ordering")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )
@@ -46,10 +49,12 @@ def asof_join(
     )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     # Right rows sort before left rows at identical timestamps so an exact
-    # tie matches (<= semantics).
+    # tie matches (<= / >= inclusive semantics). Only the time direction
+    # flips between backward and forward.
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(ts_order, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

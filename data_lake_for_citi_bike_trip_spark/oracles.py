@@ -283,6 +283,20 @@ ASOF LEFT JOIN (
 ) p ON e.user_id = p.user_id AND e.ts >= p.ts
 """
 
+ASOF_FORWARD = r"""
+SELECT
+  e.event_id,
+  e.user_id,
+  epoch_us(e.ts) AS ts_us,
+  p.p_ts_us AS asof_p_ts_us,
+  p.p_value AS asof_p_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, epoch_us(ts) AS p_ts_us, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts <= p.ts
+"""
+
 RANGE_PRICE_MATCH = r"""
 SELECT
   l.l_orderkey, l.l_linenumber, l.l_extendedprice,

@@ -33,6 +33,29 @@ def test_asof_join_backward_with_tie(spark):
     assert got[(2, "2024-01-01T10:00:00")] is None  # right row is in future
 
 
+def test_asof_join_forward_with_tie(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00")), (1, _ts("2024-01-01 11:00:00")), (2, _ts("2024-01-01 10:00:00"))],
+        "k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 20.0),  # exact tie: >= matches
+            (1, _ts("2024-01-01 10:30:00"), 10.0),
+            (2, _ts("2024-01-01 09:00:00"), 30.0),  # before left: no match
+        ],
+        "k int, ts timestamp, v double",
+    )
+    out = asof.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["v"],
+        direction="forward",
+    )
+    got = {(r.k, r.ts.isoformat()): r.asof_v for r in out.collect()}
+    assert got[(1, "2024-01-01T10:00:00")] == 20.0  # tie matched, not 10:30
+    assert got[(1, "2024-01-01T11:00:00")] is None  # nothing at or after
+    assert got[(2, "2024-01-01T10:00:00")] is None  # right row is in past
+
+
 def test_range_join_bucketed_equals_naive(spark, sf_dir):
     from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 
