@@ -293,6 +293,21 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL decode: JVM-assembled 24-bit BMP payloads ->
+    Arrow-batched mapInPandas stdlib BMP parse -> dimensions. The oracle
+    predicts width/height/bytes from the source columns independently,
+    so a broken header builder OR a broken parser goes red."""
+    media = multimodal.synthetic_bmp_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_images(media).select(
+        "media_id",
+        "n_bytes",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+    )
+
+
 def _scd2_inputs(spark: SparkSession, sf_dir: str):
     """Deterministic SCD2 scenario from customer: keys %3==0 change,
     %3==1 re-assert identically, %3==2 are absent from the batch; every
@@ -503,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_payload_stats": q_multimodal_payload_stats,
+        "multimodal_decode_dims": q_multimodal_decode_dims,
         "scd2_stations": q_scd2_stations,
         "session_window": q_session_window,
         "unpivot_event_counts": q_unpivot_event_counts,
@@ -566,6 +582,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": oracles.TEXT_TOKEN_STATS,
         "text_fingerprint": oracles.TEXT_FINGERPRINT,
         "multimodal_payload_stats": oracles.MULTIMODAL_PAYLOAD_STATS,
+        "multimodal_decode_dims": oracles.MULTIMODAL_DECODE_DIMS,
         "scd2_stations": oracles.SCD2_STATIONS,
         "session_window": oracles.SESSION_WINDOW,
         "unpivot_event_counts": oracles.UNPIVOT_EVENT_COUNTS,

@@ -10,11 +10,13 @@ Design (the part that matters at 100 TB):
 - partitioning: payload tables repartition by a content-hash bucket so
   decode work balances even when payload sizes are skewed.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
-``decode_image_batch`` dispatches to a decoder registry: the real entry
-raises NotImplementedError; tests register a deterministic fake. The
-Spark-side plumbing — schema, UDF signature, Arrow batch shape — is real
-and tested.
+Codecs: PIL/librosa/ffmpeg are NOT in this container, but uncompressed
+BMP and PPM are parseable with the stdlib alone — so the DEFAULT
+('real') decoder genuinely decodes those formats end-to-end (see
+``decode_bmp`` / ``decode_ppm`` / ``sniff_decode``), and the default
+resizer does real nearest-neighbor resampling of BMP pixels via numpy.
+Formats that need external codecs still raise NotImplementedError; the
+registry lets deployments plug them in.
 """
 
 from __future__ import annotations
@@ -53,11 +55,52 @@ def _resolve_decoder(decoder: str) -> Callable[[bytes], tuple[int, int, int]]:
     mapInPandas closure (cloudpickle), not be looked up worker-side."""
     if decoder in _DECODERS:
         return _DECODERS[decoder]
-    # STUB: real image decoding needs PIL/opencv, absent in this container.
     raise NotImplementedError(
         f"decoder '{decoder}' not registered; install a codec and call "
         "register_decoder(), or register a fake for tests"
     )
+
+
+# -- pure-stdlib codecs (the formats decodable without external deps) -------
+
+
+def decode_bmp(raw: bytes) -> tuple[int, int, int]:
+    """Uncompressed-BMP header parse (BITMAPINFOHEADER): width/height are
+    int32 LE at offsets 18/22, bits-per-pixel uint16 LE at 28. Height can
+    be negative (top-down rows) — dimension is its magnitude."""
+    import struct
+
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    width = struct.unpack_from("<i", raw, 18)[0]
+    height = struct.unpack_from("<i", raw, 22)[0]
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    return width, abs(height), max(1, bpp // 8)
+
+
+def decode_ppm(raw: bytes) -> tuple[int, int, int]:
+    """Netpbm P6 (RGB) / P5 (gray) header parse."""
+    parts = raw.split(maxsplit=3)
+    magic, width, height = parts[0], int(parts[1]), int(parts[2])
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a P5/P6 netpbm payload")
+    return width, height, 3 if magic == b"P6" else 1
+
+
+def sniff_decode(raw: bytes) -> tuple[int, int, int]:
+    """Default decoder: dispatch on magic bytes to the stdlib-decodable
+    formats; anything else needs an externally registered codec."""
+    if raw[:2] == b"BM":
+        return decode_bmp(raw)
+    if raw[:2] in (b"P6", b"P5"):
+        return decode_ppm(raw)
+    raise NotImplementedError(
+        "only BMP/PPM are decodable without external codecs; "
+        "register_decoder() a real one (PIL/opencv) for this format"
+    )
+
+
+_DECODERS.update({"bmp": decode_bmp, "ppm": decode_ppm, "real": sniff_decode})
 
 
 def media_table(docs: DataFrame) -> DataFrame:
@@ -69,6 +112,57 @@ def media_table(docs: DataFrame) -> DataFrame:
         F.struct(
             F.lit("image/png").alias("mime"),
             F.octet_length("text").alias("declared_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _le_hex(col, nbytes: int):
+    """Little-endian hex of an integer column, ``nbytes`` wide — byte
+    pairs of the zero-padded big-endian hex, reversed. Pure codegen."""
+    digits = nbytes * 2
+    hx = F.lpad(F.hex(col.cast("bigint")), digits, "0")
+    return F.concat(*[F.substring(hx, digits - 2 * i - 1, 2) for i in range(nbytes)])
+
+
+def synthetic_bmp_table(docs: DataFrame) -> DataFrame:
+    """REAL 24-bit BMP payloads built entirely JVM-side: the 54-byte
+    BITMAPFILEHEADER+BITMAPINFOHEADER is assembled as a hex string
+    (little-endian fields via ``_le_hex``) and ``unhex``-ed together with
+    zeroed, 4-byte-row-padded pixel data. Dimensions derive from source
+    columns (width = n_chars%31+1, height = doc_id%17+1) so an oracle can
+    predict them — while the decode stage downstream parses genuine BMP
+    bytes, not a fake."""
+    dims = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("n_chars") % 31 + 1).cast("long").alias("w"),
+            (F.col("doc_id") % 17 + 1).cast("long").alias("h"),
+        )
+        .withColumn("row_size", F.expr("((w * 3 + 3) div 4) * 4"))
+        .withColumn("data_size", F.expr("row_size * h"))
+    )
+    header_hex = F.concat(
+        F.lit("424D"),                        # 'BM'
+        _le_hex(F.col("data_size") + 54, 4),  # file size
+        F.lit("00000000"),                    # reserved
+        F.lit("36000000"),                    # pixel data offset = 54
+        F.lit("28000000"),                    # BITMAPINFOHEADER size = 40
+        _le_hex(F.col("w"), 4),
+        _le_hex(F.col("h"), 4),
+        F.lit("0100"),                        # planes = 1
+        F.lit("1800"),                        # bpp = 24
+        F.lit("00000000"),                    # compression = BI_RGB
+        _le_hex(F.col("data_size"), 4),
+        F.lit("00" * 16),                     # ppm/palette fields
+    )
+    return dims.select(
+        "media_id",
+        F.unhex(
+            F.concat(header_hex, F.expr("repeat('00', CAST(data_size AS INT))"))
+        ).alias("payload"),
+        F.struct(
+            F.lit("image/bmp").alias("mime"),
+            (F.col("data_size") + 54).alias("declared_bytes"),
         ).alias("meta"),
     )
 
@@ -148,14 +242,48 @@ def register_framer(name: str, fn: Callable[[bytes, int], list[bytes]]) -> None:
     _FRAMERS[name] = fn
 
 
+def resize_bmp(raw: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resample of a 24-bit uncompressed BMP
+    (numpy, vectorized index maps) re-encoded as BMP. Stdlib+numpy only."""
+    import struct
+
+    import numpy as np
+
+    w, h, c = decode_bmp(raw)
+    if c != 3:
+        raise ValueError("resize_bmp handles 24-bit BMPs only")
+    offset = struct.unpack_from("<I", raw, 10)[0]
+    row_size = ((w * 3 + 3) // 4) * 4
+    px = np.frombuffer(raw, dtype=np.uint8, count=row_size * h, offset=offset)
+    px = px.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    out = px[ys][:, xs]
+    out_row = ((width * 3 + 3) // 4) * 4
+    padded = np.zeros((height, out_row), dtype=np.uint8)
+    padded[:, : width * 3] = out.reshape(height, width * 3)
+    data = padded.tobytes()
+    header = bytearray(raw[:54])
+    struct.pack_into("<I", header, 2, 54 + len(data))
+    struct.pack_into("<I", header, 10, 54)
+    struct.pack_into("<i", header, 18, width)
+    struct.pack_into("<i", header, 22, height)
+    struct.pack_into("<I", header, 34, len(data))
+    return bytes(header) + data
+
+
+_RESIZERS.update({"bmp": resize_bmp, "real": resize_bmp})
+
+
 def resize_images(
     media: DataFrame, width: int, height: int, resizer: str = "real"
 ) -> DataFrame:
     """Arrow-batched resize. Same plumbing rules as decode: the codec
     callable is resolved DRIVER-side and ships in the closure; payloads
-    cross the JVM boundary once per Arrow batch."""
+    cross the JVM boundary once per Arrow batch. The default resizer is
+    a REAL BMP nearest-neighbor resampler; other formats need a
+    registered codec."""
     if resizer not in _RESIZERS:
-        # STUB: real resizing needs PIL/opencv, absent in this container.
         raise NotImplementedError(
             f"resizer '{resizer}' not registered; install a codec and call "
             "register_resizer(), or register a fake for tests"

@@ -668,6 +668,17 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+# Independent prediction of the BMP builder+parser round-trip: width =
+# n_chars%31+1, height = doc_id%17+1, bytes = 54 + 4-padded-row * height.
+MULTIMODAL_DECODE_DIMS = """
+SELECT doc_id AS media_id,
+  CAST(54 + (((n_chars % 31 + 1) * 3 + 3) // 4) * 4 * (doc_id % 17 + 1) AS BIGINT) AS n_bytes,
+  CAST(n_chars % 31 + 1 AS BIGINT) AS width,
+  CAST(doc_id % 17 + 1 AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS n_channels
+FROM documents
+"""
+
 STREAM_WINDOW_COUNTS = """
 SELECT
   epoch_us(date_trunc('hour', ts)) AS window_start_us,

@@ -63,7 +63,73 @@ def test_decode_images_unregistered_raises(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     media = multimodal.media_table(docs)
     with pytest.raises(Exception, match="not registered"):
+        multimodal.decode_images(media, decoder="nope").collect()
+    # 'real' IS registered, but text payloads are not a decodable format
+    with pytest.raises(Exception, match="BMP/PPM"):
         multimodal.decode_images(media, decoder="real").collect()
+
+
+def test_real_bmp_decode_end_to_end(spark, sf_dir):
+    """No fakes: Spark assembles genuine BMP bytes, the default decoder
+    parses them in the Arrow path, dims match the construction formulas."""
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    media = multimodal.synthetic_bmp_table(docs)
+    # payloads are real BMPs: magic bytes + python-side header parse agree
+    sample = media.limit(3).collect()
+    for r in sample:
+        raw = bytes(r.payload)
+        assert raw[:2] == b"BM"
+        w, h, c = multimodal.decode_bmp(raw)
+        assert len(raw) == 54 + ((w * 3 + 3) // 4) * 4 * h and c == 3
+    out = {r.media_id: r for r in multimodal.decode_images(media).collect()}
+    src = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    assert len(out) == 25
+    for media_id, r in out.items():
+        assert r.width == src[media_id] % 31 + 1
+        assert r.height == media_id % 17 + 1
+        assert r.n_channels == 3
+
+
+def test_decode_ppm_header():
+    assert multimodal.decode_ppm(b"P6\n12 7\n255\n" + b"\x00" * (12 * 7 * 3)) == (12, 7, 3)
+    assert multimodal.decode_ppm(b"P5\n4 2\n255\n" + b"\x00" * 8) == (4, 2, 1)
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P3\n1 1\n255\n0 0 0")
+
+
+def test_real_bmp_resize_preserves_pixels(spark, sf_dir):
+    """Real nearest-neighbor resample: resized output is a valid BMP of
+    the target dims and a solid-color image stays that color."""
+    import struct
+
+    # 6x4 solid-red 24-bit BMP built in python (BGR rows, 4-byte padded)
+    w, h = 6, 4
+    row = (b"\x00\x00\xff" * w).ljust(((w * 3 + 3) // 4) * 4, b"\x00")
+    data = row * h
+    header = bytearray(54)
+    header[:2] = b"BM"
+    struct.pack_into("<I", header, 2, 54 + len(data))
+    struct.pack_into("<I", header, 10, 54)
+    struct.pack_into("<I", header, 14, 40)
+    struct.pack_into("<i", header, 18, w)
+    struct.pack_into("<i", header, 22, h)
+    struct.pack_into("<H", header, 26, 1)
+    struct.pack_into("<H", header, 28, 24)
+    struct.pack_into("<I", header, 34, len(data))
+    raw = bytes(header) + data
+
+    out = multimodal.resize_bmp(raw, 3, 2)
+    assert multimodal.decode_bmp(out) == (3, 2, 3)
+    pix_row = ((3 * 3 + 3) // 4) * 4
+    body = out[54:]
+    assert len(body) == pix_row * 2
+    for y in range(2):
+        assert body[y * pix_row : y * pix_row + 9] == b"\x00\x00\xff" * 3
+
+    # and through the Arrow-batched Spark path with the DEFAULT resizer
+    media = spark.createDataFrame([(1, bytearray(raw))], "media_id long, payload binary")
+    rows = multimodal.resize_images(media, 3, 2).collect()
+    assert len(rows) == 1 and bytes(rows[0].resized) == out
 
 
 def test_chunk_documents_overlap_and_coverage(spark):
@@ -117,4 +183,8 @@ def test_resize_and_frame_sample_plumbing(spark, sf_dir):
 
     import pytest as _pytest
     with _pytest.raises(Exception, match="not registered"):
-        multimodal.resize_images(media, 8, 8, resizer="real")
+        multimodal.resize_images(media, 8, 8, resizer="nope")
+    # 'real' resizer IS registered (BMP nearest-neighbor), but text
+    # payloads are not BMPs — the failure surfaces at execution
+    with _pytest.raises(Exception, match="not a BMP"):
+        multimodal.resize_images(media, 8, 8, resizer="real").collect()
