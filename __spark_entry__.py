@@ -30,6 +30,7 @@ from data_lake_for_citi_bike_trip_spark.operators import (
 from data_lake_for_citi_bike_trip_spark.operators import corpus, sqlsurface
 from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+from data_lake_for_citi_bike_trip_spark.sources.writers import write_table
 from data_lake_for_citi_bike_trip_spark.plans import checks
 from data_lake_for_citi_bike_trip_spark.streaming import pipeline as streaming
 from data_lake_for_citi_bike_trip_spark.streaming import stateful
@@ -50,6 +51,34 @@ def _staged(spark: SparkSession, sf_dir: str):
 def q_fact_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     trips, covid, weather = _staged(spark, sf_dir)
     return star.fact_trips(trips, covid, weather)
+
+
+def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lake round-trip: write the fact table partitioned by
+    (year, month) with dynamic partition overwrite (S8), read it back
+    with a partition filter (directory-level pruning — asserted in
+    tests/test_plans.py), aggregate per usertype. All output columns are
+    integer/string-exact so the parquet hop cannot introduce drift."""
+    import os
+    import tempfile
+
+    trips, covid, weather = _staged(spark, sf_dir)
+    fact = star.fact_trips(trips, covid, weather)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lake_{tag}", "fact")
+    write_table(fact, path, partition_by=["year", "month"],
+                mode="overwrite_partitions")
+    lake = spark.read.parquet(path)
+    return (
+        lake.where((F.col("year") == 2024) & (F.col("month") == 1))
+        .groupBy("usertype")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.count_distinct("bikeid").alias("n_bikes"),
+            F.min("start_epoch_us").alias("first_trip_us"),
+            F.max("start_epoch_us").alias("last_trip_us"),
+        )
+    )
 
 
 def q_dim_time(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_covid": q_dim_covid,
         "dim_weather": q_dim_weather,
         "dim_station": q_dim_station,
+        "lake_roundtrip": q_lake_roundtrip,
         "dq_counts": q_dq_counts,
         "pricing_summary": q_pricing_summary,
         "top_stations": q_top_stations,
@@ -557,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "dim_covid": oracles.DIM_COVID,
         "dim_weather": oracles.DIM_WEATHER,
         "dim_station": oracles.DIM_STATION,
+        "lake_roundtrip": oracles.LAKE_ROUNDTRIP,
         "dq_counts": oracles.DQ_COUNTS,
         "pricing_summary": oracles.PRICING_SUMMARY,
         "top_stations": oracles.TOP_STATIONS,

@@ -31,7 +31,9 @@ def main() -> None:
     # Warm the JVM/codegen paths so query 1 doesn't pay session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    iterations = int(os.environ.get("BENCH_ITERATIONS", "2"))
+    # min-of-3 by default: single runs carry ±25% box noise; the minimum
+    # is the stable estimate of the query's intrinsic cost.
+    iterations = int(os.environ.get("BENCH_ITERATIONS", "3"))
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         best = float("inf")
@@ -48,7 +50,34 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "iterations": iterations,
     }
+
+    # Per-query history (appended per run) lets later rounds spot
+    # regressions: compare against the previous run at the same sf.
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_HISTORY.jsonl")
+    prev = None
+    try:
+        with open(hist_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("sf") == result["sf"]:
+                    prev = rec
+    except FileNotFoundError:
+        pass
+    if prev:
+        regressions = {
+            q: {"prev": prev["queries"][q], "now": t}
+            for q, t in timings.items()
+            if q in prev["queries"] and t > prev["queries"][q] * 1.5 and t > 1.0
+        }
+        if regressions:
+            print(f"# regressions vs previous run: {json.dumps(regressions)}",
+                  file=sys.stderr)
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({"ts": time.time(), **result}) + "\n")
+
     print(json.dumps(result))
 
 

@@ -121,6 +121,20 @@ LEFT JOIN (
 """
 )
 
+# Lake round-trip: aggregate over the FULL fact result (weather fan-out
+# included) filtered to the 2024-01 partition — the parquet write/read
+# hop on the Spark side must be value-neutral.
+LAKE_ROUNDTRIP = f"""
+SELECT usertype,
+       COUNT(*) AS n_trips,
+       COUNT(DISTINCT bikeid) AS n_bikes,
+       min(start_epoch_us) AS first_trip_us,
+       max(start_epoch_us) AS last_trip_us
+FROM ({FACT_TRIPS}) f
+WHERE f.year = 2024 AND f.month = 1
+GROUP BY 1
+"""
+
 DIM_TIME = with_staging(
     r"""
 SELECT

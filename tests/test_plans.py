@@ -43,6 +43,16 @@ def test_exists_decorrelates_without_cartesian(spark, sf_dir):
     assert "SemiJoin" in f["plan"] or "LeftSemi" in f["plan"]
 
 
+def test_lake_roundtrip_prunes_partitions(spark, sf_dir):
+    """The read-back side of the lake round-trip must prune at the
+    directory level (PartitionFilters on year/month), not scan-then-filter."""
+    f = _facts(spark, sf_dir, "lake_roundtrip")
+    tail = f["plan"].split("PartitionFilters: [")
+    assert len(tail) > 1, "scan must carry partition filters"
+    filters = tail[1].split("]")[0]
+    assert "year" in filters and "month" in filters, filters
+
+
 def test_spread_is_noop_on_already_parallel_input(spark):
     from data_lake_for_citi_bike_trip_spark.session import spread
 
