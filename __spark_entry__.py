@@ -286,6 +286,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters -> survivors: iterative min-label connected
+    components over the minhash near-dup pairs, singletons included.
+    Oracle is an independent WITH RECURSIVE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.dedup_clusters(docs, pairs)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(
         _embeddings_with_planted_dups(spark, sf_dir), threshold=0.999
@@ -541,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_language_id": q_text_language_id,
@@ -606,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": oracles.DEDUP_SIMHASH_PAIRS,
         "dedup_ngram_jaccard": oracles.DEDUP_NGRAM_JACCARD,
         "dedup_embedding": oracles.DEDUP_EMBEDDING,
+        "dedup_clusters": oracles.DEDUP_CLUSTERS,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
         "ann_lsh_topk": oracles.ANN_LSH_TOPK,
         "text_language_id": oracles.TEXT_LANGUAGE_ID,

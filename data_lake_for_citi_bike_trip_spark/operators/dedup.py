@@ -268,3 +268,76 @@ def embedding_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node
+    repeatedly adopts the smallest label among itself and its neighbors
+    until a fixpoint. Returns (id, cluster_id) where cluster_id is the
+    minimum node id of the component.
+
+    Scale design: each iteration is ONE shuffle (edge join + min agg) and
+    converges in O(component diameter) rounds — near-dup clusters are
+    shallow (copies of a common ancestor), so typically <= 4-5 rounds.
+    ``localCheckpoint`` truncates the growing lineage each round so the
+    plan doesn't double per iteration; the only driver-side data is the
+    one scalar "did anything change" count per round.
+
+    ``nodes``: one column ``id``. ``edges``: columns ``src``, ``dst``
+    (undirected; symmetrized internally).
+    """
+    # Materialize edges ONCE: every iteration joins against them, and
+    # without this the upstream pair-generation pipeline (minhash etc.)
+    # would be re-executed per round.
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id2"))
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.id == nbr_min.id2, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (F.col("nbr_label") < F.col("cluster_id")).alias("__changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            updated.agg(
+                F.sum(F.col("__changed").cast("long")).alias("n")
+            ).collect()[0].n
+            or 0
+        )
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster near-dup pairs into components and pick survivors: every
+    doc (singletons included) gets (doc_id, cluster_id, is_survivor) with
+    the minimum doc_id as the component's survivor — the standard final
+    stage of a dedup pipeline (pairs -> clusters -> keep one per cluster).
+    """
+    nodes = docs.select(F.col(id_col).alias("id"))
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    cc = connected_components(nodes, edges)
+    return cc.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_survivor"),
+    )

@@ -418,6 +418,30 @@ JOIN sigs sb ON sb.doc_id = d2
 WHERE CAST({_MATCHES} AS DOUBLE) / {_N_PERMS} >= 0.5
 """
 
+# Connected components over the minhash near-dup pairs as a recursive
+# transitive closure: every node starts labeled with itself; labels
+# propagate along (symmetrized) edges; min reachable label = component id.
+# Mirrors operators.dedup.connected_components' fixpoint exactly.
+DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({DEDUP_MINHASH})
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
+)
+SELECT node AS doc_id,
+       min(label) AS cluster_id,
+       (node = min(label)) AS is_survivor
+FROM reach GROUP BY node
+"""
+
 # SimHash per-bit majority as a GROUP BY aggregate over exploded token
 # hashes (mirror of functions.text.simhash_agg)
 _SIMHASH_SUM = " + ".join(

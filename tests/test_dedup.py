@@ -153,3 +153,25 @@ def test_pandas_udf_cosine_matches_expression_path(spark, sf_dir):
     assert set(expr_out) == set(udf_out)
     for key in expr_out:
         assert abs(expr_out[key] - udf_out[key]) < 1e-5, key
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 4-node chain (1-2, 2-3, 3-4) must collapse to one cluster even
+    though 1 and 4 share no edge (transitivity needs >1 propagation
+    round); disjoint pairs and singletons keep their own clusters."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 5)], "src long, dst long"
+    )
+    out = {r.id: r.cluster_id for r in dedup.connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_dedup_clusters_survivor_per_cluster(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 3), (3, 7), (5, 6)], "d1 long, d2 long")
+    out = dedup.dedup_clusters(docs, pairs).collect()
+    survivors = {r.doc_id for r in out if r.is_survivor}
+    assert survivors == {0, 1, 2, 4, 5, 8, 9}
+    clusters = {r.doc_id: r.cluster_id for r in out}
+    assert clusters[7] == 0 and clusters[3] == 0 and clusters[6] == 5
