@@ -27,7 +27,7 @@ from data_lake_for_citi_bike_trip_spark.operators import (
     staging,
     star,
 )
-from data_lake_for_citi_bike_trip_spark.operators import corpus, sqlsurface
+from data_lake_for_citi_bike_trip_spark.operators import corpus, search, sqlsurface
 from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 from data_lake_for_citi_bike_trip_spark.sources.writers import write_table
@@ -407,6 +407,25 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("day", "exact_users", "approx_ok")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: per-language keep rates (en=100, de=50, fr/es=25,
+    zh=10), hash-deterministic membership."""
+    return corpus.sample_stratified(
+        load_table(spark, sf_dir, "documents"),
+        {"en": 100, "de": 50, "fr": 25, "es": 25, "zh": 10},
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search.bm25_topk(
+        load_table(spark, sf_dir, "documents"), ["data", "hash", "vector"], k=10
+    )
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.train_test_split(load_table(spark, sf_dir, "documents"))
 
@@ -568,6 +587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": q_approx_distinct_users,
         "train_test_split": q_train_test_split,
         "sample_by_hash": q_sample_by_hash,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
+        "bm25_topk": q_bm25_topk,
         "corpus_vocabulary": q_corpus_vocabulary,
         "scrub_text": q_scrub_text,
         "length_histogram": q_length_histogram,
@@ -634,6 +656,9 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users": oracles.APPROX_DISTINCT_USERS,
         "train_test_split": oracles.TRAIN_TEST_SPLIT,
         "sample_by_hash": oracles.SAMPLE_BY_HASH,
+        "sample_stratified": oracles.CORPUS_SAMPLE_STRATIFIED,
+        "pack_sequences": oracles.CORPUS_PACK_SEQUENCES,
+        "bm25_topk": oracles.BM25_TOPK,
         "corpus_vocabulary": oracles.CORPUS_VOCABULARY,
         "scrub_text": oracles.SCRUB_TEXT,
         "length_histogram": oracles.LENGTH_HISTOGRAM,

@@ -159,3 +159,77 @@ def llm_prep_pipeline(docs: DataFrame, quality_threshold: float = 0.75) -> DataF
         .join(quality, "doc_id")
         .select("doc_id", "content_hash", "split", "quality")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int = 512,
+    n_groups: int = 8,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for LLM pretraining: documents
+    are hash-assigned to ``n_groups`` independent packing streams, laid
+    end-to-end in deterministic (doc_id) order within each stream, and
+    cut into ``context_len``-token bins. Emits where each doc lands
+    (bin_id + bin_offset); a doc straddling a boundary continues into the
+    next bin — exactly the layout of a packed pretraining shard.
+
+    Scale: ONE shuffle (window partitioned on pack_group); each stream
+    packs independently, so parallelism == n_groups — size it to the
+    cluster (executors x cores), not the corpus. Assignment is hash
+    arithmetic, not rand(), so shards are reproducible run-over-run.
+    """
+    g = TX.token_hash32(
+        F.concat(F.col("doc_id").cast("string"), F.lit(salt))
+    ) % n_groups
+    base = docs.select(
+        "doc_id",
+        g.cast("bigint").alias("pack_group"),
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        "doc_id",
+        "pack_group",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
+    ).selectExpr(
+        "doc_id",
+        "pack_group",
+        "n_tokens",
+        "start_offset",
+        f"start_offset div {context_len} AS bin_id",
+        f"start_offset % {context_len} AS bin_offset",
+    )
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    default_pct: int = 0,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixing primitive
+    of a pretraining pipeline (keep 100% of one source, 25% of another).
+
+    Membership is hash arithmetic on doc_id (reproducible across runs,
+    engines, partitionings); the rates table is broadcast (strata counts
+    are tiny next to the corpus); strata absent from ``rates`` fall back
+    to ``default_pct``.
+    """
+    spark = docs.sparkSession
+    rates_df = spark.createDataFrame(
+        [(s, int(p)) for s, p in sorted(rates.items())],
+        f"{stratum_col} string, pct int",
+    )
+    bucket = hash_bucket(F.concat(F.col("doc_id").cast("string"), F.lit(salt)))
+    return (
+        docs.join(F.broadcast(rates_df), stratum_col, "left")
+        .where(bucket < F.coalesce(F.col("pct"), F.lit(default_pct)))
+        .select("doc_id", stratum_col, "source")
+    )

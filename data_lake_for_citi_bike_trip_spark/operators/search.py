@@ -1,0 +1,95 @@
+"""Keyword retrieval: BM25 scoring over the documents corpus.
+
+The lexical complement to operators/similarity.py's vector search —
+together they cover both retrieval modalities of a training-data /
+RAG pipeline.
+
+Scale design (the posting-list shape):
+- tokenize once, restrict postings to the query terms BEFORE any join
+  (the per-term posting lists are tiny next to the corpus);
+- (term, df) and the corpus stats row are broadcast;
+- the only corpus-wide shuffles are the tf/doclen aggregates (map-side
+  combined);
+- top-k goes through sort+limit (TakeOrderedAndProject), never a
+  single-partition global window over all matches.
+
+Cross-engine float determinism: per-term scores are summed in a FIXED
+(sorted-term) order via one conditional-aggregate column per term, so
+both engines execute the identical float expression tree; the final
+score is rounded and ranking uses the rounded value with a doc_id
+tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..session import spread
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 (classic Robertson formulation:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation k1, length
+    normalization b). Returns (doc_id, n_terms_matched, score, rank)."""
+    terms = sorted(set(query_terms))
+    toks = spread(docs).select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        doclen.agg(F.sum("dl").alias("sum_dl"))
+    )
+    tf = (
+        toks.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    term_score = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", term_score.alias("term_score"))
+    )
+    # fixed-order summation: one conditional-max column per (sorted) term
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("term_score"))), F.lit(0.0)
+        )
+        for t in terms
+    ]
+    total = per_term[0]
+    for p in per_term[1:]:
+        total = total + p
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.round(total, 4).alias("score"),
+    )
+    topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return topk.select(
+        "doc_id",
+        "n_terms_matched",
+        "score",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("rank"),
+    )

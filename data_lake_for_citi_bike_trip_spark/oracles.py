@@ -812,9 +812,75 @@ SELECT doc_id,
 FROM documents
 """
 
+# pack_sequences mirror: same hash-group assignment, same cumulative
+# window, integer bin arithmetic (defaults context_len=512, n_groups=8).
+CORPUS_PACK_SEQUENCES = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack-v1'), 1, 8) AS BIGINT) % 8 AS pack_group,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+    PARTITION BY pack_group ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM base
+)
+SELECT doc_id, pack_group, n_tokens, start_offset,
+  start_offset // 512 AS bin_id,
+  start_offset % 512 AS bin_offset
+FROM off
+"""
+
 SAMPLE_BY_HASH = f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE {_HB.format(key="CAST(doc_id AS VARCHAR) || 'sample-v1'")} < 10
+"""
+
+# Stratified mixing mirror (rates en=100/de=50/fr=25/es=25/zh=10).
+CORPUS_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_HB.format(key="CAST(doc_id AS VARCHAR) || 'strat-v1'")} <
+  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 25
+            WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END
+"""
+
+# BM25 mirror: identical float expression tree, fixed-order per-term sum
+# (sorted terms: data, hash, vector), ranking on the ROUNDED score.
+BM25_TOPK = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT SUM(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('data', 'hash', 'vector') GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, t.term,
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * t.tf * (1.2 + 1)
+      / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+      AS term_score
+  FROM tf t JOIN df d USING (term) JOIN doclen l USING (doc_id), stats s
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_terms_matched,
+    round(
+      COALESCE(max(CASE WHEN term = 'data' THEN term_score END), 0.0)
+      + COALESCE(max(CASE WHEN term = 'hash' THEN term_score END), 0.0)
+      + COALESCE(max(CASE WHEN term = 'vector' THEN term_score END), 0.0), 4
+    ) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms_matched, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM per_doc
+) WHERE rank <= 10
 """
 
 CORPUS_VOCABULARY = rf"""

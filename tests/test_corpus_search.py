@@ -1,0 +1,64 @@
+"""Sequence packing, stratified sampling, BM25 retrieval semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.operators import corpus, search
+from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+
+def test_pack_sequences_layout_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus.pack_sequences(docs, context_len=128, n_groups=4).cache()
+    assert out.count() == docs.count()  # every doc lands somewhere
+    rows = sorted(
+        out.collect(), key=lambda r: (r.pack_group, r.doc_id)
+    )
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r.pack_group, []).append(r)
+    assert set(by_group) == {0, 1, 2, 3}
+    for grp_rows in by_group.values():
+        expected_offset = 0
+        for r in grp_rows:
+            # end-to-end layout: each doc starts where the previous ended
+            assert r.start_offset == expected_offset
+            assert r.bin_id == r.start_offset // 128
+            assert r.bin_offset == r.start_offset % 128
+            expected_offset += r.n_tokens
+    out.unpersist()
+
+
+def test_sample_stratified_rates_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 100, "zh": 0}
+    out1 = corpus.sample_stratified(docs, rates).cache()
+    # rate 100 keeps every en doc; rate 0 / unlisted default drops the rest
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert out1.count() == n_en
+    assert out1.where(F.col("lang") != "en").count() == 0
+    # hash determinism: identical result on a second run
+    out2 = corpus.sample_stratified(docs, rates)
+    assert {r.doc_id for r in out1.collect()} == {r.doc_id for r in out2.collect()}
+    out1.unpersist()
+
+
+def test_bm25_ranks_term_matches(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "vector vector vector search engine"),
+            (2, "vector search"),
+            (3, "nothing relevant here at all"),
+            (4, "a much longer document about other things with vector once " + "filler " * 50),
+        ],
+        "doc_id long, text string",
+    )
+    out = search.bm25_topk(docs, ["vector"], k=10).collect()
+    got = {r.doc_id: r for r in out}
+    assert 3 not in got  # no match, no row
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 4]
+    # tf saturation: more occurrences score higher; length norm: the long
+    # doc with one hit ranks below the short doc with one hit
+    assert got[1].score > got[2].score > got[4].score
+    assert all(r.n_terms_matched == 1 for r in out)
