@@ -27,8 +27,9 @@ from data_lake_for_citi_bike_trip_spark.operators import (
     staging,
     star,
 )
-from data_lake_for_citi_bike_trip_spark.operators import corpus, search, sqlsurface
+from data_lake_for_citi_bike_trip_spark.operators import corpus, search, skew, sqlsurface
 from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
+from data_lake_for_citi_bike_trip_spark.functions import vectors
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 from data_lake_for_citi_bike_trip_spark.sources.writers import write_table
 from data_lake_for_citi_bike_trip_spark.plans import checks
@@ -398,6 +399,67 @@ def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.json_props_rollup(load_table(spark, sf_dir, "events"))
 
 
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.window_funcs(load_table(spark, sf_dir, "orders"))
+
+
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.approx_percentile_check(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_scd1_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 latest-wins merge on customer: keys %5==0 arrive with a new
+    mktsegment, keys > max arrive brand new; history is overwritten."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    changed = cust.where(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", "c_name", F.lit("RELOADED").alias("c_mktsegment")
+    )
+    new = cust.where(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        "c_mktsegment",
+    )
+    return scd.scd1_upsert(cust, changed.unionByName(new), "c_custkey")
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static salting correctness through the oracle gate: lineitem's
+    3-value returnflag is a maximally hot join key; the salted join
+    scatters each key over 16 sub-partitions and must produce EXACTLY the
+    plain-join aggregate (which the oracle computes directly)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_quantity"
+    )
+    labels = li.select("l_returnflag").distinct().withColumn(
+        "flag_label", F.concat(F.lit("flag_"), F.col("l_returnflag"))
+    )
+    joined = skew.salted_join(li, labels, on="l_returnflag",
+                              salt_from="l_orderkey", buckets=16)
+    return joined.groupBy("flag_label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function vector hygiene: per-row array reductions
+    (dims, L2 norm, normalized first component, clipped mean) — all
+    codegen expressions, deterministic per-row float math."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = vectors.as_double(F.col("embedding"))
+    norm = vectors.norm(v)
+    mean = F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v)
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("bigint").alias("dims"),
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(v.getItem(0) / norm, 6).alias("unit_first"),
+        F.round(mean, 6).alias("mean_component"),
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection of the HLL operator the oracle CAN check: exact count
     matches DuckDB's COUNT(DISTINCT); approx_ok (5% error bound on the
@@ -584,6 +646,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_summary": q_stats_summary,
         "moving_average": q_moving_average,
         "json_props_rollup": q_json_props_rollup,
+        "window_funcs": q_window_funcs,
+        "approx_percentile": q_approx_percentile,
+        "scd1_customers": q_scd1_customers,
+        "skew_salted_agg": q_skew_salted_agg,
+        "vector_norms": q_vector_norms,
+        "grouping_sets_orders": sqlsurface.grouping_sets_orders,
         "approx_distinct_users": q_approx_distinct_users,
         "train_test_split": q_train_test_split,
         "sample_by_hash": q_sample_by_hash,
@@ -653,6 +721,12 @@ def oracle_sql() -> dict[str, str]:
         "stats_summary": oracles.STATS_SUMMARY,
         "moving_average": oracles.MOVING_AVERAGE,
         "json_props_rollup": oracles.JSON_PROPS_ROLLUP,
+        "window_funcs": oracles.WINDOW_FUNCS,
+        "approx_percentile": oracles.APPROX_PERCENTILE,
+        "scd1_customers": oracles.SCD1_CUSTOMERS,
+        "skew_salted_agg": oracles.SKEW_SALTED_AGG,
+        "vector_norms": oracles.VECTOR_NORMS,
+        "grouping_sets_orders": oracles.GROUPING_SETS_ORDERS,
         "approx_distinct_users": oracles.APPROX_DISTINCT_USERS,
         "train_test_split": oracles.TRAIN_TEST_SPLIT,
         "sample_by_hash": oracles.SAMPLE_BY_HASH,

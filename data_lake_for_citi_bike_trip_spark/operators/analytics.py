@@ -237,3 +237,40 @@ def unpivot_event_counts(events: DataFrame) -> DataFrame:
         n=len(types), args=", ".join(f"'{t}', cnt_{t}" for t in types)
     )
     return wide.selectExpr("day", stack_expr)
+
+
+def window_funcs(orders: DataFrame) -> DataFrame:
+    """Ranking/distribution window suite per customer: ntile quartiles,
+    percent_rank, cume_dist, running first, and lag — one shuffle on the
+    partition key shared by every window. The (date, orderkey) ordering
+    is total, so rank-based outputs are deterministic; percent_rank /
+    cume_dist are exact integer ratios (no cross-row float sums), emitted
+    unrounded — both engines divide the same integers."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_totalprice").over(wr).alias("first_price"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+    )
+
+
+def approx_percentile_check(lineitem: DataFrame, tolerance: float = 1.0) -> DataFrame:
+    """Sketch percentile next to the exact sort-based one: exact_p50 is
+    cross-engine-verified; the engine-specific approx sketch is asserted
+    through the hash gate via its error-bound flag (same pattern as
+    approx_distinct_users)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("exact_p50"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("approx_p50"),
+    ).select(
+        "l_returnflag",
+        "exact_p50",
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= tolerance).alias(
+            "approx_ok"
+        ),
+    )

@@ -69,3 +69,12 @@ def scd2_apply(
         F.lit(OPEN_END_US).alias("valid_to_us"),
     )
     return kept.unionByName(new_versions)
+
+
+def scd1_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Type-1 merge: latest wins, no history — batch rows replace current
+    rows by key, new keys append. One shuffle on the key (the batch side
+    is broadcast when small); the SCD2 companion above keeps history."""
+    return current.join(updates.select(key), on=key, how="left_anti").unionByName(
+        updates
+    )

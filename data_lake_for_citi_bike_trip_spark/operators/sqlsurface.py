@@ -130,3 +130,20 @@ def cte_monthly_top_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT y, m, c_mktsegment, revenue FROM ranked WHERE rnk = 1
         """
     )
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond ROLLUP/CUBE): per-status,
+    per-priority, and grand-total aggregates in ONE pass with
+    grouping_id disambiguation."""
+    _views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               COUNT(*) AS order_cnt,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

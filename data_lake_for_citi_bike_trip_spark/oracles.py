@@ -747,6 +747,70 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
+GROUPING_SETS_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS order_cnt,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+# percent_rank/cume_dist are exact integer ratios under a total order —
+# emitted unrounded (both engines divide the same integers).
+WINDOW_FUNCS = """
+SELECT o_orderkey, o_custkey,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume,
+  first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+  lag(o_totalprice) OVER w AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+# exact percentile cross-verified; the engine-specific sketch asserted
+# via its error-bound flag (uniformly TRUE), as for approx_distinct_users
+APPROX_PERCENTILE = """
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
+  TRUE AS approx_ok
+FROM lineitem GROUP BY 1
+"""
+
+SCD1_CUSTOMERS = """
+WITH cust AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+batch AS (
+  SELECT c_custkey, c_name, 'RELOADED' AS c_mktsegment FROM cust WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_mktsegment FROM cust WHERE c_custkey % 7 = 0
+)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment FROM cust c
+ANTI JOIN batch b ON c.c_custkey = b.c_custkey
+UNION ALL
+SELECT * FROM batch
+"""
+
+# the salted join must be result-identical to the plain join the oracle
+# computes directly
+SKEW_SALTED_AGG = """
+SELECT 'flag_' || l_returnflag AS flag_label,
+       COUNT(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY 1
+"""
+
+VECTOR_NORMS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+  CAST(len(v) AS BIGINT) AS dims,
+  round(sqrt({_DOT.format(a='v', b='v')}), 6) AS l2_norm,
+  round(v[1] / sqrt({_DOT.format(a='v', b='v')}), 6) AS unit_first,
+  round(list_sum(v) / len(v), 6) AS mean_component
+FROM e
+"""
+
 INTERSECT_USERS = """
 SELECT user_id FROM events WHERE day(CAST(ts AS DATE)) <= 15
 INTERSECT
