@@ -558,6 +558,29 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.distinct()
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each error event matched to the same
+    user's purchases within the following hour. Watermarks on BOTH sides
+    + a two-sided time bound keep join state evictable; inner join emits
+    eagerly, so the availableNow drain equals the batch join the oracle
+    runs."""
+    errors = streaming.stream_events(spark, sf_dir).where(
+        F.col("event_type") == "error"
+    )
+    purchases = streaming.stream_events(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = streaming.interval_join(errors, purchases, on="user_id")
+    out = joined.select(
+        "l_event_id",
+        "r_event_id",
+        F.unix_micros("l_ts").alias("l_ts_us"),
+        F.unix_micros("r_ts").alias("r_ts_us"),
+        "r_value",
+    )
+    return streaming.run_available_now(out, "q_stream_interval_join", "append")
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer, nprobe inverted lists). Iterative
     float means are not SQL-expressible -> rows-only contract entry; recall
@@ -666,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "stream_user_totals": q_stream_user_totals,
         "stream_dedup_keys": q_stream_dedup_keys,
+        "stream_interval_join": q_stream_interval_join,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_recall": q_ann_ivf_recall,
         "rollup_revenue": sqlsurface.rollup_revenue,
@@ -741,6 +765,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_counts": oracles.STREAM_WINDOW_COUNTS,
         "stream_user_totals": oracles.STREAM_USER_TOTALS,
         "stream_dedup_keys": oracles.STREAM_DEDUP_KEYS,
+        "stream_interval_join": oracles.STREAM_INTERVAL_JOIN,
         # ann_ivf_topk: iterative (k-means) -> rows-only; its recall is
         # oracle-asserted by the ann_ivf_recall companion below
         "ann_ivf_recall": oracles.ANN_IVF_RECALL,

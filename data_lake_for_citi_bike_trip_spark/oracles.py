@@ -717,6 +717,18 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+# batch equivalent of the stream-stream interval join (inner joins emit
+# eagerly, so the availableNow drain matches exactly)
+STREAM_INTERVAL_JOIN = """
+SELECT e.event_id AS l_event_id, p.event_id AS r_event_id,
+       epoch_us(e.ts) AS l_ts_us, epoch_us(p.ts) AS r_ts_us,
+       p.value AS r_value
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+"""
+
 STREAM_WINDOW_COUNTS = """
 SELECT
   epoch_us(date_trunc('hour', ts)) AS window_start_us,

@@ -116,6 +116,47 @@ def run_available_now(
     return spark.table(name)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: left rows matched to right rows with the
+    same key whose timestamp falls in (left.ts, left.ts + horizon].
+
+    BOTH sides carry watermarks and the join condition is time-bounded in
+    both directions — that is what lets the state store evict buffered
+    rows once the watermark passes them (an unbounded stream-stream join
+    would buffer both streams forever). State is partitioned on the join
+    key, same exchange shape as a batch join.
+    """
+    l = (
+        left.withWatermark("ts", watermark)
+        .select(
+            F.col(on).alias("l_key"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_event_id"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col(on).alias("r_key"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+
+
 def dedup_stream(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:

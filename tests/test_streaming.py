@@ -69,3 +69,28 @@ def test_stream_dedup_drops_within_watermark(spark, sf_dir, tmp_path):
     out = pipeline.run_available_now(deduped.groupBy("event_id").count(), "t_dedup", "complete")
     assert out.where(F.col("count") > 1).count() == 0
     assert out.count() == events.count()
+
+
+def test_stream_interval_join_equals_batch_join(spark, sf_dir):
+    errors = pipeline.stream_events(spark, sf_dir).where(F.col("event_type") == "error")
+    purchases = pipeline.stream_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    joined = pipeline.interval_join(errors, purchases, on="user_id", horizon="1 hour")
+    out = pipeline.run_available_now(
+        joined.select("l_event_id", "r_event_id"), "t_ssjoin", "append"
+    )
+    got = {(r.l_event_id, r.r_event_id) for r in out.collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("l_event_id"), F.col("user_id"), F.col("ts").alias("l_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_event_id"), F.col("user_id"), F.col("ts").alias("r_ts")
+    )
+    batch = e.join(p, "user_id").where(
+        (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    want = {(r.l_event_id, r.r_event_id) for r in batch.collect()}
+    assert want, "testdata should contain error->purchase pairs within 1h"
+    assert got == want
