@@ -287,6 +287,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped pipeline over embeddings: sign-bucket LSH cosine
+    pairs -> connected components -> survivor per semantic cluster. The
+    planted colinear copies must each collapse onto their original."""
+    corpus = _embeddings_with_planted_dups(spark, sf_dir)
+    pairs = dedup.embedding_dup_pairs(corpus, threshold=0.999)
+    return dedup.dedup_clusters(corpus, pairs, id_col="vec_id")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> clusters -> survivors: iterative min-label connected
     components over the minhash near-dup pairs, singletons included.
@@ -397,6 +406,16 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.json_props_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the stored first-half aggregate
+    merged with the second-half batch must equal aggregating the whole
+    table from scratch (which is what the oracle computes)."""
+    ev = load_table(spark, sf_dir, "events")
+    current = analytics.daily_type_counts(ev.where(F.dayofmonth("ts") <= 15))
+    batch = ev.where(F.dayofmonth("ts") > 15)
+    return analytics.merge_daily_counts(current, batch)
 
 
 def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_language_id": q_text_language_id,
@@ -669,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_summary": q_stats_summary,
         "moving_average": q_moving_average,
         "json_props_rollup": q_json_props_rollup,
+        "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
         "approx_percentile": q_approx_percentile,
         "scd1_customers": q_scd1_customers,
@@ -731,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracles.DEDUP_NGRAM_JACCARD,
         "dedup_embedding": oracles.DEDUP_EMBEDDING,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,
+        "semantic_dedup": oracles.SEMANTIC_DEDUP,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
         "ann_lsh_topk": oracles.ANN_LSH_TOPK,
         "text_language_id": oracles.TEXT_LANGUAGE_ID,
@@ -745,6 +767,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_summary": oracles.STATS_SUMMARY,
         "moving_average": oracles.MOVING_AVERAGE,
         "json_props_rollup": oracles.JSON_PROPS_ROLLUP,
+        "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,
         "approx_percentile": oracles.APPROX_PERCENTILE,
         "scd1_customers": oracles.SCD1_CUSTOMERS,

@@ -274,3 +274,30 @@ def approx_percentile_check(lineitem: DataFrame, tolerance: float = 1.0) -> Data
             "approx_ok"
         ),
     )
+
+
+def daily_type_counts(events: DataFrame) -> DataFrame:
+    """The stored aggregate shape for merge_daily_counts."""
+    return events.groupBy(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def merge_daily_counts(current: DataFrame, batch_events: DataFrame) -> DataFrame:
+    """Materialized-aggregate maintenance: fold a new batch's partial
+    counts into the stored (day, event_type) aggregate with a
+    full-outer coalesce-sum — history is never rescanned. The merged
+    result is definitionally equal to aggregating everything from
+    scratch, which is exactly what the oracle checks."""
+    cur = current.select("day", "event_type", F.col("cnt").alias("cur_cnt"))
+    delta = daily_type_counts(batch_events).select(
+        "day", "event_type", F.col("cnt").alias("new_cnt")
+    )
+    return cur.join(delta, ["day", "event_type"], "full_outer").select(
+        "day",
+        "event_type",
+        (
+            F.coalesce(F.col("cur_cnt"), F.lit(0))
+            + F.coalesce(F.col("new_cnt"), F.lit(0))
+        ).alias("cnt"),
+    )

@@ -566,6 +566,33 @@ SELECT DISTINCT vec_id AS q_id, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 10
 """
 
+# Semantic dedup: recursive closure over the embedding cosine pairs;
+# nodes are the corpus incl. the planted colinear copies.
+SEMANTIC_DEDUP = f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({DEDUP_EMBEDDING})
+),
+nodes AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 FROM embeddings WHERE vec_id % 20 = 0
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM nodes
+  UNION
+  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
+)
+SELECT node AS vec_id,
+       min(label) AS cluster_id,
+       (node = min(label)) AS is_survivor
+FROM reach GROUP BY node
+"""
+
 ANN_COSINE_TOPK = f"""
 WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 queries AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
@@ -766,6 +793,12 @@ SELECT o_orderstatus, o_orderpriority,
        round(sum(o_totalprice), 2) AS revenue
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+# The incremental merge must equal the from-scratch aggregate.
+INCREMENTAL_AGG = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, COUNT(*) AS cnt
+FROM events GROUP BY 1, 2
 """
 
 # percent_rank/cume_dist are exact integer ratios under a total order —

@@ -49,3 +49,39 @@ def write_table(
     else:
         writer = writer.mode(mode)
     writer.save(path)
+
+
+def table_bytes(spark, path: str) -> int:
+    """Total on-disk bytes of a parquet table (driver-side FS metadata
+    only — works for any Hadoop-compatible store, no data read)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    summary = fs.getContentSummary(hpath)
+    return int(summary.getLength())
+
+
+def compact_table(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into ~target-sized
+    files. Returns the output file count.
+
+    The maintenance half of the file-hygiene story: streaming /
+    incremental loads fragment partitions into many small files, and scan
+    cost at 100 TB is dominated by per-file open overhead once files drop
+    well below the HDFS/S3 sweet spot. ``coalesce`` (not repartition)
+    merges input splits WITHOUT a shuffle. Writes to a NEW path — the
+    atomic swap belongs to a transactional table format or orchestrator,
+    not a blind in-place overwrite of a table readers may be scanning.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    n_out = max(1, math.ceil(table_bytes(spark, src_path) / target_file_bytes))
+    df.coalesce(n_out).write.mode("overwrite").parquet(dest_path)
+    return n_out

@@ -82,3 +82,26 @@ def test_permissive_json_quarantines_corrupt_rows(spark, tmp_path):
     assert good.count() == 2 and bad.count() == 2  # batch survives, bad rows divert
     assert {r.valid_time_gmt for r in good.collect()} == {100, 200}
     df.unpersist()
+
+
+def test_compact_table_reduces_file_count(spark, sf_dir, tmp_path):
+    from data_lake_for_citi_bike_trip_spark.sources.writers import (
+        compact_table,
+        table_bytes,
+    )
+
+    frag = str(tmp_path / "fragmented")
+    _write_fact(spark, sf_dir, frag, max_records_per_file=100)
+    n_before = len(glob.glob(os.path.join(frag, "**", "*.parquet"), recursive=True))
+    assert n_before > 10  # genuinely fragmented
+
+    compacted = str(tmp_path / "compacted")
+    n_out = compact_table(spark, frag, compacted, target_file_bytes=64 * 1024 * 1024)
+    files_after = glob.glob(os.path.join(compacted, "*.parquet"))
+    assert len(files_after) == n_out < n_before
+    # data survives byte-identically (order-insensitive)
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(compacted)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert table_bytes(spark, compacted) > 0
