@@ -337,6 +337,10 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
 def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_stats(load_table(spark, sf_dir, "documents"))
 
@@ -681,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
+        "text_surprisal": q_text_surprisal,
         "multimodal_payload_stats": q_multimodal_payload_stats,
         "multimodal_decode_dims": q_multimodal_decode_dims,
         "scd2_stations": q_scd2_stations,
@@ -759,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracles.TEXT_QUALITY,
         "text_token_stats": oracles.TEXT_TOKEN_STATS,
         "text_fingerprint": oracles.TEXT_FINGERPRINT,
+        "text_surprisal": oracles.TEXT_SURPRISAL,
         "multimodal_payload_stats": oracles.MULTIMODAL_PAYLOAD_STATS,
         "multimodal_decode_dims": oracles.MULTIMODAL_DECODE_DIMS,
         "scd2_stations": oracles.SCD2_STATIONS,

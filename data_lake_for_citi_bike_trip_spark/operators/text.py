@@ -130,3 +130,35 @@ def fingerprint(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
         .join(min_fp, "doc_id", "left")
         .select("doc_id", "min_shingle_fp", "bag_fp")
     )
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-filtering
+    primitive: per-token surprisal -log2 P(token) under the corpus
+    unigram distribution, summed per document.
+
+    Engine-exact float discipline: each token's surprisal is quantized
+    to integer millibits with floor(x*1000 + 0.5) (floor, not round —
+    identical in every engine) BEFORE the per-doc sum, so the aggregate
+    is pure integer arithmetic regardless of summation order.
+
+    Scale: explode -> map-side-combined counts; the unigram table
+    re-joins postings keyed on token (broadcast when the vocab is small);
+    corpus total attaches as a 1-row broadcast."""
+    postings = spread(docs).select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    vocab = postings.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    total = vocab.agg(F.sum("cf").alias("total_cf"))
+    per_token_mb = F.floor(
+        F.log2(F.col("total_cf").cast("double") / F.col("cf")) * 1000 + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        postings.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", per_token_mb.alias("mb"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("mb").alias("surprisal_mb"),
+    ).withColumn("avg_surprisal_mb", F.expr("surprisal_mb div n_tokens"))

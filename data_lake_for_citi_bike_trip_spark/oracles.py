@@ -733,6 +733,26 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+# Unigram surprisal mirror: identical floor(x*1000+0.5) quantization
+# before the (then purely integer) per-doc sum.
+TEXT_SURPRISAL = f"""
+WITH postings AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+vocab AS (SELECT token, COUNT(*) AS cf FROM postings GROUP BY 1),
+total AS (SELECT SUM(cf) AS total_cf FROM vocab),
+scored AS (
+  SELECT p.doc_id,
+    CAST(floor(log2(CAST(t.total_cf AS DOUBLE) / v.cf) * 1000 + 0.5) AS BIGINT) AS mb
+  FROM postings p JOIN vocab v USING (token), total t
+)
+SELECT doc_id,
+  COUNT(*) AS n_tokens,
+  CAST(SUM(mb) AS BIGINT) AS surprisal_mb,
+  CAST(SUM(mb) // COUNT(*) AS BIGINT) AS avg_surprisal_mb
+FROM scored GROUP BY doc_id
+"""
+
 # Independent prediction of the BMP builder+parser round-trip: width =
 # n_chars%31+1, height = doc_id%17+1, bytes = 54 + 4-padded-row * height.
 MULTIMODAL_DECODE_DIMS = """

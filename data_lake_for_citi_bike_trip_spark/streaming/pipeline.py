@@ -167,3 +167,32 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def stream_to_lake(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Streaming ingestion into the partitioned lake via foreachBatch +
+    dynamic partition overwrite: each micro-batch rewrites exactly the
+    partitions it touches, so a replayed batch (failure/retry) lands
+    idempotently instead of appending duplicates — the streaming
+    counterpart of the batch writer's S8 semantics. The checkpoint
+    directory makes progress itself exactly-once across restarts."""
+    from ..sources.writers import write_table
+
+    parts = partition_by or ["year", "month"]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_table(batch_df, path, partition_by=parts,
+                    mode="overwrite_partitions")
+
+    query = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

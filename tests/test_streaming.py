@@ -94,3 +94,25 @@ def test_stream_interval_join_equals_batch_join(spark, sf_dir):
     want = {(r.l_event_id, r.r_event_id) for r in batch.collect()}
     assert want, "testdata should contain error->purchase pairs within 1h"
     assert got == want
+
+
+def test_stream_to_lake_is_partitioned_and_idempotent(spark, sf_dir, tmp_path):
+    import os
+
+    lake = str(tmp_path / "stream_lake")
+    enriched = pipeline.stream_events(spark, sf_dir).withColumn(
+        "year", F.year("ts")
+    ).withColumn("month", F.month("ts"))
+
+    pipeline.stream_to_lake(enriched, lake, str(tmp_path / "ckpt1"))
+    events = load_table(spark, sf_dir, "events")
+    first = spark.read.parquet(lake)
+    assert first.count() == events.count()
+    # partition directories on disk
+    assert any(d.startswith("year=") for d in os.listdir(lake))
+
+    # replay with a FRESH checkpoint (simulated redelivery of every
+    # batch): dynamic partition overwrite keeps the lake duplicate-free
+    pipeline.stream_to_lake(enriched, lake, str(tmp_path / "ckpt2"))
+    again = spark.read.parquet(lake)
+    assert again.count() == events.count()
