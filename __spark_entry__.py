@@ -28,6 +28,7 @@ from data_lake_for_citi_bike_trip_spark.operators import (
     star,
 )
 from data_lake_for_citi_bike_trip_spark.operators import corpus, search, skew, sqlsurface
+from data_lake_for_citi_bike_trip_spark.operators import layout, profile
 from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
 from data_lake_for_citi_bike_trip_spark.functions import vectors
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
@@ -412,6 +413,46 @@ def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.json_props_rollup(load_table(spark, sf_dir, "events"))
 
 
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trips, _, _ = _staged(spark, sf_dir)
+    return analytics.mad_anomalies(trips)
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile.orders_profile(load_table(spark, sf_dir, "orders"))
+
+
+def q_zorder_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layout.zorder_sample(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.blocked_levenshtein_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch (key=o_custkey, seq=o_orderkey, op from key ranges)
+    applied onto the customer snapshot via the generic MERGE operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 < 2, "D")
+        .when(F.col("o_orderkey") % 10 < 6, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.concat(F.lit("cdc_"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("acctbal_cents"),
+    )
+    current = customer.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+    )
+    return scd.apply_changes(current, changes, "c_custkey", "seq", "op")
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-view maintenance: the stored first-half aggregate
     merged with the second-half batch must equal aggregating the whole
@@ -694,6 +735,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_summary": q_stats_summary,
         "moving_average": q_moving_average,
         "json_props_rollup": q_json_props_rollup,
+        "mad_anomalies": q_mad_anomalies,
+        "profile_orders": q_profile_orders,
+        "zorder_sample": q_zorder_sample,
+        "dedup_levenshtein": q_dedup_levenshtein,
+        "cdc_merge": q_cdc_merge,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
         "approx_percentile": q_approx_percentile,
@@ -773,6 +819,11 @@ def oracle_sql() -> dict[str, str]:
         "stats_summary": oracles.STATS_SUMMARY,
         "moving_average": oracles.MOVING_AVERAGE,
         "json_props_rollup": oracles.JSON_PROPS_ROLLUP,
+        "mad_anomalies": oracles.MAD_ANOMALIES,
+        "profile_orders": oracles.PROFILE_ORDERS,
+        "zorder_sample": oracles.ZORDER_SAMPLE,
+        "dedup_levenshtein": oracles.DEDUP_LEVENSHTEIN,
+        "cdc_merge": oracles.CDC_MERGE,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,
         "approx_percentile": oracles.APPROX_PERCENTILE,

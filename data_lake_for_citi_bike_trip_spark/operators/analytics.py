@@ -212,6 +212,40 @@ def moving_average(trips: DataFrame, days: int = 7) -> DataFrame:
     ).withColumn("avg_rides_e4", F.expr("(10000 * window_rides) div window_n"))
 
 
+def mad_anomalies(trips: DataFrame, k: int = 3) -> DataFrame:
+    """Robust per-station outlier days via Median Absolute Deviation:
+    flag days where |rides - median| > k * MAD. Median/MAD (not
+    mean/stddev) so the detector isn't dragged by the outliers it hunts.
+
+    Integer-exact by construction: rides are integers, so every median is
+    a multiple of 0.5 — doubling (``med2``, ``mad4``) keeps ALL
+    arithmetic in BIGINT. |x - med| > k*MAD becomes
+    ``2*dev2 > k*mad4`` with dev2 = |2*rides - med2|, mad4 = 2*median of
+    dev2 — no float rounding for an oracle to disagree with.
+
+    Scale: two grouped percentile aggregates + two joins, all keyed on
+    station (one shuffle partitioning reused); the per-station medians
+    table is dimension-sized and broadcast back onto the daily rows."""
+    daily = trips.groupBy(
+        F.col("start_station_id").alias("station"),
+        F.to_date("starttime").cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("rides"))
+    med = daily.groupBy("station").agg(
+        F.round(2 * F.expr("percentile(rides, 0.5)")).cast("bigint").alias("med2")
+    )
+    dev = daily.join(F.broadcast(med), "station").withColumn(
+        "dev2", F.abs(2 * F.col("rides") - F.col("med2"))
+    )
+    mad = dev.groupBy("station").agg(
+        F.round(2 * F.expr("percentile(dev2, 0.5)")).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "station")
+        .where(2 * F.col("dev2") > F.lit(k) * F.col("mad4"))
+        .select("station", "day", "rides", "dev2", "mad4")
+    )
+
+
 def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based sessions via Spark's native session_window (merging
     windows; same semantics in batch and streaming). Emits per-session

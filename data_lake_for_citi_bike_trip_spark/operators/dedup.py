@@ -245,6 +245,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def blocked_levenshtein_pairs(
+    docs: DataFrame,
+    max_dist: int = 10,
+    block_chars: int = 16,
+    head_chars: int = 80,
+) -> DataFrame:
+    """Fuzzy near-dup pairs via blocked edit distance — the
+    record-linkage companion to the token-set strategies (Jaccard/
+    MinHash miss single-character edits inside tokens; Levenshtein
+    counts them).
+
+    Blocking makes it scale: candidates are pairs sharing the first
+    ``block_chars`` of the lowercased text (an equi-join on the block
+    key — never all-pairs), then verified with
+    ``levenshtein(head_a, head_b) <= max_dist`` over the first
+    ``head_chars`` chars (capping the O(len^2) DP cost per pair).
+    Prefix blocking by construction only finds pairs that agree on the
+    prefix — the right recall trade for near-identical documents; widen
+    with additional block keys (suffix, fingerprint) when edits may hit
+    the head."""
+    base = spread(docs).select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, block_chars).alias("blk"),
+        F.substring(F.lower(F.col("text")), 1, head_chars).alias("head"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    lev = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            lev.cast("bigint").alias("lev"),
+        )
+        .where(F.col("lev") <= max_dist)
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.999, bucket_bits: int = 8
 ) -> DataFrame:

@@ -1,0 +1,89 @@
+"""Table profiling: per-column statistics in ONE pass over the data.
+
+A data-engineering staple the reference lacks (its DQ layer,
+spark_check_emr.py:24-66, asserts fixed counts; profiling *discovers*
+the shape): for every column emit row count, null count, exact distinct
+count, and canonical min/max.
+
+Scale design: all metrics for all columns are computed in a single
+``agg`` — one scan, one (expanded) shuffle. Spark plans the N exact
+``count(DISTINCT ...)`` aggregates via a single Expand + partial
+aggregation pass (no per-column scans). The wide 1-row result is then
+unpivoted driver-side into the long (col_name, metrics...) shape with an
+``explode`` over an array of structs — zero extra jobs.
+
+Cross-engine canonical representation: min/max are converted to VARCHAR
+*after* the native-typed min/max (never min over the string form — "99" >
+"100" lexicographically). Doubles are emitted as integer cents
+(``CAST(round(x*100) AS BIGINT)``) because Spark and DuckDB format
+DOUBLE->VARCHAR differently (scientific notation thresholds).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One profiled column: its native (orderable) value and a callable
+    converting a native min/max into a canonical VARCHAR."""
+
+    name: str
+    value: Column
+    as_string: Callable[[Column], Column]
+
+
+def str_repr(c: Column) -> Column:
+    return c.cast("string")
+
+
+def cents_repr(c: Column) -> Column:
+    """Engine-independent repr for doubles: exact integer cents."""
+    return F.round(c * 100).cast("bigint").cast("string")
+
+
+def profile_table(df: DataFrame, specs: list[ColumnSpec]) -> DataFrame:
+    """Profile ``specs`` columns in one aggregate pass.
+
+    Returns one row per column: (col_name, n_rows, n_null, n_distinct,
+    min_val, max_val) — min/max as canonical strings.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for s in specs:
+        aggs.append(F.count(s.value).alias(f"__nn_{s.name}"))
+        aggs.append(F.count_distinct(s.value).alias(f"__nd_{s.name}"))
+        aggs.append(s.as_string(F.min(s.value)).alias(f"__min_{s.name}"))
+        aggs.append(s.as_string(F.max(s.value)).alias(f"__max_{s.name}"))
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s.name).alias("col_name"),
+                F.col("__n_rows").alias("n_rows"),
+                (F.col("__n_rows") - F.col(f"__nn_{s.name}")).alias("n_null"),
+                F.col(f"__nd_{s.name}").alias("n_distinct"),
+                F.col(f"__min_{s.name}").alias("min_val"),
+                F.col(f"__max_{s.name}").alias("max_val"),
+            )
+            for s in specs
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def orders_profile(orders: DataFrame) -> DataFrame:
+    """Profile of every ``orders`` column (the contract-query instance)."""
+    specs = [
+        ColumnSpec("o_orderkey", F.col("o_orderkey"), str_repr),
+        ColumnSpec("o_custkey", F.col("o_custkey"), str_repr),
+        ColumnSpec("o_orderstatus", F.col("o_orderstatus"), str_repr),
+        ColumnSpec("o_totalprice", F.col("o_totalprice"), cents_repr),
+        ColumnSpec("o_orderdate", F.col("o_orderdate"), str_repr),
+        ColumnSpec("o_orderpriority", F.col("o_orderpriority"), str_repr),
+    ]
+    return profile_table(orders, specs)

@@ -18,7 +18,7 @@ co-locates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Sentinel for "still valid" (max parquet-friendly timestamp-ish epoch).
@@ -69,6 +69,48 @@ def scd2_apply(
         F.lit(OPEN_END_US).alias("valid_to_us"),
     )
     return kept.unionByName(new_versions)
+
+
+def apply_changes(
+    current: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str,
+) -> DataFrame:
+    """Generic CDC merge — the MERGE INTO / APPLY CHANGES semantics of a
+    lakehouse format, Delta-free:
+
+    - ``changes`` carries (key, seq, op, payload...) with op in
+      {'I','U','D'}; the row with the highest ``seq`` per key wins.
+    - latest op 'D'  -> key removed (whether or not it exists today)
+    - latest op I/U  -> payload upserted (insert-or-replace)
+    - keys untouched by the batch pass through unchanged.
+
+    Plan: one window (row_number over key, seq DESC) to collapse the
+    batch, then a single full-outer join against current — both keyed on
+    ``key`` so the shuffle partitioning is shared; a small batch side is
+    broadcast by AQE. Payload columns are every non-(seq, op) column of
+    ``changes`` and must match ``current``'s schema.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", seq_col)
+    )
+    payload = [c for c in latest.columns if c not in (key, op_col)]
+    cur, chg = current.alias("c"), latest.alias("g")
+    joined = cur.join(chg, F.col(f"c.{key}") == F.col(f"g.{key}"), "full")
+    has_change = F.col(f"g.{key}").isNotNull()
+    deleted = has_change & (F.col(f"g.{op_col}") == "D")
+    return joined.where(~deleted).select(
+        F.coalesce(F.col(f"g.{key}"), F.col(f"c.{key}")).alias(key),
+        *[
+            F.when(has_change, F.col(f"g.{p}")).otherwise(F.col(f"c.{p}")).alias(p)
+            for p in payload
+        ],
+    )
 
 
 def scd1_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:

@@ -1208,3 +1208,132 @@ new_versions AS (
 )
 SELECT * FROM kept UNION ALL SELECT * FROM new_versions
 """
+
+# ---------------------------------------------------------------------------
+# Round-2 continuation: profiling, robust anomalies, CDC merge, Z-order,
+# blocked edit-distance dedup.
+# ---------------------------------------------------------------------------
+
+# operators/profile.py:orders_profile — single-agg wide row, unpivoted.
+# Doubles are emitted as integer cents (engine-independent VARCHAR repr).
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST({m}(o_orderkey) AS VARCHAR)"),
+    ("o_custkey", "CAST({m}(o_custkey) AS VARCHAR)"),
+    ("o_orderstatus", "CAST({m}(o_orderstatus) AS VARCHAR)"),
+    ("o_totalprice", "CAST(CAST(round({m}(o_totalprice) * 100) AS BIGINT) AS VARCHAR)"),
+    ("o_orderdate", "CAST({m}(o_orderdate) AS VARCHAR)"),
+    ("o_orderpriority", "CAST({m}(o_orderpriority) AS VARCHAR)"),
+]
+
+_PROFILE_AGGS = ",\n    ".join(
+    f"COUNT({c}) AS nn_{c}, COUNT(DISTINCT {c}) AS nd_{c},\n    "
+    + tmpl.format(m="MIN") + f" AS mn_{c},\n    "
+    + tmpl.format(m="MAX") + f" AS mx_{c}"
+    for c, tmpl in _PROFILE_COLS
+)
+
+_PROFILE_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, n_rows, n_rows - nn_{c} AS n_null, "
+    f"nd_{c} AS n_distinct, mn_{c} AS min_val, mx_{c} AS max_val FROM w"
+    for c, _ in _PROFILE_COLS
+)
+
+PROFILE_ORDERS = f"""
+WITH w AS (
+  SELECT COUNT(*) AS n_rows,
+    {_PROFILE_AGGS}
+  FROM orders
+)
+{_PROFILE_SELECTS}
+"""
+
+# operators/analytics.py:mad_anomalies — integer-exact MAD outliers.
+# median of integers is a multiple of 0.5 in both engines (interpolating
+# quantile), so 2*median rounds to an exact BIGINT.
+MAD_ANOMALIES = with_staging(
+    """
+, daily AS (
+  SELECT start_station_id AS station,
+         CAST(CAST(starttime AS DATE) AS VARCHAR) AS day,
+         COUNT(*) AS rides
+  FROM trips GROUP BY 1, 2
+),
+med AS (
+  SELECT station, CAST(round(2 * median(rides)) AS BIGINT) AS med2
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT daily.station, day, rides, abs(2 * rides - med2) AS dev2
+  FROM daily JOIN med ON daily.station = med.station
+),
+mad AS (
+  SELECT station, CAST(round(2 * median(dev2)) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT dev.station, day, rides, dev2, mad4
+FROM dev JOIN mad ON dev.station = mad.station
+WHERE 2 * dev2 > 3 * mad4
+"""
+)
+
+# operators/scd.py:apply_changes — CDC batch derived deterministically
+# from orders (key=o_custkey, seq=o_orderkey), applied onto customer.
+CDC_MERGE = """
+WITH changes AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+              WHEN o_orderkey % 10 < 6 THEN 'U'
+              ELSE 'I' END AS op,
+         'cdc_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS acctbal_cents
+  FROM orders
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+),
+cur AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+)
+SELECT COALESCE(g.c_custkey, c.c_custkey) AS c_custkey,
+       CASE WHEN g.c_custkey IS NOT NULL THEN g.c_name ELSE c.c_name END AS c_name,
+       CASE WHEN g.c_custkey IS NOT NULL THEN g.acctbal_cents
+            ELSE c.acctbal_cents END AS acctbal_cents
+FROM cur c FULL JOIN latest g ON c.c_custkey = g.c_custkey
+WHERE NOT (g.c_custkey IS NOT NULL AND g.op = 'D')
+"""
+
+# operators/layout.py:zorder_sample — Morton code over the low 8 bits of
+# (l_orderkey, l_partkey); bit arithmetic is engine-identical.
+_ZBITS = 8
+_ZVAL = " + ".join(
+    f"(((l_orderkey & {(1 << _ZBITS) - 1}) >> {i}) & 1) * {1 << (2 * i)}"
+    f" + (((l_partkey & {(1 << _ZBITS) - 1}) >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(_ZBITS)
+)
+
+ZORDER_SAMPLE = f"""
+SELECT l_orderkey, l_linenumber, l_partkey, CAST({_ZVAL} AS BIGINT) AS zval
+FROM lineitem
+ORDER BY zval, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+# operators/dedup.py:blocked_levenshtein_pairs — prefix blocking + exact
+# edit distance over the head (unit costs in both engines).
+DEDUP_LEVENSHTEIN = """
+WITH b AS (
+  SELECT doc_id,
+         substr(lower(text), 1, 16) AS blk,
+         substr(lower(text), 1, 80) AS head
+  FROM documents
+)
+SELECT a.doc_id AS d1, c.doc_id AS d2,
+       CAST(levenshtein(a.head, c.head) AS BIGINT) AS lev
+FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.head, c.head) <= 10
+"""

@@ -57,3 +57,28 @@ def test_scd2_null_tracked_values(spark):
     assert ("B", None, t1) in rows                   # closed
     assert ("B", 7, scd.OPEN_END_US) in rows         # reopened with value
     assert len(rows) == 3
+
+
+def test_apply_changes_cdc_matrix(spark):
+    """CDC merge: latest-op-wins per key, deletes drop keys (including
+    deletes of absent keys, which are no-ops), inserts add new keys,
+    untouched keys pass through."""
+    from data_lake_for_citi_bike_trip_spark.operators.scd import apply_changes
+
+    current = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "U", "a2"),   # stale update...
+            (1, 20, "D", "xx"),   # ...overridden by a later delete
+            (2, 11, "U", "b2"),   # plain update
+            (4, 12, "I", "d"),    # insert of a new key
+            (5, 13, "D", "yy"),   # delete of a key that never existed
+            (4, 30, "U", "d2"),   # latest wins within the batch
+        ],
+        ["k", "seq", "op", "v"],
+    )
+    out = apply_changes(current, changes, "k", "seq", "op")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {2: "b2", 3: "c", 4: "d2"}
