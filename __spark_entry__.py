@@ -29,6 +29,7 @@ from data_lake_for_citi_bike_trip_spark.operators import (
 )
 from data_lake_for_citi_bike_trip_spark.operators import corpus, search, skew, sqlsurface
 from data_lake_for_citi_bike_trip_spark.operators import layout, profile
+from data_lake_for_citi_bike_trip_spark.operators import behavior, geo, timeseries
 from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
 from data_lake_for_citi_bike_trip_spark.functions import vectors
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
@@ -453,6 +454,36 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd.apply_changes(current, changes, "c_custkey", "seq", "op")
 
 
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trips, _, _ = _staged(spark, sf_dir)
+    return timeseries.gap_fill_daily(trips)
+
+
+def q_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trips, _, _ = _staged(spark, sf_dir)
+    return timeseries.interpolate_daily(trips)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return behavior.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return behavior.funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return behavior.markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+def q_station_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geo.station_neighbor_pairs(load_table(spark, sf_dir, "customer"))
+
+
+def q_knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.mutual_knn_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-view maintenance: the stored first-half aggregate
     merged with the second-half batch must equal aggregating the whole
@@ -771,6 +802,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_big_spenders": sqlsurface.exists_big_spenders,
         "above_average_orders": sqlsurface.above_average_orders,
         "cte_monthly_top_segment": sqlsurface.cte_monthly_top_segment,
+        "tpch_shipping_priority": sqlsurface.tpch_shipping_priority,
+        "gap_fill_daily": q_gap_fill_daily,
+        "interpolate_daily": q_interpolate_daily,
+        "cohort_retention": q_cohort_retention,
+        "funnel_counts": q_funnel_counts,
+        "markov_transitions": q_markov_transitions,
+        "station_neighbors": q_station_neighbors,
+        "knn_mutual_pairs": q_knn_mutual_pairs,
     }
 
 
@@ -856,4 +895,12 @@ def oracle_sql() -> dict[str, str]:
         "exists_big_spenders": oracles.EXISTS_BIG_SPENDERS,
         "above_average_orders": oracles.ABOVE_AVERAGE_ORDERS,
         "cte_monthly_top_segment": oracles.CTE_MONTHLY_TOP_SEGMENT,
+        "tpch_shipping_priority": oracles.TPCH_SHIPPING_PRIORITY,
+        "gap_fill_daily": oracles.GAP_FILL_DAILY,
+        "interpolate_daily": oracles.INTERPOLATE_DAILY,
+        "cohort_retention": oracles.COHORT_RETENTION,
+        "funnel_counts": oracles.FUNNEL_COUNTS,
+        "markov_transitions": oracles.MARKOV_TRANSITIONS,
+        "station_neighbors": oracles.STATION_NEIGHBORS,
+        "knn_mutual_pairs": oracles.KNN_MUTUAL_PAIRS,
     }

@@ -1,0 +1,131 @@
+"""User-behavior analytics over the event stream: cohorts, funnels,
+transition matrices.
+
+The reference's analytics stop at star-schema rollups; these are the
+product-analytics staples computed on the same `events` grain
+(event_id, ts, user_id, event_type). All outputs are exact integer
+counts / e4 ratios — nothing for an oracle to round differently.
+
+Scale design (100 TB of events):
+
+- every operator reduces to grouped aggregates and windows keyed on
+  ``user_id`` — one hash partitioning carried across stages, no
+  all-pairs anything. Per-user event counts are bounded in practice
+  (thousands), so user windows don't skew.
+- ``cohort_retention`` joins each user's activity back to a per-user
+  first-seen day: the first-seen table is user-keyed (same partitioning
+  as the activity scan — co-located join, no extra shuffle).
+- ``funnel_counts`` is K sequential min-aggregates (K = #steps, a small
+  constant); each stage is a user-keyed agg joined user-keyed. The
+  step tables shrink monotonically, and AQE broadcasts them as soon as
+  they fit.
+- ``markov_transitions`` is one ``lead`` window + one small groupBy
+  (|types|² rows out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Classic retention triangle on daily cohorts: for each (first-seen
+    day, day offset) how many distinct users were active — plus the
+    cohort size and the retention rate in exact e4 basis points.
+
+    Deterministic tie-free: first-seen day is a min over the user's own
+    events; offsets are calendar-day diffs.
+    """
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first_seen = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = days.join(first_seen, "user_id")
+    cohort_sizes = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    tri = (
+        joined.groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("offset_days")
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+    return (
+        tri.join(F.broadcast(cohort_sizes), "cohort_day")
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("offset_days").cast("bigint").alias("offset_days"),
+            "active_users",
+            "cohort_users",
+            F.expr("(10000 * active_users) div cohort_users").alias("retention_e4"),
+        )
+    )
+
+
+def funnel_counts(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """Ordered-funnel conversion: a user counts for step k only if their
+    earliest step-k event occurs strictly AFTER the timestamp that
+    qualified them for step k-1 (the standard "did the sequence happen
+    in order" semantics, not mere set membership).
+
+    Emits one row per step: (step_idx, step, users, conv_from_first_e4).
+    """
+    steps = steps or ["view", "click", "purchase"]
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for idx, step in enumerate(steps):
+        stage = events.where(F.col("event_type") == step).select(
+            "user_id", F.col("ts").alias("step_ts")
+        )
+        if prev is not None:
+            stage = stage.join(prev, "user_id").where(
+                F.col("step_ts") > F.col("prev_ts")
+            )
+        cur = stage.groupBy("user_id").agg(F.min("step_ts").alias("prev_ts"))
+        reached.append(
+            cur.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(idx + 1).cast("bigint").alias("step_idx"),
+                F.lit(step).alias("step"),
+                "users",
+            )
+        )
+        prev = cur
+    out = reached[0]
+    for r in reached[1:]:
+        out = out.unionByName(r)
+    first = reached[0].select(F.col("users").alias("first_users"))
+    return out.crossJoin(F.broadcast(first)).select(
+        "step_idx",
+        "step",
+        "users",
+        F.expr("(10000 * users) div first_users").alias("conv_from_first_e4"),
+    )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition matrix: counts of consecutive
+    (from_type -> to_type) pairs in each user's timeline, with the
+    per-from-type transition probability in exact e4 units.
+
+    Ordering is made total (ts, event_id) so lead() is deterministic
+    under timestamp ties. One user-window + one |types|²-sized groupBy.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    return counts.select(
+        "from_type",
+        "to_type",
+        "transitions",
+        F.expr(
+            "(10000 * transitions) div (sum(transitions) over"
+            " (partition by from_type))"
+        ).alias("prob_e4"),
+    )

@@ -213,3 +213,57 @@ def cosine_topk_pandas(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
         F.col("rank") <= k
     )
+
+
+def knn_graph(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Exact k-nearest-neighbor GRAPH: for every vector, its top-k
+    neighbors by cosine — the all-sources generalization of
+    ``cosine_topk`` (queries == corpus).
+
+    Exact kNN over n vectors is inherently O(n²) comparisons; this is
+    the small-corpus / per-block building block. At 100 TB scale the
+    same shape runs INSIDE candidate blocks from the LSH
+    (``lsh_bucket_topk``) or IVF (``ivf_topk``) partitioners — block
+    sizes are bounded, so each block's local graph is cheap and
+    embarrassingly parallel. The window top-k keeps only k rows per
+    source past the shuffle (rank pushes partial TopK into the sort).
+    """
+    corpus = _prepared(embeddings)
+    src = corpus.select(F.col("vec_id").alias("src"), F.col("v").alias("sv"))
+    scored = corpus.join(F.broadcast(src), F.col("vec_id") != F.col("src")).select(
+        "src",
+        F.col("vec_id").alias("dst"),
+        V.cosine_r6(F.col("sv"), F.col("v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= k
+    )
+
+
+def mutual_knn_pairs(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Mutual-kNN edges: unordered pairs where EACH vector is in the
+    other's top-k — the standard robust edge set for density/cluster
+    analysis over embeddings (one-sided kNN edges to hubs are noise;
+    mutuality filters them).
+
+    One self-equi-join of the kNN edge list on the reversed key — linear
+    in edges (n·k rows), shuffled on (src, dst)."""
+    edges = knn_graph(embeddings, k)
+    fwd = edges.select("src", "dst", "cos_sim", F.col("rank").alias("rank_fwd"))
+    rev = edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("rank").alias("rank_rev"),
+    )
+    return (
+        fwd.join(rev, ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("v1"),
+            F.col("dst").alias("v2"),
+            "cos_sim",
+            "rank_fwd",
+            "rank_rev",
+        )
+    )

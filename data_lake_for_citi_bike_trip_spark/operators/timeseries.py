@@ -1,0 +1,135 @@
+"""Time-series regularization: date spines, gap filling, interpolation.
+
+The reference's hourly weather join (spark_elt_emr.py:62-79) assumes a
+dense series and silently drops trips in unobserved hours; a real
+time-series layer *builds* the dense series. These operators turn a
+ragged per-key event stream into a regular grid:
+
+- ``daily_counts``      — per-key daily observation counts.
+- ``gap_fill_daily``    — per-key date spine (``sequence`` + ``explode``)
+                          left-joined onto the observed days; missing
+                          days become explicit zero rows.
+- ``interpolate_daily`` — linear interpolation across missing days in
+                          integer ten-thousandths (e4), with forward/
+                          backward fill at the edges.
+
+Scale design (100 TB): the spine is generated FROM the aggregated
+per-key min/max span — never a driver-side date loop — so it is one
+grouped aggregate plus one ``explode`` (rows out = sum of span lengths,
+the size of the answer itself). The gap-fill join and every window share
+one hash partitioning on the key; days-per-key is bounded (years =
+thousands of rows), so per-key windows never skew a partition.
+
+Cross-engine exactness: interpolated means are emitted as integer e4
+units — ``(10000 * (prev*(gap-i) + next*i)) div gap`` — numerators are
+non-negative BIGINTs so truncating (Spark ``div``) and flooring (DuckDB
+``//``) division agree; no float rounding for an oracle to disagree with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_counts(trips: DataFrame) -> DataFrame:
+    """Per-station daily ride counts with a real DATE column (the ragged
+    input to the regularizers)."""
+    return trips.groupBy(
+        F.col("start_station_id").alias("station"),
+        F.to_date("starttime").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("rides"))
+
+
+def _gap_filled(trips: DataFrame) -> DataFrame:
+    """Dense per-station daily series (day kept as a real DATE): one
+    groupBy builds each key's [min, max] span, one ``sequence`` +
+    ``explode`` expands it (no extra shuffle — spans are already per-key
+    rows), and the left join back onto ``daily`` reuses the same
+    key+day partitioning."""
+    daily = daily_counts(trips)
+    spans = daily.groupBy("station").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = spans.select(
+        "station",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+    )
+    return spine.join(daily, ["station", "day"], "left").select(
+        "station",
+        "day",
+        F.coalesce("rides", F.lit(0)).alias("rides"),
+        F.when(F.col("rides").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("observed"),
+    )
+
+
+def gap_fill_daily(trips: DataFrame) -> DataFrame:
+    """Contract form of ``_gap_filled``: unobserved days appear with
+    ``rides = 0`` and ``observed = 0``; day emitted as a string."""
+    return _gap_filled(trips).select(
+        "station",
+        F.col("day").cast("string").alias("day"),
+        "rides",
+        "observed",
+    )
+
+
+def interpolate_daily(trips: DataFrame, hole_mod: int = 5) -> DataFrame:
+    """Linear interpolation over a daily series with holes, in exact
+    integer e4 units.
+
+    Holes are injected deterministically (days where ``day(date) %
+    hole_mod == 0`` are treated as unobserved) so the operator is
+    testable against an oracle without random masks. For each hole the
+    value is the linear blend of the nearest observed neighbors:
+    ``(prev*(gap-i) + next*i) / gap`` at offset i, emitted as
+    ``value_e4``; holes before the first / after the last observation
+    forward/backward fill.
+
+    Two ignore-nulls window passes (prev/next value + day) over the same
+    station partitioning — one shuffle total, then pure expressions.
+    """
+    base = _gap_filled(trips).select(
+        "station",
+        "day",
+        F.when(F.dayofmonth("day") % hole_mod != 0, F.col("rides")).alias("obs"),
+    )
+    wb = (
+        Window.partitionBy("station")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("station")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("obs").isNotNull(), F.col("day"))
+    stepped = base.select(
+        "station",
+        "day",
+        "obs",
+        F.last("obs", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first("obs", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    blend = F.expr(
+        "(10000 * (prev_v * (datediff(next_d, prev_d) - datediff(day, prev_d))"
+        " + next_v * datediff(day, prev_d))) div datediff(next_d, prev_d)"
+    )
+    value_e4 = (
+        F.when(F.col("obs").isNotNull(), 10000 * F.col("obs"))
+        .when(F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), blend)
+        .when(F.col("prev_v").isNotNull(), 10000 * F.col("prev_v"))
+        .otherwise(10000 * F.col("next_v"))
+    )
+    return stepped.select(
+        "station",
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("obs", F.lit(-1)).alias("observed_rides"),
+        value_e4.cast("bigint").alias("value_e4"),
+    )

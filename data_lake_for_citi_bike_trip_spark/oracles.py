@@ -1337,3 +1337,198 @@ SELECT a.doc_id AS d1, c.doc_id AS d2,
 FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
 WHERE levenshtein(a.head, c.head) <= 10
 """
+
+# ---------------------------------------------------------------------------
+# Round 2: time-series regularization, behavior analytics, spatial grid
+# join, mutual-kNN graph, TPC-H Q3 shape.
+# ---------------------------------------------------------------------------
+
+# operators/timeseries.py:gap_fill_daily — per-key date spine via
+# generate_series (the lateral mirrors Spark's sequence+explode).
+_GAPFILL_CTES = """
+daily AS (
+  SELECT start_station_id AS station, CAST(starttime AS DATE) AS day,
+         COUNT(*) AS rides
+  FROM trips GROUP BY 1, 2
+),
+spans AS (SELECT station, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+spine AS (
+  SELECT station, CAST(unnest(generate_series(
+    CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+    AS day
+  FROM spans
+),
+filled AS (
+  SELECT s.station, s.day,
+         COALESCE(d.rides, 0) AS rides,
+         CASE WHEN d.rides IS NOT NULL THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS observed
+  FROM spine s LEFT JOIN daily d ON s.station = d.station AND s.day = d.day
+)
+"""
+
+GAP_FILL_DAILY = with_staging(
+    f""", {_GAPFILL_CTES}
+SELECT station, CAST(day AS VARCHAR) AS day, rides, observed FROM filled
+"""
+)
+
+# operators/timeseries.py:interpolate_daily — linear blend in integer e4
+# units; numerators are non-negative so Spark `div` == DuckDB `//`.
+INTERPOLATE_DAILY = with_staging(
+    f""", {_GAPFILL_CTES},
+base AS (
+  SELECT station, day,
+         CASE WHEN day(day) % 5 <> 0 THEN rides END AS obs
+  FROM filled
+),
+stepped AS (
+  SELECT station, day, obs,
+    last_value(obs IGNORE NULLS) OVER wb AS prev_v,
+    last_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+      OVER wb AS prev_d,
+    first_value(obs IGNORE NULLS) OVER wf AS next_v,
+    first_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+      OVER wf AS next_d
+  FROM base
+  WINDOW
+    wb AS (PARTITION BY station ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY station ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT station, CAST(day AS VARCHAR) AS day,
+  COALESCE(obs, -1) AS observed_rides,
+  CAST(CASE
+    WHEN obs IS NOT NULL THEN 10000 * obs
+    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+      (10000 * (prev_v * (datediff('day', prev_d, next_d)
+                          - datediff('day', prev_d, day))
+                + next_v * datediff('day', prev_d, day)))
+      // datediff('day', prev_d, next_d)
+    WHEN prev_v IS NOT NULL THEN 10000 * prev_v
+    ELSE 10000 * next_v END AS BIGINT) AS value_e4
+FROM stepped
+"""
+)
+
+# operators/behavior.py:cohort_retention
+COHORT_RETENTION = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+fs AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+cs AS (SELECT cohort_day, COUNT(*) AS cohort_users FROM fs GROUP BY 1),
+tri AS (
+  SELECT cohort_day,
+         CAST(datediff('day', cohort_day, day) AS BIGINT) AS offset_days,
+         COUNT(DISTINCT d.user_id) AS active_users
+  FROM days d JOIN fs ON d.user_id = fs.user_id
+  GROUP BY 1, 2
+)
+SELECT CAST(t.cohort_day AS VARCHAR) AS cohort_day, offset_days,
+       active_users, cohort_users,
+       CAST((10000 * active_users) // cohort_users AS BIGINT) AS retention_e4
+FROM tri t JOIN cs ON t.cohort_day = cs.cohort_day
+"""
+
+# operators/behavior.py:funnel_counts — strictly-ordered funnel.
+FUNNEL_COUNTS = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE event_type = 'click' AND ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE event_type = 'purchase' AND ts > s2.t GROUP BY 1
+),
+counts AS (
+  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+         (SELECT COUNT(*) FROM s1) AS users
+  UNION ALL
+  SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+)
+SELECT step_idx, step, users,
+       CAST((10000 * users) // (SELECT COUNT(*) FROM s1) AS BIGINT)
+         AS conv_from_first_e4
+FROM counts
+"""
+
+# operators/behavior.py:markov_transitions — lead() over a (ts, event_id)
+# total order, then |types|^2 counts.
+MARKOV_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS transitions
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, transitions,
+       CAST((10000 * transitions)
+            // (sum(transitions) OVER (PARTITION BY from_type)) AS BIGINT)
+         AS prob_e4
+FROM c
+"""
+
+# operators/geo.py:station_neighbor_pairs — the oracle is the BRUTE-FORCE
+# all-pairs distance join: the grid-blocked plan must reproduce it
+# exactly (completeness proof in the operator docstring).
+STATION_NEIGHBORS = """
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS x,
+         (c_custkey * 2654435761) % 1000000 AS y
+  FROM customer
+)
+SELECT a.pid AS pid1, b.pid AS pid2,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM pts a JOIN pts b ON a.pid < b.pid
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= 40000 * 40000
+"""
+
+# operators/similarity.py:mutual_knn_pairs
+KNN_MUTUAL_PAIRS = f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_cos('a.v', 'b.v')} AS cos_sim
+  FROM corpus a CROSS JOIN corpus b WHERE a.vec_id <> b.vec_id
+),
+edges AS (
+  SELECT * FROM (
+    SELECT *, CAST(row_number() OVER (
+      PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS BIGINT) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+)
+SELECT f.src AS v1, f.dst AS v2, f.cos_sim,
+       f.rank AS rank_fwd, r.rank AS rank_rev
+FROM edges f JOIN edges r ON f.src = r.dst AND f.dst = r.src
+WHERE f.src < f.dst
+"""
+
+# operators/sqlsurface.py:tpch_shipping_priority — TPC-H Q3 shape on the
+# slimmed schema (o_orderpriority stands in for o_shippriority).
+TPCH_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""

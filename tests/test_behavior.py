@@ -1,0 +1,64 @@
+"""Behavior-analytics semantics: funnel ordering, cohort triangle shape,
+Markov row-stochasticity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.operators import behavior
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "user_id", "event_type")
+
+
+def test_funnel_requires_strict_order(spark):
+    # u1: view -> click -> purchase (all steps)
+    # u2: click BEFORE view -> click does not count, purchase after view
+    #     but with no qualifying click -> stops at step 1
+    # u3: view -> click, purchase before click -> stops at step 2
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:01:00", 1, "click"),
+        (3, "2024-01-01 10:02:00", 1, "purchase"),
+        (4, "2024-01-01 09:00:00", 2, "click"),
+        (5, "2024-01-01 10:00:00", 2, "view"),
+        (6, "2024-01-01 11:00:00", 2, "purchase"),
+        (7, "2024-01-01 10:00:00", 3, "view"),
+        (8, "2024-01-01 10:05:00", 3, "click"),
+        (9, "2024-01-01 10:01:00", 3, "purchase"),
+    ]
+    out = {r.step: r.users for r in behavior.funnel_counts(_events(spark, rows)).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_offsets_and_rates(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-03 10:00:00", 1, "view"),
+        (3, "2024-01-01 11:00:00", 2, "view"),
+        (4, "2024-01-02 09:00:00", 3, "view"),
+    ]
+    out = {
+        (r.cohort_day, r.offset_days): (r.active_users, r.cohort_users, r.retention_e4)
+        for r in behavior.cohort_retention(_events(spark, rows)).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 10000)
+    assert out[("2024-01-01", 2)] == (1, 2, 5000)
+    assert out[("2024-01-02", 0)] == (1, 1, 10000)
+
+
+def test_markov_probabilities_sum_to_one_ish(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    out = behavior.markov_transitions(load_table(spark, sf_dir, "events"))
+    sums = (
+        out.groupBy("from_type")
+        .agg(F.sum("prob_e4").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in sums:
+        # integer floor division: sum in (10000 - n_buckets, 10000]
+        assert 10000 - r.n < r.s <= 10000

@@ -175,3 +175,18 @@ def test_dedup_clusters_survivor_per_cluster(spark):
     assert survivors == {0, 1, 2, 4, 5, 8, 9}
     clusters = {r.doc_id: r.cluster_id for r in out}
     assert clusters[7] == 0 and clusters[3] == 0 and clusters[6] == 5
+
+
+def test_mutual_knn_is_symmetric_subset(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import similarity
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb, k=5)
+    mutual = similarity.mutual_knn_pairs(emb, k=5)
+    directed = {(r.src, r.dst) for r in edges.collect()}
+    pairs = [(r.v1, r.v2) for r in mutual.collect()]
+    assert len(pairs) > 0
+    for v1, v2 in pairs:
+        assert (v1, v2) in directed and (v2, v1) in directed
+        assert v1 < v2

@@ -1,0 +1,56 @@
+"""Grid-blocked spatial join: completeness vs brute force, plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.operators import geo
+from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+
+def test_grid_join_equals_brute_force(spark, sf_dir):
+    pts = geo.station_points(load_table(spark, sf_dir, "customer")).cache()
+    r = 40_000
+    blocked = {
+        (x.pid1, x.pid2, x.dist2) for x in geo.neighbor_pairs(pts, r).collect()
+    }
+    a = pts.select(
+        F.col("pid").alias("pid1"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = pts.select(
+        F.col("pid").alias("pid2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    d2 = (F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2")) + (
+        F.col("y1") - F.col("y2")
+    ) * (F.col("y1") - F.col("y2"))
+    brute = {
+        (x.pid1, x.pid2, x.dist2)
+        for x in a.join(b, F.col("pid1") < F.col("pid2"))
+        .select("pid1", "pid2", d2.alias("dist2"))
+        .where(F.col("dist2") <= r * r)
+        .collect()
+    }
+    assert blocked == brute and len(brute) > 0
+
+
+def test_wider_cell_still_complete(spark, sf_dir):
+    pts = geo.station_points(load_table(spark, sf_dir, "customer"))
+    r = 40_000
+    base = geo.neighbor_pairs(pts, r)
+    wide = geo.neighbor_pairs(pts, r, cell=3 * r)
+    assert base.count() == wide.count()
+
+
+def test_cell_smaller_than_radius_rejected(spark, sf_dir):
+    import pytest
+
+    pts = geo.station_points(load_table(spark, sf_dir, "customer"))
+    with pytest.raises(ValueError):
+        geo.neighbor_pairs(pts, 1000, cell=999)
+
+
+def test_grid_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    pts = geo.station_points(load_table(spark, sf_dir, "customer"))
+    plan = geo.neighbor_pairs(pts, 40_000)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,75 @@
+"""Time-series regularization semantics: spine density, zero-fill,
+interpolation blends and edge fills."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.operators import staging, timeseries
+from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+
+def _trips(spark, sf_dir):
+    return staging.trips(load_table(spark, sf_dir, "events"))
+
+
+def test_gap_fill_is_dense_and_preserves_observations(spark, sf_dir):
+    trips = _trips(spark, sf_dir)
+    filled = timeseries.gap_fill_daily(trips).cache()
+    spans = filled.groupBy("station").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("day").alias("mn"),
+        F.max("day").alias("mx"),
+    )
+    for r in spans.collect():
+        mn = datetime.date.fromisoformat(r.mn)
+        mx = datetime.date.fromisoformat(r.mx)
+        assert r.n == (mx - mn).days + 1  # dense: one row per calendar day
+    # observed rows reproduce the raw daily counts exactly
+    raw = {
+        (r.station, str(r.day)): r.rides
+        for r in timeseries.daily_counts(trips).collect()
+    }
+    obs = {(r.station, r.day): r.rides for r in filled.where("observed = 1").collect()}
+    assert obs == raw
+    assert filled.where("observed = 0").agg(F.max("rides")).first()[0] in (0, None)
+
+
+def test_interpolation_blend_and_edges(spark):
+    # one station, days 1..7, holes on day 5 (mod rule) plus an edge hole:
+    # rides on observed days: d1=10, d2=20, d3=30, d4=40, d6=60, d7=70
+    rows = []
+    for d, n in [(1, 10), (2, 20), (3, 30), (4, 40), (5, 99), (6, 60), (7, 70)]:
+        for i in range(n):
+            rows.append((f"2024-03-0{d} 08:00:00", i))
+    df = spark.createDataFrame(rows, "starttime string, i int").select(
+        F.to_timestamp("starttime").alias("starttime"),
+        F.lit("S1").alias("start_station_id"),
+    )
+    out = {
+        r.day: (r.observed_rides, r.value_e4)
+        for r in timeseries.interpolate_daily(df, hole_mod=5).collect()
+    }
+    assert out["2024-03-04"] == (40, 400000)
+    # day 5 is a hole regardless of its actual count: blend of 40 and 60
+    assert out["2024-03-05"] == (-1, 500000)
+    assert out["2024-03-06"] == (60, 600000)
+
+
+def test_interpolation_edge_fill(spark):
+    # span starting at a hole day (the 5th): back-fill from the next obs
+    rows = []
+    for d, n in [(5, 50), (6, 60), (7, 70)]:
+        for i in range(n):
+            rows.append((f"2024-03-0{d} 08:00:00", i))
+    df = spark.createDataFrame(rows, "starttime string, i int").select(
+        F.to_timestamp("starttime").alias("starttime"),
+        F.lit("S1").alias("start_station_id"),
+    )
+    out = {
+        r.day: r.value_e4
+        for r in timeseries.interpolate_daily(df, hole_mod=5).collect()
+    }
+    assert out["2024-03-05"] == 600000  # back-filled from day 6
