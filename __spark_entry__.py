@@ -484,6 +484,41 @@ def q_knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mutual_knn_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_feature_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.feature_deciles(load_table(spark, sf_dir, "orders"))
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic snapshots derived from orders (key ranges drop
+    rows on each side; %7 keys get a 100-cent price bump in the new
+    snapshot), reconciled by the generic diff operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old_s = orders.where(F.col("o_orderkey") % 20 != 0).select(
+        "o_orderkey", cents.alias("cents")
+    )
+    new_s = orders.where(F.col("o_orderkey") % 30 != 0).select(
+        "o_orderkey",
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 7 == 0, 100).otherwise(0)
+        ).alias("cents"),
+    )
+    return scd.snapshot_diff(old_s, new_s, "o_orderkey", ["cents"])
+
+
+def q_token_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.token_colocation_lift(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same MinHash components as dedup_clusters, keep-highest-n_chars
+    policy (doc_id tie-break) instead of min-id survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.dedup_keep_best(docs, pairs)
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-view maintenance: the stored first-half aggregate
     merged with the second-half batch must equal aggregating the whole
@@ -810,6 +845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "station_neighbors": q_station_neighbors,
         "knn_mutual_pairs": q_knn_mutual_pairs,
+        "feature_deciles": q_feature_deciles,
+        "snapshot_diff": q_snapshot_diff,
+        "token_colocation": q_token_colocation,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -903,4 +942,8 @@ def oracle_sql() -> dict[str, str]:
         "markov_transitions": oracles.MARKOV_TRANSITIONS,
         "station_neighbors": oracles.STATION_NEIGHBORS,
         "knn_mutual_pairs": oracles.KNN_MUTUAL_PAIRS,
+        "feature_deciles": oracles.FEATURE_DECILES,
+        "snapshot_diff": oracles.SNAPSHOT_DIFF,
+        "token_colocation": oracles.TOKEN_COLOCATION,
+        "dedup_keep_best": oracles.DEDUP_KEEP_BEST,
     }

@@ -335,3 +335,30 @@ def merge_daily_counts(current: DataFrame, batch_events: DataFrame) -> DataFrame
             + F.coalesce(F.col("new_cnt"), F.lit(0))
         ).alias("cnt"),
     )
+
+
+def feature_deciles(orders: DataFrame) -> DataFrame:
+    """Quantile-bucketed feature summary: ntile(10) deciles of order
+    value under a total order (price, key — deterministic under price
+    ties), aggregated to per-decile count / bounds in exact cents.
+
+    The ntile window is a single global sort — fine for a feature table
+    of scalars; at 100 TB swap in approx_percentile cut points and a
+    broadcast range join, trading exactness for no global sort (the
+    aggregate shape downstream is identical)."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        orders.select(
+            cents.alias("cents"),
+            "o_orderkey",
+            F.ntile(10).over(
+                Window.orderBy("o_totalprice", "o_orderkey")
+            ).cast("bigint").alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )

@@ -383,3 +383,37 @@ def dedup_clusters(
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("is_survivor"),
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster near-dup pairs and keep the BEST doc per cluster (highest
+    ``score_col``, doc_id as the deterministic tie-break) instead of
+    ``dedup_clusters``'s min-id survivor — the policy a real corpus
+    pipeline wants (keep the longest / highest-quality copy).
+
+    One row_number window per cluster on top of the component labels;
+    the scores ride along from the docs table (key-partitioned join).
+    """
+    from pyspark.sql import Window
+
+    nodes = docs.select(F.col(id_col).alias("id"))
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    cc = connected_components(nodes, edges)
+    scored = cc.join(
+        docs.select(F.col(id_col).alias("id"), F.col(score_col).alias("score")),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("id")
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        "score",
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )

@@ -120,3 +120,33 @@ def scd1_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     return current.join(updates.select(key), on=key, how="left_anti").unionByName(
         updates
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """Snapshot reconciliation — the table-format "diff two versions"
+    primitive, computed from data: one full-outer join on the key, then
+    per-row classification into added / removed / changed (unchanged rows
+    are dropped; they're the bulk and carry no information).
+
+    One key-partitioned shuffle on each side; the payload comparison is
+    null-safe equality over ``cols`` (no hashing, so no collision
+    caveats, and the changed row carries both versions for audit)."""
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full")
+    same = None
+    for c in cols:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col(f"o.{key}").isNull(), "added")
+        .when(F.col(f"n.{key}").isNull(), "removed")
+        .when(~same, "changed")
+    )
+    out_cols = [F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+                status.alias("status")]
+    for c in cols:
+        out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return joined.where(status.isNotNull()).select(*out_cols)

@@ -162,3 +162,53 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("mb").alias("surprisal_mb"),
     ).withColumn("avg_surprisal_mb", F.expr("surprisal_mb div n_tokens"))
+
+
+def token_colocation_lift(docs: DataFrame, min_count: int = 3) -> DataFrame:
+    """Adjacent-token colocation strength — the PMI idea with the log
+    dropped so it stays integer-exact: for each adjacent bigram (a, b),
+
+        lift_e4 = (count(a,b) * total_bigrams * 10000)
+                  div (count(a as first) * count(b as second))
+
+    lift > 1e4 means the pair co-occurs more than independence predicts
+    (collocations: "new york"); <= 1e4 means incidental adjacency. The
+    standard corpus-exploration signal before building a tokenizer's
+    merge table.
+
+    Scale: bigrams are generated inline per document (``transform`` over
+    the token array — no positional self-join), then it's two grouped
+    counts and one join keyed on the bigram halves; marginal tables are
+    |vocab|-sized and broadcast. ``min_count`` prunes the long tail
+    BEFORE the joins.
+    """
+    toks = spread(docs).select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS a, toks[i] AS b))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    pair_counts = (
+        bigrams.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    first_counts = bigrams.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+    second_counts = bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    total = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        pair_counts.join(F.broadcast(first_counts), "a")
+        .join(F.broadcast(second_counts), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.expr("(n_ab * n_total * 10000) div (n_a * n_b)").alias("lift_e4"),
+        )
+    )

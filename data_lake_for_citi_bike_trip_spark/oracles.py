@@ -1532,3 +1532,91 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """
+
+# operators/analytics.py:feature_deciles — ntile under a total order is
+# engine-independent; bounds in exact cents.
+FEATURE_DECILES = """
+SELECT decile, COUNT(*) AS n_orders,
+       min(cents) AS min_cents, max(cents) AS max_cents
+FROM (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+           AS decile
+  FROM orders
+) GROUP BY 1
+"""
+
+# operators/scd.py:snapshot_diff — deterministic old/new snapshots derived
+# from orders; unchanged rows dropped.
+SNAPSHOT_DIFF = """
+WITH old_s AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 20 <> 0
+),
+new_s AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey % 30 <> 0
+),
+classified AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN NOT (o.cents IS NOT DISTINCT FROM n.cents) THEN 'changed'
+         END AS status,
+         o.cents AS old_cents, n.cents AS new_cents
+  FROM old_s o FULL JOIN new_s n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM classified WHERE status IS NOT NULL
+"""
+
+# operators/text.py:token_colocation_lift — integer-exact colocation
+# strength over adjacent-token bigrams.
+TOKEN_COLOCATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT z[1] AS a, z[2] AS b
+  FROM (SELECT unnest(list_zip(w[1:-2], w[2:-1])) AS z FROM toks)
+),
+pc AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2
+       HAVING COUNT(*) >= 3),
+fc AS (SELECT a, COUNT(*) AS n_a FROM bg GROUP BY 1),
+sc AS (SELECT b, COUNT(*) AS n_b FROM bg GROUP BY 1),
+t AS (SELECT COUNT(*) AS n_total FROM bg)
+SELECT pc.a, pc.b, n_ab,
+       CAST((n_ab * n_total * 10000) // (n_a * n_b) AS BIGINT) AS lift_e4
+FROM pc JOIN fc ON pc.a = fc.a JOIN sc ON pc.b = sc.b CROSS JOIN t
+"""
+
+# operators/dedup.py:dedup_keep_best — keep-highest-score policy over the
+# same MinHash components as DEDUP_CLUSTERS.
+DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({DEDUP_MINHASH})
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
+),
+cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+scored AS (
+  SELECT cc.doc_id, cluster_id, n_chars AS score
+  FROM cc JOIN documents ON cc.doc_id = documents.doc_id
+)
+SELECT doc_id, cluster_id, score,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY score DESC, doc_id ASC) = 1) AS is_keeper
+FROM scored
+"""

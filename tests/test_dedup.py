@@ -190,3 +190,21 @@ def test_mutual_knn_is_symmetric_subset(spark, sf_dir):
     for v1, v2 in pairs:
         assert (v1, v2) in directed and (v2, v1) in directed
         assert v1 < v2
+
+
+def test_keep_best_prefers_high_score(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 7)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "d1 long, d2 long")
+    out = {r.doc_id: (r.cluster_id, r.is_keeper) for r in
+           dedup.dedup_keep_best(docs, pairs).collect()}
+    # component {1,2,3}: keeper is 2 (score 9, lower id than 3)
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, False)
+    assert out[4] == (4, True)  # singleton keeps itself

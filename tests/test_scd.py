@@ -82,3 +82,25 @@ def test_apply_changes_cdc_matrix(spark):
     out = apply_changes(current, changes, "k", "seq", "op")
     got = {r.k: r.v for r in out.collect()}
     assert got == {2: "b2", 3: "c", 4: "d2"}
+
+
+def test_snapshot_diff_classification(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import scd
+
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    )
+    new = spark.createDataFrame(
+        [(2, 20), (3, 99), (4, 40)], "k long, v long"
+    )
+    out = {
+        r.k: (r.status, r.old_v, r.new_v)
+        for r in scd.snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    assert out == {
+        1: ("removed", 10, None),
+        3: ("changed", 30, 99),
+        4: ("added", None, 40),
+    }  # unchanged key 2 dropped
