@@ -247,23 +247,27 @@ def mutual_knn_pairs(embeddings: DataFrame, k: int = 5) -> DataFrame:
     analysis over embeddings (one-sided kNN edges to hubs are noise;
     mutuality filters them).
 
-    One self-equi-join of the kNN edge list on the reversed key — linear
-    in edges (n·k rows), shuffled on (src, dst)."""
+    Mutuality is detected WITHOUT a self-join (which would re-run the
+    expensive scoring pipeline for each side): every directed edge is
+    canonicalized to (min, max) and grouped — a pair present twice has
+    both directions. One pass over the edge list, one shuffle on the
+    canonical pair, linear in edges (n·k rows)."""
     edges = knn_graph(embeddings, k)
-    fwd = edges.select("src", "dst", "cos_sim", F.col("rank").alias("rank_fwd"))
-    rev = edges.select(
-        F.col("dst").alias("src"),
-        F.col("src").alias("dst"),
-        F.col("rank").alias("rank_rev"),
+    canon = edges.select(
+        F.least("src", "dst").alias("v1"),
+        F.greatest("src", "dst").alias("v2"),
+        "cos_sim",
+        F.when(F.col("src") < F.col("dst"), F.col("rank")).alias("rf"),
+        F.when(F.col("src") > F.col("dst"), F.col("rank")).alias("rr"),
     )
     return (
-        fwd.join(rev, ["src", "dst"])
-        .where(F.col("src") < F.col("dst"))
-        .select(
-            F.col("src").alias("v1"),
-            F.col("dst").alias("v2"),
-            "cos_sim",
-            "rank_fwd",
-            "rank_rev",
+        canon.groupBy("v1", "v2")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max("cos_sim").alias("cos_sim"),
+            F.max("rf").alias("rank_fwd"),
+            F.max("rr").alias("rank_rev"),
         )
+        .where(F.col("__n") == 2)
+        .drop("__n")
     )

@@ -177,10 +177,12 @@ def token_colocation_lift(docs: DataFrame, min_count: int = 3) -> DataFrame:
     merge table.
 
     Scale: bigrams are generated inline per document (``transform`` over
-    the token array — no positional self-join), then it's two grouped
-    counts and one join keyed on the bigram halves; marginal tables are
-    |vocab|-sized and broadcast. ``min_count`` prunes the long tail
-    BEFORE the joins.
+    the token array — no positional self-join), and the corpus is
+    scanned/exploded exactly ONCE: the (a, b) pair counts are the only
+    full-data aggregate, and the marginals n_a / n_b / n_total are
+    RE-aggregations of that |distinct-bigrams|-sized table (broadcast
+    back). ``min_count`` prunes the long tail after the marginals are
+    taken, so they stay exact.
     """
     toks = spread(docs).select(
         "doc_id", TX.tokens(F.lower(F.col("text"))).alias("toks")
@@ -193,16 +195,18 @@ def token_colocation_lift(docs: DataFrame, min_count: int = 3) -> DataFrame:
             )
         ).alias("bg")
     ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    # Materialize the pair counts ONCE (localCheckpoint, as in
+    # connected_components): four consumers (filter + three marginal
+    # re-aggs) would otherwise each re-run the corpus explode.
     pair_counts = (
-        bigrams.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= min_count)
-    )
-    first_counts = bigrams.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
-    second_counts = bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
-    total = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
+        bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ).localCheckpoint()
+    first_counts = pair_counts.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    second_counts = pair_counts.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    total = pair_counts.agg(F.sum("n_ab").alias("n_total"))
     return (
-        pair_counts.join(F.broadcast(first_counts), "a")
+        pair_counts.where(F.col("n_ab") >= min_count)
+        .join(F.broadcast(first_counts), "a")
         .join(F.broadcast(second_counts), "b")
         .crossJoin(F.broadcast(total))
         .select(
