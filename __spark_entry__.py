@@ -484,6 +484,42 @@ def q_knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mutual_knn_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming native session_window drain (complete mode): same
+    logical plan and result as the batch session_window query."""
+    stream = streaming.stream_events(spark, sf_dir)
+    result = streaming.session_counts(stream)
+    return streaming.run_available_now(result, "q_stream_session_counts", "complete")
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skew.key_skew_profile(load_table(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK audit with deterministically thinned parents (%13 / %11 keys
+    dropped) so each relationship exhibits real orphans; the full
+    customer->nation edge stays clean."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o_thin = orders.where(F.col("o_orderkey") % 13 != 0)
+    c_thin = customer.where(F.col("c_custkey") % 11 != 0)
+    return checks.referential_orphans(
+        [
+            ("lineitem->orders", lineitem, "l_orderkey", o_thin, "o_orderkey"),
+            ("orders->customer", orders, "o_custkey", c_thin, "c_custkey"),
+            ("customer->nation", customer, "c_nationkey", nation, "n_nationkey"),
+        ]
+    )
+
+
+def q_null_safe_gender_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trips, _, _ = _staged(spark, sf_dir)
+    return setops.null_safe_gender_rollup(trips)
+
+
 def q_feature_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.feature_deciles(load_table(spark, sf_dir, "orders"))
 
@@ -849,6 +885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "token_colocation": q_token_colocation,
         "dedup_keep_best": q_dedup_keep_best,
+        "stream_session_counts": q_stream_session_counts,
+        "key_skew_profile": q_key_skew_profile,
+        "referential_orphans": q_referential_orphans,
+        "null_safe_gender_rollup": q_null_safe_gender_rollup,
     }
 
 
@@ -946,4 +986,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": oracles.SNAPSHOT_DIFF,
         "token_colocation": oracles.TOKEN_COLOCATION,
         "dedup_keep_best": oracles.DEDUP_KEEP_BEST,
+        "stream_session_counts": oracles.STREAM_SESSION_COUNTS,
+        "key_skew_profile": oracles.KEY_SKEW_PROFILE,
+        "referential_orphans": oracles.REFERENTIAL_ORPHANS,
+        "null_safe_gender_rollup": oracles.NULL_SAFE_GENDER_ROLLUP,
     }

@@ -58,3 +58,28 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two co-bucketed tables — plans with zero shuffle exchanges."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def key_skew_profile(df: DataFrame, key: str, top_k: int = 20) -> DataFrame:
+    """Heavy-hitter diagnosis for a join/agg key: the ``top_k`` hottest
+    key values with their row share in exact basis points — the number
+    you look at BEFORE deciding whether a join needs salting or AQE skew
+    handling.
+
+    One grouped count (partial map-side), a 1-row total attach, and a
+    distributed top-k (orderBy+limit plans as TakeOrderedAndProject — no
+    single-partition global sort)."""
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("key_value").cast("string").alias("key_value"),
+            "n_rows",
+            F.expr("(10000 * n_rows) div n_total").alias("share_e4"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key_value"))
+        .limit(top_k)
+    )

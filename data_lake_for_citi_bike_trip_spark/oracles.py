@@ -1620,3 +1620,57 @@ SELECT doc_id, cluster_id, score,
                            ORDER BY score DESC, doc_id ASC) = 1) AS is_keeper
 FROM scored
 """
+
+# streaming/pipeline.py:session_counts — same output as the batch
+# session_window query, so it reuses the gaps-and-islands mirror.
+STREAM_SESSION_COUNTS = SESSION_WINDOW
+
+# operators/skew.py:key_skew_profile — heavy hitters with exact share.
+KEY_SKEW_PROFILE = """
+WITH c AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS key_value, COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT COUNT(*) AS n_total FROM lineitem)
+SELECT key_value, n_rows,
+       CAST((10000 * n_rows) // n_total AS BIGINT) AS share_e4
+FROM c CROSS JOIN t
+ORDER BY n_rows DESC, key_value ASC
+LIMIT 20
+"""
+
+# plans/checks.py:referential_orphans — anti-join counts per FK
+# relationship (parents deterministically thinned so orphans exist).
+REFERENTIAL_ORPHANS = """
+WITH o_thin AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 13 <> 0),
+c_thin AS (SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 0)
+SELECT 'lineitem->orders' AS relationship,
+       (SELECT COUNT(*) FROM lineitem) AS n_child,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_thin)) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM c_thin))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+"""
+
+# operators/setops.py:null_safe_gender_rollup — IS NOT DISTINCT FROM join;
+# the NULL gender is a real dim member.
+NULL_SAFE_GENDER_ROLLUP = with_staging(
+    """
+, dim AS (
+  SELECT DISTINCT gender,
+         COALESCE('g_' || gender, 'unknown') AS gender_label
+  FROM trips
+)
+SELECT gender_label, COUNT(*) AS n_trips
+FROM trips t JOIN dim d ON t.gender IS NOT DISTINCT FROM d.gender
+GROUP BY 1
+"""
+)

@@ -73,3 +73,36 @@ def dq_counts(
             )
         )
     return reduce(DataFrame.unionAll, parts)
+
+
+def referential_orphans(
+    relationships: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table referential-integrity audit: for each (name, child,
+    child_key, parent, parent_key) count child rows whose key has no
+    parent — the DQ check a lakehouse runs after every load, as data
+    (one row per relationship) rather than an assertion.
+
+    Scale: each check projects the child to its key column BEFORE the
+    left_anti join (shuffle carries keys only); parent keys are distinct
+    and usually broadcastable. NULL child keys are orphans by definition
+    here (left_anti keeps NULL-keyed rows — they match nothing).
+    """
+    outs = []
+    for name, child, child_key, parent, parent_key in relationships:
+        child_keys = child.select(F.col(child_key).alias("k"))
+        parent_keys = parent.select(F.col(parent_key).alias("k")).distinct()
+        n_child = child_keys.agg(F.count(F.lit(1)).alias("n_child"))
+        n_orphans = (
+            child_keys.join(parent_keys, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        outs.append(
+            n_child.crossJoin(n_orphans).select(
+                F.lit(name).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -196,3 +196,25 @@ def stream_to_lake(
         .start()
     )
     query.awaitTermination()
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gap-based sessionization via native ``session_window``
+    (merging windows): the SAME logical plan as the batch
+    ``analytics.session_window_agg``, now over an unbounded source. The
+    watermark bounds session state — a session's state is finalized and
+    evictable once the watermark passes its close (start-of-gap), which
+    is what keeps per-user session state from growing forever at
+    100 TB/day. State is partitioned on user_id like any grouped agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )

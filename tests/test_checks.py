@@ -25,3 +25,29 @@ def test_dq_counts_one_row_per_check(spark, sf_dir):
     rows = {r.table_name: r.row_cnt for r in df.collect()}
     assert rows["events"] > 0
     assert rows["null_ids"] == 0
+
+
+def test_referential_orphans_counts(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark.plans import checks
+
+    child = spark.createDataFrame([(1,), (2,), (3,), (None,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,)], "p long")
+    out = checks.referential_orphans([("c->p", child, "k", parent, "p")]).collect()
+    assert out[0].relationship == "c->p"
+    assert out[0].n_child == 4
+    assert out[0].n_orphans == 2  # key 3 + the NULL key
+
+
+def test_null_safe_rollup_keeps_null_keys(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import setops
+
+    trips = spark.createDataFrame(
+        [("0",), ("1",), (None,), (None,)], "gender string"
+    )
+    out = {r.gender_label: r.n_trips
+           for r in setops.null_safe_gender_rollup(trips).collect()}
+    assert out == {"g_0": 1, "g_1": 1, "unknown": 2}

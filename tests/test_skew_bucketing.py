@@ -45,3 +45,18 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_key_skew_profile_orders_and_shares(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10, "k string"
+    )
+    rows = skew.key_skew_profile(df, "k", top_k=2).collect()
+    assert [(r.key_value, r.n_rows, r.share_e4) for r in rows] == [
+        ("hot", 60, 6000),
+        ("warm", 30, 3000),
+    ]
