@@ -520,6 +520,11 @@ def q_null_safe_gender_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.null_safe_gender_rollup(trips)
 
 
+def q_moving_average_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trips, _, _ = _staged(spark, sf_dir)
+    return timeseries.moving_average_range_frame(trips)
+
+
 def q_feature_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.feature_deciles(load_table(spark, sf_dir, "orders"))
 
@@ -889,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "referential_orphans": q_referential_orphans,
         "null_safe_gender_rollup": q_null_safe_gender_rollup,
+        "moving_average_range": q_moving_average_range,
     }
 
 
@@ -990,4 +996,5 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_profile": oracles.KEY_SKEW_PROFILE,
         "referential_orphans": oracles.REFERENTIAL_ORPHANS,
         "null_safe_gender_rollup": oracles.NULL_SAFE_GENDER_ROLLUP,
+        "moving_average_range": oracles.MOVING_AVERAGE_RANGE,
     }

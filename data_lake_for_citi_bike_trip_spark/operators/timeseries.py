@@ -133,3 +133,34 @@ def interpolate_daily(trips: DataFrame, hole_mod: int = 5) -> DataFrame:
         F.coalesce("obs", F.lit(-1)).alias("observed_rides"),
         value_e4.cast("bigint").alias("value_e4"),
     )
+
+
+def moving_average_range_frame(trips: DataFrame, days: int = 7) -> DataFrame:
+    """Trailing window by VALUE RANGE, not row count: sum/count of rides
+    over the last ``days`` CALENDAR days per station — on sparse series
+    (missing days) a ROWS frame silently stretches over gaps while a
+    RANGE frame respects them; both semantics are needed and this is the
+    RANGE half (``analytics.moving_average`` is the ROWS half).
+
+    The frame is ``RANGE BETWEEN days-1 PRECEDING AND CURRENT ROW`` over
+    an integer day index (datediff from epoch), so frame bounds are plain
+    integer arithmetic in any engine. Mean emitted in exact e4 units.
+    One shuffle on station; the window sort is per-key."""
+    daily = daily_counts(trips).withColumn(
+        "day_idx", F.datediff("day", F.lit("1970-01-01")).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("station")
+        .orderBy("day_idx")
+        .rangeBetween(-(days - 1), Window.currentRow)
+    )
+    return daily.select(
+        "station",
+        F.col("day").cast("string").alias("day"),
+        "rides",
+        F.sum("rides").over(w).alias("window_rides"),
+        F.count(F.lit(1)).over(w).alias("window_days_observed"),
+    ).withColumn(
+        "avg_rides_e4",
+        F.expr("(10000 * window_rides) div window_days_observed"),
+    )

@@ -1674,3 +1674,29 @@ FROM trips t JOIN dim d ON t.gender IS NOT DISTINCT FROM d.gender
 GROUP BY 1
 """
 )
+
+# operators/timeseries.py:moving_average_range_frame — RANGE (value)
+# frame over an integer day index; contrast with MOVING_AVERAGE's ROWS
+# frame. DuckDB RANGE frames accept integer offsets over the BIGINT key.
+MOVING_AVERAGE_RANGE = with_staging(
+    """
+, daily AS (
+  SELECT start_station_id AS station, CAST(starttime AS DATE) AS day,
+         COUNT(*) AS rides
+  FROM trips GROUP BY 1, 2
+),
+idx AS (
+  SELECT station, day, rides,
+         CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS day_idx
+  FROM daily
+)
+SELECT station, CAST(day AS VARCHAR) AS day, rides,
+  sum(rides) OVER w AS window_rides,
+  COUNT(*) OVER w AS window_days_observed,
+  CAST((10000 * sum(rides) OVER w) // (COUNT(*) OVER w) AS BIGINT)
+    AS avg_rides_e4
+FROM idx
+WINDOW w AS (PARTITION BY station ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+)
