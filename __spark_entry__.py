@@ -520,6 +520,14 @@ def q_null_safe_gender_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.null_safe_gender_rollup(trips)
 
 
+def q_stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding windows in streaming (complete-mode drain):
+    every event lands in exactly two epoch-aligned 1h/30min windows."""
+    stream = streaming.stream_events(spark, sf_dir)
+    result = streaming.sliding_avg(stream, window="1 hour", slide="30 minutes")
+    return streaming.run_available_now(result, "q_stream_sliding_sum", "complete")
+
+
 def q_moving_average_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     trips, _, _ = _staged(spark, sf_dir)
     return timeseries.moving_average_range_frame(trips)
@@ -895,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans": q_referential_orphans,
         "null_safe_gender_rollup": q_null_safe_gender_rollup,
         "moving_average_range": q_moving_average_range,
+        "stream_sliding_sum": q_stream_sliding_sum,
     }
 
 
@@ -997,4 +1006,5 @@ def oracle_sql() -> dict[str, str]:
         "referential_orphans": oracles.REFERENTIAL_ORPHANS,
         "null_safe_gender_rollup": oracles.NULL_SAFE_GENDER_ROLLUP,
         "moving_average_range": oracles.MOVING_AVERAGE_RANGE,
+        "stream_sliding_sum": oracles.STREAM_SLIDING_SUM,
     }

@@ -1700,3 +1700,16 @@ WINDOW w AS (PARTITION BY station ORDER BY day_idx
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 )
+
+# streaming/pipeline.py:sliding_avg — every event belongs to exactly two
+# 1-hour/30-minute-slide windows (epoch-aligned); mirror by exploding
+# each event into both window starts.
+STREAM_SLIDING_SUM = """
+SELECT window_start_us, COUNT(*) AS cnt, round(sum(value), 2) AS sum_value_r2
+FROM (
+  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - d.off AS window_start_us,
+         value
+  FROM events CROSS JOIN (SELECT unnest([0, 1800000000]) AS off) d
+)
+GROUP BY 1
+"""

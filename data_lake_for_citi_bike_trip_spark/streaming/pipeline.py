@@ -83,18 +83,21 @@ def sliding_avg(
     slide: str = "30 minutes",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Sliding-window running aggregate (overlapping windows)."""
+    """Sliding-window running aggregate (overlapping windows). The sum is
+    emitted rounded to 2 decimals (cross-row float addition is the one
+    place engines may differ at the last ulp — same discipline as the
+    revenue oracles) alongside the exact count."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value_r2"),
         )
         .select(
             F.unix_micros(F.col("window.start")).alias("window_start_us"),
             "cnt",
-            "avg_value",
+            "sum_value_r2",
         )
     )
 

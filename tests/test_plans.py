@@ -66,3 +66,28 @@ def test_spread_is_noop_on_already_parallel_input(spark):
     out = spread(narrow)
     assert out is not narrow
     assert out.rdd.getNumPartitions() == target
+
+
+def test_tpch_q3_broadcasts_and_pushes_dates(spark, sf_dir):
+    f = _facts(spark, sf_dir, "tpch_shipping_priority")
+    assert f["broadcast_joins"] >= 1
+    assert f["pushed_filters"], "date/segment filters must reach the scans"
+    assert f["nested_loop_joins"] == 0
+
+
+def test_spatial_grid_join_is_hash_equi(spark, sf_dir):
+    f = _facts(spark, sf_dir, "station_neighbors")
+    assert f["nested_loop_joins"] == 0
+    assert "CartesianProduct" not in f["plan"]
+
+
+def test_skew_profile_uses_distributed_topk(spark, sf_dir):
+    f = _facts(spark, sf_dir, "key_skew_profile")
+    assert "TakeOrderedAndProject" in f["plan"], "top-k must not global-sort"
+
+
+def test_feature_deciles_single_aggregation_pass(spark, sf_dir):
+    f = _facts(spark, sf_dir, "feature_deciles")
+    # one window sort + one grouped agg; no join machinery at all
+    assert f["nested_loop_joins"] == 0
+    assert f["sortmerge_joins"] == 0
