@@ -528,6 +528,10 @@ def q_stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(result, "q_stream_sliding_sum", "complete")
 
 
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.sample_per_group(load_table(spark, sf_dir, "documents"))
+
+
 def q_moving_average_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     trips, _, _ = _staged(spark, sf_dir)
     return timeseries.moving_average_range_frame(trips)
@@ -904,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_gender_rollup": q_null_safe_gender_rollup,
         "moving_average_range": q_moving_average_range,
         "stream_sliding_sum": q_stream_sliding_sum,
+        "sample_per_group": q_sample_per_group,
     }
 
 
@@ -1007,4 +1012,5 @@ def oracle_sql() -> dict[str, str]:
         "null_safe_gender_rollup": oracles.NULL_SAFE_GENDER_ROLLUP,
         "moving_average_range": oracles.MOVING_AVERAGE_RANGE,
         "stream_sliding_sum": oracles.STREAM_SLIDING_SUM,
+        "sample_per_group": oracles.SAMPLE_PER_GROUP,
     }

@@ -233,3 +233,24 @@ def sample_stratified(
         .where(bucket < F.coalesce(F.col("pct"), F.lit(default_pct)))
         .select("doc_id", stratum_col, "source")
     )
+
+
+def sample_per_group(
+    docs: DataFrame, key: str = "source", k: int = 20, salt: str = "pergroup-v1"
+) -> DataFrame:
+    """Exactly-k-per-group sampling (the distributed stand-in for a
+    per-key reservoir): rows rank within their group by a salted md5 of
+    their id — a deterministic pseudo-random order any engine reproduces
+    — and the first ``k`` survive. Balanced per-domain subsets for eval
+    sets / data mixes, without rand() (reruns and retries agree).
+
+    One window over the group key (single shuffle); rank <= k cuts
+    early via the window's TopK sort. Change ``salt`` to draw a fresh
+    sample."""
+    order_key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(key).orderBy(order_key, F.col("doc_id"))
+    return (
+        docs.select(key, "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+    )

@@ -1713,3 +1713,16 @@ FROM (
 )
 GROUP BY 1
 """
+
+# operators/corpus.py:sample_per_group — salted-md5 order is engine-
+# independent, so the k-per-group sample matches exactly.
+SAMPLE_PER_GROUP = """
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('pergroup-v1' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
