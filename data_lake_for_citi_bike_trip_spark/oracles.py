@@ -13,6 +13,14 @@ Cross-engine parity rules used throughout (verified empirically):
 - Output columns restricted to {VARCHAR, BIGINT, DOUBLE, BOOLEAN}; dates
   and timestamps are emitted as ISO strings / epoch integers so pandas
   dtype rendering can't diverge.
+- Ratios/means/probabilities are emitted as INTEGER basis points
+  (``(10000 * x) div y`` / ``// y``): float rounding is engine-dependent
+  at ``..5`` boundaries, integer division never is. Keep numerators
+  non-negative — Spark ``div`` truncates toward zero while DuckDB ``//``
+  floors, and they only agree on non-negative operands.
+- Per-key date spines: DuckDB ``generate_series`` is not lateral-capable;
+  use the scalar ``unnest(generate_series(...))`` form.
+- ``list_zip`` + ``unnest`` yields UNNAMED structs -> index ``z[1]``.
 """
 
 from __future__ import annotations
