@@ -528,6 +528,11 @@ def q_stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(result, "q_stream_sliding_sum", "complete")
 
 
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trips, _, _ = _staged(spark, sf_dir)
+    return timeseries.trend_slope(trips)
+
+
 def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.sample_per_group(load_table(spark, sf_dir, "documents"))
 
@@ -909,6 +914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_average_range": q_moving_average_range,
         "stream_sliding_sum": q_stream_sliding_sum,
         "sample_per_group": q_sample_per_group,
+        "trend_slope": q_trend_slope,
+        "tpch_order_priority": sqlsurface.tpch_order_priority,
+        "tpch_forecast_revenue": sqlsurface.tpch_forecast_revenue,
     }
 
 
@@ -1013,4 +1021,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_average_range": oracles.MOVING_AVERAGE_RANGE,
         "stream_sliding_sum": oracles.STREAM_SLIDING_SUM,
         "sample_per_group": oracles.SAMPLE_PER_GROUP,
+        "trend_slope": oracles.TREND_SLOPE,
+        "tpch_order_priority": oracles.TPCH_ORDER_PRIORITY,
+        "tpch_forecast_revenue": oracles.TPCH_FORECAST_REVENUE,
     }

@@ -172,3 +172,42 @@ def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+def tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority order counts where a correlated
+    EXISTS finds at least one line shipped after the order date (the
+    slim schema's stand-in for commit<receipt). Decorrelates to a
+    left-semi hash join on o_orderkey — no per-row subquery execution."""
+    _views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_cnt
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: one tight scan — every predicate (year, discount
+    band, quantity cap) pushes into the parquet scan, then a single
+    global sum. The what-if revenue-change query."""
+    _views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )

@@ -164,3 +164,41 @@ def moving_average_range_frame(trips: DataFrame, days: int = 7) -> DataFrame:
         "avg_rides_e4",
         F.expr("(10000 * window_rides) div window_days_observed"),
     )
+
+
+def trend_slope(trips: DataFrame, min_days: int = 2) -> DataFrame:
+    """Per-station linear-regression slope of daily rides over time,
+    EXACT to the emitted unit: the OLS closed form
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    evaluated entirely in BIGINT sums (x = epoch-day index, y = rides)
+    and emitted as integer millionths (slope_e6, truncated toward zero
+    — the numerator/denominator also ship for callers wanting the exact
+    rational). No floats anywhere, so no engine can disagree.
+
+    One grouped aggregate per station — the cheapest possible trend
+    detector at 100 TB (map-side partials, no window, no sort)."""
+    daily = daily_counts(trips).select(
+        "station",
+        F.datediff("day", F.lit("1970-01-01")).cast("bigint").alias("x"),
+        F.col("rides").alias("y"),
+    )
+    agg = daily.groupBy("station").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return (
+        agg.where(F.col("n") >= min_days)
+        .select(
+            "station",
+            "n",
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("numer"),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denom"),
+        )
+        .where(F.col("denom") > 0)
+        .withColumn("slope_e6", F.expr("(1000000 * numer) div denom"))
+    )

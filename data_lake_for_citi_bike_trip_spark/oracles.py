@@ -1734,3 +1734,59 @@ SELECT source, doc_id, rk FROM (
   FROM documents
 ) WHERE rk <= 20
 """
+
+# operators/sqlsurface.py:tpch_order_priority — Q4 shape (correlated
+# EXISTS on the shipped-late line).
+TPCH_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_cnt
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+# operators/sqlsurface.py:tpch_forecast_revenue — Q6 shape.
+TPCH_FORECAST_REVENUE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# operators/timeseries.py:trend_slope — integer OLS; Spark `div`
+# truncates toward zero while DuckDB `//` floors, so negative slopes are
+# mirrored with an explicit sign split.
+TREND_SLOPE = with_staging(
+    """
+, daily AS (
+  SELECT start_station_id AS station,
+         CAST(datediff('day', DATE '1970-01-01', CAST(starttime AS DATE))
+              AS BIGINT) AS x,
+         COUNT(*) AS y
+  FROM trips GROUP BY 1, CAST(starttime AS DATE)
+),
+agg AS (
+  SELECT station, COUNT(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM daily GROUP BY 1
+),
+terms AS (
+  SELECT station, n,
+         CAST(n * sxy - sx * sy AS BIGINT) AS numer,
+         CAST(n * sxx - sx * sx AS BIGINT) AS denom
+  FROM agg WHERE n >= 2
+)
+SELECT station, n, numer, denom,
+       CAST(CASE WHEN numer >= 0 THEN (1000000 * numer) // denom
+                 ELSE -((1000000 * (-numer)) // denom) END AS BIGINT)
+         AS slope_e6
+FROM terms WHERE denom > 0
+"""
+)

@@ -73,3 +73,17 @@ def test_interpolation_edge_fill(spark):
         for r in timeseries.interpolate_daily(df, hole_mod=5).collect()
     }
     assert out["2024-03-05"] == 600000  # back-filled from day 6
+
+
+def test_trend_slope_exact_rational(spark):
+    # station A: days 0..3 rides 1,3,5,7 -> slope exactly 2 (2_000_000 e6)
+    # station B: rides 7,5,3,1 -> slope exactly -2 (truncation sign path)
+    rows = []
+    for d, (na, nb) in enumerate([(1, 7), (3, 5), (5, 3), (7, 1)]):
+        day = f"1970-01-0{d+1} 08:00:00"
+        rows += [(day, "A")] * na + [(day, "B")] * nb
+    df = spark.createDataFrame(rows, "starttime string, start_station_id string").select(
+        F.to_timestamp("starttime").alias("starttime"), "start_station_id"
+    )
+    out = {r.station: r.slope_e6 for r in timeseries.trend_slope(df).collect()}
+    assert out == {"A": 2_000_000, "B": -2_000_000}
