@@ -207,9 +207,20 @@ def run_elt(
     *,
     legacy_string_mode: bool = False,
     sort_within_partitions: bool = False,
+    metrics: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Full ELT: staging reads -> 7 tables -> partitioned parquet writes
-    (layout per schemas.OUTPUT_LAYOUT) -> returns the built DataFrames."""
+    (layout per schemas.OUTPUT_LAYOUT) -> returns the built DataFrames.
+
+    Pass ``metrics={}`` to instrument every write with ``df.observe``
+    (Spark's Observation API): per-table row counts and fact-side NULL
+    surrogate-key counts are collected ON the write pass itself — zero
+    extra jobs, unlike the reference's separate spark_check_emr.py
+    re-read — and deposited into the dict as
+    ``{table: {"rows": n, ...}}``."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     staged = load_staging(spark, input_paths, legacy_string_mode=legacy_string_mode)
     trips = staged["events_log_table"]
     covid = staged["covids_log_table"]
@@ -225,14 +236,27 @@ def run_elt(
         "dim_weather_table": dim_weather_table(weather),
         "dim_station": dim_station_table(stations),
     }
+    observations: dict[str, Observation] = {}
     for name, df in tables.items():
         partition_by, mode = schemas.OUTPUT_LAYOUT[name]
         out = df
         if sort_within_partitions and name == "bikeshare_fact_table":
             out = out.sortWithinPartitions("start_time")
+        if metrics is not None:
+            obs = Observation(name)
+            exprs = [F.count(F.lit(1)).alias("rows")]
+            if name == "bikeshare_fact_table":
+                exprs.append(
+                    F.sum(F.col("id").isNull().cast("long")).alias("null_ids")
+                )
+            out = out.observe(obs, *exprs)
+            observations[name] = obs
         write_table(
             out, os.path.join(output_root, name), partition_by=partition_by, mode=mode
         )
+    if metrics is not None:
+        for name, obs in observations.items():
+            metrics[name] = obs.get
     return tables
 
 

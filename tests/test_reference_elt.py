@@ -264,3 +264,17 @@ def test_read_json_permissive_does_not_mutate_caller_schema(spark, tmp_path):
     for out in (out1, out2):
         assert out.columns == ["a", "_corrupt_record"]
         assert out.where(F.col("_corrupt_record").isNotNull()).count() == 1
+
+
+def test_elt_observed_metrics_match_written_counts(spark, staging_paths, tmp_path):
+    """df.observe on the write pass collects per-table rows + fact NULL-id
+    counts with ZERO extra jobs — the observed numbers must equal what a
+    re-read (the reference's separate check job) would count."""
+    out = str(tmp_path / "lake_obs")
+    metrics: dict = {}
+    elt.run_elt(spark, staging_paths, out, metrics=metrics)
+    assert set(metrics) == set(elt.schemas.OUTPUT_LAYOUT)
+    for name in metrics:
+        reread = spark.read.parquet(os.path.join(out, name)).count()
+        assert metrics[name]["rows"] == reread, name
+    assert metrics["bikeshare_fact_table"]["null_ids"] == 0
