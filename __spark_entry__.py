@@ -917,6 +917,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope": q_trend_slope,
         "tpch_order_priority": sqlsurface.tpch_order_priority,
         "tpch_forecast_revenue": sqlsurface.tpch_forecast_revenue,
+        "tpch_local_supplier_volume": sqlsurface.tpch_local_supplier_volume,
+        "tpch_volume_shipping": sqlsurface.tpch_volume_shipping,
+        "tpch_returned_items": sqlsurface.tpch_returned_items,
+        "tpch_priority_shipping": sqlsurface.tpch_priority_shipping,
+        "tpch_promo_effect": sqlsurface.tpch_promo_effect,
+        "tpch_large_orders": sqlsurface.tpch_large_orders,
+        "tpch_discounted_revenue": sqlsurface.tpch_discounted_revenue,
     }
 
 
@@ -1024,4 +1031,11 @@ def oracle_sql() -> dict[str, str]:
         "trend_slope": oracles.TREND_SLOPE,
         "tpch_order_priority": oracles.TPCH_ORDER_PRIORITY,
         "tpch_forecast_revenue": oracles.TPCH_FORECAST_REVENUE,
+        "tpch_local_supplier_volume": oracles.TPCH_LOCAL_SUPPLIER_VOLUME,
+        "tpch_volume_shipping": oracles.TPCH_VOLUME_SHIPPING,
+        "tpch_returned_items": oracles.TPCH_RETURNED_ITEMS,
+        "tpch_priority_shipping": oracles.TPCH_PRIORITY_SHIPPING,
+        "tpch_promo_effect": oracles.TPCH_PROMO_EFFECT,
+        "tpch_large_orders": oracles.TPCH_LARGE_ORDERS,
+        "tpch_discounted_revenue": oracles.TPCH_DISCOUNTED_REVENUE,
     }

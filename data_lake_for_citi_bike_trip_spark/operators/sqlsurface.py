@@ -195,6 +195,196 @@ def tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-table join cycle
+    customer-orders-lineitem-supplier-nation-region with the extra
+    equi-constraint c_nationkey = s_nationkey closing the cycle.
+    Catalyst broadcast-joins region/nation/supplier (tiny sides) so the
+    only shuffle is the orders-lineitem hash join + the final 1-row-per-
+    nation aggregate; the region/date filters prune before any join."""
+    _views(spark, sf_dir, ["customer", "orders", "lineitem", "supplier",
+                           "nation", "region"])
+    return spark.sql(
+        """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+def tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations — supplier nation x customer nation pairs by ship year. The
+    nation dimension is joined TWICE under different roles; the
+    symmetric OR predicate keeps only the two directed pairs."""
+    _views(spark, sf_dir, ["supplier", "lineitem", "orders", "customer",
+                           "nation"])
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM (
+          SELECT n1.n_name AS supp_nation,
+                 n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1998-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returns per customer in a quarter, top 20. The lineitem returnflag
+    filter and the order-date window both push into the scans; the
+    final top-20 plans as TakeOrderedAndProject."""
+    _views(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= DATE '1996-10-01'
+          AND o_orderdate < DATE '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+def tpch_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode split, adapted: the slim schema
+    has no l_shipmode so the two-class CASE pivot splits on order
+    priority instead): per returnflag, how many lines belong to
+    critical- vs normal-priority orders. One join + conditional
+    aggregation — the canonical CASE-WHEN-inside-SUM pattern."""
+    _views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+def tpch_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): share of monthly revenue from
+    PROMO-type parts. The share is emitted in basis points via floor()
+    (identical in both engines, unlike round-half ties) alongside the
+    two rounded revenue components."""
+    _views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(
+        """
+        SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END), 2) AS promo_revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue,
+               CAST(floor(10000.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                          / sum(l_extendedprice * (1 - l_discount)))
+                    AS BIGINT) AS promo_bps
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-09-01'
+          AND l_shipdate < DATE '1996-10-01'
+        """
+    )
+
+
+def tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity clears a threshold, with the customer attached. The IN
+    subquery over a grouped HAVING plans as an aggregate + left-semi
+    join, NOT a per-row subquery; quantities are integral so the sum is
+    emitted as an exact BIGINT."""
+    _views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(o_orderdate AS STRING) AS o_orderdate,
+               o_totalprice,
+               CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 180
+        )
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+def tpch_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): disjunction of conjunctive
+    brand/size/quantity bands. The join key is shared across all three
+    arms so Catalyst runs ONE hash join on p_partkey and evaluates the
+    residual OR-of-ANDs post-join; per-side prunable conjuncts
+    (quantity floor, size floor) are extracted and pushed into the
+    scans."""
+    _views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+        """
+    )
+
+
 def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: one tight scan — every predicate (year, discount
     band, quantity cap) pushes into the parquet scan, then a single

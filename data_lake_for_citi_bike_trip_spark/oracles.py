@@ -1749,6 +1749,133 @@ WHERE o_orderdate >= DATE '1996-01-01'
 GROUP BY o_orderpriority
 """
 
+# operators/sqlsurface.py:tpch_local_supplier_volume — Q5 shape.
+TPCH_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+# operators/sqlsurface.py:tpch_volume_shipping — Q7 shape.
+TPCH_VOLUME_SHIPPING = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# operators/sqlsurface.py:tpch_returned_items — Q10 shape.
+TPCH_RETURNED_ITEMS = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1996-10-01'
+  AND o_orderdate < DATE '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# operators/sqlsurface.py:tpch_priority_shipping — Q12 shape (priority
+# split; the slim schema has no l_shipmode).
+TPCH_PRIORITY_SHIPPING = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# operators/sqlsurface.py:tpch_promo_effect — Q14 shape; the share uses
+# floor() (identical across engines) instead of round-half.
+TPCH_PROMO_EFFECT = """
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END), 2) AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       CAST(floor(10000.0 * sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END)
+                  / sum(l_extendedprice * (1 - l_discount)))
+            AS BIGINT) AS promo_bps
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-09-01'
+  AND l_shipdate < DATE '1996-10-01'
+"""
+
+# operators/sqlsurface.py:tpch_large_orders — Q18 shape.
+TPCH_LARGE_ORDERS = """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_totalprice,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 180
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+# operators/sqlsurface.py:tpch_discounted_revenue — Q19 shape.
+TPCH_DISCOUNTED_REVENUE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
 # operators/sqlsurface.py:tpch_forecast_revenue — Q6 shape.
 TPCH_FORECAST_REVENUE = """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
