@@ -712,6 +712,24 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.llm_prep_pipeline(load_table(spark, sf_dir, "documents"))
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-decontamination audit: word-5-gram overlap of every test
+    doc against the train split's distinct gram set, e4 share."""
+    return corpus.contamination_check(load_table(spark, sf_dir, "documents"))
+
+
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsampling domain mixture: 2.5/1.3/0/0.75 epochs for src0-3,
+    1.0 elsewhere — deterministic copies via sequence+explode."""
+    return corpus.mixture_epochs(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screen: duplicate-word / duplicate-
+    trigram / top-bigram shares in integer basis points."""
+    return text_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming drain: tumbling-window counts via
     Trigger.AvailableNow + memory sink, complete output mode (equivalent
@@ -924,6 +942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_promo_effect": sqlsurface.tpch_promo_effect,
         "tpch_large_orders": sqlsurface.tpch_large_orders,
         "tpch_discounted_revenue": sqlsurface.tpch_discounted_revenue,
+        "contamination_check": q_contamination_check,
+        "mixture_epochs": q_mixture_epochs,
+        "text_repetition": q_text_repetition,
     }
 
 
@@ -1038,4 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_promo_effect": oracles.TPCH_PROMO_EFFECT,
         "tpch_large_orders": oracles.TPCH_LARGE_ORDERS,
         "tpch_discounted_revenue": oracles.TPCH_DISCOUNTED_REVENUE,
+        "contamination_check": oracles.CONTAMINATION_CHECK,
+        "mixture_epochs": oracles.MIXTURE_EPOCHS,
+        "text_repetition": oracles.TEXT_REPETITION,
     }

@@ -254,3 +254,110 @@ def sample_per_group(
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= k)
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    n: int = 5,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "split-v1",
+    flag_e1: int = 1,
+) -> DataFrame:
+    """Train→test n-gram decontamination audit (the eval-leakage check
+    every pretraining pipeline runs before trusting its benchmarks).
+
+    Reuses ``train_test_split``'s hash assignment, then: distinct word
+    ``n``-grams per doc (hashed to 32-bit ints so the shuffle carries
+    ints, not 5-word strings), the train side collapsed to a distinct
+    gram set, and each TEST doc scored by how many of its grams appear
+    in train. Output per test doc: gram counts, overlap in e4 basis
+    points (integer ``div`` — engine-exact), and a flag at
+    ``flag_e1``/10 fraction (integer cross-multiply, no float compare).
+
+    Scale: the gram set never collects — train-distinct, the left join,
+    and the per-doc rollup are three key shuffles, all partial-agged.
+    Docs shorter than ``n`` tokens have no grams and drop out (they
+    cannot be contaminated). At production scale widen token_hash32 to
+    a 64/128-bit gram hash to keep false-hit odds negligible.
+    """
+    bucket = hash_bucket(F.concat(F.col("doc_id").cast("string"), F.lit(salt)))
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    grams = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(TX.word_shingles(F.col("text"), n)).alias("gram"),
+    ).select("doc_id", "split", TX.token_hash32(F.col("gram")).alias("g"))
+    train = grams.where(F.col("split") == "train").select("g").distinct()
+    test = grams.where(F.col("split") == "test").select("doc_id", "g")
+    return (
+        test.join(train.withColumn("hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "hits",
+            F.expr("(10000 * hits) div n_grams").alias("contam_e4"),
+            (F.col("hits") * 10 >= F.col("n_grams") * flag_e1).alias("flagged"),
+        )
+    )
+
+
+#: default mixture for the contract query: epochs in hundredths per
+#: source domain (250 = 2.5 epochs, 0 = drop the domain entirely);
+#: unlisted domains default to 100 (exactly one epoch).
+DEFAULT_MIXTURE_E2: dict[str, int] = {"src0": 250, "src1": 130, "src2": 0, "src3": 75}
+
+
+def mixture_epochs(
+    docs: DataFrame,
+    epochs_e2: dict[str, int] | None = None,
+    default_e2: int = 100,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Domain-mixture materialization WITH repetition — the upsampling
+    half of data mixing that ``sample_stratified`` (downsample-only)
+    cannot express: a domain weighted 2.5 epochs emits every doc twice
+    plus a deterministic hash-chosen half of docs a third time.
+
+    Weights are integers in hundredths of an epoch (no float rates —
+    reruns, retries, and the oracle agree exactly). Each doc emits
+    ``e2 div 100`` full copies plus one extra iff its salted hash
+    bucket falls below ``e2 % 100``; copies materialize via
+    sequence+explode (rows never round-trip through the driver) with a
+    ``copy_id`` so downstream shuffles can tell copies apart. The
+    weight table is broadcast.
+    """
+    spark = docs.sparkSession
+    weights = DEFAULT_MIXTURE_E2 if epochs_e2 is None else epochs_e2
+    w_df = spark.createDataFrame(
+        [(s, int(e)) for s, e in sorted(weights.items())], "source string, e2 int"
+    )
+    bucket = hash_bucket(F.concat(F.col("doc_id").cast("string"), F.lit(salt)))
+    tagged = (
+        docs.join(F.broadcast(w_df), "source", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("e2"), F.lit(default_e2)).alias("e2"),
+            bucket.alias("b"),
+        )
+        .withColumn(
+            "n_copies",
+            F.expr("e2 div 100") + (F.col("b") < F.col("e2") % 100).cast("int"),
+        )
+    )
+    copies = F.when(
+        F.col("n_copies") >= 1, F.sequence(F.lit(1), F.col("n_copies"))
+    ).otherwise(F.array().cast("array<int>"))
+    return tagged.select(
+        "doc_id", "source", F.explode(copies).alias("copy_id")
+    ).withColumn("copy_id", F.col("copy_id").cast("bigint"))

@@ -216,3 +216,71 @@ def token_colocation_lift(docs: DataFrame, min_count: int = 3) -> DataFrame:
             F.expr("(n_ab * n_total * 10000) div (n_a * n_b)").alias("lift_e4"),
         )
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition metrics per document — the quality
+    filter that catches boilerplate and degenerate generations:
+    duplicate-word share, duplicate-trigram share, and the share of
+    bigram slots held by the single most frequent bigram.
+
+    All three are integer e4 basis points (``div`` — engine-exact, no
+    float rounding). Word/trigram duplication is pure per-row array
+    arithmetic (size vs size(array_distinct)) — zero shuffle; the
+    top-bigram mode needs a frequency table, so NON-distinct bigrams
+    explode once and aggregate twice on the doc key (partial aggs both
+    hops, per-doc stats ride along as group keys — documents never
+    scan twice). Docs under 2 tokens have no bigram slots and drop out.
+    """
+    # Tokenize ONCE into a materialized projection: every derived metric
+    # references the `w` attribute, not a re-inlined regex split (Catalyst
+    # keeps the projection because tokens() is not collapse-cheap). The
+    # n-gram builders then reference `w` by attribute too, so the
+    # codegen'd expression tree stays small.
+    w = F.col("w")
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.array_join(F.slice(w, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.array_join(F.slice(w, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+    arrs = toks.select("doc_id", "w", tri.alias("tri"), bi.alias("bi"))
+    base = arrs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct_tokens"),
+        F.size(F.col("tri")).cast("bigint").alias("n_tri"),
+        F.size(F.array_distinct(F.col("tri"))).cast("bigint").alias("n_distinct_tri"),
+        F.explode(F.col("bi")).alias("gram"),
+    )
+    stat_keys = ["doc_id", "n_tokens", "n_distinct_tokens", "n_tri", "n_distinct_tri"]
+    per_gram = base.groupBy(*stat_keys, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_gram.groupBy(*stat_keys)
+        .agg(
+            F.max("cnt").cast("bigint").alias("top_bigram_cnt"),
+            F.sum("cnt").cast("bigint").alias("n_bi"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (10000 * (n_tokens - n_distinct_tokens)) div n_tokens END"
+            ).alias("dup_word_e4"),
+            F.expr(
+                "CASE WHEN n_tri = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (10000 * (n_tri - n_distinct_tri)) div n_tri END"
+            ).alias("dup_trigram_e4"),
+            F.expr("(10000 * top_bigram_cnt) div n_bi").alias("top_bigram_e4"),
+        )
+    )

@@ -1917,3 +1917,108 @@ SELECT station, n, numer, denom,
 FROM terms WHERE denom > 0
 """
 )
+
+
+# operators/corpus.py:contamination_check — same hash split, same
+# distinct word-5-gram hashing, same integer e4 overlap.
+CONTAMINATION_CHECK = f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+    CASE WHEN {_HB.format(key="CAST(doc_id AS VARCHAR) || 'split-v1'")} < 10 THEN 'test'
+         WHEN {_HB.format(key="CAST(doc_id AS VARCHAR) || 'split-v1'")} < 20 THEN 'val'
+         ELSE 'train' END AS split
+  FROM documents
+),
+toks AS (SELECT doc_id, split, {_TOKS} AS w FROM tagged),
+grams AS (
+  SELECT doc_id, split,
+         CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS g
+  FROM (
+    SELECT doc_id, split,
+           unnest(list_distinct(CASE WHEN len(w) >= 5
+             THEN list_transform(range(1, len(w) - 3),
+                                 i -> array_to_string(w[i:i+4], ' '))
+             ELSE [] END)) AS s
+    FROM toks
+  )
+),
+train AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+test AS (SELECT doc_id, g FROM grams WHERE split = 'test')
+SELECT t.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       (10000 * CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+         // COUNT(*) AS contam_e4,
+       CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10
+         >= COUNT(*) AS flagged
+FROM test t LEFT JOIN train tr ON t.g = tr.g
+GROUP BY t.doc_id
+"""
+
+# operators/corpus.py:mixture_epochs — same weight table
+# (DEFAULT_MIXTURE_E2), same hash bucket, same sequence explode.
+MIXTURE_EPOCHS = f"""
+WITH w(source, e2) AS (
+  VALUES ('src0', 250), ('src1', 130), ('src2', 0), ('src3', 75)
+),
+tagged AS (
+  SELECT doc_id, d.source,
+         COALESCE(e2, 100) AS e2,
+         {_HB.format(key="CAST(doc_id AS VARCHAR) || 'mix-v1'")} AS b
+  FROM documents d LEFT JOIN w ON d.source = w.source
+),
+counted AS (
+  SELECT doc_id, source,
+         e2 // 100 + CASE WHEN b < e2 % 100 THEN 1 ELSE 0 END AS n_copies
+  FROM tagged
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+FROM counted
+WHERE n_copies >= 1
+"""
+
+# operators/text.py:repetition_stats — per-row array arithmetic for
+# word/trigram duplication, exploded NON-distinct bigrams for the mode.
+TEXT_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+         CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS BIGINT) AS n_tri,
+         CAST(len(list_distinct(CASE WHEN len(w) >= 3
+             THEN list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))
+             ELSE [] END)) AS BIGINT) AS n_distinct_tri,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)),
+                                  i -> array_to_string(w[i:i+1], ' '))
+              ELSE [] END AS bi
+  FROM toks
+),
+per_gram AS (
+  SELECT doc_id, n_tokens, n_distinct_tokens, n_tri, n_distinct_tri,
+         s AS gram, COUNT(*) AS cnt
+  FROM (SELECT doc_id, n_tokens, n_distinct_tokens, n_tri, n_distinct_tri,
+               unnest(bi) AS s
+        FROM base)
+  GROUP BY doc_id, n_tokens, n_distinct_tokens, n_tri, n_distinct_tri, s
+),
+rolled AS (
+  SELECT doc_id, n_tokens, n_distinct_tokens, n_tri, n_distinct_tri,
+         CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+         CAST(sum(cnt) AS BIGINT) AS n_bi
+  FROM per_gram
+  GROUP BY doc_id, n_tokens, n_distinct_tokens, n_tri, n_distinct_tri
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE (10000 * (n_tokens - n_distinct_tokens)) // n_tokens END
+         AS dup_word_e4,
+       CASE WHEN n_tri = 0 THEN CAST(0 AS BIGINT)
+            ELSE (10000 * (n_tri - n_distinct_tri)) // n_tri END
+         AS dup_trigram_e4,
+       (10000 * top_bigram_cnt) // n_bi AS top_bigram_e4
+FROM rolled
+"""
