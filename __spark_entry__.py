@@ -945,6 +945,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "mixture_epochs": q_mixture_epochs,
         "text_repetition": q_text_repetition,
+        "tpch_market_share": sqlsurface.tpch_market_share,
+        "tpch_customer_distribution": sqlsurface.tpch_customer_distribution,
+        "tpch_top_supplier": sqlsurface.tpch_top_supplier,
+        "tpch_small_quantity_revenue": sqlsurface.tpch_small_quantity_revenue,
+        "tpch_inactive_customers": sqlsurface.tpch_inactive_customers,
     }
 
 
@@ -1062,4 +1067,9 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": oracles.CONTAMINATION_CHECK,
         "mixture_epochs": oracles.MIXTURE_EPOCHS,
         "text_repetition": oracles.TEXT_REPETITION,
+        "tpch_market_share": oracles.TPCH_MARKET_SHARE,
+        "tpch_customer_distribution": oracles.TPCH_CUSTOMER_DISTRIBUTION,
+        "tpch_top_supplier": oracles.TPCH_TOP_SUPPLIER,
+        "tpch_small_quantity_revenue": oracles.TPCH_SMALL_QUANTITY_REVENUE,
+        "tpch_inactive_customers": oracles.TPCH_INACTIVE_CUSTOMERS,
     }

@@ -385,6 +385,154 @@ def tpch_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of all STANDARD-part
+    revenue bought by EUROPE customers, what share came from NATION_5
+    suppliers, per order year. Nation joins twice under different
+    roles (supplier nationality vs customer region path); the share is
+    floor() basis points — engine-exact at the boundary."""
+    _views(spark, sf_dir, ["part", "lineitem", "orders", "customer",
+                           "supplier", "nation", "region"])
+    return spark.sql(
+        """
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_5'
+                              THEN volume ELSE 0 END), 2) AS nation_volume,
+               round(sum(volume), 2) AS total_volume,
+               CAST(floor(10000.0 * sum(CASE WHEN supp_nation = 'NATION_5'
+                              THEN volume ELSE 0 END) / sum(volume))
+                    AS BIGINT) AS mkt_share_bps
+        FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n1.n_name AS supp_nation
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey
+          WHERE p_type = 'STANDARD'
+            AND r_name = 'EUROPE'
+            AND o_orderdate >= DATE '1996-01-01'
+            AND o_orderdate < DATE '1998-01-01'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+        """
+    )
+
+
+def tpch_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    customers with zero qualifying orders stay (the original filters on
+    comment; the slim schema filters on urgent priority), count per
+    customer, then a histogram of those counts. Two aggregations, the
+    second over an already-tiny domain."""
+    _views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority = '1-URGENT'
+          GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """
+    )
+
+
+def tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the max-revenue supplier(s). Revenue is floored to integer
+    cents BEFORE the max-comparison so the winner is decided on exact
+    integers (double ulp noise cannot flip a tie cross-engine); the
+    global max is a window over the 1-row-per-supplier aggregate, not
+    over lineitem."""
+    _views(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(floor(100 * sum(l_extendedprice * (1 - l_discount)))
+                      AS BIGINT) AS total_cents
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_cents
+        FROM supplier
+        JOIN (
+          SELECT *, max(total_cents) OVER () AS max_cents FROM revenue
+        ) r ON s_suppkey = supplier_no
+        WHERE total_cents = max_cents
+        ORDER BY s_suppkey
+        """
+    )
+
+
+def tpch_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines of one
+    brand whose quantity is under 20% of that part's average quantity.
+    The correlated AVG subquery becomes a per-part aggregate joined
+    back; the threshold test is the integer cross-multiply
+    5*qty*cnt < sum(qty) (quantities are integral), so both engines
+    agree exactly at the boundary."""
+    _views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(
+        """
+        WITH per_part AS (
+          SELECT l_partkey AS pk,
+                 CAST(sum(l_quantity) AS BIGINT) AS qty_sum,
+                 COUNT(*) AS qty_cnt
+          FROM lineitem
+          GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN per_part ON pk = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND 5 * CAST(l_quantity AS BIGINT) * qty_cnt < qty_sum
+        """
+    )
+
+
+def tpch_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): above-average-balance
+    customers with NO recent orders (the slim schema has no phone, so
+    the country code is a custkey residue class). Anti-join via NOT
+    EXISTS (decorrelated to left-anti); the balance threshold is a
+    scalar subquery rounded to cents so both engines cut identically."""
+    _views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT CAST(c_custkey % 7 AS BIGINT) AS cty_code,
+               COUNT(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= DATE '2000-01-01'
+          )
+        GROUP BY c_custkey % 7
+        ORDER BY cty_code
+        """
+    )
+
+
 def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: one tight scan — every predicate (year, discount
     band, quantity cap) pushes into the parquet scan, then a single

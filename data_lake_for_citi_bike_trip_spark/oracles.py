@@ -1876,6 +1876,108 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """
 
+# operators/sqlsurface.py:tpch_market_share — Q8 shape.
+TPCH_MARKET_SHARE = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_5'
+                      THEN volume ELSE 0 END), 2) AS nation_volume,
+       round(sum(volume), 2) AS total_volume,
+       CAST(floor(10000.0 * sum(CASE WHEN supp_nation = 'NATION_5'
+                      THEN volume ELSE 0 END) / sum(volume))
+            AS BIGINT) AS mkt_share_bps
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE p_type = 'STANDARD'
+    AND r_name = 'EUROPE'
+    AND o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1998-01-01'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+# operators/sqlsurface.py:tpch_customer_distribution — Q13 shape.
+TPCH_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority = '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# operators/sqlsurface.py:tpch_top_supplier — Q15 shape (integer-cents
+# max so the winner is ulp-robust).
+TPCH_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(floor(100 * sum(l_extendedprice * (1 - l_discount)))
+              AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier
+JOIN (
+  SELECT *, max(total_cents) OVER () AS max_cents FROM revenue
+) r ON s_suppkey = supplier_no
+WHERE total_cents = max_cents
+ORDER BY s_suppkey
+"""
+
+# operators/sqlsurface.py:tpch_small_quantity_revenue — Q17 shape
+# (integer cross-multiply threshold).
+TPCH_SMALL_QUANTITY_REVENUE = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(l_quantity) AS BIGINT) AS qty_sum,
+         COUNT(*) AS qty_cnt
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN per_part ON pk = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND 5 * CAST(l_quantity AS BIGINT) * qty_cnt < qty_sum
+"""
+
+# operators/sqlsurface.py:tpch_inactive_customers — Q22 shape.
+TPCH_INACTIVE_CUSTOMERS = """
+SELECT CAST(c_custkey % 7 AS BIGINT) AS cty_code,
+       COUNT(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= DATE '2000-01-01'
+  )
+GROUP BY c_custkey % 7
+ORDER BY cty_code
+"""
+
 # operators/sqlsurface.py:tpch_forecast_revenue — Q6 shape.
 TPCH_FORECAST_REVENUE = """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
