@@ -1,0 +1,83 @@
+"""Planted-data tests for the round-2 LLM-pipeline additions:
+contamination_check, mixture_epochs, repetition_stats."""
+
+from __future__ import annotations
+
+from data_lake_for_citi_bike_trip_spark.operators import corpus, text as text_ops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+def test_repetition_stats_planted(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "s", "a a a a"),        # all-duplicate words
+            (2, "s", "w x y z"),        # all-unique words
+            (3, "s", "q"),              # 1 token: no bigram slots -> dropped
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in text_ops.repetition_stats(df).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: 4 tokens 1 distinct; trigrams 2 total 1 distinct; all bigrams "a a"
+    assert out[1]["dup_word_e4"] == (10000 * 3) // 4
+    assert out[1]["dup_trigram_e4"] == 5000
+    assert out[1]["top_bigram_e4"] == 10000
+    # doc 2: nothing repeats; 3 bigram slots, mode count 1
+    assert out[2]["dup_word_e4"] == 0
+    assert out[2]["dup_trigram_e4"] == 0
+    assert out[2]["top_bigram_e4"] == 10000 // 3
+
+
+def test_contamination_flags_exact_copies(spark):
+    # 40 identical docs: whichever land in 'test' are fully covered by the
+    # (near-certainly non-empty) train share of the rest.
+    same = [(i, "s", "alpha beta gamma delta epsilon zeta eta theta") for i in range(40)]
+    # unique docs: 5-grams exist nowhere else -> zero overlap for test ones
+    uniq = [
+        (100 + i, "s", f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g")
+        for i in range(40)
+    ]
+    out = corpus.contamination_check(_docs(spark, same + uniq))
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert rows, "hash split should put at least one doc in test"
+    for doc_id, r in rows.items():
+        if doc_id < 100:
+            assert r["contam_e4"] == 10000 and r["flagged"] is True
+        else:
+            assert r["contam_e4"] == 0 and r["flagged"] is False
+        assert 0 <= r["hits"] <= r["n_grams"]
+
+
+def test_mixture_epochs_copy_counts(spark):
+    df = _docs(
+        spark,
+        [(i, src, "t") for i in range(30) for src in ("up3", "half", "drop", "other")],
+    )
+    out = corpus.mixture_epochs(
+        df, epochs_e2={"up3": 300, "half": 150, "drop": 0}, default_e2=100
+    )
+    rows = out.collect()
+    by_key: dict[tuple, list[int]] = {}
+    for r in rows:
+        by_key.setdefault((r["source"], r["doc_id"]), []).append(r["copy_id"])
+    for (src, _), copies in by_key.items():
+        assert sorted(copies) == list(range(1, len(copies) + 1))  # contiguous ids
+        if src == "up3":
+            assert len(copies) == 3
+        elif src == "half":
+            assert len(copies) in (1, 2)
+        elif src == "other":
+            assert len(copies) == 1
+    assert not any(src == "drop" for src, _ in by_key)
+    # every up3/other doc survived; half docs survive with >=1 copy
+    assert sum(1 for (s, _) in by_key if s == "up3") == 30
+    assert sum(1 for (s, _) in by_key if s == "other") == 30
+    assert sum(1 for (s, _) in by_key if s == "half") == 30
+    # determinism: second run emits the identical multiset
+    again = corpus.mixture_epochs(
+        df, epochs_e2={"up3": 300, "half": 150, "drop": 0}, default_e2=100
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
