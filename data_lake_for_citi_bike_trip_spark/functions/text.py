@@ -32,13 +32,21 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams joined by single spaces.
+def shingles_of(w: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (single-space joined) over an already
+    tokenized array column.
 
-    Guarded for short docs: Spark's sequence(1, 0) counts *down*, so the
-    window index list is only built when size(w) >= n.
+    Prefer this two-step form (project ``tokens()`` to a column, then
+    shingle the ATTRIBUTE) whenever the result feeds an ``explode``:
+    a non-outer Generate makes Catalyst infer a ``size(...) > 0``
+    filter and push it below the projection, re-inlining the whole
+    tokenize+shingle expression into a per-row Filter — the work runs
+    twice more per row. With an attribute input the inferred filter is
+    cheap (or use explode_outer, which infers none).
+
+    Guarded for short docs: Spark's sequence(1, 0) counts *down*, so
+    the window index list is only built when size(w) >= n.
     """
-    w = tokens(text)
     grams = F.when(
         F.size(w) >= n,
         F.transform(
@@ -47,6 +55,11 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of raw text — ``shingles_of(tokens(text))``."""
+    return shingles_of(tokens(text), n)
 
 
 #: Pairwise-independent permutation family h_i(x) = (a_i*x + b_i) mod p

@@ -287,11 +287,22 @@ def contamination_check(
         .when(bucket < test_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("train"))
     )
-    grams = docs.select(
-        "doc_id",
-        split.alias("split"),
-        F.explode(TX.word_shingles(F.col("text"), n)).alias("gram"),
-    ).select("doc_id", "split", TX.token_hash32(F.col("gram")).alias("g"))
+    # Tokenize into a materialized column, then shingle the attribute and
+    # explode_outer: a plain explode over the inline expression makes
+    # Catalyst infer size(...) > 0 and push the whole tokenize+shingle
+    # tree into a per-row Filter (it would run 3x per row).
+    toks = spread(docs).select(
+        "doc_id", split.alias("split"), TX.tokens(F.col("text")).alias("w")
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            "split",
+            F.explode_outer(TX.shingles_of(F.col("w"), n)).alias("gram"),
+        )
+        .where(F.col("gram").isNotNull())
+        .select("doc_id", "split", TX.token_hash32(F.col("gram")).alias("g"))
+    )
     train = grams.where(F.col("split") == "train").select("g").distinct()
     test = grams.where(F.col("split") == "test").select("doc_id", "g")
     return (

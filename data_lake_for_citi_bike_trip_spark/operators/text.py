@@ -252,15 +252,20 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             lambda i: F.array_join(F.slice(w, i, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+    toks = spread(docs).select("doc_id", TX.tokens(F.col("text")).alias("w"))
     arrs = toks.select("doc_id", "w", tri.alias("tri"), bi.alias("bi"))
+    # explode_OUTER: a plain explode would infer a size(bi) > 0 filter
+    # and push it below the projections, re-inlining the whole n-gram
+    # build into a per-row Filter (measured 5x slower). Empty-bigram
+    # docs surface as one NULL-gram row and are dropped by the final
+    # n_tokens >= 2 cut instead.
     base = arrs.select(
         "doc_id",
         F.size(w).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct_tokens"),
         F.size(F.col("tri")).cast("bigint").alias("n_tri"),
         F.size(F.array_distinct(F.col("tri"))).cast("bigint").alias("n_distinct_tri"),
-        F.explode(F.col("bi")).alias("gram"),
+        F.explode_outer(F.col("bi")).alias("gram"),
     )
     stat_keys = ["doc_id", "n_tokens", "n_distinct_tokens", "n_tri", "n_distinct_tri"]
     per_gram = base.groupBy(*stat_keys, "gram").agg(F.count(F.lit(1)).alias("cnt"))
@@ -283,4 +288,5 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             ).alias("dup_trigram_e4"),
             F.expr("(10000 * top_bigram_cnt) div n_bi").alias("top_bigram_e4"),
         )
+        .where(F.col("n_tokens") >= 2)
     )
