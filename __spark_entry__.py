@@ -30,6 +30,7 @@ from data_lake_for_citi_bike_trip_spark.operators import (
 from data_lake_for_citi_bike_trip_spark.operators import corpus, search, skew, sqlsurface
 from data_lake_for_citi_bike_trip_spark.operators import layout, profile
 from data_lake_for_citi_bike_trip_spark.operators import behavior, geo, timeseries
+from data_lake_for_citi_bike_trip_spark.operators import intervals
 from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
 from data_lake_for_citi_bike_trip_spark.functions import vectors
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
@@ -730,6 +731,28 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user curve: first-seen reduction + day-grain
+    cumulative window."""
+    return behavior.cumulative_uniques(load_table(spark, sf_dir, "events"))
+
+
+def q_incident_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed batch interval-overlap join: user-day activity
+    windows x +/-15min high-severity error incidents."""
+    return intervals.incident_exposure(load_table(spark, sf_dir, "events"))
+
+
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (stateless enrichment): event stream
+    keyed onto the batch nation dim, per-nation counts, complete-mode
+    drain equals the batch rollup."""
+    stream = streaming.stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "nation")
+    result = streaming.static_enrich(stream, dim)
+    return streaming.run_available_now(result, "q_stream_static_enrich", "complete")
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming drain: tumbling-window counts via
     Trigger.AvailableNow + memory sink, complete output mode (equivalent
@@ -950,6 +973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_supplier": sqlsurface.tpch_top_supplier,
         "tpch_small_quantity_revenue": sqlsurface.tpch_small_quantity_revenue,
         "tpch_inactive_customers": sqlsurface.tpch_inactive_customers,
+        "cumulative_uniques": q_cumulative_uniques,
+        "incident_exposure": q_incident_exposure,
+        "stream_static_enrich": q_stream_static_enrich,
+        "lateral_topk": sqlsurface.lateral_topk,
     }
 
 
@@ -1072,4 +1099,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_top_supplier": oracles.TPCH_TOP_SUPPLIER,
         "tpch_small_quantity_revenue": oracles.TPCH_SMALL_QUANTITY_REVENUE,
         "tpch_inactive_customers": oracles.TPCH_INACTIVE_CUSTOMERS,
+        "cumulative_uniques": oracles.CUMULATIVE_UNIQUES,
+        "incident_exposure": oracles.INCIDENT_EXPOSURE,
+        "stream_static_enrich": oracles.STREAM_STATIC_ENRICH,
+        "lateral_topk": oracles.LATERAL_TOPK,
     }

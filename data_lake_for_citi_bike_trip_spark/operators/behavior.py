@@ -129,3 +129,32 @@ def markov_transitions(events: DataFrame) -> DataFrame:
             " (partition by from_type))"
         ).alias("prob_e4"),
     )
+
+
+def cumulative_uniques(events: DataFrame) -> DataFrame:
+    """Running distinct-user adoption curve per event type ("how many
+    users have EVER clicked/purchased, by day") WITHOUT a quadratic
+    daily re-distinct: each (user, type) reduces to a first-seen day
+    (one keyed agg), days reduce to new-user counts, and a running sum
+    over the tiny (type, day)-grain table finishes the job. The window
+    partitions by event_type and orders ~one row per calendar day —
+    thousands of rows at any corpus size — so the window stage is safe
+    by construction.
+    """
+    firsts = events.groupBy("user_id", "event_type").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day")
+    )
+    daily = firsts.groupBy("event_type", "first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

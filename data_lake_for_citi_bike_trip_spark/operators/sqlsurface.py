@@ -385,6 +385,29 @@ def tpch_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 / Spark 4): per nation, the
+    top-3 customers by balance. Catalyst rewrites the correlated
+    limit-per-row into a ranked window join — same physical plan as the
+    hand-written row_number() form, so the LATERAL sugar costs nothing;
+    ties break on c_custkey for engine-stable selection."""
+    _views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(
+        """
+        SELECT n_name, c_custkey, c_name, c_acctbal
+        FROM nation,
+        LATERAL (
+          SELECT c_custkey, c_name, c_acctbal
+          FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3
+        )
+        ORDER BY n_name, c_acctbal DESC, c_custkey
+        """
+    )
+
+
 def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape (national market share): of all STANDARD-part
     revenue bought by EUROPE customers, what share came from NATION_5

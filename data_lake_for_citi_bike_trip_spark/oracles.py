@@ -2124,3 +2124,69 @@ SELECT doc_id, n_tokens,
        (10000 * top_bigram_cnt) // n_bi AS top_bigram_e4
 FROM rolled
 """
+
+
+# operators/behavior.py:cumulative_uniques — first-seen reduction + tiny
+# day-grain running sum.
+CUMULATIVE_UNIQUES = """
+WITH firsts AS (
+  SELECT user_id, event_type,
+         CAST(min(CAST(ts AS DATE)) AS VARCHAR) AS first_day
+  FROM events GROUP BY user_id, event_type
+),
+daily AS (
+  SELECT event_type, first_day, COUNT(*) AS new_users
+  FROM firsts GROUP BY event_type, first_day
+)
+SELECT event_type, first_day AS day, new_users,
+       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily
+"""
+
+# operators/intervals.py:incident_exposure — brute-force overlap join;
+# the Spark side must produce identical pairs despite grid bucketing.
+INCIDENT_EXPOSURE = """
+WITH activity AS (
+  SELECT user_id,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(epoch_us(min(ts)) AS BIGINT) AS l_start_us,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS l_end_us
+  FROM events GROUP BY user_id, CAST(CAST(ts AS DATE) AS VARCHAR)
+),
+incidents AS (
+  SELECT event_id AS r_id,
+         CAST(epoch_us(ts) AS BIGINT) - 900000000 AS r_start_us,
+         CAST(epoch_us(ts) AS BIGINT) + 900000000 AS r_end_us
+  FROM events
+  WHERE event_type = 'error' AND value > 200.0
+)
+SELECT a.user_id, a.day, COUNT(*) AS n_incidents
+FROM activity a JOIN incidents i
+  ON a.l_start_us <= i.r_end_us AND i.r_start_us <= a.l_end_us
+GROUP BY a.user_id, a.day
+"""
+
+# streaming/pipeline.py:static_enrich — batch equivalence of the
+# stream-static broadcast join rollup.
+STREAM_STATIC_ENRICH = """
+SELECT n_name, COUNT(*) AS cnt
+FROM events JOIN nation ON user_id % 25 = n_nationkey
+GROUP BY n_name
+"""
+
+# operators/sqlsurface.py:lateral_topk — row_number() form of the
+# correlated LATERAL LIMIT (DuckDB also supports LATERAL, but the
+# window form pins the same tie-break explicitly).
+LATERAL_TOPK = """
+SELECT n_name, c_custkey, c_name, c_acctbal
+FROM (
+  SELECT n_name, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM nation JOIN customer ON c_nationkey = n_nationkey
+)
+WHERE rk <= 3
+ORDER BY n_name, c_acctbal DESC, c_custkey
+"""

@@ -221,3 +221,24 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a BATCH
+    dimension (the lookup-table join every enrichment topology needs).
+
+    The static side is broadcast — each micro-batch probes an in-memory
+    hash table, no state store and no watermark needed (stream-static
+    inner joins are stateless by construction: only the stream side
+    flows). The dim is re-resolved per micro-batch, so a dim refresh is
+    picked up at the next trigger on a real feed.
+
+    Here: map user_id onto its residue-class "home nation" and count
+    events per nation name — the keyed rollup after enrichment.
+    """
+    keyed = events.withColumn("nation_key", F.pmod(F.col("user_id"), F.lit(25)))
+    enriched = keyed.join(
+        F.broadcast(dim.select("n_nationkey", "n_name")),
+        keyed.nation_key == F.col("n_nationkey"),
+    )
+    return enriched.groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt"))

@@ -81,3 +81,22 @@ def test_mixture_epochs_copy_counts(spark):
         df, epochs_e2={"up3": 300, "half": 150, "drop": 0}, default_e2=100
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_overlap_join_grid_dedup(spark):
+    from data_lake_for_citi_bike_trip_spark.operators.intervals import overlap_join
+
+    H = 3_600_000_000  # 1h grid in micros
+    left = spark.createDataFrame(
+        [(1, 0, 5 * H), (2, 10 * H, 10 * H + 1), (3, 7 * H, 8 * H)],
+        "l_id bigint, l_start_us bigint, l_end_us bigint",
+    )
+    right = spark.createDataFrame(
+        # A spans cells 0..5 of interval 1 (must emit ONE pair, not 6);
+        # B touches interval 2 exactly at its start bound (inclusive);
+        # C overlaps nothing.
+        [(100, H, 4 * H), (200, 9 * H, 10 * H), (300, 20 * H, 21 * H)],
+        "r_id bigint, r_start_us bigint, r_end_us bigint",
+    )
+    got = sorted(tuple(r) for r in overlap_join(left, right).collect())
+    assert got == [(1, 100), (2, 200)]
