@@ -731,6 +731,16 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated-chunk detector (substring-level boilerplate)."""
+    return corpus.boilerplate_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization, floor-exact arithmetic."""
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct-user curve: first-seen reduction + day-grain
     cumulative window."""
@@ -977,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incident_exposure": q_incident_exposure,
         "stream_static_enrich": q_stream_static_enrich,
         "lateral_topk": sqlsurface.lateral_topk,
+        "boilerplate_chunks": q_boilerplate_chunks,
+        "quantize_int8": q_quantize_int8,
     }
 
 
@@ -1103,4 +1115,6 @@ def oracle_sql() -> dict[str, str]:
         "incident_exposure": oracles.INCIDENT_EXPOSURE,
         "stream_static_enrich": oracles.STREAM_STATIC_ENRICH,
         "lateral_topk": oracles.LATERAL_TOPK,
+        "boilerplate_chunks": oracles.BOILERPLATE_CHUNKS,
+        "quantize_int8": oracles.QUANTIZE_INT8,
     }

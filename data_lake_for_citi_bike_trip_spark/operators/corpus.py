@@ -372,3 +372,38 @@ def mixture_epochs(
     return tagged.select(
         "doc_id", "source", F.explode(copies).alias("copy_id")
     ).withColumn("copy_id", F.col("copy_id").cast("bigint"))
+
+
+def boilerplate_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 8,
+    stride: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate detector: fixed-token chunks (via
+    ``chunk_documents``) that recur in >= ``min_docs`` DISTINCT docs —
+    headers, footers, license blocks, templated spam. Deduplicating
+    these *chunks* (vs whole docs) is what substring-level dedup does
+    at corpus scale.
+
+    One chunking explode + one groupBy; distinct-doc counting rides the
+    same aggregate. The chunk text itself is the key here for
+    contract-readability — at 100 TB pre-hash the chunk (128-bit) and
+    carry ``min(chunk_text)`` as the exemplar so the shuffle moves
+    fixed-width keys.
+    """
+    chunks = chunk_documents(docs, chunk_tokens, stride)
+    return (
+        chunks.groupBy("chunk_text")
+        .agg(
+            F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            TX.token_hash32(F.col("chunk_text")).alias("chunk_hash"),
+            "chunk_text",
+            "n_docs",
+            "n_occurrences",
+        )
+    )

@@ -271,3 +271,29 @@ def mutual_knn_pairs(embeddings: DataFrame, k: int = 5) -> DataFrame:
         .where(F.col("__n") == 2)
         .drop("__n")
     )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/bandwidth
+    prep step for a vector index (4x smaller than float32, dot products
+    in integer SIMD on the serving side).
+
+    Per vector: scale = max(|x|), code_i = floor(127 * x_i / scale).
+    floor (not round/cast) because engines disagree on round-half and
+    double->int cast rules, while floor is IEEE-identical; every code is
+    per-element arithmetic — no cross-row float accumulation anywhere.
+    Pure higher-order functions per row, zero shuffle; codes emit as a
+    comma-joined string at the contract edge (array cells hash
+    engine-differently), with the scale in e6 micro-units.
+    """
+    v = V.as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    codes = F.transform(v, lambda x: F.floor(x * 127.0 / scale).cast("bigint"))
+    return spread(embeddings).select(
+        "vec_id",
+        F.floor(scale * 1e6).cast("bigint").alias("scale_e6"),
+        F.array_join(F.transform(codes, lambda c: c.cast("string")), ",").alias(
+            "codes_i8"
+        ),
+        F.size(codes).cast("bigint").alias("dim"),
+    )

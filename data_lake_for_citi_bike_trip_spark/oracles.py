@@ -2190,3 +2190,53 @@ FROM (
 WHERE rk <= 3
 ORDER BY n_name, c_acctbal DESC, c_custkey
 """
+
+
+# operators/corpus.py:boilerplate_chunks — chunk_documents at (8, 8)
+# then chunks recurring in >= 2 distinct docs.
+BOILERPLATE_CHUNKS = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sized AS (
+  SELECT doc_id, w,
+    greatest(CAST(ceil(CAST(len(w) - 8 AS DOUBLE) / 8) AS INT) + 1, 1) AS n_starts
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(w[s + 1 : s + 8], ' ') AS chunk_text
+  FROM (
+    SELECT doc_id, w,
+           unnest(list_transform(range(0, n_starts), i -> i * 8)) AS s
+    FROM sized
+  )
+)
+SELECT CAST('0x' || substr(md5(chunk_text), 1, 8) AS BIGINT) AS chunk_hash,
+       chunk_text,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM chunks
+GROUP BY chunk_text
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+# operators/similarity.py:quantize_int8 — same floor arithmetic, codes
+# as a joined string (list cells hash engine-differently).
+QUANTIZE_INT8 = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, vd,
+         list_max(list_transform(vd, x -> abs(x))) AS scale
+  FROM v
+)
+SELECT vec_id,
+       CAST(floor(scale * 1e6) AS BIGINT) AS scale_e6,
+       array_to_string(
+         list_transform(vd, x -> CAST(CAST(floor(x * 127.0 / scale) AS BIGINT)
+                                      AS VARCHAR)), ',') AS codes_i8,
+       CAST(len(vd) AS BIGINT) AS dim
+FROM scaled
+"""
