@@ -731,6 +731,33 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: each error joined to its temporally CLOSEST
+    purchase (per user), ties to the earlier side — one exchange, two
+    in-partition sorts."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("p_ts_us"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof.asof_join(
+        errors, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["p_ts_us", "p_value"], direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "asof_p_ts_us",
+        "asof_p_value",
+    )
+
+
 def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc repeated-chunk detector (substring-level boilerplate)."""
     return corpus.boilerplate_chunks(load_table(spark, sf_dir, "documents"))
@@ -989,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_topk": sqlsurface.lateral_topk,
         "boilerplate_chunks": q_boilerplate_chunks,
         "quantize_int8": q_quantize_int8,
+        "asof_nearest": q_asof_nearest,
     }
 
 
@@ -1117,4 +1145,5 @@ def oracle_sql() -> dict[str, str]:
         "lateral_topk": oracles.LATERAL_TOPK,
         "boilerplate_chunks": oracles.BOILERPLATE_CHUNKS,
         "quantize_int8": oracles.QUANTIZE_INT8,
+        "asof_nearest": oracles.ASOF_NEAREST,
     }

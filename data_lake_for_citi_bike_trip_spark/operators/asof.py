@@ -37,8 +37,12 @@ def asof_join(
     key-partitioned window, keep left rows. Equivalent to a merge-asof but
     expressed so Spark plans exactly one exchange + sort either way.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, left_ts, right_ts, right_cols)
     lt = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )
@@ -68,6 +72,68 @@ def asof_join(
         carried.where(F.col("__is_left") == 1)
         .drop("__is_left", "__ts", *[f"__r_{c}" for c in right_cols])
     )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Nearest-neighbor as-of: per left row, the closer of the latest
+    at-or-before and earliest at-or-after right rows (exact ties keep
+    the backward match, pandas merge_asof semantics).
+
+    Same union-tag frame as the directional passes, with BOTH carries
+    evaluated over it: the two windows share one key partitioning, so
+    Spark plans a single exchange and two in-partition sorts (asc then
+    desc) — nearest costs one extra sort, not an extra shuffle. The
+    right timestamp rides along as a carried payload so the closer-side
+    choice is a per-row comparison of the two deltas.
+    """
+    carry = [*right_cols, "__rts"]
+    lt = left.withColumn("__is_left", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    payload = [F.col(c).alias(f"__r_{c}") for c in right_cols] + [
+        F.col(right_ts).alias("__r___rts")
+    ]
+    rt = right.select(F.col(on), F.col(right_ts).alias("__ts"), *payload).withColumn(
+        "__is_left", F.lit(0)
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}") for c in carry],
+        *[F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}") for c in carry],
+    )
+    b_ts, f_ts = F.col("__b___rts"), F.col("__f___rts")
+    pick_forward = b_ts.isNull() | (
+        f_ts.isNotNull() & ((f_ts - F.col("__ts")) < (F.col("__ts") - b_ts))
+    )
+    chosen = [
+        F.when(pick_forward, F.col(f"__f_{c}"))
+        .otherwise(F.col(f"__b_{c}"))
+        .alias(f"asof_{c}")
+        for c in right_cols
+    ]
+    internals = (
+        ["__is_left", "__ts"]
+        + [f"__r_{c}" for c in carry]
+        + [f"__b_{c}" for c in carry]
+        + [f"__f_{c}" for c in carry]
+    )
+    return carried.where(F.col("__is_left") == 1).select("*", *chosen).drop(*internals)
 
 
 def range_join_bucketed(

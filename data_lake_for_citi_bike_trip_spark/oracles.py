@@ -2240,3 +2240,34 @@ SELECT vec_id,
        CAST(len(vd) AS BIGINT) AS dim
 FROM scaled
 """
+
+
+# operators/asof.py:_asof_nearest — both directional ASOF joins, then
+# the per-row closer-side pick (strict < keeps backward on exact ties).
+ASOF_NEAREST = r"""
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT user_id, ts, CAST(epoch_us(ts) AS BIGINT) AS p_ts_us,
+         value AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT e.event_id, p.p_ts_us AS b_ts, p.p_value AS b_val
+  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+),
+f AS (
+  SELECT e.event_id, p.p_ts_us AS f_ts, p.p_value AS f_val
+  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+)
+SELECT e.event_id, e.user_id, e.ts_us,
+  CASE WHEN b_ts IS NULL OR (f_ts IS NOT NULL AND (f_ts - ts_us) < (ts_us - b_ts))
+       THEN f_ts ELSE b_ts END AS asof_p_ts_us,
+  CASE WHEN b_ts IS NULL OR (f_ts IS NOT NULL AND (f_ts - ts_us) < (ts_us - b_ts))
+       THEN f_val ELSE b_val END AS asof_p_value
+FROM e
+JOIN b USING (event_id)
+JOIN f USING (event_id)
+"""

@@ -100,3 +100,30 @@ def test_overlap_join_grid_dedup(spark):
     )
     got = sorted(tuple(r) for r in overlap_join(left, right).collect())
     assert got == [(1, 100), (2, 200)]
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    from data_lake_for_citi_bike_trip_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 10), (3, 1, 205), (4, 2, 50)],
+        "event_id bigint, user_id bigint, ts bigint",
+    )
+    right = spark.createDataFrame(
+        # user 1 quotes at 90 and 110 (row 1 ties at distance 10 -> backward);
+        # row 2 sits before all quotes (forward only); row 3 nearest is 110...
+        # wait: 205-110=95 vs next none after -> backward. user 2 has none.
+        [(1, 90, 9.0), (1, 110, 11.0)],
+        "user_id bigint, ts bigint, q double",
+    )
+    out = {
+        r["event_id"]: r["asof_q"]
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["q"], direction="nearest",
+        ).collect()
+    }
+    assert out[1] == 9.0     # exact tie -> backward
+    assert out[2] == 9.0     # only forward matches exist
+    assert out[3] == 11.0    # backward 110 is nearest
+    assert out[4] is None    # no right rows for user 2
