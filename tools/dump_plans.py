@@ -33,6 +33,12 @@ HEADLINE = [
     "token_colocation",
     "key_skew_profile",
     "referential_orphans",
+    "tpch_local_supplier_volume",
+    "tpch_discounted_revenue",
+    "contamination_check",
+    "incident_exposure",
+    "asof_nearest",
+    "text_repetition",
 ]
 
 NOTES = {
@@ -91,6 +97,23 @@ NOTES = {
     "total broadcast-attached; TakeOrderedAndProject top-k",
     "referential_orphans": "keys-only left_anti joins (shuffle carries "
     "the key column, nothing else); parent key sets distinct+broadcast",
+    "tpch_local_supplier_volume": "6-table Q5 cycle: region/nation/"
+    "supplier broadcast, one shuffle join (orders-lineitem) + final "
+    "per-nation agg; date+region filters prune before any join",
+    "tpch_discounted_revenue": "Q19 OR-of-ANDs: ONE hash join on "
+    "p_partkey with the disjunction as a residual post-join filter; "
+    "per-side prunable conjuncts pushed into both scans",
+    "contamination_check": "grams hashed to ints pre-shuffle; "
+    "train-distinct + left join + per-doc rollup are the three key "
+    "shuffles; explode_outer avoids the Generate-filter recompute",
+    "incident_exposure": "intervals exploded onto the hour grid; plain "
+    "equi-join on cell + exact overlap filter + pair dedup — never a "
+    "time-theta BroadcastNestedLoopJoin",
+    "asof_nearest": "ONE exchange on the key, two in-partition sorts "
+    "(asc/desc carries); closer-side pick is per-row arithmetic",
+    "text_repetition": "tokenize ONCE into a projection; per-row array "
+    "stats ride the bigram explode as group keys — documents scanned "
+    "once, two partial-agg shuffles on the doc key",
 }
 
 
