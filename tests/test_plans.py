@@ -91,3 +91,33 @@ def test_feature_deciles_single_aggregation_pass(spark, sf_dir):
     # one window sort + one grouped agg; no join machinery at all
     assert f["nested_loop_joins"] == 0
     assert f["sortmerge_joins"] == 0
+
+
+def test_tpch_q5_cycle_broadcasts_small_sides(spark, sf_dir):
+    """Q5's 6-table cycle: region/nation/supplier must broadcast, no
+    cartesian anywhere; the big orders-lineitem edge may hash-shuffle."""
+    f = _facts(spark, sf_dir, "tpch_local_supplier_volume")
+    assert f["broadcast_joins"] >= 3
+    assert f["nested_loop_joins"] == 0
+
+
+def test_tpch_q19_single_join_with_residual_or(spark, sf_dir):
+    """Q19's OR-of-ANDs must plan as ONE equi join on p_partkey with the
+    disjunction as a residual filter, never a nested-loop product."""
+    f = _facts(spark, sf_dir, "tpch_discounted_revenue")
+    assert f["nested_loop_joins"] == 0
+    assert f["sortmerge_joins"] + f["broadcast_joins"] >= 1
+
+
+def test_asof_nearest_single_exchange(spark, sf_dir):
+    """Nearest as-of must reuse ONE key exchange for both directional
+    window carries (two sorts, not two shuffles)."""
+    f = _facts(spark, sf_dir, "asof_nearest")
+    # one Exchange node in the tree (formatted mode prints the tree and a
+    # per-node details section, so the substring appears twice per node)
+    assert f["plan"].count("+- Exchange") == 1, f["plan"]
+
+
+def test_interval_overlap_join_is_hash_equi(spark, sf_dir):
+    f = _facts(spark, sf_dir, "incident_exposure")
+    assert f["nested_loop_joins"] == 0

@@ -62,3 +62,39 @@ def test_user_agg_id_null_propagation(spark, usertype, gender, birth_year):
         assert got is None
     else:
         assert got == usertype + gender + birth_year
+
+
+INTERVAL = st.tuples(
+    st.integers(min_value=0, max_value=50_000_000_000),   # start_us (~14h span)
+    st.integers(min_value=0, max_value=12_000_000_000),   # width_us (0..3.3h)
+).map(lambda t: (t[0], t[0] + t[1]))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(INTERVAL, min_size=1, max_size=12),
+    st.lists(INTERVAL, min_size=1, max_size=12),
+)
+def test_overlap_join_equals_brute_force(spark, lefts, rights):
+    """The grid-bucketed overlap join must emit EXACTLY the brute-force
+    pair set — no duplicates from multi-cell co-occurrence, no misses at
+    cell boundaries — for arbitrary interval sets (including zero-width
+    intervals and spans much longer than one grid cell)."""
+    from data_lake_for_citi_bike_trip_spark.operators.intervals import overlap_join
+
+    ldf = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(lefts)],
+        "l_id bigint, l_start_us bigint, l_end_us bigint",
+    )
+    rdf = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(rights)],
+        "r_id bigint, r_start_us bigint, r_end_us bigint",
+    )
+    got = sorted(tuple(r) for r in overlap_join(ldf, rdf).collect())
+    want = sorted(
+        (li, ri)
+        for li, (ls, le) in enumerate(lefts)
+        for ri, (rs, re) in enumerate(rights)
+        if ls <= re and rs <= le
+    )
+    assert got == want
