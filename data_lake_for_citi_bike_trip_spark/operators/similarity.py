@@ -228,12 +228,21 @@ def knn_graph(embeddings: DataFrame, k: int = 5) -> DataFrame:
     embarrassingly parallel. The window top-k keeps only k rows per
     source past the shuffle (rank pushes partial TopK into the sort).
     """
-    corpus = _prepared(embeddings)
-    src = corpus.select(F.col("vec_id").alias("src"), F.col("v").alias("sv"))
+    # Norms materialize once per VECTOR (n sqrt-reductions, not n^2):
+    # the pair scorer then runs a single dot per pair. Bit-identical to
+    # cosine_r6 per pair — see cosine_r6_prenormed.
+    corpus = _prepared(embeddings).withColumn("nrm", V.norm(F.col("v")))
+    src = corpus.select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("sv"),
+        F.col("nrm").alias("snrm"),
+    )
     scored = corpus.join(F.broadcast(src), F.col("vec_id") != F.col("src")).select(
         "src",
         F.col("vec_id").alias("dst"),
-        V.cosine_r6(F.col("sv"), F.col("v")).alias("cos_sim"),
+        V.cosine_r6_prenormed(
+            F.col("sv"), F.col("v"), F.col("snrm"), F.col("nrm")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
