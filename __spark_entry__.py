@@ -768,6 +768,12 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_user_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch applyInPandas (grouped map): per-user integer median
+    inter-event gap via one numpy call per user."""
+    return behavior.user_gap_median(load_table(spark, sf_dir, "events"))
+
+
 def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct-user curve: first-seen reduction + day-grain
     cumulative window."""
@@ -1017,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_chunks": q_boilerplate_chunks,
         "quantize_int8": q_quantize_int8,
         "asof_nearest": q_asof_nearest,
+        "user_gap_median": q_user_gap_median,
     }
 
 
@@ -1146,4 +1153,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_chunks": oracles.BOILERPLATE_CHUNKS,
         "quantize_int8": oracles.QUANTIZE_INT8,
         "asof_nearest": oracles.ASOF_NEAREST,
+        "user_gap_median": oracles.USER_GAP_MEDIAN,
     }

@@ -158,3 +158,46 @@ def cumulative_uniques(events: DataFrame) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+def user_gap_median(events: DataFrame) -> DataFrame:
+    """Per-user median inter-event gap — the batch ``applyInPandas``
+    (grouped-map) showcase: Arrow ships each user's rows to ONE numpy
+    call; the group key partitioning is the same single exchange a
+    groupBy would plan. Python is justified here as the escape-hatch
+    pattern (rank-order statistics per group with custom logic), and
+    the contract stays engine-exact by construction: gaps floor to
+    whole seconds and the median is the LOWER-middle element
+    ``sorted_gaps[(n-1)//2]`` — pure integer selection, nothing to
+    round differently. Users with fewer than two events have no gap
+    and drop out.
+
+    At scale: state is one user's events in memory at a time (bounded
+    per-user cardinality), batches are Arrow-columnar, and no driver
+    collection anywhere — the same shape applyInPandasWithState uses
+    in streaming.
+    """
+    import pandas as pd  # local: keep module import-light
+
+    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ts = np.sort(pdf["ts_us"].to_numpy())
+        if len(ts) < 2:
+            return pd.DataFrame(
+                {"user_id": [], "n_gaps": [], "median_gap_s": []}
+            ).astype({"user_id": "int64", "n_gaps": "int64", "median_gap_s": "int64"})
+        gaps = np.sort((np.diff(ts) // 1_000_000).astype("int64"))
+        n = len(gaps)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [n],
+                "median_gap_s": [int(gaps[(n - 1) // 2])],
+            }
+        )
+
+    keyed = events.select("user_id", F.unix_micros("ts").alias("ts_us"))
+    return keyed.groupBy("user_id").applyInPandas(
+        per_user, "user_id bigint, n_gaps bigint, median_gap_s bigint"
+    )

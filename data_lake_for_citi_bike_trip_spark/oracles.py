@@ -2271,3 +2271,28 @@ FROM e
 JOIN b USING (event_id)
 JOIN f USING (event_id)
 """
+
+
+# operators/behavior.py:user_gap_median — lower-middle integer median of
+# whole-second gaps (mirrors the numpy selection exactly).
+USER_GAP_MEDIAN = """
+WITH ts AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+),
+gaps AS (
+  SELECT user_id,
+         (us - lag(us) OVER (PARTITION BY user_id ORDER BY us)) // 1000000
+           AS gap_s
+  FROM ts
+),
+g AS (SELECT user_id, gap_s FROM gaps WHERE gap_s IS NOT NULL),
+ranked AS (
+  SELECT user_id, gap_s,
+         row_number() OVER (PARTITION BY user_id ORDER BY gap_s) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM g
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps, gap_s AS median_gap_s
+FROM ranked
+WHERE rk = (n - 1) // 2 + 1
+"""
