@@ -55,8 +55,11 @@ def vocabulary(docs: DataFrame, top_k: int = 50) -> DataFrame:
     counts) after map-side combine; top-k is a single window over the
     aggregated (small) vocab table.
     """
-    exploded = spread(docs).select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    exploded = (
+        spread(docs)
+        .select("doc_id", TX.tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.explode_outer(F.col("w")).alias("token"))
+        .where(F.col("token").isNotNull())
     )
     counts = exploded.groupBy("token").agg(
         F.count(F.lit(1)).alias("cf"),

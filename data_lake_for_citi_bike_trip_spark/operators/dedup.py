@@ -50,9 +50,13 @@ def _signatures(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
     derive all permutations via (a_i*h + b_i) mod p, aggregate mins. Docs
     with fewer than ``shingle_n`` words have no shingles and drop out
     (they can't be near-dup candidates)."""
-    postings = spread(docs).select(
-        "doc_id", F.explode(TX.word_shingles(F.col("text"), shingle_n)).alias("s")
-    )
+    # two-step tokenize->shingle-the-attribute + explode_outer: a plain
+    # explode over the inline expression re-inlines the whole shingle
+    # tree into an inferred per-row size()>0 Filter (see shingles_of)
+    toks = spread(docs).select("doc_id", TX.tokens(F.col("text")).alias("w"))
+    postings = toks.select(
+        "doc_id", F.explode_outer(TX.shingles_of(F.col("w"), shingle_n)).alias("s")
+    ).where(F.col("s").isNotNull())
     hashed = postings.select("doc_id", TX.token_hash32(F.col("s")).alias("h"))
     return hashed.groupBy("doc_id").agg(*TX.minhash_agg_columns(F.col("h")))
 
@@ -114,9 +118,10 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
     """Per-document 32-bit SimHash (bigint): explode tokens, hash each
     once, per-bit majority vote as a single shallow aggregate. Docs with
     no tokens drop out."""
-    exploded = spread(docs).select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("t")
-    )
+    toks = spread(docs).select("doc_id", TX.tokens(F.col("text")).alias("w"))
+    exploded = toks.select(
+        "doc_id", F.explode_outer(F.col("w")).alias("t")
+    ).where(F.col("t").isNotNull())
     hashed = exploded.select("doc_id", TX.token_hash32(F.col("t")).alias("h"))
     return hashed.groupBy("doc_id").agg(
         TX.simhash_agg(F.col("h")).alias("simhash")
@@ -213,9 +218,15 @@ def ngram_jaccard_pairs(
     cap_bp``) and the doc count is an aggregate inside the plan — no
     eager action, no float comparison drift vs the oracle.
     """
-    postings = spread(docs).select(
-        "doc_id", F.explode(TX.word_shingles(F.col("text"), shingle_n)).alias("s")
-    ).distinct()
+    toks = spread(docs).select("doc_id", TX.tokens(F.col("text")).alias("w"))
+    postings = (
+        toks.select(
+            "doc_id",
+            F.explode_outer(TX.shingles_of(F.col("w"), shingle_n)).alias("s"),
+        )
+        .where(F.col("s").isNotNull())
+        .distinct()
+    )
     if max_doc_frequency is not None:
         cap_bp = int(round(max_doc_frequency * 10000))
         n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))

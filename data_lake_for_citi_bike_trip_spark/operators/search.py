@@ -40,8 +40,14 @@ def bm25_topk(
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation k1, length
     normalization b). Returns (doc_id, n_terms_matched, score, rank)."""
     terms = sorted(set(query_terms))
-    toks = spread(docs).select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    # explode_outer over a materialized token column: a plain explode of
+    # the inline tokens() re-inlines the split into an inferred per-row
+    # Filter (see functions.text.shingles_of)
+    toks = (
+        spread(docs)
+        .select("doc_id", TX.tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.explode_outer(F.col("w")).alias("term"))
+        .where(F.col("term").isNotNull())
     )
     doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(

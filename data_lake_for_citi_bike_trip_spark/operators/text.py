@@ -115,10 +115,13 @@ def fingerprint(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
     ``min_shingle_fp`` — same semantics as array_min over an empty array.
     """
     min_fp = (
-        spread(docs).select(
+        spread(docs)
+        .select("doc_id", TX.tokens(F.col("text")).alias("w"))
+        .select(
             "doc_id",
-            F.explode(TX.word_shingles(F.col("text"), shingle_n)).alias("s"),
+            F.explode_outer(TX.shingles_of(F.col("w"), shingle_n)).alias("s"),
         )
+        .where(F.col("s").isNotNull())
         .groupBy("doc_id")
         .agg(F.min(F.md5("s")).alias("min_shingle_fp"))
     )
@@ -145,8 +148,11 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     Scale: explode -> map-side-combined counts; the unigram table
     re-joins postings keyed on token (broadcast when the vocab is small);
     corpus total attaches as a 1-row broadcast."""
-    postings = spread(docs).select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    postings = (
+        spread(docs)
+        .select("doc_id", TX.tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.explode_outer(F.col("w")).alias("token"))
+        .where(F.col("token").isNotNull())
     )
     vocab = postings.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
     total = vocab.agg(F.sum("cf").alias("total_cf"))
