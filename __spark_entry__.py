@@ -490,7 +490,7 @@ def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical plan and result as the batch session_window query."""
     stream = streaming.stream_events(spark, sf_dir)
     result = streaming.session_counts(stream)
-    return streaming.run_available_now(result, "q_stream_session_counts", "complete")
+    return streaming.run_available_now(result, "q_stream_session_counts", "complete", state_partitions=8)
 
 
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,7 +526,7 @@ def q_stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     every event lands in exactly two epoch-aligned 1h/30min windows."""
     stream = streaming.stream_events(spark, sf_dir)
     result = streaming.sliding_avg(stream, window="1 hour", slide="30 minutes")
-    return streaming.run_available_now(result, "q_stream_sliding_sum", "complete")
+    return streaming.run_available_now(result, "q_stream_sliding_sum", "complete", state_partitions=8)
 
 
 def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,7 +793,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming.stream_events(spark, sf_dir)
     dim = load_table(spark, sf_dir, "nation")
     result = streaming.static_enrich(stream, dim)
-    return streaming.run_available_now(result, "q_stream_static_enrich", "complete")
+    return streaming.run_available_now(result, "q_stream_static_enrich", "complete", state_partitions=8)
 
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,7 +802,7 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the batch tumbling aggregation, hence oracle-checkable)."""
     stream = streaming.stream_events(spark, sf_dir)
     result = streaming.windowed_counts(stream, window="1 hour", watermark="2 hours")
-    return streaming.run_available_now(result, "q_stream_window_counts", "complete")
+    return streaming.run_available_now(result, "q_stream_window_counts", "complete", state_partitions=8)
 
 
 def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,7 +811,7 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final state == the batch count (oracle-checkable)."""
     stream = streaming.stream_events(spark, sf_dir)
     updates = stateful.user_running_totals(stream)
-    drained = streaming.run_available_now(updates, "q_stream_user_totals", "update")
+    drained = streaming.run_available_now(updates, "q_stream_user_totals", "update", state_partitions=8)
     return drained.groupBy("user_id").agg(
         F.max("total_events").alias("total_events")
     )
@@ -825,7 +825,8 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming.stream_events(spark, sf_dir)
     deduped = streaming.dedup_stream(stream, keys=["user_id", "event_type"])
     drained = streaming.run_available_now(
-        deduped.select("user_id", "event_type"), "q_stream_dedup_keys", "append"
+        deduped.select("user_id", "event_type"), "q_stream_dedup_keys", "append",
+        state_partitions=8,
     )
     return drained.distinct()
 
@@ -850,7 +851,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("r_ts").alias("r_ts_us"),
         "r_value",
     )
-    return streaming.run_available_now(out, "q_stream_interval_join", "append")
+    return streaming.run_available_now(out, "q_stream_interval_join", "append", state_partitions=8)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,19 +103,37 @@ def sliding_avg(
 
 
 def run_available_now(
-    result: DataFrame, name: str, output_mode: str = "complete"
+    result: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the source with Trigger.AvailableNow into a memory sink and
-    return the materialized table."""
+    return the materialized table.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for THIS
+    query's lifetime (stateful operators create one state store per
+    shuffle partition, and the store init/commit cost dominates small
+    drains — results are partition-count independent, only latency
+    changes). A production feed sizes it to the key cardinality; the
+    conf is restored afterwards either way.
+    """
     spark = result.sparkSession
-    query = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
