@@ -796,6 +796,19 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(result, "q_stream_static_enrich", "complete", state_partitions=8)
 
 
+def q_stream_append_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed counts: only watermark-closed windows emit
+    (window.end <= max event time - 2h). All rows arrive in the single
+    availableNow batch, so nothing is late-dropped and each emitted
+    window carries its exact final count — deterministic, hash-checked
+    against the batch cutoff mirror."""
+    stream = streaming.stream_events(spark, sf_dir)
+    result = streaming.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    return streaming.run_available_now(
+        result, "q_stream_append_counts", "append", state_partitions=8
+    )
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming drain: tumbling-window counts via
     Trigger.AvailableNow + memory sink, complete output mode (equivalent
@@ -1025,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_int8": q_quantize_int8,
         "asof_nearest": q_asof_nearest,
         "user_gap_median": q_user_gap_median,
+        "stream_append_counts": q_stream_append_counts,
     }
 
 
@@ -1155,4 +1169,5 @@ def oracle_sql() -> dict[str, str]:
         "quantize_int8": oracles.QUANTIZE_INT8,
         "asof_nearest": oracles.ASOF_NEAREST,
         "user_gap_median": oracles.USER_GAP_MEDIAN,
+        "stream_append_counts": oracles.STREAM_APPEND_COUNTS,
     }

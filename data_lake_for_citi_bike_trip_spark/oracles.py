@@ -2296,3 +2296,23 @@ SELECT user_id, CAST(n AS BIGINT) AS n_gaps, gap_s AS median_gap_s
 FROM ranked
 WHERE rk = (n - 1) // 2 + 1
 """
+
+
+# __spark_entry__.q_stream_append_counts — batch mirror of append-mode
+# emission: tumbling hourly counts for windows closed by the final
+# watermark (max event time - 2h). Single-batch drain => no late drops,
+# so emitted counts equal batch counts exactly.
+STREAM_APPEND_COUNTS = """
+WITH mx AS (
+  SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS max_us FROM events
+),
+w AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+         event_type, COUNT(*) AS cnt
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start_us, event_type, cnt
+FROM w, mx
+WHERE window_start_us + 3600000000 <= max_us - 7200000000
+"""
