@@ -1039,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "user_gap_median": q_user_gap_median,
         "stream_append_counts": q_stream_append_counts,
+        "not_in_null_semantics": sqlsurface.not_in_null_semantics,
     }
 
 
@@ -1170,4 +1171,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest": oracles.ASOF_NEAREST,
         "user_gap_median": oracles.USER_GAP_MEDIAN,
         "stream_append_counts": oracles.STREAM_APPEND_COUNTS,
+        "not_in_null_semantics": oracles.NOT_IN_NULL_SEMANTICS,
     }

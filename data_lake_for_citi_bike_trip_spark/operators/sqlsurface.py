@@ -385,6 +385,29 @@ def tpch_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN / NOT EXISTS null trap, pinned as a contract query:
+    when the subquery column contains even one NULL, ``NOT IN`` is
+    three-valued-logic false-or-unknown for EVERY outer row (count 0),
+    while ``NOT EXISTS`` keeps its anti-join meaning. Spark plans the
+    former as a null-aware anti join — a distinct physical operator —
+    and both engines must agree on the standard's semantics."""
+    _views(spark, sf_dir, ["part", "lineitem"])
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM part WHERE p_partkey NOT IN
+             (SELECT CASE WHEN l_quantity > 49 THEN NULL ELSE l_partkey END
+              FROM lineitem)) AS not_in_cnt,
+          (SELECT COUNT(*) FROM part p WHERE NOT EXISTS
+             (SELECT 1 FROM lineitem l
+              WHERE (CASE WHEN l_quantity > 49 THEN NULL
+                          ELSE l.l_partkey END) = p.p_partkey))
+            AS not_exists_cnt
+        """
+    )
+
+
 def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery (SQL:2016 / Spark 4): per nation, the
     top-3 customers by balance. Catalyst rewrites the correlated

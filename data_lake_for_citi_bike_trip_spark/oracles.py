@@ -2316,3 +2316,18 @@ SELECT window_start_us, event_type, cnt
 FROM w, mx
 WHERE window_start_us + 3600000000 <= max_us - 7200000000
 """
+
+
+# operators/sqlsurface.py:not_in_null_semantics — standard 3VL: the
+# NULL in the subquery empties NOT IN; NOT EXISTS stays an anti join.
+NOT_IN_NULL_SEMANTICS = """
+SELECT
+  (SELECT COUNT(*) FROM part WHERE p_partkey NOT IN
+     (SELECT CASE WHEN l_quantity > 49 THEN NULL ELSE l_partkey END
+      FROM lineitem)) AS not_in_cnt,
+  (SELECT COUNT(*) FROM part p WHERE NOT EXISTS
+     (SELECT 1 FROM lineitem l
+      WHERE (CASE WHEN l_quantity > 49 THEN NULL
+                  ELSE l.l_partkey END) = p.p_partkey))
+    AS not_exists_cnt
+"""
