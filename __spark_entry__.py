@@ -912,7 +912,91 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_fact_trips(spark, SF_SMOKE)
 
 
+# Queries with a green driver row in CORRECTNESS_r01/r02. The driver's
+# correctness gate samples only the FIRST 50 entries of queries() in dict
+# order, so queries() front-loads everything NOT in this set (new and
+# never-driver-checked work) until each has had a driver row.
+_DRIVER_CHECKED = frozenset({
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "anti_users",
+    "approx_distinct_users",
+    "asof_forward",
+    "asof_purchase",
+    "cdc_merge",
+    "chunk_documents",
+    "corpus_vocabulary",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_levenshtein",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_docs",
+    "dedup_simhash_pairs",
+    "dim_bike",
+    "dim_covid",
+    "dim_station",
+    "dim_time",
+    "dim_user_agg",
+    "dim_weather",
+    "dq_counts",
+    "event_type_pivot",
+    "fact_trips",
+    "incremental_agg",
+    "json_props_rollup",
+    "lake_roundtrip",
+    "length_histogram",
+    "llm_prep_pipeline",
+    "mad_anomalies",
+    "moving_average",
+    "multimodal_decode_dims",
+    "multimodal_payload_stats",
+    "pricing_summary",
+    "profile_orders",
+    "range_price_match",
+    "revenue_by_nation",
+    "rides_per_hour",
+    "rollup_revenue",
+    "sample_by_hash",
+    "scd2_stations",
+    "scrub_text",
+    "semantic_dedup",
+    "session_window",
+    "sessionize",
+    "stats_summary",
+    "stream_dedup_keys",
+    "stream_user_totals",
+    "stream_window_counts",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality",
+    "text_surprisal",
+    "text_token_stats",
+    "top_stations",
+    "train_test_split",
+    "union_backfill",
+    "unpivot_event_counts",
+    "window_funcs",
+    "zorder_sample",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """fact_trips first (flagship), then never-driver-checked queries so
+    the 50-entry gate lands on new work, then the already-green rest."""
+    allq = _all_queries()
+    ordered = {"fact_trips": allq["fact_trips"]}
+    for name, fn in allq.items():
+        if name not in _DRIVER_CHECKED:
+            ordered.setdefault(name, fn)
+    for name, fn in allq.items():
+        ordered.setdefault(name, fn)
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fact_trips": q_fact_trips,
         "dim_time": q_dim_time,
