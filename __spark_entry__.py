@@ -47,6 +47,22 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # filter pushdown then reach the parquet scan per query).
 # ---------------------------------------------------------------------------
 
+#: Per-process private scratch roots for q_lake_roundtrip, keyed by sf tag.
+#: mkdtemp gives a fresh 0700 directory per process — concurrent harness
+#: runs (bench vs correctness) can't race overwrite-vs-read on a shared
+#: predictable /tmp path, and there is no pre-creation/symlink surface.
+#: Cached so repeat invocations in one process (bench min-of-3) reuse it.
+_LAKE_TMP: dict[str, str] = {}
+
+
+def _lake_tmp_root(tag: str) -> str:
+    import tempfile
+
+    if tag not in _LAKE_TMP:
+        _LAKE_TMP[tag] = tempfile.mkdtemp(prefix=f"spark_graft_lake_{tag}_")
+    return _LAKE_TMP[tag]
+
+
 def _staged(spark: SparkSession, sf_dir: str):
     events = staging.rebalanced(load_table(spark, sf_dir, "events"))
     return staging.trips(events), staging.covid(events), staging.weather(events)
@@ -64,12 +80,11 @@ def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py), aggregate per usertype. All output columns are
     integer/string-exact so the parquet hop cannot introduce drift."""
     import os
-    import tempfile
 
     trips, covid, weather = _staged(spark, sf_dir)
     fact = star.fact_trips(trips, covid, weather)
     tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lake_{tag}", "fact")
+    path = os.path.join(_lake_tmp_root(tag), "fact")
     write_table(fact, path, partition_by=["year", "month"],
                 mode="overwrite_partitions")
     lake = spark.read.parquet(path)
@@ -488,9 +503,9 @@ def q_knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming native session_window drain (complete mode): same
     logical plan and result as the batch session_window query."""
-    stream = streaming.stream_events(spark, sf_dir)
+    stream = streaming.stream_events(streaming.scoped_session(spark, 8), sf_dir)
     result = streaming.session_counts(stream)
-    return streaming.run_available_now(result, "q_stream_session_counts", "complete", state_partitions=8)
+    return streaming.run_available_now(result, "q_stream_session_counts", "complete")
 
 
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,9 +539,9 @@ def q_null_safe_gender_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping sliding windows in streaming (complete-mode drain):
     every event lands in exactly two epoch-aligned 1h/30min windows."""
-    stream = streaming.stream_events(spark, sf_dir)
+    stream = streaming.stream_events(streaming.scoped_session(spark, 8), sf_dir)
     result = streaming.sliding_avg(stream, window="1 hour", slide="30 minutes")
-    return streaming.run_available_now(result, "q_stream_sliding_sum", "complete", state_partitions=8)
+    return streaming.run_available_now(result, "q_stream_sliding_sum", "complete")
 
 
 def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,10 +805,11 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join (stateless enrichment): event stream
     keyed onto the batch nation dim, per-nation counts, complete-mode
     drain equals the batch rollup."""
-    stream = streaming.stream_events(spark, sf_dir)
-    dim = load_table(spark, sf_dir, "nation")
+    scoped = streaming.scoped_session(spark, 8)
+    stream = streaming.stream_events(scoped, sf_dir)
+    dim = load_table(scoped, sf_dir, "nation")
     result = streaming.static_enrich(stream, dim)
-    return streaming.run_available_now(result, "q_stream_static_enrich", "complete", state_partitions=8)
+    return streaming.run_available_now(result, "q_stream_static_enrich", "complete")
 
 
 def q_stream_append_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,29 +818,27 @@ def q_stream_append_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow batch, so nothing is late-dropped and each emitted
     window carries its exact final count — deterministic, hash-checked
     against the batch cutoff mirror."""
-    stream = streaming.stream_events(spark, sf_dir)
+    stream = streaming.stream_events(streaming.scoped_session(spark, 8), sf_dir)
     result = streaming.windowed_counts(stream, window="1 hour", watermark="2 hours")
-    return streaming.run_available_now(
-        result, "q_stream_append_counts", "append", state_partitions=8
-    )
+    return streaming.run_available_now(result, "q_stream_append_counts", "append")
 
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming drain: tumbling-window counts via
     Trigger.AvailableNow + memory sink, complete output mode (equivalent
     to the batch tumbling aggregation, hence oracle-checkable)."""
-    stream = streaming.stream_events(spark, sf_dir)
+    stream = streaming.stream_events(streaming.scoped_session(spark, 8), sf_dir)
     result = streaming.windowed_counts(stream, window="1 hour", watermark="2 hours")
-    return streaming.run_available_now(result, "q_stream_window_counts", "complete", state_partitions=8)
+    return streaming.run_available_now(result, "q_stream_window_counts", "complete")
 
 
 def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): per-user
     running totals drained with availableNow; the max update per user is
     the final state == the batch count (oracle-checkable)."""
-    stream = streaming.stream_events(spark, sf_dir)
+    stream = streaming.stream_events(streaming.scoped_session(spark, 8), sf_dir)
     updates = stateful.user_running_totals(stream)
-    drained = streaming.run_available_now(updates, "q_stream_user_totals", "update", state_partitions=8)
+    drained = streaming.run_available_now(updates, "q_stream_user_totals", "update")
     return drained.groupBy("user_id").agg(
         F.max("total_events").alias("total_events")
     )
@@ -835,11 +849,10 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow; emits the deduped key set (deterministic — which
     physical row survives is arrival-order dependent, the key set is not).
     """
-    stream = streaming.stream_events(spark, sf_dir)
+    stream = streaming.stream_events(streaming.scoped_session(spark, 8), sf_dir)
     deduped = streaming.dedup_stream(stream, keys=["user_id", "event_type"])
     drained = streaming.run_available_now(
-        deduped.select("user_id", "event_type"), "q_stream_dedup_keys", "append",
-        state_partitions=8,
+        deduped.select("user_id", "event_type"), "q_stream_dedup_keys", "append"
     )
     return drained.distinct()
 
@@ -850,10 +863,11 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     + a two-sided time bound keep join state evictable; inner join emits
     eagerly, so the availableNow drain equals the batch join the oracle
     runs."""
-    errors = streaming.stream_events(spark, sf_dir).where(
+    scoped = streaming.scoped_session(spark, 8)
+    errors = streaming.stream_events(scoped, sf_dir).where(
         F.col("event_type") == "error"
     )
-    purchases = streaming.stream_events(spark, sf_dir).where(
+    purchases = streaming.stream_events(scoped, sf_dir).where(
         F.col("event_type") == "purchase"
     )
     joined = streaming.interval_join(errors, purchases, on="user_id")
@@ -864,7 +878,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("r_ts").alias("r_ts_us"),
         "r_value",
     )
-    return streaming.run_available_now(out, "q_stream_interval_join", "append", state_partitions=8)
+    return streaming.run_available_now(out, "q_stream_interval_join", "append")
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

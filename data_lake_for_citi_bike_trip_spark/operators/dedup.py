@@ -324,7 +324,10 @@ def embedding_dup_pairs(
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 25
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every node
     repeatedly adopts the smallest label among itself and its neighbors
@@ -340,14 +343,31 @@ def connected_components(
 
     ``nodes``: one column ``id``. ``edges``: columns ``src``, ``dst``
     (undirected; symmetrized internally).
+
+    ``checkpoint_dir``: when given, per-round materialization uses
+    RELIABLE ``checkpoint()`` into that directory instead of
+    ``localCheckpoint()``. localCheckpoint blocks are executor-memory
+    resident — an executor loss mid-iteration on a real cluster kills
+    the (truncated-lineage, hence unrecomputable) job; reliable
+    checkpointing survives it at the cost of a distributed-FS write per
+    round. Local/bench default stays localCheckpoint.
     """
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     # Materialize edges ONCE: every iteration joins against them, and
     # without this the upstream pair-generation pipeline (minhash etc.)
     # would be re-executed per round.
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+    sym = _materialize(
+        edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = _materialize(nodes.select("id", F.col("id").alias("cluster_id")))
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym.src == labels.id)
@@ -364,8 +384,8 @@ def connected_components(
                 ).alias("cluster_id"),
                 (F.col("nbr_label") < F.col("cluster_id")).alias("__changed"),
             )
-            .localCheckpoint()
         )
+        updated = _materialize(updated)
         n_changed = (
             updated.agg(
                 F.sum(F.col("__changed").cast("long")).alias("n")
@@ -374,7 +394,20 @@ def connected_components(
         )
         labels = updated.drop("__changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # Labels are only partially propagated: a component with diameter
+        # > max_iters yields silently SPLIT clusters. Surface it.
+        import warnings
+
+        warnings.warn(
+            f"connected_components stopped at max_iters={max_iters} without "
+            "reaching a fixpoint; cluster labels may be split. Raise "
+            "max_iters (rounds needed ~= component diameter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

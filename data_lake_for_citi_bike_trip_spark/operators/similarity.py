@@ -297,7 +297,15 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     """
     v = V.as_double(F.col("embedding"))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    codes = F.transform(v, lambda x: F.floor(x * 127.0 / scale).cast("bigint"))
+    # Zero-vector guard: scale == 0 would make every code 0/0 -> NULL
+    # (and array_join would silently DROP the nulls, shortening the
+    # string); define the all-zero vector as all-zero codes instead.
+    codes = F.transform(
+        v,
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.floor(x * 127.0 / scale))
+        .cast("bigint"),
+    )
     return spread(embeddings).select(
         "vec_id",
         F.floor(scale * 1e6).cast("bigint").alias("scale_e6"),

@@ -2235,8 +2235,9 @@ scaled AS (
 SELECT vec_id,
        CAST(floor(scale * 1e6) AS BIGINT) AS scale_e6,
        array_to_string(
-         list_transform(vd, x -> CAST(CAST(floor(x * 127.0 / scale) AS BIGINT)
-                                      AS VARCHAR)), ',') AS codes_i8,
+         list_transform(vd, x -> CAST(CASE WHEN scale = 0 THEN 0
+                                      ELSE CAST(floor(x * 127.0 / scale) AS BIGINT)
+                                      END AS VARCHAR)), ',') AS codes_i8,
        CAST(len(vd) AS BIGINT) AS dim
 FROM scaled
 """

@@ -47,6 +47,26 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def scoped_session(
+    spark: SparkSession, shuffle_partitions: int | None = None
+) -> SparkSession:
+    """Session clone (shared SparkContext/cache, OWN SQLConf) for a drain.
+
+    Stateful streaming creates one state store per shuffle partition, and
+    store init/commit dominates small drains — so drains want a pinned
+    low ``spark.sql.shuffle.partitions``. Pinning it on the SHARED
+    session would leak to any query planned concurrently; a
+    ``newSession()`` clone scopes the override to plans built on the
+    clone. Build the stream AND everything it joins against on the
+    returned session (Spark requires join inputs to share a session).
+    """
+    clone = spark.newSession()
+    configure_runtime(clone)
+    if shuffle_partitions is not None:
+        clone.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return clone
+
+
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -103,37 +123,27 @@ def sliding_avg(
 
 
 def run_available_now(
-    result: DataFrame,
-    name: str,
-    output_mode: str = "complete",
-    state_partitions: int | None = None,
+    result: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
     """Drain the source with Trigger.AvailableNow into a memory sink and
     return the materialized table.
 
-    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for THIS
-    query's lifetime (stateful operators create one state store per
-    shuffle partition, and the store init/commit cost dominates small
-    drains — results are partition-count independent, only latency
-    changes). A production feed sizes it to the key cardinality; the
-    conf is restored afterwards either way.
+    To pin ``spark.sql.shuffle.partitions`` (state-store count) for a
+    drain, build the stream on a ``scoped_session`` clone — the conf
+    then applies to exactly this plan instead of being set/restored on
+    the shared session where a concurrently planned query would
+    silently inherit it. The memory-sink table registers in (and is
+    read back from) the session the plan was built on.
     """
     spark = result.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        query = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    query = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
     return spark.table(name)
 
 
@@ -197,17 +207,25 @@ def stream_to_lake(
     partition_by: list[str] | None = None,
 ) -> None:
     """Streaming ingestion into the partitioned lake via foreachBatch +
-    dynamic partition overwrite: each micro-batch rewrites exactly the
-    partitions it touches, so a replayed batch (failure/retry) lands
-    idempotently instead of appending duplicates — the streaming
-    counterpart of the batch writer's S8 semantics. The checkpoint
-    directory makes progress itself exactly-once across restarts."""
+    dynamic partition overwrite, made safe across micro-batches by a
+    trailing ``_ingest_batch=<batch_id>`` partition level: batch N
+    rewrites exactly the ``(partition_by..., _ingest_batch=N)``
+    directories it touches, so a REPLAYED batch (failure/retry before
+    the checkpoint commit) lands idempotently, while a LATER batch of
+    the same run writing the same (year, month) can never clobber an
+    earlier one (plain dynamic overwrite on the user partitions alone
+    would silently delete earlier batches' rows whenever a drain spans
+    multiple micro-batches — e.g. maxFilesPerTrigger or a restarted
+    feed). Readers scan the whole tree; the extra column is metadata-
+    only. The checkpoint directory makes progress exactly-once across
+    restarts."""
     from ..sources.writers import write_table
 
-    parts = partition_by or ["year", "month"]
+    parts = (partition_by or ["year", "month"]) + ["_ingest_batch"]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        write_table(batch_df, path, partition_by=parts,
+        write_table(batch_df.withColumn("_ingest_batch", F.lit(batch_id)),
+                    path, partition_by=parts,
                     mode="overwrite_partitions")
 
     query = (

@@ -167,6 +167,40 @@ def test_connected_components_chain_and_singletons(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches per-round materialization to RELIABLE
+    checkpoint(): same labels as localCheckpoint, and RDD checkpoint
+    files actually land under the directory (cluster-survivable state)."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "src long, dst long")
+    out = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(
+            nodes, edges, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    written = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert written, "reliable checkpoint() should write files under checkpoint_dir"
+
+
+def test_connected_components_warns_when_iteration_capped(spark):
+    """A 5-node chain cannot converge in 1 round -> RuntimeWarning."""
+    import warnings
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.connected_components(nodes, edges, max_iters=1).collect()
+    assert any("fixpoint" in str(w.message) for w in caught)
+
+
 def test_dedup_clusters_survivor_per_cluster(spark):
     docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)], "doc_id long, text string")
     pairs = spark.createDataFrame([(0, 3), (3, 7), (5, 6)], "d1 long, d2 long")
