@@ -23,6 +23,12 @@ RUNTIME_CONF: dict[str, str] = {
     # The driver's events.parquet stores TIMESTAMP(NANOS); Spark 4 rejects
     # it unless read as raw int64 nanos (we convert in sources.registry).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Newer driver testdata stores naive (isAdjustedToUTC=false) micros,
+    # which Spark 4 would infer as TIMESTAMP_NTZ; our engine (and the
+    # DuckDB oracle under a UTC session) uses instant semantics, so read
+    # them as plain TIMESTAMP. With session TZ pinned to UTC the wall
+    # values are identical either way.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Runtime re-planning: coalesce small shuffle partitions, split skewed
     # ones. On by default in Spark 3.2+; pinned for determinism.
     "spark.sql.adaptive.enabled": "true",

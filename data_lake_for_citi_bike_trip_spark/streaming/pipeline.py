@@ -33,18 +33,26 @@ from pyspark.sql import types as T
 
 from ..session import configure_runtime
 
-#: Parquet-on-disk schema of the events table (ts is TIMESTAMP(NANOS),
-#: read as int64 under nanosAsLong — converted right after the source).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+#: Parquet-on-disk schema of the events table. Older driver testdata stored
+#: ts as TIMESTAMP(NANOS) (read as int64 under nanosAsLong, converted right
+#: after the source); newer testdata stores naive micros (plain TIMESTAMP
+#: under our inferTimestampNTZ=false conf). ``_events_ts_is_long`` peeks at
+#: the batch footer schema (metadata-only) so the stream schema matches
+#: whichever file generation is present.
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
 
 def scoped_session(
@@ -72,13 +80,23 @@ def stream_events(
 ) -> DataFrame:
     """readStream over the events parquet (file source)."""
     configure_runtime(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    path = os.path.join(sf_dir, "events.parquet")
+    # Footer-only peek: does this file generation store ts as int64 nanos
+    # (legacy) or a real timestamp (current)? Streaming needs the schema
+    # declared up front, and a LongType schema over a timestamp column
+    # would silently read micros as nanos (1000x off).
+    ts_is_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    reader = spark.readStream.schema(
+        _events_raw_schema(T.LongType() if ts_is_long else T.TimestampType())
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # The file source requires a *directory* basePath; a glob keeps the
     # base at sf_dir while matching just the events file(s).
-    raw = reader.parquet(os.path.join(sf_dir, "events.parquet*"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = reader.parquet(path + "*")
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_counts(
