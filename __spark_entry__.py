@@ -926,24 +926,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_fact_trips(spark, SF_SMOKE)
 
 
-# Queries with a green driver row in CORRECTNESS_r01/r02. The driver's
+# Queries with a green driver row in CORRECTNESS_r01/r02/r03. The driver's
 # correctness gate samples only the FIRST 50 entries of queries() in dict
 # order, so queries() front-loads everything NOT in this set (new and
 # never-driver-checked work) until each has had a driver row.
 _DRIVER_CHECKED = frozenset({
+    "above_average_orders",
     "ann_cosine_topk",
-    "ann_ivf_topk",
+    "ann_ivf_recall",
     "ann_lsh_topk",
     "anti_users",
-    "approx_distinct_users",
+    "approx_percentile",
     "asof_forward",
     "asof_purchase",
+    "bm25_topk",
     "cdc_merge",
     "chunk_documents",
+    "cohort_retention",
+    "contamination_check",
     "corpus_vocabulary",
+    "cte_monthly_top_segment",
+    "cube_priority",
     "dedup_clusters",
     "dedup_embedding",
     "dedup_exact",
+    "dedup_keep_best",
     "dedup_levenshtein",
     "dedup_minhash",
     "dedup_ngram_jaccard",
@@ -957,28 +964,46 @@ _DRIVER_CHECKED = frozenset({
     "dim_weather",
     "dq_counts",
     "event_type_pivot",
+    "except_parts",
+    "exists_big_spenders",
     "fact_trips",
+    "feature_deciles",
+    "funnel_counts",
+    "grouping_sets_orders",
     "incremental_agg",
+    "intersect_users",
     "json_props_rollup",
+    "key_skew_profile",
+    "knn_mutual_pairs",
     "lake_roundtrip",
     "length_histogram",
     "llm_prep_pipeline",
     "mad_anomalies",
+    "markov_transitions",
+    "mixture_epochs",
     "moving_average",
     "multimodal_decode_dims",
     "multimodal_payload_stats",
+    "pack_sequences",
     "pricing_summary",
     "profile_orders",
     "range_price_match",
+    "referential_orphans",
     "revenue_by_nation",
     "rides_per_hour",
     "rollup_revenue",
     "sample_by_hash",
+    "sample_per_group",
+    "sample_stratified",
+    "scd1_customers",
     "scd2_stations",
     "scrub_text",
     "semantic_dedup",
     "session_window",
     "sessionize",
+    "skew_salted_agg",
+    "snapshot_diff",
+    "station_neighbors",
     "stats_summary",
     "stream_dedup_keys",
     "stream_user_totals",
@@ -986,12 +1011,25 @@ _DRIVER_CHECKED = frozenset({
     "text_fingerprint",
     "text_language_id",
     "text_quality",
+    "text_repetition",
     "text_surprisal",
     "text_token_stats",
+    "token_colocation",
     "top_stations",
+    "tpch_discounted_revenue",
+    "tpch_forecast_revenue",
+    "tpch_large_orders",
+    "tpch_local_supplier_volume",
+    "tpch_market_share",
+    "tpch_order_priority",
+    "tpch_promo_effect",
+    "tpch_returned_items",
+    "tpch_shipping_priority",
+    "tpch_volume_shipping",
     "train_test_split",
     "union_backfill",
     "unpivot_event_counts",
+    "vector_norms",
     "window_funcs",
     "zorder_sample",
 })
@@ -1125,6 +1163,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "tpch_market_share": sqlsurface.tpch_market_share,
         "tpch_customer_distribution": sqlsurface.tpch_customer_distribution,
+        "tpch_min_cost_supplier": sqlsurface.tpch_min_cost_supplier,
+        "tpch_important_stock": sqlsurface.tpch_important_stock,
+        "tpch_supplier_relation": sqlsurface.tpch_supplier_relation,
+        "tpch_promo_stock_suppliers": sqlsurface.tpch_promo_stock_suppliers,
+        "tpch_waiting_suppliers": sqlsurface.tpch_waiting_suppliers,
         "tpch_top_supplier": sqlsurface.tpch_top_supplier,
         "tpch_small_quantity_revenue": sqlsurface.tpch_small_quantity_revenue,
         "tpch_inactive_customers": sqlsurface.tpch_inactive_customers,
@@ -1257,6 +1300,11 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": oracles.TEXT_REPETITION,
         "tpch_market_share": oracles.TPCH_MARKET_SHARE,
         "tpch_customer_distribution": oracles.TPCH_CUSTOMER_DISTRIBUTION,
+        "tpch_min_cost_supplier": oracles.TPCH_MIN_COST_SUPPLIER,
+        "tpch_important_stock": oracles.TPCH_IMPORTANT_STOCK,
+        "tpch_supplier_relation": oracles.TPCH_SUPPLIER_RELATION,
+        "tpch_promo_stock_suppliers": oracles.TPCH_PROMO_STOCK_SUPPLIERS,
+        "tpch_waiting_suppliers": oracles.TPCH_WAITING_SUPPLIERS,
         "tpch_top_supplier": oracles.TPCH_TOP_SUPPLIER,
         "tpch_small_quantity_revenue": oracles.TPCH_SMALL_QUANTITY_REVENUE,
         "tpch_inactive_customers": oracles.TPCH_INACTIVE_CUSTOMERS,

@@ -595,3 +595,187 @@ def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# partsupp stand-in + the four TPC-H shapes that need it (Q2/Q11/Q16/Q20)
+# and Q21 (needs commit/receipt dates). The driver's slim schema has no
+# partsupp table and no l_commitdate/l_receiptdate, so both are DERIVED
+# deterministically from lineitem with pure integer arithmetic — identical
+# in Spark and the DuckDB oracle, and exact (no float summation-order
+# hazards: costs are integer cents, quantities are integer-valued doubles
+# whose sums stay exact in ieee754).
+#
+# Scale note: the CTE re-derives partsupp per query (a DISTINCT shuffle
+# over lineitem's (partkey, suppkey)); on a real deployment this would be
+# a materialized bucketed table written once — the queries only assume
+# "a relation named partsupp", so swapping the CTE for a table is a
+# one-line change.
+
+PARTSUPP_CTE = """
+WITH partsupp AS (
+    SELECT l_partkey AS ps_partkey,
+           l_suppkey AS ps_suppkey,
+           CAST((l_partkey * 7 + l_suppkey * 13) % 1000 + 1 AS BIGINT)
+               AS ps_availqty,
+           CAST((l_partkey * 31 + l_suppkey * 17) % 90000 + 100 AS BIGINT)
+               AS ps_supplycost_cents
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+)
+"""
+
+TPCH_MIN_COST_SUPPLIER_SQL = PARTSUPP_CTE + """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost_cents
+FROM partsupp, supplier, nation, region, part
+WHERE p_partkey = ps_partkey
+  AND s_suppkey = ps_suppkey
+  AND p_type = 'ECONOMY'
+  AND p_size <= 25
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost_cents = (
+      SELECT min(ps2.ps_supplycost_cents)
+      FROM partsupp ps2, supplier s2, nation n2, region r2
+      WHERE ps2.ps_partkey = part.p_partkey
+        AND s2.s_suppkey = ps2.ps_suppkey
+        AND s2.s_nationkey = n2.n_nationkey
+        AND n2.n_regionkey = r2.r_regionkey
+        AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): five-way join with a
+    CORRELATED SCALAR SUBQUERY over an aggregate — the min supply cost
+    for the part within the region. Catalyst decorrelates it into a
+    per-part min aggregate joined back on (partkey, min_cost); the
+    ORDER BY chain is total (supplier names are unique per row) so the
+    LIMIT is deterministic."""
+    _views(spark, sf_dir, ["lineitem", "supplier", "nation", "region", "part"])
+    return spark.sql(TPCH_MIN_COST_SUPPLIER_SQL)
+
+
+TPCH_IMPORTANT_STOCK_SQL = PARTSUPP_CTE + """
+, national AS (
+    SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+    FROM partsupp, supplier, nation
+    WHERE ps_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey
+      AND n_name IN ('NATION_7', 'NATION_11', 'NATION_19')
+)
+SELECT ps_partkey, sum(v) AS stock_value_cents
+FROM national
+GROUP BY ps_partkey
+HAVING sum(v) * 800 > (SELECT sum(v) FROM national)
+ORDER BY stock_value_cents DESC, ps_partkey
+"""
+
+
+def tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part stock value within a
+    nation group, HAVING-filtered against an UNCORRELATED SCALAR
+    SUBQUERY over the same two-level aggregate (a fraction of the
+    national total). All-integer arithmetic so the threshold comparison
+    is exact in both engines."""
+    _views(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    return spark.sql(TPCH_IMPORTANT_STOCK_SQL)
+
+
+TPCH_SUPPLIER_RELATION_SQL = PARTSUPP_CTE + """
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#1'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def tpch_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): NOT IN over a
+    subquery of excluded suppliers (null-free key, so the anti join is
+    plain), brand/type/size exclusion filters, and count(DISTINCT) per
+    group. The slim schema has no s_comment, so the 'customer
+    complaints' exclusion stands in as low account balance."""
+    _views(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql(TPCH_SUPPLIER_RELATION_SQL)
+
+
+TPCH_PROMO_STOCK_SUPPLIERS_SQL = PARTSUPP_CTE + """
+SELECT s_name, s_acctbal
+FROM supplier, nation, region
+WHERE s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND s_suppkey IN (
+      SELECT ps_suppkey
+      FROM partsupp
+      WHERE ps_partkey IN (SELECT p_partkey FROM part
+                           WHERE p_name LIKE 'red%')
+        AND ps_availqty > (
+            SELECT 0.5 * sum(l_quantity)
+            FROM lineitem
+            WHERE l_partkey = ps_partkey
+              AND l_suppkey = ps_suppkey))
+ORDER BY s_name
+"""
+
+
+def tpch_promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): IN-subquery nesting
+    three deep — suppliers whose stock of any 'red' part exceeds half
+    of what they actually shipped, where the inner threshold is a
+    CORRELATED scalar aggregate on two keys. Suppliers with no
+    shipments of the part compare against NULL and drop (3VL), same in
+    both engines."""
+    _views(spark, sf_dir, ["lineitem", "supplier", "nation", "region", "part"])
+    return spark.sql(TPCH_PROMO_STOCK_SUPPLIERS_SQL)
+
+
+TPCH_WAITING_SUPPLIERS_SQL = """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey,
+           CAST((l_orderkey * 7 + l_linenumber * 3) % 20 AS BIGINT)
+               AS receipt_delay,
+           CAST((l_orderkey * 5 + l_linenumber * 11) % 20 AS BIGINT)
+               AS commit_delay
+    FROM lineitem
+)
+SELECT s_name, count(*) AS numwait
+FROM supplier, li l1, orders, nation, region
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.receipt_delay > l1.commit_delay
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.receipt_delay > l3.commit_delay)
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'AFRICA'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    double-correlated EXISTS + NOT EXISTS self-join — another supplier
+    contributed to the order, but no OTHER supplier was late. The slim
+    schema has no commit/receipt dates, so 'late' is derived as integer
+    delay offsets from the line keys (deterministic, identical in both
+    engines); the comparison semantics and the semi/anti join shapes
+    are exactly Q21's."""
+    _views(spark, sf_dir, ["lineitem", "supplier", "orders", "nation", "region"])
+    return spark.sql(TPCH_WAITING_SUPPLIERS_SQL)

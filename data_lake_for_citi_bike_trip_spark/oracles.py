@@ -2332,3 +2332,25 @@ SELECT
                   ELSE l.l_partkey END) = p.p_partkey))
     AS not_exists_cnt
 """
+
+
+# ---------------------------------------------------------------------------
+# partsupp-derived TPC-H shapes (Q2/Q11/Q16/Q20/Q21). The SQL is ANSI and
+# engine-agnostic (pure integer derivations, no float summation hazards),
+# so the oracle IS the same string the Spark side runs — imported, not
+# duplicated, to make divergence impossible.
+# ---------------------------------------------------------------------------
+
+from .operators.sqlsurface import (  # noqa: E402
+    TPCH_IMPORTANT_STOCK_SQL,
+    TPCH_MIN_COST_SUPPLIER_SQL,
+    TPCH_PROMO_STOCK_SUPPLIERS_SQL,
+    TPCH_SUPPLIER_RELATION_SQL,
+    TPCH_WAITING_SUPPLIERS_SQL,
+)
+
+TPCH_MIN_COST_SUPPLIER = TPCH_MIN_COST_SUPPLIER_SQL
+TPCH_IMPORTANT_STOCK = TPCH_IMPORTANT_STOCK_SQL
+TPCH_SUPPLIER_RELATION = TPCH_SUPPLIER_RELATION_SQL
+TPCH_PROMO_STOCK_SUPPLIERS = TPCH_PROMO_STOCK_SUPPLIERS_SQL
+TPCH_WAITING_SUPPLIERS = TPCH_WAITING_SUPPLIERS_SQL
