@@ -136,16 +136,52 @@ def train_ivf_centroids(
     return centroids
 
 
-def ivf_topk(
-    embeddings: DataFrame,
-    queries: DataFrame,
-    centroids: DataFrame,
-    k: int = 10,
-    nprobe: int = 4,
-) -> DataFrame:
-    """ANN search: route each query to its ``nprobe`` nearest centroids,
-    scan only those inverted lists, rank by cosine."""
+class IVFIndex:
+    """A built IVF index: broadcast-sized centroids + cached inverted
+    lists (the corpus tagged with its nearest centroid id).
+
+    Index CONSTRUCTION (k-means + assignment — the expensive, iterative
+    part) is separated from SEARCH so that construction cost amortizes
+    over every query batch, exactly as a production deployment would
+    persist the assignment table once and serve many searches. ``cache()``
+    keeps both sides resident; on a real cluster the index DataFrame
+    would instead be written as a parquet table bucketed by ``cid`` so
+    searches shuffle nothing.
+    """
+
+    def __init__(self, centroids: DataFrame, index: DataFrame):
+        self.centroids = centroids
+        self.index = index
+
+    def unpersist(self) -> None:
+        for df in (self.centroids, self.index):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def build_ivf_index(
+    embeddings: DataFrame, k: int = 16, iters: int = 3, cache: bool = True
+) -> IVFIndex:
+    """Train centroids and materialize the inverted-list assignment."""
+    centroids = train_ivf_centroids(embeddings, k=k, iters=iters)
     index = _assign(_prepared(embeddings), centroids)
+    if cache:
+        centroids = centroids.cache()
+        index = index.cache()
+    return IVFIndex(centroids, index)
+
+
+def ivf_search(
+    ivf: IVFIndex, queries: DataFrame, k: int = 10, nprobe: int = 4
+) -> DataFrame:
+    """ANN search against a prebuilt index: route each query to its
+    ``nprobe`` nearest centroids, scan only those inverted lists, rank
+    by cosine. With ``nprobe`` >= the centroid count this degenerates to
+    an exhaustive (exact) search routed through the same inverted-list
+    plan — useful as an oracle-checkable configuration."""
+    centroids, index = ivf.centroids, ivf.index
     q = _prepared(queries).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
     q_routes = (
         q.crossJoin(F.broadcast(centroids))
@@ -167,6 +203,20 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
         F.col("rank") <= k
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """One-shot convenience: assign + search without caching (kept for
+    callers that only search once; repeated searches should
+    ``build_ivf_index`` once and ``ivf_search`` many times)."""
+    index = _assign(_prepared(embeddings), centroids)
+    return ivf_search(IVFIndex(centroids, index), queries, k=k, nprobe=nprobe)
 
 
 # ---------------------------------------------------------------------------

@@ -614,6 +614,23 @@ SELECT q_id, vec_id, cos_sim, rank FROM (
 ) WHERE rank <= 10
 """
 
+# __spark_entry__.q_ann_ivf_topk runs IVF with nprobe == centroid count
+# (exhaustive probe): candidate generation covers every inverted list, so
+# the result is exactly brute-force top-k over the same ranking — which IS
+# SQL-expressible. The pruned-nprobe path is covered by ANN_IVF_RECALL.
+ANN_IVF_TOPK = f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+queries AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q_id, vec_id, {_cos('qv', 'v')} AS cos_sim
+  FROM corpus CROSS JOIN queries WHERE vec_id <> q_id
+)
+SELECT q_id, vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
 ANN_LSH_TOPK = f"""
 WITH corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -78,6 +78,26 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert ivf.groupBy("q_id").count().where(F.col("count") != 10).count() == 0
 
 
+def test_ivf_exhaustive_probe_equals_brute_force(spark, sf_dir):
+    """nprobe == centroid count scans every inverted list — the routed
+    plan must then reproduce brute-force top-k exactly (the property the
+    ann_ivf_topk oracle relies on), regardless of what k-means learned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    ivf_index = similarity.build_ivf_index(emb, k=8, iters=1, cache=True)
+    try:
+        ivf = similarity.ivf_search(ivf_index, queries, k=10, nprobe=8)
+        bf = similarity.cosine_topk(emb, queries, k=10)
+        ivf_rows = {(r.q_id, r.vec_id, r.cos_sim, r.rank) for r in ivf.collect()}
+        bf_rows = {(r.q_id, r.vec_id, r.cos_sim, r.rank) for r in bf.collect()}
+        assert ivf_rows == bf_rows
+        # index reuse: a second search must not retrain (cached relation)
+        again = similarity.ivf_search(ivf_index, queries, k=3, nprobe=2)
+        assert again.groupBy("q_id").count().where(F.col("count") > 3).count() == 0
+    finally:
+        ivf_index.unpersist()
+
+
 def test_ngram_jaccard_frequency_cap(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_frequency=None)
