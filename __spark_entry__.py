@@ -378,6 +378,23 @@ def q_multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL PNG decode: Arrow-batched stdlib PNG encode (zlib
+    deflate + forward scanline filters, all five types cycling per row)
+    -> full stdlib decode (inflate + per-scanline unfilter) -> per-image
+    pixel sums. The oracle computes expected dims AND the exact pixel sum
+    from the source columns alone, so a wrong filter inversion (the sum
+    shifts) or a broken inflate path goes red."""
+    media = multimodal.synthetic_png_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.png_pixel_stats(media).select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        "pixel_sum",
+    )
+
+
 def _scd2_inputs(spark: SparkSession, sf_dir: str):
     """Deterministic SCD2 scenario from customer: keys %3==0 change,
     %3==1 re-assert identically, %3==2 are absent from the batch; every
@@ -1105,6 +1122,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal": q_text_surprisal,
         "multimodal_payload_stats": q_multimodal_payload_stats,
         "multimodal_decode_dims": q_multimodal_decode_dims,
+        "multimodal_png_pixels": q_multimodal_png_pixels,
         "scd2_stations": q_scd2_stations,
         "session_window": q_session_window,
         "unpivot_event_counts": q_unpivot_event_counts,
@@ -1241,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "text_surprisal": oracles.TEXT_SURPRISAL,
         "multimodal_payload_stats": oracles.MULTIMODAL_PAYLOAD_STATS,
         "multimodal_decode_dims": oracles.MULTIMODAL_DECODE_DIMS,
+        "multimodal_png_pixels": oracles.MULTIMODAL_PNG_PIXELS,
         "scd2_stations": oracles.SCD2_STATIONS,
         "session_window": oracles.SESSION_WINDOW,
         "unpivot_event_counts": oracles.UNPIVOT_EVENT_COUNTS,

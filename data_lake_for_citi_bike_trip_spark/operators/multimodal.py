@@ -331,3 +331,244 @@ def sample_frames(
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=FRAME_SCHEMA
     )
+
+
+# -- PNG: the second compressed format decodable with the stdlib alone ------
+#
+# A PNG is chunks (length, type, data, crc32) around a zlib-compressed
+# stream of filtered scanlines; inflating (zlib) and inverting the five
+# scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) is pure
+# stdlib work — no PIL needed. Supported: 8-bit, color types 0 (gray) and
+# 2 (RGB), non-interlaced. Adam7 and exotic depths raise.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(raw: bytes):
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    while pos + 8 <= len(raw):
+        import struct
+
+        (length,) = struct.unpack_from(">I", raw, pos)
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def _png_unfilter(ft: int, row: bytearray, prev: bytes, bpp: int) -> None:
+    """Invert one scanline filter in place (RFC 2083 §6.2-6.6)."""
+    n = len(row)
+    if ft == 0:
+        return
+    if ft == 1:  # Sub
+        for i in range(bpp, n):
+            row[i] = (row[i] + row[i - bpp]) & 0xFF
+    elif ft == 2:  # Up
+        for i in range(n):
+            row[i] = (row[i] + prev[i]) & 0xFF
+    elif ft == 3:  # Average
+        for i in range(n):
+            a = row[i - bpp] if i >= bpp else 0
+            row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif ft == 4:  # Paeth
+        for i in range(n):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            row[i] = (row[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"bad PNG filter type {ft}")
+
+
+def decode_png_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Full stdlib PNG decode: IHDR parse, zlib inflate of concatenated
+    IDATs, per-scanline unfilter. Returns (width, height, channels,
+    packed pixel bytes row-major)."""
+    import struct
+    import zlib
+
+    width = height = None
+    channels = bit_depth = interlace = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(raw):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color_type}")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8 supported)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    stream = zlib.decompress(bytes(idat))
+    bpp = channels
+    stride = width * channels
+    if len(stream) != (stride + 1) * height:
+        raise ValueError("PNG pixel stream length mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ft = stream[off]
+        row = bytearray(stream[off + 1 : off + 1 + stride])
+        _png_unfilter(ft, row, prev, bpp)
+        out.extend(row)
+        prev = bytes(row)
+    return width, height, channels, bytes(out)
+
+
+def decode_png(raw: bytes) -> tuple[int, int, int]:
+    """Registered decoder face of ``decode_png_pixels`` (dims/channels).
+    Runs the FULL decode (inflate + unfilter), not just the header read,
+    so a corrupt stream fails here rather than downstream."""
+    w, h, c, _ = decode_png_pixels(raw)
+    return w, h, c
+
+
+_DECODERS["png"] = decode_png
+
+
+def _sniff_decode_with_png(raw: bytes) -> tuple[int, int, int]:
+    if raw[:8] == _PNG_SIG:
+        return decode_png(raw)
+    return sniff_decode(raw)
+
+
+_DECODERS["real"] = _sniff_decode_with_png
+
+
+def _png_filter_row(ft: int, row: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply (forward) one scanline filter — the encoder-side inverse of
+    ``_png_unfilter``, used by the synthetic generator so every filter
+    type 0-4 appears in test payloads."""
+    n = len(row)
+    out = bytearray(n)
+    for i in range(n):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (row[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def encode_png_rgb(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic 8-bit RGB PNG: every pixel of row y has value
+    (media_id + y) % 256, and the scanline filter type cycles y % 5 so
+    all five filters are exercised. Pure stdlib (zlib + struct)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * 3
+    stream = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = bytes([(media_id + y) % 256]) * stride
+        ft = y % 5
+        stream.append(ft)
+        stream.extend(_png_filter_row(ft, row, prev, 3))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthetic_png_table(docs: DataFrame) -> DataFrame:
+    """REAL PNG payloads with oracle-predictable content: dimensions and
+    pixel values derive from (doc_id, n_chars) — width = n_chars%31+1,
+    height = doc_id%17+1, row y constant at (doc_id+y)%256 — so a SQL
+    oracle can compute the exact expected pixel sum while the decode
+    stage downstream inflates and unfilters genuine PNG bytes. Encoding
+    needs zlib, so this generator (unlike the BMP one) is an Arrow-
+    batched Python stage, not pure codegen."""
+    META = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (
+                    int(doc_id),
+                    encode_png_rgb(
+                        int(doc_id), int(n_chars) % 31 + 1, int(doc_id) % 17 + 1
+                    ),
+                )
+                for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, schema=META)
+
+
+#: Output schema of the PNG pixel-stats stage.
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode PNG payloads end-to-end and emit per-image pixel sums —
+    evidence the inflate+unfilter path reconstructed every byte (a wrong
+    filter inversion shifts the sum). Arrow-batched mapInPandas, same
+    plumbing contract as decode_images."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c, px = decode_png_pixels(bytes(payload))
+                rows.append((int(media_id), w, h, c, sum(px)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_STATS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=PNG_STATS_SCHEMA
+    )

@@ -2371,3 +2371,19 @@ TPCH_IMPORTANT_STOCK = TPCH_IMPORTANT_STOCK_SQL
 TPCH_SUPPLIER_RELATION = TPCH_SUPPLIER_RELATION_SQL
 TPCH_PROMO_STOCK_SUPPLIERS = TPCH_PROMO_STOCK_SUPPLIERS_SQL
 TPCH_WAITING_SUPPLIERS = TPCH_WAITING_SUPPLIERS_SQL
+
+
+# operators/multimodal.py:png_pixel_stats over synthetic_png_table — the
+# generator writes width = n_chars%31+1, height = doc_id%17+1, RGB rows
+# constant at (doc_id+y)%256; the expected pixel sum is therefore
+# 3*width * sum_y (doc_id+y)%256, computed here without touching a byte
+# of PNG — an independent check of the inflate+unfilter pipeline.
+MULTIMODAL_PNG_PIXELS = """
+SELECT doc_id AS media_id,
+       CAST(n_chars % 31 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 17 + 1 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       (SELECT CAST(sum(((doc_id + y) % 256) * (n_chars % 31 + 1) * 3) AS BIGINT)
+        FROM unnest(generate_series(0, doc_id % 17)) AS t(y)) AS pixel_sum
+FROM documents
+"""

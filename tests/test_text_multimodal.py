@@ -188,3 +188,37 @@ def test_resize_and_frame_sample_plumbing(spark, sf_dir):
     # payloads are not BMPs — the failure surfaces at execution
     with _pytest.raises(Exception, match="not a BMP"):
         multimodal.resize_images(media, 8, 8, resizer="real").collect()
+
+
+def test_png_codec_roundtrip_and_failure_modes():
+    from data_lake_for_citi_bike_trip_spark.operators import multimodal as M
+    import pytest as _pytest
+    import struct, zlib
+
+    raw = M.encode_png_rgb(42, 13, 11)
+    w, h, c, px = M.decode_png_pixels(raw)
+    assert (w, h, c) == (13, 11, 3)
+    assert sum(px) == sum(((42 + y) % 256) * 13 * 3 for y in range(11))
+    # rows 0..10 cycle filters 0-4 twice; each reconstructed row is constant
+    for y in range(h):
+        rowvals = set(px[y * 39 : (y + 1) * 39])
+        assert rowvals == {(42 + y) % 256}, (y, rowvals)
+
+    # sniff dispatch: PNG signature routes to the PNG decoder
+    assert M._sniff_decode_with_png(raw) == (13, 11, 3)
+
+    # truncated zlib stream must fail loudly, not return header dims
+    broken = raw[: raw.index(b"IDAT") + 8] + b"\x00" * 4
+    with _pytest.raises(Exception):
+        M.decode_png_pixels(broken)
+
+    # interlaced PNGs are explicitly unsupported
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        M.decode_png_pixels(M._PNG_SIG + chunk)
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png_pixels(b"BMnotapng")
