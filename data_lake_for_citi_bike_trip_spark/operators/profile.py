@@ -47,16 +47,31 @@ def cents_repr(c: Column) -> Column:
     return F.round(c * 100).cast("bigint").cast("string")
 
 
-def profile_table(df: DataFrame, specs: list[ColumnSpec]) -> DataFrame:
+def profile_table(
+    df: DataFrame, specs: list[ColumnSpec], approx: bool = False, rsd: float = 0.05
+) -> DataFrame:
     """Profile ``specs`` columns in one aggregate pass.
 
     Returns one row per column: (col_name, n_rows, n_null, n_distinct,
     min_val, max_val) — min/max as canonical strings.
-    """
+
+    ``approx=True`` is the 100 TB path: N exact ``count(DISTINCT)`` in
+    one agg plan through a single Expand that multiplies every input row
+    by the number of distinct aggregates (6 columns -> 6x the shuffle).
+    ``approx_count_distinct`` (HyperLogLog++, ``rsd`` relative error)
+    needs no Expand — the plan is a plain two-phase aggregate whose
+    shuffle carries one constant-size sketch per column, at the price of
+    approximate n_distinct. The exact path stays the default because the
+    DuckDB oracle pins its values."""
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for s in specs:
         aggs.append(F.count(s.value).alias(f"__nn_{s.name}"))
-        aggs.append(F.count_distinct(s.value).alias(f"__nd_{s.name}"))
+        if approx:
+            aggs.append(
+                F.approx_count_distinct(s.value, rsd).alias(f"__nd_{s.name}")
+            )
+        else:
+            aggs.append(F.count_distinct(s.value).alias(f"__nd_{s.name}"))
         aggs.append(s.as_string(F.min(s.value)).alias(f"__min_{s.name}"))
         aggs.append(s.as_string(F.max(s.value)).alias(f"__max_{s.name}"))
     wide = df.agg(*aggs)
@@ -76,8 +91,11 @@ def profile_table(df: DataFrame, specs: list[ColumnSpec]) -> DataFrame:
     return wide.select(F.explode(rows).alias("p")).select("p.*")
 
 
-def orders_profile(orders: DataFrame) -> DataFrame:
-    """Profile of every ``orders`` column (the contract-query instance)."""
+def orders_profile(orders: DataFrame, approx: bool = False) -> DataFrame:
+    """Profile of every ``orders`` column (the contract-query instance).
+
+    NB: specs are built per call — ``F.col`` needs an active
+    SparkContext, so they cannot live at module scope."""
     specs = [
         ColumnSpec("o_orderkey", F.col("o_orderkey"), str_repr),
         ColumnSpec("o_custkey", F.col("o_custkey"), str_repr),
@@ -86,4 +104,4 @@ def orders_profile(orders: DataFrame) -> DataFrame:
         ColumnSpec("o_orderdate", F.col("o_orderdate"), str_repr),
         ColumnSpec("o_orderpriority", F.col("o_orderpriority"), str_repr),
     ]
-    return profile_table(orders, specs)
+    return profile_table(orders, specs, approx=approx)

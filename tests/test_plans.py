@@ -121,3 +121,30 @@ def test_asof_nearest_single_exchange(spark, sf_dir):
 def test_interval_overlap_join_is_hash_equi(spark, sf_dir):
     f = _facts(spark, sf_dir, "incident_exposure")
     assert f["nested_loop_joins"] == 0
+
+
+def test_approx_profile_avoids_expand(spark, sf_dir):
+    """The HLL profile variant must plan WITHOUT the Expand node that the
+    exact count(DISTINCT) path requires (Expand multiplies every input
+    row by the number of distinct aggregates — 6x shuffle at 100 TB),
+    and its estimates must be within the sketch tolerance of exact."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact_df = profile.orders_profile(orders)
+    approx_df = profile.orders_profile(orders, approx=True)
+
+    exact_plan = exact_df._jdf.queryExecution().executedPlan().toString()
+    approx_plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # the documented cost of exactness
+    assert "Expand" not in approx_plan
+
+    exact = {r.col_name: r for r in exact_df.collect()}
+    for r in approx_df.collect():
+        e = exact[r.col_name]
+        # identical non-sketch metrics; sketch within 3x the 5% rsd
+        assert (r.n_rows, r.n_null, r.min_val, r.max_val) == (
+            e.n_rows, e.n_null, e.min_val, e.max_val
+        )
+        assert abs(r.n_distinct - e.n_distinct) <= max(3, 0.15 * e.n_distinct)

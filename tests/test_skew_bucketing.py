@@ -60,3 +60,54 @@ def test_key_skew_profile_orders_and_shares(spark):
         ("hot", 60, 6000),
         ("warm", 30, 3000),
     ]
+
+
+def test_planted_skew_triggers_aqe_skew_join_split(spark):
+    """Protects the 100x-scale claim: a deliberately skewed sort-merge
+    join must come out of AQE with the hot partition SPLIT (the plan's
+    SMJ node carries skew=true). Confs are scoped to a session clone so
+    the lowered thresholds can't leak into other tests."""
+    from pyspark.sql import functions as F
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    sess.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+    )
+    sess.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+    # force a sort-merge join — AQE skew splitting doesn't apply to BHJ
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+
+    # 300k rows of key 0 (with ~64B padding => ~20MB hot partition)
+    # against 10k rows spread over 10k keys
+    # pad must be non-constant (a literal would constant-fold out of the
+    # plan) and incompressible (shuffle partition sizes are compressed
+    # bytes; 300k identical values deflate below any threshold)
+    big = sess.range(310_000).select(
+        F.when(F.col("id") < 300_000, F.lit(0))
+        .otherwise(F.col("id") % 10_000)
+        .alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    small = sess.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # NB: global agg, not groupBy(k) — splitting a skewed partition breaks
+    # hash-partitioning, so AQE refuses the split when a downstream
+    # operator requires distribution on the join key; and sum(length(pad))
+    # keeps the padding column un-pruned so the hot partition's bytes are
+    # actually skewed.
+    joined = big.join(small, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("pad")).alias("pad_bytes")
+    )
+    row = joined.collect()[0]
+    # 300k planted + id=300000 (300000 % 10000 == 0) from the long tail,
+    # + 9_999 one-row tail keys; correctness unaffected by the split
+    assert row.n == 310_000
+    assert row.pad_bytes == 310_000 * 64  # sha2-256 hex = 64 chars
+    final_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final_plan
+    assert "skew=true" in final_plan, final_plan
