@@ -56,10 +56,16 @@ _LAKE_TMP: dict[str, str] = {}
 
 
 def _lake_tmp_root(tag: str) -> str:
+    import atexit
+    import shutil
     import tempfile
 
     if tag not in _LAKE_TMP:
-        _LAKE_TMP[tag] = tempfile.mkdtemp(prefix=f"spark_graft_lake_{tag}_")
+        path = tempfile.mkdtemp(prefix=f"spark_graft_lake_{tag}_")
+        # each root holds a full fact-table copy — reclaim it at process
+        # exit rather than leaking one tree per process per sf tag
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _LAKE_TMP[tag] = path
     return _LAKE_TMP[tag]
 
 

@@ -350,7 +350,15 @@ def connected_components(
     resident — an executor loss mid-iteration on a real cluster kills
     the (truncated-lineage, hence unrecomputable) job; reliable
     checkpointing survives it at the cost of a distributed-FS write per
-    round. Local/bench default stays localCheckpoint.
+    round. Local/bench default stays localCheckpoint. Two side effects
+    to know about: (1) ``setCheckpointDir`` mutates the SHARED
+    SparkContext and is not restored — Spark offers no scoped form;
+    (2) superseded rounds' checkpoint files are reclaimed only when the
+    context was built with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (our
+    ``get_session`` sets it; it is construction-time-only, so on a
+    session this engine did not build, a long run accumulates one
+    rdd-checkpoint directory per iteration until the dir is cleaned).
     """
     if checkpoint_dir is not None:
         nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -397,14 +405,20 @@ def connected_components(
             converged = True
             break
     if not converged:
-        # Labels are only partially propagated: a component with diameter
-        # > max_iters yields silently SPLIT clusters. Surface it.
+        # Labels may be only partially propagated: a component with
+        # diameter > max_iters yields silently SPLIT clusters. The check
+        # is CONSERVATIVE — convergence is only ever observed via a
+        # zero-change round, so if the final allowed round made the last
+        # real changes this still warns on a fully-propagated result
+        # (deciding otherwise would cost one extra confirmation round).
         import warnings
 
         warnings.warn(
             f"connected_components stopped at max_iters={max_iters} without "
-            "reaching a fixpoint; cluster labels may be split. Raise "
-            "max_iters (rounds needed ~= component diameter).",
+            "observing a zero-change round; cluster labels MAY be split "
+            "(the warning is conservative — the final round may have "
+            "completed propagation). Raise max_iters (rounds needed ~= "
+            "component diameter) to confirm.",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -106,6 +106,13 @@ def get_session(
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)
     builder = builder.config("spark.ui.enabled", "false")
+    # Construction-time-only (ContextCleaner reads it at startup): GC of a
+    # superseded RDD deletes its reliable-checkpoint files — without this,
+    # iterative ops using checkpoint() (connected_components) accumulate
+    # one rdd-checkpoint dir per iteration on the distributed FS.
+    builder = builder.config(
+        "spark.cleaner.referenceTracking.cleanCheckpoints", "true"
+    )
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     spark = builder.getOrCreate()
     return configure_runtime(spark)

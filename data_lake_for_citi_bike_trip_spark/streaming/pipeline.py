@@ -234,9 +234,16 @@ def stream_to_lake(
     earlier one (plain dynamic overwrite on the user partitions alone
     would silently delete earlier batches' rows whenever a drain spans
     multiple micro-batches — e.g. maxFilesPerTrigger or a restarted
-    feed). Readers scan the whole tree; the extra column is metadata-
-    only. The checkpoint directory makes progress exactly-once across
-    restarts."""
+    feed). Readers scan the whole tree and — via partition inference —
+    SEE ``_ingest_batch`` as a real column; drop it on read when schema
+    parity with the batch-written lake matters. Re-ingesting into an
+    existing lake path with a FRESH checkpoint only overwrites batch
+    numbers the new run reaches: if micro-batch boundaries differ (e.g.
+    a changed maxFilesPerTrigger), stale higher-numbered _ingest_batch
+    partitions survive and duplicate rows — a full re-ingestion needs
+    identical trigger options or a cleared lake path. The checkpoint
+    directory makes progress exactly-once across restarts of the SAME
+    run."""
     from ..sources.writers import write_table
 
     parts = (partition_by or ["year", "month"]) + ["_ingest_batch"]

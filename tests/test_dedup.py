@@ -218,7 +218,7 @@ def test_connected_components_warns_when_iteration_capped(spark):
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         dedup.connected_components(nodes, edges, max_iters=1).collect()
-    assert any("fixpoint" in str(w.message) for w in caught)
+    assert any("zero-change round" in str(w.message) for w in caught)
 
 
 def test_dedup_clusters_survivor_per_cluster(spark):
