@@ -384,6 +384,20 @@ def q_multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEW_SHARD_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard dedup: the src0-src4 shard arrives 'new' and is flagged
+    against the already-ingested rest of the corpus (exact hash tier, then
+    asymmetric banded-MinHash near tier) without recomputing any old x old
+    pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("source").isin(*_NEW_SHARD_SOURCES))
+    old = docs.where(~F.col("source").isin(*_NEW_SHARD_SOURCES))
+    return dedup.incremental_dedup(old, new, threshold=0.5)
+
+
 def q_multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL PNG decode: Arrow-batched stdlib PNG encode (zlib
     deflate + forward scanline filters, all five types cycling per row)
@@ -1129,6 +1143,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_payload_stats": q_multimodal_payload_stats,
         "multimodal_decode_dims": q_multimodal_decode_dims,
         "multimodal_png_pixels": q_multimodal_png_pixels,
+        "dedup_incremental": q_dedup_incremental,
         "scd2_stations": q_scd2_stations,
         "session_window": q_session_window,
         "unpivot_event_counts": q_unpivot_event_counts,
@@ -1266,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_payload_stats": oracles.MULTIMODAL_PAYLOAD_STATS,
         "multimodal_decode_dims": oracles.MULTIMODAL_DECODE_DIMS,
         "multimodal_png_pixels": oracles.MULTIMODAL_PNG_PIXELS,
+        "dedup_incremental": oracles.DEDUP_INCREMENTAL,
         "scd2_stations": oracles.SCD2_STATIONS,
         "session_window": oracles.SESSION_WINDOW,
         "unpivot_event_counts": oracles.UNPIVOT_EVENT_COUNTS,

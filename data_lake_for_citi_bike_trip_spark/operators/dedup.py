@@ -61,14 +61,10 @@ def _signatures(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*TX.minhash_agg_columns(F.col("h")))
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3
-) -> DataFrame:
-    """Candidate pairs from banded LSH, scored by estimated Jaccard
-    (fraction of matching min-hashes), filtered at ``threshold``."""
-    sigs = _signatures(docs, shingle_n).cache()
+def _band_table(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_no, key) — one row per banded slice of a signature."""
     sig_cols = [F.col(f"mh_{i}") for i in range(TX.MINHASH_PERMS)]
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -82,6 +78,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_no", "band.key")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3
+) -> DataFrame:
+    """Candidate pairs from banded LSH, scored by estimated Jaccard
+    (fraction of matching min-hashes), filtered at ``threshold``."""
+    sigs = _signatures(docs, shingle_n).cache()
+    bands = _band_table(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -474,4 +479,94 @@ def dedup_keep_best(
         "cluster_id",
         "score",
         (F.row_number().over(w) == 1).alias("is_keeper"),
+    )
+
+
+def incremental_dedup(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedupe a NEW shard against an EXISTING corpus — the shape every
+    continuously-ingesting training pipeline actually runs: the old
+    corpus is already deduped, so old x old pairs must never be
+    recomputed; only new x old (and implicitly new x new via the
+    existing batch operators) matter.
+
+    Two detection tiers, exact taking precedence:
+    - exact: content-hash anti-membership (md5 equi-join against the old
+      corpus's distinct hashes — one shuffle on a 16-byte key).
+    - near: banded MinHash-LSH, ASYMMETRIC — the new shard's band table
+      joins the old corpus's band table, so candidate generation is
+      |new_bands| x matching buckets, never quadratic in the old corpus.
+      Candidates are verified by estimated Jaccard (signature overlap)
+      at ``threshold``.
+
+    Returns one row per new doc: (doc_id, is_dup, dup_of, reason) with
+    dup_of = the smallest matching old doc_id and reason in
+    ('exact', 'near', NULL).
+
+    At 100 TB the old side's signatures/bands are a PERSISTED index
+    (written bucketed on the band key at ingest time); here they are
+    derived inline from ``old_docs``, which is the same plan minus the
+    table scan swap. New-shard signatures are always computed fresh.
+    """
+    old_hashes = old_docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("dup_of")
+    )
+    exact = (
+        new_docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(old_hashes, "content_hash")
+        .select("doc_id", "dup_of", F.lit("exact").alias("reason"))
+    )
+
+    sigs_old = _signatures(old_docs, shingle_n).cache()
+    sigs_new = _signatures(new_docs, shingle_n).cache()
+    cand = (
+        _band_table(sigs_new)
+        .alias("a")
+        .join(
+            _band_table(sigs_old).alias("b"),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.doc_id").alias("nd"), F.col("b.doc_id").alias("od"))
+        .distinct()
+    )
+    sa = sigs_new.select(
+        F.col("doc_id").alias("nd"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(TX.MINHASH_PERMS)],
+    )
+    sb = sigs_old.select(
+        F.col("doc_id").alias("od"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(TX.MINHASH_PERMS)],
+    )
+    matches = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+            for i in range(TX.MINHASH_PERMS)
+        ],
+    )
+    near = (
+        cand.join(sa, "nd")
+        .join(sb, "od")
+        .where(
+            (matches.cast("double") / TX.MINHASH_PERMS) >= F.lit(threshold)
+        )
+        .groupBy(F.col("nd").alias("doc_id"))
+        .agg(F.min("od").alias("dup_of"))
+        .select("doc_id", "dup_of", F.lit("near").alias("reason"))
+    )
+    flagged = exact.unionByName(near.join(exact, "doc_id", "left_anti"))
+    return (
+        new_docs.select("doc_id")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("reason").isNotNull().alias("is_dup"),
+            "dup_of",
+            "reason",
+        )
     )

@@ -426,6 +426,50 @@ JOIN sigs sb ON sb.doc_id = d2
 WHERE CAST({_MATCHES} AS DOUBLE) / {_N_PERMS} >= 0.5
 """
 
+# operators/dedup.py:incremental_dedup — new shard (src0-src4) deduped
+# against the existing corpus (the rest): exact content-hash tier takes
+# precedence over the banded-MinHash near tier; dup_of = smallest
+# matching old doc_id. Signatures/bands mirror _DOC_SIGS exactly; the
+# join is asymmetric (new x old only).
+_NEW_SOURCES = "('src0','src1','src2','src3','src4')"
+
+DEDUP_INCREMENTAL = f"""
+WITH {_DOC_SIGS},
+newdocs AS (SELECT * FROM documents WHERE source IN {_NEW_SOURCES}),
+olddocs AS (SELECT * FROM documents WHERE source NOT IN {_NEW_SOURCES}),
+old_hashes AS (
+  SELECT md5(text) AS content_hash, min(doc_id) AS dup_of FROM olddocs GROUP BY 1
+),
+exact AS (
+  SELECT n.doc_id, oh.dup_of, 'exact' AS reason
+  FROM newdocs n JOIN old_hashes oh ON md5(n.text) = oh.content_hash
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+new_bands AS (SELECT b.* FROM bands b JOIN newdocs USING (doc_id)),
+old_bands AS (SELECT b.* FROM bands b JOIN olddocs USING (doc_id)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS nd, b.doc_id AS od
+  FROM new_bands a JOIN old_bands b ON a.band_no = b.band_no AND a.key = b.key
+),
+near AS (
+  SELECT nd AS doc_id, min(od) AS dup_of, 'near' AS reason
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = nd
+  JOIN sigs sb ON sb.doc_id = od
+  WHERE CAST({_MATCHES} AS DOUBLE) / {_N_PERMS} >= 0.5
+  GROUP BY nd
+),
+flagged AS (
+  SELECT * FROM exact
+  UNION ALL
+  SELECT * FROM near WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+)
+SELECT n.doc_id, f.reason IS NOT NULL AS is_dup, f.dup_of, f.reason
+FROM newdocs n LEFT JOIN flagged f ON n.doc_id = f.doc_id
+"""
+
 # Connected components over the minhash near-dup pairs as a recursive
 # transitive closure: every node starts labeled with itself; labels
 # propagate along (symmetrized) edges; min reachable label = component id.

@@ -262,3 +262,26 @@ def test_keep_best_prefers_high_score(spark):
     assert out[2] == (1, True)
     assert out[3] == (1, False)
     assert out[4] == (4, True)  # singleton keeps itself
+
+
+def test_incremental_dedup_tiers(spark):
+    """Planted shard: one exact copy, one near copy (shared shingles),
+    one genuinely new doc — each tier flags its own, exact wins ties."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about spark plans")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),                                    # exact copy of 1
+            (101, base + " with a tiny suffix change"),     # near copy of 1
+            (102, "nothing like anything in the old corpus at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.incremental_dedup(old, new, 0.5).collect()}
+    assert rows[100].reason == "exact" and rows[100].dup_of == 1
+    assert rows[101].reason == "near" and rows[101].dup_of == 1
+    assert rows[102].is_dup is False and rows[102].reason is None
+    assert rows[100].is_dup and rows[101].is_dup
