@@ -148,3 +148,21 @@ def test_approx_profile_avoids_expand(spark, sf_dir):
             e.n_rows, e.n_null, e.min_val, e.max_val
         )
         assert abs(r.n_distinct - e.n_distinct) <= max(3, 0.15 * e.n_distinct)
+
+
+def test_partsupp_tpch_shapes_avoid_cartesian_and_nlj(spark, sf_dir):
+    """The five partsupp-derived TPC-H shapes (Q2/Q11/Q16/Q20/Q21) must
+    decorrelate cleanly: every dim join broadcast or hash, never a
+    cartesian product / nested-loop fallback (a failed decorrelation of
+    the scalar subqueries would surface as exactly that)."""
+    for name in (
+        "tpch_min_cost_supplier",
+        "tpch_important_stock",
+        "tpch_supplier_relation",
+        "tpch_promo_stock_suppliers",
+        "tpch_waiting_suppliers",
+    ):
+        f = _facts(spark, sf_dir, name)
+        assert f["nested_loop_joins"] == 0, name
+        assert "CartesianProduct" not in f["plan"], name
+        assert f["broadcast_joins"] >= 2, name
