@@ -9,6 +9,7 @@ cross-engine parity rules).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -396,6 +397,35 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("source").isin(*_NEW_SHARD_SOURCES))
     old = docs.where(~F.col("source").isin(*_NEW_SHARD_SOURCES))
     return dedup.incremental_dedup(old, new, threshold=0.5)
+
+
+def q_stream_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC -> SCD1 upsert: drain the event feed through a
+    foreachBatch latest-seq-wins parquet merge (ping-ponged state, replay
+    idempotent) and emit the final per-user state — which the oracle pins
+    as exactly the max-event_id row per user, independent of micro-batch
+    boundaries."""
+    import atexit
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_upsert_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    sess = streaming.scoped_session(spark, 8)
+    stream = streaming.stream_events(sess, sf_dir)
+    state = streaming.stream_upsert_scd1(
+        stream,
+        state_path=os.path.join(scratch, "state"),
+        checkpoint=os.path.join(scratch, "ckpt"),
+        key="user_id",
+        seq_col="event_id",
+    )
+    return state.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
 
 
 def q_multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,6 +1174,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_dims": q_multimodal_decode_dims,
         "multimodal_png_pixels": q_multimodal_png_pixels,
         "dedup_incremental": q_dedup_incremental,
+        "stream_scd1_upsert": q_stream_scd1_upsert,
         "scd2_stations": q_scd2_stations,
         "session_window": q_session_window,
         "unpivot_event_counts": q_unpivot_event_counts,
@@ -1282,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_dims": oracles.MULTIMODAL_DECODE_DIMS,
         "multimodal_png_pixels": oracles.MULTIMODAL_PNG_PIXELS,
         "dedup_incremental": oracles.DEDUP_INCREMENTAL,
+        "stream_scd1_upsert": oracles.STREAM_SCD1_UPSERT,
         "scd2_stations": oracles.SCD2_STATIONS,
         "session_window": oracles.SESSION_WINDOW,
         "unpivot_event_counts": oracles.UNPIVOT_EVENT_COUNTS,

@@ -2431,3 +2431,18 @@ SELECT doc_id AS media_id,
         FROM unnest(generate_series(0, doc_id % 17)) AS t(y)) AS pixel_sum
 FROM documents
 """
+
+
+# streaming/pipeline.py:stream_upsert_scd1 — the final upserted state is
+# batch-boundary-independent by construction (latest-seq-wins), so the
+# oracle is simply the max-event_id row per user.
+STREAM_SCD1_UPSERT = """
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""

@@ -303,3 +303,67 @@ def static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
         keyed.nation_key == F.col("n_nationkey"),
     )
     return enriched.groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def stream_upsert_scd1(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key: str = "user_id",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Streaming CDC -> SCD1 upsert sink: every micro-batch merges
+    latest-wins into a parquet state table via ``foreachBatch``.
+
+    The merge is LATEST-SEQ-WINS (max ``seq_col`` per ``key``), which
+    makes the final state independent of micro-batch boundaries AND
+    replay-idempotent: re-applying an already-merged batch after a
+    failure/retry reduces to a no-op because its rows can never beat
+    newer sequence numbers. That property — not the checkpoint alone —
+    is what gives the sink exactly-once SEMANTICS on top of
+    foreachBatch's at-least-once delivery.
+
+    State is ping-ponged between ``v0``/``v1`` subdirectories keyed by
+    batch-id parity (Spark cannot overwrite a parquet path it is
+    reading in the same job). Production would use a transactional
+    table format for the state; the merge plan — one shuffle on the
+    key, batch side broadcast when small — is identical there.
+
+    Returns the final state DataFrame (read from the last-written side).
+    """
+    from pyspark.sql import Window
+
+    last_dir: list[str | None] = [None]
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(F.desc(seq_col))
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        prev_dir = os.path.join(state_path, f"v{(batch_id + 1) % 2}")
+        next_dir = os.path.join(state_path, f"v{batch_id % 2}")
+        try:
+            merged = spark.read.parquet(prev_dir).unionByName(latest)
+        except Exception:  # first batch: no state yet
+            merged = latest
+        final = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        final.write.mode("overwrite").parquet(next_dir)
+        last_dir[0] = next_dir
+
+    query = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if last_dir[0] is None:
+        raise ValueError("stream_upsert_scd1: source produced no batches")
+    return stream_df.sparkSession.read.parquet(last_dir[0])

@@ -116,3 +116,53 @@ def test_stream_to_lake_is_partitioned_and_idempotent(spark, sf_dir, tmp_path):
     pipeline.stream_to_lake(enriched, lake, str(tmp_path / "ckpt2"))
     again = spark.read.parquet(lake)
     assert again.count() == events.count()
+
+
+def test_stream_upsert_scd1_batch_boundary_independent(spark, sf_dir, tmp_path):
+    """The latest-seq-wins upsert must converge to the same state whether
+    the feed arrives as ONE batch or one-file-at-a-time micro-batches,
+    and a full replay with a fresh checkpoint must be a no-op."""
+    events = load_table(spark, sf_dir, "events")
+    # split the feed into 3 files so maxFilesPerTrigger=1 forces 3 batches
+    feed = str(tmp_path / "feed")
+    events.repartition(3).write.mode("overwrite").parquet(feed)
+
+    def drain(tag, max_files):
+        sess = pipeline.scoped_session(spark, 4)
+        raw = (
+            sess.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(feed)
+        )
+        return pipeline.stream_upsert_scd1(
+            raw,
+            state_path=str(tmp_path / f"state_{tag}"),
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+            key="user_id",
+            seq_col="event_id",
+        )
+
+    multi = {r.user_id: r.event_id for r in drain("multi", 1).collect()}
+    single = {r.user_id: r.event_id for r in drain("single", 100).collect()}
+    expected = {
+        r.user_id: r.event_id
+        for r in events.groupBy("user_id").agg(F.max("event_id").alias("event_id")).collect()
+    }
+    assert multi == expected
+    assert single == expected
+
+    # replay every batch with a fresh checkpoint against the SAME state
+    sess = pipeline.scoped_session(spark, 4)
+    raw = (
+        sess.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    replayed = pipeline.stream_upsert_scd1(
+        raw,
+        state_path=str(tmp_path / "state_multi"),
+        checkpoint=str(tmp_path / "ckpt_replay"),
+        key="user_id",
+        seq_col="event_id",
+    )
+    assert {r.user_id: r.event_id for r in replayed.collect()} == expected
