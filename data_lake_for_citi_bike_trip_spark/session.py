@@ -113,6 +113,14 @@ def get_session(
     builder = builder.config(
         "spark.cleaner.referenceTracking.cleanCheckpoints", "true"
     )
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    # local[N] runs executors inside the driver JVM: the driver heap IS
+    # the executor heap. 8g across 32 task threads left explode-heavy
+    # stages GC-bound (bench showed 2-4x run-to-run variance on the
+    # tokenize/shingle queries); 16g keeps full-parallelism shuffles
+    # comfortably in-heap on the 128 GiB box while remaining a fraction
+    # of what a per-executor heap would be on a real cluster.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    )
     spark = builder.getOrCreate()
     return configure_runtime(spark)

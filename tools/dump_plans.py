@@ -39,6 +39,11 @@ HEADLINE = [
     "incident_exposure",
     "asof_nearest",
     "text_repetition",
+    "tpch_min_cost_supplier",
+    "tpch_waiting_suppliers",
+    "dedup_incremental",
+    "ann_ivf_topk",
+    "multimodal_png_pixels",
 ]
 
 NOTES = {
@@ -97,6 +102,24 @@ NOTES = {
     "total broadcast-attached; TakeOrderedAndProject top-k",
     "referential_orphans": "keys-only left_anti joins (shuffle carries "
     "the key column, nothing else); parent key sets distinct+broadcast",
+    "tpch_min_cost_supplier": "Q2 correlated scalar min decorrelated to "
+    "a per-part aggregate joined back; all dims broadcast, the single "
+    "sort-merge join is partsupp vs its own min-cost table (both "
+    "lineitem-derived). At deployment scale partsupp is a materialized "
+    "bucketed table, dropping the two in-plan DISTINCT derivations",
+    "tpch_waiting_suppliers": "Q21 EXISTS -> broadcast semi join, "
+    "NOT EXISTS -> broadcast anti join on the same orderkey; no "
+    "cartesian fallback from the double correlation",
+    "dedup_incremental": "asymmetric band join: new-shard bands x old "
+    "bands (hash equi-join on band key), old x old never formed; exact "
+    "tier is one shuffle on the md5 digest; exact wins via left_anti",
+    "ann_ivf_topk": "search against the prebuilt CACHED index (InMemory"
+    "TableScan): centroid routing broadcast, candidates via hash join "
+    "on cid, per-query top-k window. Index build cost amortized across "
+    "every search in the session",
+    "multimodal_png_pixels": "two Arrow-batched mapInPandas stages "
+    "(encode, decode) — payload bytes cross the JVM boundary once per "
+    "batch; everything between stays columnar",
     "tpch_local_supplier_volume": "6-table Q5 cycle: region/nation/"
     "supplier broadcast, one shuffle join (orders-lineitem) + final "
     "per-nation agg; date+region filters prune before any join",
