@@ -285,3 +285,33 @@ def test_incremental_dedup_tiers(spark):
     assert rows[101].reason == "near" and rows[101].dup_of == 1
     assert rows[102].is_dup is False and rows[102].reason is None
     assert rows[100].is_dup and rows[101].is_dup
+
+
+def test_incremental_dedup_consistent_with_batch_minhash(spark, sf_dir):
+    """Every near-tier flag raised by the incremental (new-vs-old) path
+    must correspond to a pair the full-corpus batch pipeline would also
+    surface across the shard boundary, with the same threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_sources = ("src0", "src1", "src2", "src3", "src4")
+    new = docs.where(F.col("source").isin(*new_sources))
+    old = docs.where(~F.col("source").isin(*new_sources))
+    inc = dedup.incremental_dedup(old, new, threshold=0.5)
+    near = {(r.doc_id, r.dup_of) for r in inc.where(F.col("reason") == "near").collect()}
+
+    batch = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    cross = set()
+    for r in batch.collect():
+        if (r.d1 in new_ids) != (r.d2 in new_ids):  # one side new, one old
+            nd = r.d1 if r.d1 in new_ids else r.d2
+            od = r.d2 if r.d1 in new_ids else r.d1
+            cross.add((nd, od))
+    # each incremental near flag picks min(old) among its cross-boundary
+    # matches — so its (new, dup_of) pair must appear in the batch set
+    for nd, od in near:
+        assert (nd, od) in cross, (nd, od)
+    # and every new doc with any cross-boundary batch pair is flagged
+    flagged = {nd for nd, _ in near} | {
+        r.doc_id for r in inc.where(F.col("reason") == "exact").collect()
+    }
+    assert {nd for nd, _ in cross} <= flagged
