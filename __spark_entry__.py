@@ -1256,6 +1256,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_supplier_relation": sqlsurface.tpch_supplier_relation,
         "tpch_promo_stock_suppliers": sqlsurface.tpch_promo_stock_suppliers,
         "tpch_waiting_suppliers": sqlsurface.tpch_waiting_suppliers,
+        "tpch_product_profit": sqlsurface.tpch_product_profit,
         "tpch_top_supplier": sqlsurface.tpch_top_supplier,
         "tpch_small_quantity_revenue": sqlsurface.tpch_small_quantity_revenue,
         "tpch_inactive_customers": sqlsurface.tpch_inactive_customers,
@@ -1399,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_supplier_relation": oracles.TPCH_SUPPLIER_RELATION,
         "tpch_promo_stock_suppliers": oracles.TPCH_PROMO_STOCK_SUPPLIERS,
         "tpch_waiting_suppliers": oracles.TPCH_WAITING_SUPPLIERS,
+        "tpch_product_profit": oracles.TPCH_PRODUCT_PROFIT,
         "tpch_top_supplier": oracles.TPCH_TOP_SUPPLIER,
         "tpch_small_quantity_revenue": oracles.TPCH_SMALL_QUANTITY_REVENUE,
         "tpch_inactive_customers": oracles.TPCH_INACTIVE_CUSTOMERS,

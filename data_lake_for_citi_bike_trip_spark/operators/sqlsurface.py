@@ -779,3 +779,37 @@ def tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exactly Q21's."""
     _views(spark, sf_dir, ["lineitem", "supplier", "orders", "nation", "region"])
     return spark.sql(TPCH_WAITING_SUPPLIERS_SQL)
+
+
+TPCH_PRODUCT_PROFIT_SQL = PARTSUPP_CTE + """
+SELECT nation, o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_r2,
+       sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT))
+           AS supply_cost_cents
+FROM (
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice, l_discount, l_quantity, ps_supplycost_cents
+    FROM partsupp, lineitem, supplier, part, orders, nation
+    WHERE s_suppkey = l_suppkey
+      AND ps_suppkey = l_suppkey
+      AND ps_partkey = l_partkey
+      AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey
+      AND s_nationkey = n_nationkey
+      AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): the six-table star with
+    partsupp joined on its COMPOUND key (l_partkey, l_suppkey) — the one
+    join shape the other partsupp queries don't exercise. Revenue and
+    supply cost are emitted as separate columns (rounded float sum and
+    exact integer cents) instead of a mixed per-row difference, keeping
+    the cross-engine float discipline of oracles.py."""
+    _views(spark, sf_dir, ["lineitem", "supplier", "part", "orders", "nation"])
+    return spark.sql(TPCH_PRODUCT_PROFIT_SQL)

@@ -2410,7 +2410,10 @@ from .operators.sqlsurface import (  # noqa: E402
     TPCH_WAITING_SUPPLIERS_SQL,
 )
 
+from .operators.sqlsurface import TPCH_PRODUCT_PROFIT_SQL  # noqa: E402
+
 TPCH_MIN_COST_SUPPLIER = TPCH_MIN_COST_SUPPLIER_SQL
+TPCH_PRODUCT_PROFIT = TPCH_PRODUCT_PROFIT_SQL
 TPCH_IMPORTANT_STOCK = TPCH_IMPORTANT_STOCK_SQL
 TPCH_SUPPLIER_RELATION = TPCH_SUPPLIER_RELATION_SQL
 TPCH_PROMO_STOCK_SUPPLIERS = TPCH_PROMO_STOCK_SUPPLIERS_SQL
