@@ -11,6 +11,8 @@ decorrelation — so there is no penalty for the SQL form.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.registry import load_table
@@ -606,11 +608,14 @@ def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hazards: costs are integer cents, quantities are integer-valued doubles
 # whose sums stay exact in ieee754).
 #
-# Scale note: the CTE re-derives partsupp per query (a DISTINCT shuffle
-# over lineitem's (partkey, suppkey)); on a real deployment this would be
-# a materialized bucketed table written once — the queries only assume
-# "a relation named partsupp", so swapping the CTE for a table is a
-# one-line change.
+# Scale note: the Spark side materializes partsupp ONCE per
+# (application, sf_dir) as a parquet table bucketed on ps_partkey
+# (``ensure_partsupp`` below) — the deployment shape: derive once, pay
+# the DISTINCT shuffle once, and every Q2/Q9/Q11/Q16/Q20 run scans the
+# table (bucketed, so partkey joins against other ps_partkey-bucketed
+# relations need no exchange on this side). The DuckDB oracle keeps the
+# inline CTE derivation — same relation, derived per query, which is
+# fine single-node at oracle scale.
 
 PARTSUPP_CTE = """
 WITH partsupp AS (
@@ -624,7 +629,82 @@ WITH partsupp AS (
 )
 """
 
-TPCH_MIN_COST_SUPPLIER_SQL = PARTSUPP_CTE + """
+# Spark-side prefix: the same relation name, backed by the materialized
+# bucketed table (registered as temp view ``partsupp_mat`` by
+# ``_partsupp_view``). Bodies compose with either prefix unchanged, so
+# the Spark query and the DuckDB oracle can never diverge semantically.
+_PARTSUPP_MAT_CTE = """
+WITH partsupp AS (SELECT * FROM partsupp_mat)
+"""
+
+_PARTSUPP_TABLES: dict[tuple[str, str], str] = {}
+
+
+def ensure_partsupp(
+    spark: SparkSession, sf_dir: str, buckets: int = 8
+) -> str:
+    """Materialize the derived partsupp relation as a parquet table
+    bucketed (and sorted) on ps_partkey, once per (application, sf_dir);
+    returns the catalog table name.
+
+    This is the deployment shape PLANS.md called for: the
+    DISTINCT-over-lineitem derivation runs exactly once, and the
+    Q2/Q9/Q11/Q16/Q20 family scans the result. Bucketing by ps_partkey
+    means a join against any other relation bucketed the same way (or a
+    repartitioned build side) skips the exchange on partsupp. 8 buckets
+    suit test scale; a 100 TB deployment would size buckets to
+    ~executor-memory-sized splits of the distinct (partkey, suppkey)
+    domain."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key in _PARTSUPP_TABLES:
+        return _PARTSUPP_TABLES[key]
+    for stale in [k for k in _PARTSUPP_TABLES if k[0] != app_id]:
+        del _PARTSUPP_TABLES[stale]
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    tbl = f"partsupp_b{buckets}_{tag}"
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .selectExpr(
+            "l_partkey AS ps_partkey",
+            "l_suppkey AS ps_suppkey",
+            "CAST((l_partkey * 7 + l_suppkey * 13) % 1000 + 1 AS BIGINT)"
+            " AS ps_availqty",
+            "CAST((l_partkey * 31 + l_suppkey * 17) % 90000 + 100 AS BIGINT)"
+            " AS ps_supplycost_cents",
+        )
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # The in-memory catalog forgets tables across processes but the
+    # warehouse files persist; clear any leftover location so CREATE
+    # doesn't trip over it.
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    leftover = os.path.join(wh, tbl)
+    if wh and os.path.isdir(leftover):
+        shutil.rmtree(leftover)
+    (
+        ps.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, "ps_partkey")
+        .sortBy("ps_partkey")
+        .saveAsTable(tbl)
+    )
+    _PARTSUPP_TABLES[key] = tbl
+    return tbl
+
+
+def _partsupp_view(spark: SparkSession, sf_dir: str) -> None:
+    """Point the ``partsupp_mat`` temp view at this sf_dir's table."""
+    spark.table(ensure_partsupp(spark, sf_dir)).createOrReplaceTempView(
+        "partsupp_mat"
+    )
+
+_TPCH_MIN_COST_SUPPLIER_BODY = """
 SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost_cents
 FROM partsupp, supplier, nation, region, part
 WHERE p_partkey = ps_partkey
@@ -646,6 +726,8 @@ ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
 """
 
+TPCH_MIN_COST_SUPPLIER_SQL = PARTSUPP_CTE + _TPCH_MIN_COST_SUPPLIER_BODY
+
 
 def tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier): five-way join with a
@@ -654,11 +736,12 @@ def tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part min aggregate joined back on (partkey, min_cost); the
     ORDER BY chain is total (supplier names are unique per row) so the
     LIMIT is deterministic."""
-    _views(spark, sf_dir, ["lineitem", "supplier", "nation", "region", "part"])
-    return spark.sql(TPCH_MIN_COST_SUPPLIER_SQL)
+    _views(spark, sf_dir, ["supplier", "nation", "region", "part"])
+    _partsupp_view(spark, sf_dir)
+    return spark.sql(_PARTSUPP_MAT_CTE + _TPCH_MIN_COST_SUPPLIER_BODY)
 
 
-TPCH_IMPORTANT_STOCK_SQL = PARTSUPP_CTE + """
+_TPCH_IMPORTANT_STOCK_BODY = """
 , national AS (
     SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
     FROM partsupp, supplier, nation
@@ -666,12 +749,14 @@ TPCH_IMPORTANT_STOCK_SQL = PARTSUPP_CTE + """
       AND s_nationkey = n_nationkey
       AND n_name IN ('NATION_7', 'NATION_11', 'NATION_19')
 )
-SELECT ps_partkey, sum(v) AS stock_value_cents
+SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS stock_value_cents
 FROM national
 GROUP BY ps_partkey
 HAVING sum(v) * 800 > (SELECT sum(v) FROM national)
 ORDER BY stock_value_cents DESC, ps_partkey
 """
+
+TPCH_IMPORTANT_STOCK_SQL = PARTSUPP_CTE + _TPCH_IMPORTANT_STOCK_BODY
 
 
 def tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,11 +765,12 @@ def tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUBQUERY over the same two-level aggregate (a fraction of the
     national total). All-integer arithmetic so the threshold comparison
     is exact in both engines."""
-    _views(spark, sf_dir, ["lineitem", "supplier", "nation"])
-    return spark.sql(TPCH_IMPORTANT_STOCK_SQL)
+    _views(spark, sf_dir, ["supplier", "nation"])
+    _partsupp_view(spark, sf_dir)
+    return spark.sql(_PARTSUPP_MAT_CTE + _TPCH_IMPORTANT_STOCK_BODY)
 
 
-TPCH_SUPPLIER_RELATION_SQL = PARTSUPP_CTE + """
+_TPCH_SUPPLIER_RELATION_BODY = """
 SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
 FROM partsupp, part
 WHERE p_partkey = ps_partkey
@@ -696,6 +782,8 @@ GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
+TPCH_SUPPLIER_RELATION_SQL = PARTSUPP_CTE + _TPCH_SUPPLIER_RELATION_BODY
+
 
 def tpch_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (parts/supplier relationship): NOT IN over a
@@ -703,11 +791,12 @@ def tpch_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain), brand/type/size exclusion filters, and count(DISTINCT) per
     group. The slim schema has no s_comment, so the 'customer
     complaints' exclusion stands in as low account balance."""
-    _views(spark, sf_dir, ["lineitem", "part", "supplier"])
-    return spark.sql(TPCH_SUPPLIER_RELATION_SQL)
+    _views(spark, sf_dir, ["part", "supplier"])
+    _partsupp_view(spark, sf_dir)
+    return spark.sql(_PARTSUPP_MAT_CTE + _TPCH_SUPPLIER_RELATION_BODY)
 
 
-TPCH_PROMO_STOCK_SUPPLIERS_SQL = PARTSUPP_CTE + """
+_TPCH_PROMO_STOCK_SUPPLIERS_BODY = """
 SELECT s_name, s_acctbal
 FROM supplier, nation, region
 WHERE s_nationkey = n_nationkey
@@ -726,6 +815,8 @@ WHERE s_nationkey = n_nationkey
 ORDER BY s_name
 """
 
+TPCH_PROMO_STOCK_SUPPLIERS_SQL = PARTSUPP_CTE + _TPCH_PROMO_STOCK_SUPPLIERS_BODY
+
 
 def tpch_promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (potential part promotion): IN-subquery nesting
@@ -735,7 +826,8 @@ def tpch_promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipments of the part compare against NULL and drop (3VL), same in
     both engines."""
     _views(spark, sf_dir, ["lineitem", "supplier", "nation", "region", "part"])
-    return spark.sql(TPCH_PROMO_STOCK_SUPPLIERS_SQL)
+    _partsupp_view(spark, sf_dir)
+    return spark.sql(_PARTSUPP_MAT_CTE + _TPCH_PROMO_STOCK_SUPPLIERS_BODY)
 
 
 TPCH_WAITING_SUPPLIERS_SQL = """
@@ -781,11 +873,11 @@ def tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_WAITING_SUPPLIERS_SQL)
 
 
-TPCH_PRODUCT_PROFIT_SQL = PARTSUPP_CTE + """
+_TPCH_PRODUCT_PROFIT_BODY = """
 SELECT nation, o_year,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_r2,
-       sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT))
-           AS supply_cost_cents
+       CAST(sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS supply_cost_cents
 FROM (
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -803,6 +895,8 @@ GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
 """
 
+TPCH_PRODUCT_PROFIT_SQL = PARTSUPP_CTE + _TPCH_PRODUCT_PROFIT_BODY
+
 
 def tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit): the six-table star with
@@ -812,4 +906,5 @@ def tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer cents) instead of a mixed per-row difference, keeping
     the cross-engine float discipline of oracles.py."""
     _views(spark, sf_dir, ["lineitem", "supplier", "part", "orders", "nation"])
-    return spark.sql(TPCH_PRODUCT_PROFIT_SQL)
+    _partsupp_view(spark, sf_dir)
+    return spark.sql(_PARTSUPP_MAT_CTE + _TPCH_PRODUCT_PROFIT_BODY)

@@ -1376,6 +1376,63 @@ FROM cur c FULL JOIN latest g ON c.c_custkey = g.c_custkey
 WHERE NOT (g.c_custkey IS NOT NULL AND g.op = 'D')
 """
 
+# sources/txn.py:TxnTable.merge — two sequential transactional CDC
+# batches (o_orderkey % 3 = 0 then = 1) over customer; each merge is the
+# same latest-wins/upsert/delete algebra as CDC_MERGE, chained.
+LAKE_MERGE = """
+WITH cur0 AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+),
+ch1 AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+              WHEN o_orderkey % 10 < 6 THEN 'U'
+              ELSE 'I' END AS op,
+         'm1_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS acctbal_cents
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+l1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM ch1
+  ) WHERE rn = 1
+),
+cur1 AS (
+  SELECT COALESCE(g.c_custkey, c.c_custkey) AS c_custkey,
+         CASE WHEN g.c_custkey IS NOT NULL THEN g.c_name
+              ELSE c.c_name END AS c_name,
+         CASE WHEN g.c_custkey IS NOT NULL THEN g.acctbal_cents
+              ELSE c.acctbal_cents END AS acctbal_cents
+  FROM cur0 c FULL JOIN l1 g ON c.c_custkey = g.c_custkey
+  WHERE NOT (g.c_custkey IS NOT NULL AND g.op = 'D')
+),
+ch2 AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+              WHEN o_orderkey % 10 < 6 THEN 'U'
+              ELSE 'I' END AS op,
+         'm2_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS acctbal_cents
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+l2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM ch2
+  ) WHERE rn = 1
+)
+SELECT COALESCE(g.c_custkey, c.c_custkey) AS c_custkey,
+       CASE WHEN g.c_custkey IS NOT NULL THEN g.c_name
+            ELSE c.c_name END AS c_name,
+       CASE WHEN g.c_custkey IS NOT NULL THEN g.acctbal_cents
+            ELSE c.acctbal_cents END AS acctbal_cents
+FROM cur1 c FULL JOIN l2 g ON c.c_custkey = g.c_custkey
+WHERE NOT (g.c_custkey IS NOT NULL AND g.op = 'D')
+"""
+
 # operators/layout.py:zorder_sample — Morton code over the low 8 bits of
 # (l_orderkey, l_partkey); bit arithmetic is engine-identical.
 _ZBITS = 8
@@ -1760,7 +1817,7 @@ idx AS (
   FROM daily
 )
 SELECT station, CAST(day AS VARCHAR) AS day, rides,
-  sum(rides) OVER w AS window_rides,
+  CAST(sum(rides) OVER w AS BIGINT) AS window_rides,
   COUNT(*) OVER w AS window_days_observed,
   CAST((10000 * sum(rides) OVER w) // (COUNT(*) OVER w) AS BIGINT)
     AS avg_rides_e4
@@ -1874,10 +1931,10 @@ LIMIT 20
 # split; the slim schema has no l_shipmode).
 TPCH_PRIORITY_SHIPPING = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= DATE '1996-01-01'

@@ -85,7 +85,10 @@ def stream_events(
     # (legacy) or a real timestamp (current)? Streaming needs the schema
     # declared up front, and a LongType schema over a timestamp column
     # would silently read micros as nanos (1000x off).
-    ts_is_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    # Sniff via the SAME glob the stream reads below, so the probed
+    # schema always matches the streamed file set (suffixed/mixed
+    # generations included).
+    ts_is_long = dict(spark.read.parquet(path + "*").dtypes).get("ts") == "bigint"
     reader = spark.readStream.schema(
         _events_raw_schema(T.LongType() if ts_is_long else T.TimestampType())
     )
@@ -345,9 +348,13 @@ def stream_upsert_scd1(
         )
         prev_dir = os.path.join(state_path, f"v{(batch_id + 1) % 2}")
         next_dir = os.path.join(state_path, f"v{batch_id % 2}")
-        try:
+        # Explicit existence test, not a bare except: a transient FS or
+        # footer-corruption error on an EXISTING state dir must propagate
+        # (so the batch retries) rather than silently resetting state
+        # while the checkpoint marks the batch committed.
+        if os.path.isdir(prev_dir):
             merged = spark.read.parquet(prev_dir).unionByName(latest)
-        except Exception:  # first batch: no state yet
+        else:  # first batch (or first write to this side): no state yet
             merged = latest
         final = (
             merged.withColumn("__rn", F.row_number().over(w))

@@ -111,3 +111,42 @@ def test_planted_skew_triggers_aqe_skew_join_split(spark):
     final_plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final_plan
     assert "skew=true" in final_plan, final_plan
+
+
+def test_minhash_band_join_planted_skew_gets_aqe_split(spark):
+    """The documented dedup failure mode (dedup.py:17-22): a hot band
+    bucket — here planted via a block of identical documents, which
+    share every band key — must come out of AQE with the band self-join's
+    hot partition SPLIT (skew=true on the SMJ), and the pair results must
+    be unaffected by the split. Thresholds are lowered on a session clone
+    because the band rows are bytes-tiny at test scale."""
+    from data_lake_for_citi_bike_trip_spark.operators import dedup
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    sess.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB"
+    )
+    sess.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+
+    hot_n, tail_n = 400, 200
+    hot = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(hot_n)]
+    tail = [
+        (hot_n + i, f"tail document {i} with its own distinct words number {i * 7}")
+        for i in range(tail_n)
+    ]
+    docs = sess.createDataFrame(hot + tail, "doc_id bigint, text string")
+
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9)
+    # every identical-doc pair survives at est_jaccard 1.0 (collect the
+    # SAME DataFrame whose executed plan is inspected below)
+    rows = pairs.collect()
+    n_pairs = sum(1 for r in rows if r.est_jaccard >= 0.999)
+    assert n_pairs >= hot_n * (hot_n - 1) // 2
+    final_plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final_plan
+    assert "skew=true" in final_plan, final_plan[:4000]

@@ -1,0 +1,167 @@
+"""Transactional parquet table (sources/txn.py) — ACID protocol tests.
+
+Pins the four properties the module claims: atomic publish (a crash
+between data write and manifest link leaves readers on the old
+snapshot), optimistic-concurrency conflict detection, bucket-granular
+copy-on-write (unaffected buckets carried forward by reference), and
+time travel. Merge semantics themselves are delegated to
+scd.apply_changes, cross-checked here against the non-transactional
+full-snapshot form.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.operators import scd
+from data_lake_for_citi_bike_trip_spark.sources.txn import (
+    ConcurrentWriteError,
+    TxnTable,
+)
+
+
+def _base(spark):
+    rows = [(i, f"name_{i}", i * 100) for i in range(1, 41)]
+    return spark.createDataFrame(
+        rows, "k bigint, name string, cents bigint"
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, seq bigint, op string, name string, cents bigint"
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TxnTable.create(spark, str(tmp_path / "t"), _base(spark), key="k")
+
+
+def test_create_read_roundtrip(spark, table):
+    got = table.read(spark)
+    assert got.count() == 40
+    assert set(got.columns) == {"k", "name", "cents"}
+    assert got.where(F.col("k") == 7).first().name == "name_7"
+
+
+def test_merge_matches_nontransactional_apply_changes(spark, table):
+    ch = _changes(
+        spark,
+        [
+            (1, 10, "U", "upd_1", 111),
+            (1, 11, "U", "upd_1b", 112),  # higher seq wins
+            (2, 10, "D", None, None),
+            (99, 10, "I", "new_99", 999),
+        ],
+    )
+    table.merge(spark, ch, "seq", "op")
+    expect = scd.apply_changes(_base(spark), ch, "k", "seq", "op")
+    got = table.read(spark)
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    assert got.where(F.col("k") == 1).first().name == "upd_1b"
+    assert got.where(F.col("k") == 2).count() == 0
+
+
+def test_copy_on_write_carries_unaffected_buckets_by_reference(spark, table):
+    before = table.manifest()["buckets"]
+    # a single-key change touches exactly one bucket
+    table.merge(spark, _changes(spark, [(1, 1, "U", "x", 1)]), "seq", "op")
+    after = table.manifest()["buckets"]
+    changed = {b for b in after if after[b] != before.get(b)}
+    assert len(changed) == 1, (before, after)
+    untouched = set(before) - changed
+    assert untouched and all(after[b] == before[b] for b in untouched)
+
+
+def test_crash_before_manifest_link_is_invisible_then_recoverable(
+    spark, table
+):
+    v1 = table.latest_version()
+    before = table.read(spark).collect()
+    # simulate a writer dying between data write and commit: data files
+    # land on disk but no manifest is ever linked
+    orphan = table._write_buckets(
+        _base(spark).withColumn("name", F.lit("CRASHED")),
+        key="k",
+        n_buckets=table.manifest()["n_buckets"],
+        version=v1 + 1,
+    )
+    assert orphan  # files exist on disk...
+    assert table.latest_version() == v1  # ...but the log didn't move
+    assert sorted(map(tuple, table.read(spark).collect())) == sorted(
+        map(tuple, before)
+    )
+    # a later writer is unaffected
+    v2 = table.merge(spark, _changes(spark, [(3, 1, "U", "y", 2)]), "seq", "op")
+    assert v2 == v1 + 1
+    assert table.read(spark).where(F.col("k") == 3).first().name == "y"
+    # vacuum removes the orphaned crash debris (and old versions)
+    removed = table.vacuum()
+    assert any("txn-" in p for p in removed)
+    assert table.read(spark).count() == 40
+
+
+def test_concurrent_commit_of_same_version_conflicts(spark, table):
+    m = table.manifest()
+    import json
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    v = m["version"] + 1
+    table._commit(
+        version=v,
+        parent=m["version"],
+        key=m["key"],
+        n_buckets=m["n_buckets"],
+        schema=schema,
+        buckets=dict(m["buckets"]),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        table._commit(
+            version=v,
+            parent=m["version"],
+            key=m["key"],
+            n_buckets=m["n_buckets"],
+            schema=schema,
+            buckets=dict(m["buckets"]),
+        )
+
+
+def test_time_travel_reproduces_old_snapshots(spark, table):
+    table.merge(spark, _changes(spark, [(1, 1, "D", None, None)]), "seq", "op")
+    table.merge(spark, _changes(spark, [(2, 1, "U", "z", 9)]), "seq", "op")
+    assert table.read(spark, version=1).count() == 40
+    assert table.read(spark, version=2).count() == 39
+    v1_names = {r.name for r in table.read(spark, version=1).collect()}
+    assert "z" not in v1_names
+    assert table.read(spark).where(F.col("k") == 2).first().name == "z"
+
+
+def test_delete_entire_bucket_drops_its_file(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i) for i in range(1, 9)], "k bigint, name string, cents bigint"
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t2"), df, key="k", n_buckets=2)
+    # delete every key in one bucket
+    bucketed = df.withColumn("b", F.pmod(F.hash("k"), F.lit(2)))
+    victims = [r.k for r in bucketed.where(F.col("b") == 0).collect()]
+    assert victims
+    ch = _changes(spark, [(k, 1, "D", None, None) for k in victims])
+    t.merge(spark, ch, "seq", "op")
+    assert "0" not in t.manifest()["buckets"]
+    assert t.read(spark).count() == 8 - len(victims)
+
+
+def test_empty_change_batch_commits_noop_version(spark, table):
+    v1 = table.latest_version()
+    empty = _changes(spark, [(1, 1, "U", "x", 1)]).where(F.lit(False))
+    v2 = table.merge(spark, empty, "seq", "op")
+    assert v2 == v1 + 1
+    assert table.manifest(v2)["buckets"] == table.manifest(v1)["buckets"]
+    assert table.read(spark).count() == 40
