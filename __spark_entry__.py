@@ -31,6 +31,7 @@ from data_lake_for_citi_bike_trip_spark.operators import (
 from data_lake_for_citi_bike_trip_spark.operators import corpus, search, skew, sqlsurface
 from data_lake_for_citi_bike_trip_spark.operators import layout, profile
 from data_lake_for_citi_bike_trip_spark.operators import behavior, geo, timeseries
+from data_lake_for_citi_bike_trip_spark.operators import graph
 from data_lake_for_citi_bike_trip_spark.operators import intervals
 from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
 from data_lake_for_citi_bike_trip_spark.functions import vectors
@@ -428,6 +429,61 @@ def q_stream_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC drained into the ACID TxnTable: each micro-batch
+    MERGEs with txn_id=batch_id (replay-skipped exactly-once), deletes
+    travel as payload tombstones, and a staleness filter makes the
+    result global latest-wins regardless of batching. Emits the visible
+    (non-tombstoned) final state; the oracle pins it as the max-event_id
+    row per user whose latest event is not a delete."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from data_lake_for_citi_bike_trip_spark.sources.txn import TxnTable
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_txnmerge_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    sess = streaming.scoped_session(spark, 8)
+    stream = streaming.stream_events(sess, sf_dir)
+    changes = stream.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.col("event_id").alias("last_seq"),
+        F.concat(F.lit("ev_"), F.col("event_id").cast("string")).alias("name"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        (F.col("event_id") % 10 < 2).alias("is_deleted"),
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("last_seq", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("is_deleted", T.BooleanType()),
+        ]
+    )
+    table = TxnTable.create(
+        sess,
+        os.path.join(scratch, "t"),
+        sess.createDataFrame([], state_schema),
+        key="user_id",
+        n_buckets=8,
+    )
+    final = streaming.stream_merge_to_txn(
+        changes,
+        table,
+        os.path.join(scratch, "ckpt"),
+        key="user_id",
+        seq_col="seq",
+    )
+    return final.where(~F.col("is_deleted")).select(
+        "user_id", F.col("last_seq").alias("last_event_id"), "name", "value_cents"
+    )
+
+
 def q_multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL PNG decode: Arrow-batched stdlib PNG encode (zlib
     deflate + forward scanline filters, all five types cycling per row)
@@ -580,6 +636,16 @@ def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.merge(spark, batch(0, "m1_"), "seq", "op")
     t.merge(spark, batch(1, "m2_"), "seq", "op")
     return t.read(spark)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 iterations, e6 fixed point) over the
+    customer<->supplier co-purchase graph derived from orders+lineitem;
+    the oracle unrolls the identical floor-division arithmetic."""
+    edges = graph.copurchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return graph.pagerank(edges, iters=3)
 
 
 def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1282,6 +1348,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_pixels": q_multimodal_png_pixels,
         "dedup_incremental": q_dedup_incremental,
         "stream_scd1_upsert": q_stream_scd1_upsert,
+        "stream_txn_merge": q_stream_txn_merge,
         "scd2_stations": q_scd2_stations,
         "session_window": q_session_window,
         "unpivot_event_counts": q_unpivot_event_counts,
@@ -1294,6 +1361,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_levenshtein": q_dedup_levenshtein,
         "cdc_merge": q_cdc_merge,
         "lake_merge": q_lake_merge,
+        "graph_pagerank": q_graph_pagerank,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
         "approx_percentile": q_approx_percentile,
@@ -1423,6 +1491,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_png_pixels": oracles.MULTIMODAL_PNG_PIXELS,
         "dedup_incremental": oracles.DEDUP_INCREMENTAL,
         "stream_scd1_upsert": oracles.STREAM_SCD1_UPSERT,
+        "stream_txn_merge": oracles.STREAM_TXN_MERGE,
         "scd2_stations": oracles.SCD2_STATIONS,
         "session_window": oracles.SESSION_WINDOW,
         "unpivot_event_counts": oracles.UNPIVOT_EVENT_COUNTS,
@@ -1435,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_levenshtein": oracles.DEDUP_LEVENSHTEIN,
         "cdc_merge": oracles.CDC_MERGE,
         "lake_merge": oracles.LAKE_MERGE,
+        "graph_pagerank": oracles.GRAPH_PAGERANK,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,
         "approx_percentile": oracles.APPROX_PERCENTILE,

@@ -39,15 +39,21 @@ def main() -> None:
     iterations = int(os.environ.get("BENCH_ITERATIONS", "3"))
     fast_cutoff = float(os.environ.get("BENCH_FAST_CUTOFF", "1.0"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        best = float("inf")
+        runs: list[float] = []
         for it in range(iterations):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            if it == 0 and best < fast_cutoff:
+            runs.append(time.perf_counter() - t0)
+            if it == 0 and runs[0] < fast_cutoff:
                 break
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        if len(runs) > 1:
+            # median alongside min: this box swings 2-4x per query; when
+            # min and median disagree wildly the delta is environmental,
+            # not a regression (see BENCH notes)
+            medians[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -57,6 +63,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "iterations": iterations,
+        "queries_median": medians,
     }
 
     # Per-query history (appended per run) lets later rounds spot

@@ -1,0 +1,126 @@
+"""Graph algorithms over relation-derived edge lists.
+
+The reference has no graph surface; this extends the engine with the
+iterative-algorithm class a curation pipeline needs (influence/quality
+propagation over citation/link graphs, centrality-weighted sampling).
+Companion to ``dedup.connected_components`` (the other fixed-point
+operator in the engine).
+
+PageRank here is INTEGER-EXACT so it can carry a DuckDB oracle: ranks
+live in e6 fixed-point, every division is a floor over non-negative
+operands (Spark ``div`` truncates toward zero, DuckDB ``//`` floors —
+they agree on non-negative values, same discipline as oracles.py), and
+the iteration count is fixed — the oracle unrolls the same arithmetic.
+
+Scale notes (100 TB): one iteration = one hash join of ranks onto the
+edge list (both keyed on ``src`` — co-partitioned after the first
+shuffle) + one aggregate keyed on ``dst``. Edge list and out-degrees are
+computed once and cached. Plans grow linearly with iterations; a long
+run (>~10 iters) should localCheckpoint every few iterations to cut
+lineage, exactly like ``connected_components`` does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: e6 fixed-point scale for ranks.
+RANK_SCALE = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank.
+
+    ``edges``: (src, dst) directed edge list (pre-deduplicated by the
+    caller if multi-edges shouldn't weigh). Every node starts at
+    ``RANK_SCALE``; one step is
+
+        r'(n) = (100 - d)/100 * RANK_SCALE
+                + d * sum_{(m,n) in E} (r(m) div outdeg(m)) div 100
+
+    entirely in BIGINT. Dangling mass (nodes with no out-edges) is
+    dropped, the standard simplification — documented rather than
+    redistributed so the oracle stays a pure unrolled aggregate.
+
+    ``broadcast_ranks=True`` ships the rank vector (one row per node —
+    the Pregel vertex state, orders of magnitude smaller than the edge
+    list) to the cached edge partitions each iteration, so the only
+    shuffle per step is the contribution aggregate on ``dst``. Set it
+    False when the node set itself is too large to broadcast — the join
+    then co-partitions both sides on ``src`` (two shuffles per step, the
+    classic BSP shape).
+
+    Returns (id, rank_e6).
+    """
+    edges = edges.select("src", "dst").cache()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # contribution edges: (src, dst, outdeg) — computed once, reused by
+    # every iteration's rank join
+    contrib_edges = edges.join(outdeg, "src").cache()
+
+    base = 100 - damping_pct
+    ranks = nodes.select(
+        "id", F.lit(RANK_SCALE).cast("long").alias("rank_e6")
+    )
+    for _ in range(iters):
+        rank_side = ranks.select(F.col("id").alias("src"), "rank_e6")
+        if broadcast_ranks:
+            rank_side = F.broadcast(rank_side)
+        contribs = (
+            contrib_edges.join(rank_side, "src")
+            .select("dst", F.expr("rank_e6 div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .select(
+                nodes.id,
+                (
+                    F.lit(base * RANK_SCALE // 100).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(contrib, CAST(0 AS BIGINT)))"
+                        " div 100"
+                    )
+                ).alias("rank_e6"),
+            )
+        )
+    return ranks
+
+
+def copurchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Customer<->supplier co-purchase edge list: a distinct edge per
+    (custkey, suppkey) pair connected through an order, in BOTH
+    directions (even node ids = customers 2k, odd = suppliers 2k+1, so
+    the two key spaces can't collide). One shuffle join + one distinct."""
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+        )
+    )

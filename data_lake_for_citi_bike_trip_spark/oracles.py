@@ -1433,6 +1433,46 @@ FROM cur1 c FULL JOIN l2 g ON c.c_custkey = g.c_custkey
 WHERE NOT (g.c_custkey IS NOT NULL AND g.op = 'D')
 """
 
+# operators/graph.py:pagerank — integer-exact PageRank (e6 fixed point,
+# 3 iterations, damping 85%) over the customer<->supplier co-purchase
+# graph; the oracle unrolls the identical arithmetic (floor division on
+# non-negative operands only). Dangling mass dropped by construction
+# (every node has out-edges — the graph is symmetric).
+GRAPH_PAGERANK = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+ce AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes),
+c1 AS (SELECT ce.dst, SUM(r.rank_e6 // ce.outdeg) AS contrib
+       FROM ce JOIN r0 r ON r.id = ce.src GROUP BY ce.dst),
+r1 AS (SELECT n.id,
+              CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)
+                  AS rank_e6
+       FROM nodes n LEFT JOIN c1 c ON n.id = c.dst),
+c2 AS (SELECT ce.dst, SUM(r.rank_e6 // ce.outdeg) AS contrib
+       FROM ce JOIN r1 r ON r.id = ce.src GROUP BY ce.dst),
+r2 AS (SELECT n.id,
+              CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)
+                  AS rank_e6
+       FROM nodes n LEFT JOIN c2 c ON n.id = c.dst),
+c3 AS (SELECT ce.dst, SUM(r.rank_e6 // ce.outdeg) AS contrib
+       FROM ce JOIN r2 r ON r.id = ce.src GROUP BY ce.dst),
+r3 AS (SELECT n.id,
+              CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)
+                  AS rank_e6
+       FROM nodes n LEFT JOIN c3 c ON n.id = c.dst)
+SELECT id, rank_e6 FROM r3
+"""
+
 # operators/layout.py:zorder_sample — Morton code over the low 8 bits of
 # (l_orderkey, l_partkey); bit arithmetic is engine-identical.
 _ZBITS = 8
@@ -2505,4 +2545,20 @@ FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1
+"""
+
+# streaming/pipeline.py:stream_merge_to_txn — global latest-wins into the
+# ACID table with tombstone deletes: the visible final state is the
+# max-event_id row per user unless that row is a tombstone
+# (event_id % 10 < 2). The transactional machinery (txn-id replay skip,
+# bucket COW, staleness filter) must be value-invisible.
+STREAM_TXN_MERGE = """
+SELECT user_id,
+       event_id AS last_event_id,
+       'ev_' || CAST(event_id AS VARCHAR) AS name,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_id % 10 >= 2
 """

@@ -147,14 +147,24 @@ class TxnTable:
         changes: DataFrame,
         seq_col: str,
         op_col: str,
+        txn_id: int | None = None,
     ) -> int:
         """Transactional CDC MERGE (APPLY CHANGES semantics — highest
         ``seq_col`` per key wins; op 'D' deletes, 'I'/'U' upserts).
 
         Copy-on-write: only buckets containing changed keys are
         rewritten; every other bucket is carried into the new manifest
-        by reference. Returns the committed version."""
+        by reference. Returns the committed version.
+
+        ``txn_id`` makes the writer IDEMPOTENT (Delta's txnAppId/
+        txnVersion pattern): the manifest records the highest merged
+        txn_id, and a merge whose txn_id is <= that is skipped — so an
+        at-least-once source (a streaming foreachBatch replaying after a
+        crash) gets exactly-once table semantics without relying on the
+        payload's latest-wins algebra."""
         m = self.manifest()
+        if txn_id is not None and txn_id <= m.get("last_txn_id", -1):
+            return m["version"]  # already merged; replay is a no-op
         key, n_buckets = m["key"], m["n_buckets"]
         version, parent = m["version"] + 1, m["version"]
 
@@ -164,6 +174,7 @@ class TxnTable:
         affected = sorted(
             r[0] for r in bucketed.select(_BUCKET).distinct().collect()
         )
+        new_txn = txn_id if txn_id is not None else m.get("last_txn_id", -1)
         if not affected:
             # empty change batch: commit a no-op version referencing the
             # parent's files unchanged (keeps the log linear)
@@ -174,6 +185,7 @@ class TxnTable:
                 n_buckets=n_buckets,
                 schema=T.StructType.fromJson(json.loads(m["schema"])),
                 buckets=dict(m["buckets"]),
+                last_txn_id=new_txn,
             )
             return version
 
@@ -205,6 +217,7 @@ class TxnTable:
             n_buckets=n_buckets,
             schema=schema,
             buckets=new_buckets,
+            last_txn_id=new_txn,
         )
         return version
 
@@ -267,6 +280,7 @@ class TxnTable:
         n_buckets: int,
         schema: T.StructType,
         buckets: dict[str, str],
+        last_txn_id: int = -1,
     ) -> None:
         _publish(
             self.root,
@@ -278,5 +292,6 @@ class TxnTable:
                 "n_buckets": n_buckets,
                 "schema": json.dumps(schema.jsonValue()),
                 "buckets": buckets,
+                "last_txn_id": last_txn_id,
             },
         )

@@ -314,6 +314,7 @@ def stream_upsert_scd1(
     checkpoint: str,
     key: str = "user_id",
     seq_col: str = "event_id",
+    post_batch_hook=None,
 ) -> DataFrame:
     """Streaming CDC -> SCD1 upsert sink: every micro-batch merges
     latest-wins into a parquet state table via ``foreachBatch``.
@@ -333,6 +334,12 @@ def stream_upsert_scd1(
     key, batch side broadcast when small — is identical there.
 
     Returns the final state DataFrame (read from the last-written side).
+
+    ``post_batch_hook(batch_id)`` is a failure-injection/instrumentation
+    point invoked AFTER the state write but BEFORE the checkpoint marks
+    the batch committed — the exact crash window the replay-idempotency
+    guarantee covers (tests/test_streaming.py kills the drain there and
+    restarts from the checkpoint).
     """
     from pyspark.sql import Window
 
@@ -362,7 +369,17 @@ def stream_upsert_scd1(
             .drop("__rn")
         )
         final.write.mode("overwrite").parquet(next_dir)
+        # durable pointer to the newest state side, atomically replaced,
+        # so a restart whose drain finds NO new batches (crash happened
+        # after the final batch's write) can still locate the state
+        os.makedirs(state_path, exist_ok=True)
+        tmp = os.path.join(state_path, f".last-{batch_id}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(next_dir)
+        os.replace(tmp, os.path.join(state_path, "_LAST"))
         last_dir[0] = next_dir
+        if post_batch_hook is not None:
+            post_batch_hook(batch_id)
 
     query = (
         stream_df.writeStream.foreachBatch(_merge)
@@ -372,5 +389,66 @@ def stream_upsert_scd1(
     )
     query.awaitTermination()
     if last_dir[0] is None:
-        raise ValueError("stream_upsert_scd1: source produced no batches")
+        marker = os.path.join(state_path, "_LAST")
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as f:
+                last_dir[0] = f.read().strip()
+        else:
+            raise ValueError("stream_upsert_scd1: source produced no batches")
     return stream_df.sparkSession.read.parquet(last_dir[0])
+
+
+def stream_merge_to_txn(
+    stream_df: DataFrame,
+    table,
+    checkpoint: str,
+    key: str,
+    seq_col: str,
+    state_seq: str = "last_seq",
+    post_batch_hook=None,
+) -> DataFrame:
+    """Transactional streaming CDC sink: every micro-batch MERGEs into a
+    ``TxnTable`` (sources/txn.py) with ``txn_id=batch_id``.
+
+    Exactly-once comes from the TABLE, not the payload algebra: the
+    manifest records the highest merged batch id, so a replayed batch
+    (foreachBatch is at-least-once) is skipped before any write. Late/
+    out-of-order rows across batches are handled by a staleness filter —
+    a batch row only applies if its ``seq_col`` beats the state row's
+    ``state_seq`` (the payload must carry ``state_seq`` as a copy of the
+    sequence; deletes travel as tombstone flags in the payload rather
+    than hard 'D' ops, so a stale insert can never resurrect a deleted
+    key). Result: global latest-wins regardless of how the feed is
+    batched.
+
+    ``post_batch_hook(batch_id)`` fires after the merge commit, before
+    the checkpoint commit — the crash window tests kill to prove the
+    txn-id replay skip."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = table.read(spark).select(
+            F.col(key), F.col(state_seq).alias("__cur_seq")
+        )
+        fresh = (
+            batch_df.join(cur, key, "left")
+            .where(
+                F.col("__cur_seq").isNull()
+                | (F.col(seq_col) > F.col("__cur_seq"))
+            )
+            .drop("__cur_seq")
+            # upsert-only: deletes are payload tombstones, never 'D' ops
+            .withColumn("__op", F.lit("U"))
+        )
+        table.merge(spark, fresh, seq_col, "__op", txn_id=batch_id)
+        if post_batch_hook is not None:
+            post_batch_hook(batch_id)
+
+    query = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return table.read(stream_df.sparkSession)

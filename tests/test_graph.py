@@ -1,0 +1,78 @@
+"""Integer-exact PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_for_citi_bike_trip_spark.operators import graph
+
+
+def _mirror(edges: list[tuple[int, int]], iters: int = 3) -> dict[int, int]:
+    """Driver-side mirror of the exact BIGINT arithmetic."""
+    nodes = {n for e in edges for n in e}
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        contrib: dict[int, int] = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + r[s] // outdeg[s]
+        r = {n: 150_000 + (85 * contrib.get(n, 0)) // 100 for n in nodes}
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {r.id: r.rank_e6 for r in graph.pagerank(df, **kw).collect()}
+
+
+def test_cycle_is_stationary(spark):
+    edges = [(1, 2), (2, 3), (3, 1)]
+    assert _run(spark, edges) == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+
+
+def test_star_matches_integer_mirror(spark):
+    # hub 0 pointed at by 1..5, hub points back at 1 — asymmetric ranks
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    assert _run(spark, edges) == _mirror(edges)
+    # ...and the hub outranks the spokes
+    got = _run(spark, edges)
+    assert got[0] > got[2]
+
+
+def test_broadcast_and_copartitioned_paths_agree(spark):
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7) for _ in range(1)] + [
+        (0, 5),
+        (5, 0),
+        (2, 6),
+    ]
+    assert _run(spark, edges, broadcast_ranks=True) == _run(
+        spark, edges, broadcast_ranks=False
+    )
+    assert _run(spark, edges) == _mirror(edges)
+
+
+def test_dangling_nodes_keep_base_rank(spark):
+    # node 9 has only in-edges: it accumulates, contributes nothing;
+    # node 1's rank after its source mass leaves is the base term
+    edges = [(1, 9), (2, 9)]
+    got = _run(spark, edges)
+    mirror = _mirror(edges)
+    assert got == mirror
+    assert got[1] == 150_000  # pure base: nothing points at 1
+
+
+def test_copurchase_edges_symmetric_and_disjoint(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    e = graph.copurchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    ).cache()
+    n = e.count()
+    assert n > 0 and n % 2 == 0
+    # every edge has a reverse twin
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert e.exceptAll(rev).count() == 0
+    # customer ids even, supplier ids odd — key spaces disjoint
+    assert e.where((F.col("src") % 2 == 0) & (F.col("dst") % 2 == 0)).count() == 0

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
@@ -166,3 +167,80 @@ def test_stream_upsert_scd1_batch_boundary_independent(spark, sf_dir, tmp_path):
         seq_col="event_id",
     )
     assert {r.user_id: r.event_id for r in replayed.collect()} == expected
+
+
+def test_stream_upsert_scd1_crash_replay_idempotent(spark, sf_dir, tmp_path):
+    """Kill the foreachBatch upsert in the crash window (state written,
+    checkpoint NOT yet committed) and restart from the same checkpoint:
+    the killed batch is replayed, the replay is a no-op on the state
+    (latest-seq-wins), and the final state equals an uninterrupted run.
+    This PROVES the replay-idempotency claim in stream_upsert_scd1's
+    docstring rather than asserting it."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    events = load_table(spark, sf_dir, "events")
+    feed = str(tmp_path / "feed")
+    events.repartition(3).write.mode("overwrite").parquet(feed)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def raw():
+        sess = pipeline.scoped_session(spark, 4)
+        return (
+            sess.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    def die_after(batch_id):
+        if batch_id == 1:
+            raise RuntimeError("injected crash after state write")
+
+    with pytest.raises(StreamingQueryException):
+        pipeline.stream_upsert_scd1(
+            raw(), state_path=state, checkpoint=ckpt,
+            key="user_id", seq_col="event_id",
+            post_batch_hook=die_after,
+        )
+
+    # restart from the SAME checkpoint, no fault: batch 1 (written but
+    # uncommitted) is replayed, then batch 2 runs
+    recovered = pipeline.stream_upsert_scd1(
+        raw(), state_path=state, checkpoint=ckpt,
+        key="user_id", seq_col="event_id",
+    )
+    expected = {
+        r.user_id: r.event_id
+        for r in events.groupBy("user_id")
+        .agg(F.max("event_id").alias("event_id"))
+        .collect()
+    }
+    assert {r.user_id: r.event_id for r in recovered.collect()} == expected
+
+    # crash AFTER the final batch's write, restart: the drain sees no new
+    # batches; the durable _LAST marker still locates the state
+    state2, ckpt2 = str(tmp_path / "state2"), str(tmp_path / "ckpt2")
+
+    def die_last(batch_id):
+        if batch_id == 2:
+            raise RuntimeError("injected crash on final batch")
+
+    with pytest.raises(StreamingQueryException):
+        pipeline.stream_upsert_scd1(
+            raw(), state_path=state2, checkpoint=ckpt2,
+            key="user_id", seq_col="event_id",
+            post_batch_hook=die_last,
+        )
+    recovered2 = pipeline.stream_upsert_scd1(
+        raw(), state_path=state2, checkpoint=ckpt2,
+        key="user_id", seq_col="event_id",
+    )
+    assert {r.user_id: r.event_id for r in recovered2.collect()} == expected
+
+    # a further drain with NOTHING new to process exercises the _LAST
+    # marker path: no batch runs, state is still returned intact
+    noop = pipeline.stream_upsert_scd1(
+        raw(), state_path=state2, checkpoint=ckpt2,
+        key="user_id", seq_col="event_id",
+    )
+    assert {r.user_id: r.event_id for r in noop.collect()} == expected

@@ -165,3 +165,68 @@ def test_empty_change_batch_commits_noop_version(spark, table):
     assert v2 == v1 + 1
     assert table.manifest(v2)["buckets"] == table.manifest(v1)["buckets"]
     assert table.read(spark).count() == 40
+
+
+def test_stream_merge_to_txn_exactly_once_with_crash(spark, tmp_path):
+    """Transactional streaming sink: a crash AFTER the merge commit but
+    BEFORE the checkpoint commit replays the batch on restart, and the
+    table's txn-id record skips the replay (no duplicate version, no
+    double-apply). Random batch splits also exercise the staleness
+    filter: the result is global latest-wins regardless of batching."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import types as T
+
+    from data_lake_for_citi_bike_trip_spark.streaming import pipeline
+
+    schema = (
+        "k bigint, seq bigint, last_seq bigint, name string, is_deleted boolean"
+    )
+    rows = [
+        (i % 50, i, i, f"v{i}", (i % 50) % 7 == 0 and i >= 250)
+        for i in range(300)
+    ]
+    feed_df = spark.createDataFrame(rows, schema)
+    feed = str(tmp_path / "feed")
+    feed_df.repartition(3).write.mode("overwrite").parquet(feed)
+
+    empty = spark.createDataFrame(
+        [], T.StructType([f for f in feed_df.schema if f.name != "seq"])
+    )
+    table = TxnTable.create(
+        spark, str(tmp_path / "txn_t"), empty, key="k", n_buckets=4
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def raw():
+        sess = pipeline.scoped_session(spark, 4)
+        return (
+            sess.readStream.schema(feed_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    def die_after(batch_id):
+        if batch_id == 1:
+            raise RuntimeError("injected crash after merge commit")
+
+    with pytest.raises(StreamingQueryException):
+        pipeline.stream_merge_to_txn(
+            raw(), table, ckpt, key="k", seq_col="seq",
+            post_batch_hook=die_after,
+        )
+    crashed_version = table.latest_version()  # create + batch0 + batch1
+
+    final = pipeline.stream_merge_to_txn(
+        raw(), table, ckpt, key="k", seq_col="seq"
+    )
+    # batch1's replay was SKIPPED via txn_id: exactly one new version
+    # (batch2), not two
+    assert table.latest_version() == crashed_version + 1
+    assert table.manifest()["last_txn_id"] == 2
+
+    expected = {}
+    for k, seq, last_seq, name, dele in rows:
+        if k not in expected or seq > expected[k][0]:
+            expected[k] = (seq, name, dele)
+    got = {r.k: (r.last_seq, r.name, r.is_deleted) for r in final.collect()}
+    assert got == expected

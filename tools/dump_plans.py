@@ -44,6 +44,9 @@ HEADLINE = [
     "dedup_incremental",
     "ann_ivf_topk",
     "multimodal_png_pixels",
+    "tpch_product_profit",
+    "lake_merge",
+    "stream_txn_merge",
 ]
 
 NOTES = {
@@ -103,10 +106,20 @@ NOTES = {
     "referential_orphans": "keys-only left_anti joins (shuffle carries "
     "the key column, nothing else); parent key sets distinct+broadcast",
     "tpch_min_cost_supplier": "Q2 correlated scalar min decorrelated to "
-    "a per-part aggregate joined back; all dims broadcast, the single "
-    "sort-merge join is partsupp vs its own min-cost table (both "
-    "lineitem-derived). At deployment scale partsupp is a materialized "
-    "bucketed table, dropping the two in-plan DISTINCT derivations",
+    "a per-part aggregate joined back; all dims broadcast. partsupp is "
+    "the MATERIALIZED ps_partkey-bucketed table (ensure_partsupp) — the "
+    "two in-plan DISTINCT derivations of rounds 1-4 are gone; the scalar-"
+    "subquery copy reads the same bucketed files",
+    "tpch_product_profit": "Q9 six-table star joining the materialized "
+    "bucketed partsupp on its compound (partkey, suppkey) key; dims "
+    "broadcast; lineitem side shuffles once",
+    "lake_merge": "the RETURNED plan is a plain parquet scan of the ACID "
+    "table's current-version files (manifest-resolved) — merge work "
+    "happened in the two committed versions; at scale only changed "
+    "buckets were rewritten (copy-on-write)",
+    "stream_txn_merge": "returned plan reads the transactional table's "
+    "final snapshot + tombstone filter; the drain itself ran per-batch "
+    "key-partitioned merges with txn-id replay skip",
     "tpch_waiting_suppliers": "Q21 EXISTS -> broadcast semi join, "
     "NOT EXISTS -> broadcast anti join on the same orderkey; no "
     "cartesian fallback from the double correlation",
