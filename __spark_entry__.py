@@ -81,6 +81,41 @@ def q_fact_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star.fact_trips(trips, covid, weather)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format on the sink/source surface: write the
+    orders table to ORC partitioned by orderstatus, read it back with a
+    partition filter, aggregate. ORC ships in Spark's JVM (no extra
+    package); predicate pushdown and partition pruning work exactly as
+    for parquet, so the lake abstractions are format-portable. Output is
+    integer/string-exact — the ORC hop cannot introduce drift."""
+    import atexit
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(scratch, "orders_orc")
+    (
+        orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .orc(path)
+    )
+    back = spark.read.orc(path)
+    return (
+        back.where(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100)), 0)
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+
+
 def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full lake round-trip: write the fact table partitioned by
     (year, month) with dynamic partition overwrite (S8), read it back
@@ -1094,6 +1129,65 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_CACHE: dict[tuple, tuple] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str, lossless: bool):
+    """Per-(application, sf_dir) cache of (codebooks, codes) — PQ
+    construction amortizes over every search, same shape as
+    ``_ivf_index``. Lossless (k=None) and lossy (k=8) variants cache
+    separately."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, lossless)
+    if key not in _PQ_CACHE:
+        for stale in [kk for kk in _PQ_CACHE if kk[0] != app_id]:
+            del _PQ_CACHE[stale]
+        emb = load_table(spark, sf_dir, "embeddings")
+        if lossless:
+            cb, codes = similarity.build_pq_lossless(emb, m=4)
+        else:
+            cb = similarity.build_pq_codebooks(emb, m=4, k=32, iters=2)
+            codes = similarity.pq_encode(emb, cb)
+        _PQ_CACHE[key] = (cb.cache(), codes.cache())
+    return _PQ_CACHE[key]
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search in the LOSSLESS configuration
+    (every distinct subvector is its own codeword): ADC cosine equals
+    exact cosine computed in the same subspace-decomposed float order,
+    so the full top-k carries a DuckDB oracle — the same
+    exhaustive-configuration trick as ann_ivf_topk. The lossy path is
+    recall-bounded by ann_pq_recall."""
+    cb, codes = _pq_index(spark, sf_dir, lossless=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_search(emb.where(F.col("vec_id") < 5), codes, cb, k=10)
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy PQ (32 codewords per 16-dim subspace, 2 Lloyd iterations):
+    MEAN recall of PQ top-10 inside brute-force top-50 must clear 0.3 —
+    measured 0.45-0.65 across sf0.001/0.01/0.1 on the near-random
+    synthetic embeddings (vs ~0.025 for random guessing, so a broken
+    codebook/assignment goes red with ~18x margin). Aggregate rather
+    than per-query because distance concentration makes individual
+    queries noisy. Oracle expects one TRUE row."""
+    cb, codes = _pq_index(spark, sf_dir, lossless=False)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    pq = similarity.pq_search(queries, codes, cb, k=10)
+    bf50 = similarity.cosine_topk(emb, queries, k=50)
+    nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    hits = pq.join(bf50, ["q_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    # 1-row stat attach (same pattern as the corpus-stats crossJoins)
+    return nq.crossJoin(hits).select(
+        "n_queries",
+        (F.col("hits") >= 3 * F.col("n_queries")).alias("recall_ok"),
+    )
+
+
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall asserted through the oracle gate: per-query hit count
     against the (independently oracle-verified) brute-force top-k, with
@@ -1362,6 +1456,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge": q_cdc_merge,
         "lake_merge": q_lake_merge,
         "graph_pagerank": q_graph_pagerank,
+        "ann_pq_topk": q_ann_pq_topk,
+        "orc_roundtrip": q_orc_roundtrip,
+        "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
         "approx_percentile": q_approx_percentile,
@@ -1505,6 +1602,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge": oracles.CDC_MERGE,
         "lake_merge": oracles.LAKE_MERGE,
         "graph_pagerank": oracles.GRAPH_PAGERANK,
+        "ann_pq_topk": oracles.ANN_PQ_TOPK,
+        "orc_roundtrip": oracles.ORC_ROUNDTRIP,
+        "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,
         "approx_percentile": oracles.APPROX_PERCENTILE,

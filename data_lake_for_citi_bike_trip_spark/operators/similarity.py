@@ -364,3 +364,178 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
         ),
         F.size(codes).cast("bigint").alias("dim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to m code bytes, score with
+# asymmetric distance (query vs codebook lookup tables). The memory/IO
+# scale path for billion-vector corpora — 64 doubles become m=4 small
+# ints; at deployment scale PQ nests inside IVF lists (route, then ADC-
+# score only the probed lists). Codebooks are deterministic (lowest-
+# vec_id init, fixed Lloyd iterations) so behavior is reproducible and,
+# in the LOSSLESS configuration (k=None: every distinct subvector is its
+# own codeword), ADC cosine equals exact cosine computed in the same
+# subspace-decomposed float order — giving the fully oracle-checkable
+# entry, mirroring ivf_search's exhaustive-probe mode.
+# ---------------------------------------------------------------------------
+
+
+def _subvectors(df: DataFrame, id_col: str, m: int) -> DataFrame:
+    """(id, m, sv): split each vector into m contiguous subspaces."""
+    dim = df.select(F.size("v")).first()[0]
+    sub = dim // m
+    assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+    return df.select(
+        F.col("vec_id").alias(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("m"),
+                        F.slice("v", j * sub + 1, sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, "s.m", "s.sv")
+
+
+def _pq_assign(subs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+    """Nearest codeword per (id, m): broadcast codebooks, argmin of l2."""
+    d = subs.join(F.broadcast(codebooks), "m").select(
+        id_col, "m", "code", _l2sq(F.col("sv"), F.col("cv")).alias("d2")
+    )
+    w = Window.partitionBy(id_col, "m").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "m", "code")
+    )
+
+
+def build_pq_codebooks(
+    embeddings: DataFrame, m: int = 4, k: int | None = 8, iters: int = 2
+) -> DataFrame:
+    """(m, code, cv) codebooks, all subspaces trained in ONE plan per
+    Lloyd iteration (subspace index is just another grouping key).
+    ``k=None`` -> lossless: every subvector becomes a codeword (code =
+    rank of its vec_id within the subspace), no iterations."""
+    subs = _subvectors(_prepared(embeddings), "vec_id", m)
+    w = Window.partitionBy("m").orderBy("vec_id")
+    init = subs.withColumn("code", F.row_number().over(w))
+    if k is None:
+        return init.select("m", "code", F.col("sv").alias("cv"))
+    codebooks = init.where(F.col("code") <= k).select(
+        "m", "code", F.col("sv").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(subs, codebooks, "vec_id")
+        dims = (
+            assigned.join(subs, ["vec_id", "m"])
+            .select("m", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg("x").alias("mu"))
+        )
+        codebooks = (
+            dims.groupBy("m", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .select(
+                "m", "code", F.transform("pm", lambda s: s.getField("mu")).alias("cv")
+            )
+        )
+    return codebooks
+
+
+def build_pq_lossless(
+    embeddings: DataFrame, m: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """(codebooks, codes) for the LOSSLESS configuration in one O(N)
+    pass: every subvector is its own codeword, so the assignment is
+    known by construction — no argmin over the codebook (which would be
+    O(N^2) per subspace). Ties between duplicate subvectors are
+    irrelevant: either codeword carries the identical cv, so ADC scores
+    are unchanged."""
+    subs = _subvectors(_prepared(embeddings), "vec_id", m)
+    w = Window.partitionBy("m").orderBy("vec_id")
+    tagged = subs.withColumn("code", F.row_number().over(w))
+    return (
+        tagged.select("m", "code", F.col("sv").alias("cv")),
+        tagged.select("vec_id", "m", "code"),
+    )
+
+
+def pq_encode(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, m, code) — the compressed representation (m small ints
+    per vector; this table IS the PQ 'index' and is what a deployment
+    persists instead of raw vectors)."""
+    m = codebooks.select(F.max("m")).first()[0] + 1
+    subs = _subvectors(_prepared(embeddings), "vec_id", m)
+    return _pq_assign(subs, codebooks, "vec_id")
+
+
+def _ordered_fold(col_struct_array, field: str):
+    """Sum struct-array entries in subspace order — float addition order
+    is pinned so the lossless path reproduces the oracle's left-assoc
+    chain bit-for-bit."""
+    return F.aggregate(
+        col_struct_array,
+        F.lit(0.0),
+        lambda acc, s: acc + s.getField(field),
+    )
+
+
+def pq_search(
+    queries: DataFrame, codes: DataFrame, codebooks: DataFrame, k: int = 10
+) -> DataFrame:
+    """Asymmetric-distance cosine top-k: per query, distance tables
+    against the (broadcast) codebooks, then ONE hash join onto the code
+    table + a grouped ordered fold — no raw corpus vectors are touched
+    at search time (the PQ property). Returns (q_id, vec_id,
+    cos_pq_r6, rank)."""
+    mcount = codebooks.select(F.max("m")).first()[0] + 1
+    q = _prepared(queries)
+    qsubs = _subvectors(q, "q_id", mcount)
+    # per-(query, subspace, codeword) partial dot + codeword sub-norm
+    dt = qsubs.join(F.broadcast(codebooks), "m").select(
+        "q_id",
+        "m",
+        "code",
+        V.dot(F.col("sv"), F.col("cv")).alias("pdot"),
+        V.dot(F.col("cv"), F.col("cv")).alias("pn2"),
+    )
+    qn2 = (
+        qsubs.select(
+            "q_id", "m", V.dot(F.col("sv"), F.col("sv")).alias("pq2")
+        )
+        .groupBy("q_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "pq2"))).alias("a"))
+        .select("q_id", _ordered_fold(F.col("a"), "pq2").alias("qn2"))
+    )
+    scored = (
+        codes.join(dt, ["m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("m", "pdot"))).alias("ad"),
+            F.array_sort(F.collect_list(F.struct("m", "pn2"))).alias("an"),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            _ordered_fold(F.col("ad"), "pdot").alias("qdot"),
+            _ordered_fold(F.col("an"), "pn2").alias("xn2"),
+        )
+        .join(F.broadcast(qn2), "q_id")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                F.col("qdot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("xn2"))), 6
+            ).alias("cos_pq_r6"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_pq_r6"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= k
+    )

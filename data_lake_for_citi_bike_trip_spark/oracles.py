@@ -618,6 +618,65 @@ SELECT DISTINCT vec_id AS q_id, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 10
 """
 
+
+def _subdot(a: str, b: str, j: int, sub: int = 16) -> str:
+    off = j * sub
+    return (
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        f"i -> {a}[{off} + i] * {b}[{off} + i]))"
+    )
+
+
+def _pq_cos(a: str, b: str, m: int = 4) -> str:
+    """Subspace-decomposed cosine — the EXACT float-addition order of
+    similarity.pq_search's ordered fold (partial dots per 16-dim
+    subspace, then a left-assoc chain), so the lossless PQ path matches
+    bit-for-bit."""
+    dot = " + ".join(_subdot(a, b, j) for j in range(m))
+    an2 = " + ".join(_subdot(a, a, j) for j in range(m))
+    bn2 = " + ".join(_subdot(b, b, j) for j in range(m))
+    return f"round(({dot}) / (sqrt({an2}) * sqrt({bn2})), 6)"
+
+
+# __spark_entry__.q_ann_pq_topk runs product quantization in the
+# LOSSLESS configuration (codebook = every distinct subvector), where
+# asymmetric-distance cosine equals exact subspace-decomposed cosine —
+# SQL-expressible. The lossy path is covered by ANN_PQ_RECALL.
+ANN_PQ_TOPK = f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+queries AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, vec_id, {_pq_cos('qv', 'v')} AS cos_pq_r6
+  FROM corpus CROSS JOIN queries WHERE vec_id <> q_id
+)
+SELECT q_id, vec_id, cos_pq_r6, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY cos_pq_r6 DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+ANN_PQ_RECALL = """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+# __spark_entry__.q_orc_roundtrip — the ORC hop is value-invisible, so
+# the oracle is the plain aggregate over the source table. Cents are
+# per-row rounded THEN summed: integer-valued doubles below 2^53 sum
+# exactly in any order.
+ORC_ROUNDTRIP = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       min(o_orderkey) AS min_orderkey,
+       max(o_orderkey) AS max_orderkey,
+       CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
 # Semantic dedup: recursive closure over the embedding cosine pairs;
 # nodes are the corpus incl. the planted colinear copies.
 SEMANTIC_DEDUP = f"""

@@ -106,3 +106,47 @@ def referential_orphans(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def observed_write(
+    df: DataFrame,
+    metrics: dict[str, object],
+    action: Callable[[DataFrame], None] | None = None,
+) -> dict[str, object]:
+    """In-flight DQ metrics via ``df.observe``: the named aggregates are
+    collected DURING the action's single pass over the data — no second
+    scan, which at 100 TB is the difference between free monitoring and
+    doubling the job. The reference's check pass (spark_check_emr.py)
+    re-reads every table it validates; this is the Spark-native form.
+
+    ``metrics`` maps name -> aggregate Column; ``action`` consumes the
+    observed DataFrame (default: noop-format write, full evaluation).
+    Returns the observed metric values."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    if action is None:
+        observed.write.format("noop").mode("overwrite").save()
+    else:
+        action(observed)
+    return obs.get
+
+
+def assert_observed(
+    df: DataFrame,
+    checks: list[Check],
+    action: Callable[[DataFrame], None] | None = None,
+) -> list[tuple[str, object, bool]]:
+    """run_checks, but piggybacked on ONE pass of ``df`` via observe —
+    every check's aggregate must be over ``df`` itself (the per-check
+    ``df`` attribute is ignored). Raises on failure like run_checks."""
+    got = observed_write(df, {c.name: c.agg for c in checks}, action)
+    results = [
+        (c.name, got[c.name], bool(c.comparison(got[c.name], c.expected)))
+        for c in checks
+    ]
+    failures = [r for r in results if not r[2]]
+    if failures:
+        raise ValueError(f"observed data-quality check failures: {failures}")
+    return results

@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from data_lake_for_citi_bike_trip_spark.plans import checks
 from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 
@@ -28,10 +30,6 @@ def test_dq_counts_one_row_per_check(spark, sf_dir):
 
 
 def test_referential_orphans_counts(spark):
-    from pyspark.sql import functions as F
-
-    from data_lake_for_citi_bike_trip_spark.plans import checks
-
     child = spark.createDataFrame([(1,), (2,), (3,), (None,)], "k long")
     parent = spark.createDataFrame([(1,), (2,)], "p long")
     out = checks.referential_orphans([("c->p", child, "k", parent, "p")]).collect()
@@ -51,3 +49,46 @@ def test_null_safe_rollup_keeps_null_keys(spark):
     out = {r.gender_label: r.n_trips
            for r in setops.null_safe_gender_rollup(trips).collect()}
     assert out == {"g_0": 1, "g_1": 1, "unknown": 2}
+
+
+def test_observed_metrics_single_pass(spark, sf_dir):
+    """df.observe collects DQ aggregates during the write's own pass —
+    values must equal a separate aggregation's."""
+    from data_lake_for_citi_bike_trip_spark.plans import checks as C
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = C.observed_write(
+        orders,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_keys": F.count(F.when(F.col("o_orderkey").isNull(), 1)),
+            "max_key": F.max("o_orderkey"),
+        },
+    )
+    expect = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("nk"),
+        F.max("o_orderkey").alias("mk"),
+    ).first()
+    assert got["n_rows"] == expect.n
+    assert got["null_keys"] == expect.nk == 0
+    assert got["max_key"] == expect.mk
+
+
+def test_assert_observed_raises_on_failure(spark, sf_dir):
+    import pytest
+
+    from data_lake_for_citi_bike_trip_spark.plans import checks as C
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    ok = [
+        C.not_empty("rows", orders),
+        C.no_nulls("keys", orders, "o_orderkey"),
+    ]
+    results = C.assert_observed(orders, ok)
+    assert all(passed for _, _, passed in results)
+    bad = [C.Check("impossible", orders, F.count(F.lit(1)), -1, __import__("operator").lt)]
+    with pytest.raises(ValueError, match="impossible"):
+        C.assert_observed(orders, bad)

@@ -127,3 +127,54 @@ def test_asof_nearest_picks_closer_side(spark):
     assert out[2] == 9.0     # only forward matches exist
     assert out[3] == 11.0    # backward 110 is nearest
     assert out[4] is None    # no right rows for user 2
+
+
+def test_pq_lossless_matches_generic_builder(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import similarity
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(30)
+    cb_fast, codes_fast = similarity.build_pq_lossless(emb, m=4)
+    cb_gen = similarity.build_pq_codebooks(emb, m=4, k=None)
+    assert cb_fast.exceptAll(cb_gen).count() == 0
+    assert cb_gen.exceptAll(cb_fast).count() == 0
+    # one code per (vec_id, subspace)
+    n = emb.count()
+    assert codes_fast.count() == n * 4
+    assert codes_fast.select("vec_id", "m").distinct().count() == n * 4
+
+
+def test_pq_lossless_search_finds_planted_duplicate(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import similarity
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    rows.append((100, list(rows[3][1])))  # exact copy of vec 3
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb, codes = similarity.build_pq_lossless(emb, m=4)
+    got = similarity.pq_search(
+        emb.where(F.col("vec_id") == 3), codes, cb, k=3
+    ).collect()
+    top = [r for r in got if r["rank"] == 1][0]
+    assert top.vec_id == 100
+    assert top.cos_pq_r6 == 1.0
+
+
+def test_pq_lossy_codebook_bounded_and_codes_valid(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import similarity
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    cb = similarity.build_pq_codebooks(emb, m=4, k=8, iters=2)
+    sizes = {r.m: r["cnt"] for r in cb.groupBy("m").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")
+    ).collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    assert all(c <= 8 for c in sizes.values())
+    codes = similarity.pq_encode(emb, cb)
+    # every emitted code exists in the codebook
+    assert codes.join(cb, ["m", "code"], "left_anti").count() == 0

@@ -208,3 +208,38 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
         .count()
     )
     assert rows[0]["count"] == expected
+
+
+def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark, sf_dir):
+    """Runtime bloom-filter injection (the row-level companion to
+    dynamic partition pruning): a selective filter on the small side of
+    a SHUFFLE join must inject might_contain(...) onto the fact side's
+    scan so non-matching rows die before the exchange — at 100 TB this
+    is the difference between shuffling the whole fact table and
+    shuffling the ~1% that can join. NB: confs are set AFTER load_table
+    because configure_runtime re-pins the broadcast threshold (bloom
+    filters only apply to shuffle joins)."""
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    sess = spark.newSession()
+    orders = load_table(sess, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lineitem = load_table(sess, sf_dir, "lineitem")
+    sess.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB",  # the sf-scale fact is tiny; production default is 10GB
+    )
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
+    # and the result is unaffected by the filter
+    assert joined.first().n > 0

@@ -47,6 +47,9 @@ HEADLINE = [
     "tpch_product_profit",
     "lake_merge",
     "stream_txn_merge",
+    "ann_pq_topk",
+    "graph_pagerank",
+    "orc_roundtrip",
 ]
 
 NOTES = {
@@ -120,6 +123,14 @@ NOTES = {
     "stream_txn_merge": "returned plan reads the transactional table's "
     "final snapshot + tombstone filter; the drain itself ran per-batch "
     "key-partitioned merges with txn-id replay skip",
+    "ann_pq_topk": "ADC search: codebooks broadcast into the distance "
+    "table, ONE hash join onto the cached code table, grouped ordered "
+    "fold — raw corpus vectors never touched at search time",
+    "graph_pagerank": "per iteration: rank vector broadcast onto the "
+    "cached edge list (Pregel vertex-state shape), one dst-keyed "
+    "aggregate exchange; edges/degrees computed once and cached",
+    "orc_roundtrip": "ORC read-back scan carries PartitionFilters on "
+    "o_orderstatus — pruning/pushdown are format-portable",
     "tpch_waiting_suppliers": "Q21 EXISTS -> broadcast semi join, "
     "NOT EXISTS -> broadcast anti join on the same orderkey; no "
     "cartesian fallback from the double correlation",
