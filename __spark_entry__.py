@@ -588,6 +588,33 @@ def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.json_props_rollup(load_table(spark, sf_dir, "events"))
 
 
+def q_pysource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Arrow-batched, numpy-vectorized
+    generation) read through the normal scan path and aggregated; the
+    feed is deterministic integer arithmetic so DuckDB reproduces it
+    from generate_series. sf_dir is unused — the source IS the data."""
+    from data_lake_for_citi_bike_trip_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    feed = (
+        spark.read.format("synth_events")
+        .option("rows", "50000")
+        .option("parts", "8")
+        .load()
+    )
+    return feed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount_cents").alias("total_cents"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def q_variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-typed props extraction (parse once, typed paths) rolled
+    up per event_type; integer-exact in both engines."""
+    return analytics.variant_props_rollup(load_table(spark, sf_dir, "events"))
+
+
 def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     trips, _, _ = _staged(spark, sf_dir)
     return analytics.mad_anomalies(trips)
@@ -884,6 +911,13 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.approx_distinct_users(
         load_table(spark, sf_dir, "events")
     ).select("day", "exact_users", "approx_ok")
+
+
+def q_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour HLL sketches unioned to day-level distincts (the
+    mergeable-sketch incremental pattern); oracle checks the exact
+    column and expects the 5%-bound flag uniformly TRUE."""
+    return profile.hll_incremental_distinct(load_table(spark, sf_dir, "events"))
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1458,6 +1492,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "ann_pq_topk": q_ann_pq_topk,
         "orc_roundtrip": q_orc_roundtrip,
+        "hll_incremental_distinct": q_hll_incremental_distinct,
+        "variant_props_rollup": q_variant_props_rollup,
+        "pysource_agg": q_pysource_agg,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1604,6 +1641,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": oracles.GRAPH_PAGERANK,
         "ann_pq_topk": oracles.ANN_PQ_TOPK,
         "orc_roundtrip": oracles.ORC_ROUNDTRIP,
+        "hll_incremental_distinct": oracles.HLL_INCREMENTAL_DISTINCT,
+        "variant_props_rollup": oracles.VARIANT_PROPS_ROLLUP,
+        "pysource_agg": oracles.PYSOURCE_AGG,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

@@ -362,3 +362,23 @@ def feature_deciles(orders: DataFrame) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+def variant_props_rollup(events: DataFrame) -> DataFrame:
+    """Semi-structured props through Spark 4's VariantType: parse_json
+    ONCE into the binary variant encoding, then typed ``variant_get``
+    path extractions — the scale companion to json_props_rollup's
+    get_json_object, which re-parses the string per access. On a wide
+    props payload the single parse + binary field access is the
+    production shape (and variant shredding pushes extraction into the
+    scan). All-integer outputs, exact in both engines."""
+    v = events.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+    )

@@ -662,6 +662,40 @@ SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 10
 """
 
+# sources/pydatasource.py — the synthetic feed is pure integer
+# arithmetic over row ids, reproduced from generate_series.
+PYSOURCE_AGG = """
+SELECT i % 97 AS user_id,
+       COUNT(*) AS n,
+       CAST(sum((i * 37) % 10000) AS BIGINT) AS total_cents,
+       max(i) AS max_event_id
+FROM (SELECT unnest(generate_series(0, 49999)) AS i)
+GROUP BY 1
+"""
+
+# operators/analytics.py:variant_props_rollup — variant path extraction
+# mirrors to plain JSON extraction; outputs all-integer.
+VARIANT_PROPS_ROLLUP = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+# operators/profile.py:hll_incremental_distinct — the sketch union is
+# engine-specific; the oracle pins the exact column and expects the
+# 5%-bound flag TRUE (datasketches HLL at lgK=12 is ~1.6% typical).
+HLL_INCREMENTAL_DISTINCT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok
+FROM events
+GROUP BY 1
+"""
+
 # __spark_entry__.q_orc_roundtrip — the ORC hop is value-invisible, so
 # the oracle is the plain aggregate over the source table. Cents are
 # per-row rounded THEN summed: integer-valued doubles below 2^53 sum

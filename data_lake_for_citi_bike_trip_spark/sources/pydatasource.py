@@ -1,0 +1,75 @@
+"""Custom Python data source (Spark 4 DataSource API).
+
+Demonstrates the source-extension surface the engine would use for a
+feed Spark has no built-in connector for (an internal queue, a
+proprietary scan service): a ``DataSource`` subclass registered by
+format name, planning ``InputPartition``s on the driver and reading
+each partition EXECUTOR-side. The reader yields **pyarrow
+RecordBatches** (the vectorized path — rows cross the Python/JVM
+boundary as Arrow buffers, not per-row tuples), and generation is
+numpy-vectorized, so the per-row-Python anti-pattern never appears.
+
+The synthetic feed is deterministic pure arithmetic so the DuckDB
+oracle can reproduce it from ``generate_series`` — making the
+source-extension plumbing itself oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class SynthEventsDataSource(DataSource):
+    """``spark.read.format("synth_events")`` — options:
+
+    - ``rows``  total row count (default 10000)
+    - ``parts`` planned input partitions (default 8)
+
+    Row ``i`` (0 <= i < rows): (event_id=i, user_id=i % 97,
+    amount_cents=(i * 37) % 10000) — pure integer arithmetic.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, amount_cents bigint"
+
+    def reader(self, schema) -> "SynthEventsReader":
+        return SynthEventsReader(self.options)
+
+
+class SynthEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", "10000"))
+        self.parts = int(options.get("parts", "8"))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.parts)]
+
+    def read(self, partition):
+        import numpy as np
+        import pyarrow as pa
+
+        # contiguous id range per partition: partition p owns
+        # [p*chunk, min((p+1)*chunk, rows))
+        chunk = -(-self.rows // self.parts)
+        lo = partition.value * chunk
+        hi = min(lo + chunk, self.rows)
+        if lo >= hi:
+            return
+        ids = np.arange(lo, hi, dtype=np.int64)
+        yield pa.record_batch(
+            [
+                pa.array(ids),
+                pa.array(ids % 97),
+                pa.array((ids * 37) % 10000),
+            ],
+            names=["event_id", "user_id", "amount_cents"],
+        )
+
+
+def register(spark) -> None:
+    """Idempotent format registration."""
+    spark.dataSource.register(SynthEventsDataSource)
