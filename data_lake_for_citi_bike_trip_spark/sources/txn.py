@@ -148,6 +148,7 @@ class TxnTable:
         seq_col: str,
         op_col: str,
         txn_id: int | None = None,
+        evolve_schema: bool = False,
     ) -> int:
         """Transactional CDC MERGE (APPLY CHANGES semantics — highest
         ``seq_col`` per key wins; op 'D' deletes, 'I'/'U' upserts).
@@ -161,7 +162,16 @@ class TxnTable:
         txn_id, and a merge whose txn_id is <= that is skipped — so an
         at-least-once source (a streaming foreachBatch replaying after a
         crash) gets exactly-once table semantics without relying on the
-        payload's latest-wins algebra."""
+        payload's latest-wins algebra.
+
+        ``evolve_schema=True`` lets the batch carry NEW payload columns:
+        the committed schema widens (new fields appended), old rows read
+        as NULL for them via schema-on-read — unaffected buckets are
+        still carried by reference, never rewritten, and every earlier
+        version keeps its own schema in its own manifest (time travel
+        preserves the pre-evolution shape). Without the flag, unknown
+        columns are an error; missing payload columns are always an
+        error (a CDC batch must carry the full row it upserts)."""
         m = self.manifest()
         if txn_id is not None and txn_id <= m.get("last_txn_id", -1):
             return m["version"]  # already merged; replay is a no-op
@@ -189,8 +199,30 @@ class TxnTable:
             )
             return version
 
-        # read ONLY the affected slice of the current snapshot
+        # schema reconciliation: the batch payload must cover the table
+        # schema; extra columns widen it under evolve_schema
         schema = T.StructType.fromJson(json.loads(m["schema"]))
+        payload_fields = [
+            f for f in changes.schema.fields if f.name not in (seq_col, op_col)
+        ]
+        payload_names = {f.name for f in payload_fields}
+        missing = [f.name for f in schema.fields if f.name not in payload_names]
+        if missing:
+            raise ValueError(
+                f"change batch lacks table columns {missing}; a CDC batch "
+                "must carry the full row it upserts"
+            )
+        extra = [f for f in payload_fields if f.name not in schema.fieldNames()]
+        if extra and not evolve_schema:
+            raise ValueError(
+                f"change batch carries unknown columns "
+                f"{[f.name for f in extra]}; pass evolve_schema=True to "
+                "widen the table"
+            )
+        if extra:
+            schema = T.StructType(list(schema.fields) + extra)
+
+        # read ONLY the affected slice of the current snapshot
         slice_paths = [
             os.path.join(self.root, m["buckets"][str(b)])
             for b in affected
@@ -220,6 +252,70 @@ class TxnTable:
             last_txn_id=new_txn,
         )
         return version
+
+    def compact(self, spark: SparkSession, target_files_per_bucket: int = 1) -> int:
+        """OPTIMIZE: rewrite fragmented buckets (a long merge history
+        leaves several small files per bucket) into
+        ``target_files_per_bucket`` files each, committed as a new
+        version with NO logical change — readers of the old version are
+        untouched, readers after see identical rows from fewer files.
+        At 100 TB this is the scheduled small-file maintenance every
+        lakehouse table needs (file-open overhead dominates scans once
+        files shrink below ~100 MB). Returns the committed version."""
+        m = self.manifest()
+        version = m["version"] + 1
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        fragmented = {
+            b: p
+            for b, p in m["buckets"].items()
+            if sum(
+                1
+                for f in os.listdir(os.path.join(self.root, p))
+                if f.endswith(".parquet")
+            )
+            > target_files_per_bucket
+        }
+        new_buckets = dict(m["buckets"])
+        if fragmented:
+            txn_id = f"txn-{version:09d}-{uuid.uuid4().hex[:8]}"
+            out_dir = os.path.join(self.root, "data", txn_id)
+            for b, p in fragmented.items():
+                df = spark.read.schema(schema).parquet(
+                    os.path.join(self.root, p)
+                )
+                dest = os.path.join(out_dir, f"{_BUCKET}={b}")
+                df.coalesce(target_files_per_bucket).write.parquet(dest)
+                new_buckets[b] = os.path.join(
+                    "data", txn_id, f"{_BUCKET}={b}"
+                )
+        self._commit(
+            version=version,
+            parent=m["version"],
+            key=m["key"],
+            n_buckets=m["n_buckets"],
+            schema=schema,
+            buckets=new_buckets,
+            last_txn_id=m.get("last_txn_id", -1),
+        )
+        return version
+
+    def changes(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Change data feed between two committed versions, computed
+        from the snapshots (added / removed / changed rows with both
+        payload versions) — the CDF consumers use to incrementally sync
+        a downstream table without re-reading the whole source."""
+        m = self.manifest()
+        key = m["key"]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        cols = [f.name for f in schema.fields if f.name != key]
+        return scd.snapshot_diff(
+            self.read(spark, from_version),
+            self.read(spark, to_version),
+            key,
+            cols,
+        )
 
     def vacuum(self) -> list[str]:
         """Delete data directories no manifest references (orphans from
@@ -259,9 +355,13 @@ class TxnTable:
         {bucket: relative path}."""
         txn_id = f"txn-{version:09d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, "data", txn_id)
+        # deliberately NOT coalesced to one file per bucket: a 100 TB
+        # bucket rewrite is written by many tasks in parallel (the
+        # standard dynamic-partition write); the resulting small files
+        # are the job of scheduled ``compact()`` maintenance, exactly as
+        # in a production lakehouse
         (
             df.withColumn(_BUCKET, F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
-            .repartition(_BUCKET)
             .write.partitionBy(_BUCKET)
             .parquet(out_dir)
         )
