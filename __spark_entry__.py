@@ -710,6 +710,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iters=3)
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the part co-occurrence (market-basket)
+    graph of every 4th order; degree-oriented wedge-join formulation,
+    integer-exact. The subgraph keeps the bench-scale wedge count
+    bounded — the operator itself is general."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 4 == 0
+    )
+    return graph.triangle_count(graph.copart_edges(li))
+
+
 def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     trips, _, _ = _staged(spark, sf_dir)
     return timeseries.gap_fill_daily(trips)
@@ -936,6 +947,18 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(
         load_table(spark, sf_dir, "documents"), ["data", "hash", "vector"], k=10
+    )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (terms data/hash/vector) fused with the
+    exact cosine neighbors of embedding 3 via integer-e6 reciprocal
+    rank fusion."""
+    return search.hybrid_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        ["data", "hash", "vector"],
+        query_vec_id=3,
     )
 
 
@@ -1495,6 +1518,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_incremental_distinct": q_hll_incremental_distinct,
         "variant_props_rollup": q_variant_props_rollup,
         "pysource_agg": q_pysource_agg,
+        "hybrid_rrf": q_hybrid_rrf,
+        "graph_triangles": q_graph_triangles,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1644,6 +1669,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_incremental_distinct": oracles.HLL_INCREMENTAL_DISTINCT,
         "variant_props_rollup": oracles.VARIANT_PROPS_ROLLUP,
         "pysource_agg": oracles.PYSOURCE_AGG,
+        "hybrid_rrf": oracles.HYBRID_RRF,
+        "graph_triangles": oracles.GRAPH_TRIANGLES,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

@@ -99,3 +99,52 @@ def bm25_topk(
         .cast("bigint")
         .alias("rank"),
     )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    depth: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with exact cosine
+    vector ranking via reciprocal rank fusion — the standard RAG
+    retrieval shape (each ranker covers the other's misses; RRF needs
+    no score calibration because it uses only RANKS). Contribution is
+    integer-exact e6 fixed point, ``1000000 div (rrf_k + rank)``, so
+    the fused ordering is engine-identical.
+
+    At scale each leg is already bounded (BM25 postings restricted to
+    query terms; the vector leg any ANN op — brute force here for
+    oracle parity); the fusion itself is a tiny full-outer join on the
+    union of two depth-k lists."""
+    from .similarity import cosine_topk
+
+    lex = bm25_topk(docs, query_terms, k=depth).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = cosine_topk(
+        embeddings, embeddings.where(F.col("vec_id") == query_vec_id), k=depth
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+
+    def contrib(col: str):
+        return F.coalesce(
+            F.expr(f"1000000 div ({rrf_k} + {col})"), F.lit(0).cast("long")
+        )
+
+    fused = (
+        lex.join(sem, "doc_id", "full")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (contrib("lex_rank") + contrib("sem_rank")).alias("rrf_e6"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+    return fused.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= k
+    )

@@ -2655,3 +2655,64 @@ FROM (
   FROM events
 ) WHERE rn = 1 AND event_id % 10 >= 2
 """
+
+
+# operators/search.py:hybrid_rrf — reciprocal rank fusion of the BM25
+# top-10 and the exact-cosine top-10 for query vector 3; contributions
+# are integer e6 (1000000 // (60 + rank)), so the fused order is
+# engine-identical. Composes the existing BM25 oracle verbatim.
+HYBRID_RRF = f"""
+WITH lex_full AS (
+{BM25_TOPK}
+),
+lex AS (SELECT doc_id, rank AS lex_rank FROM lex_full),
+sem_scored AS (
+  SELECT c.vec_id AS doc_id, {_cos('q.qv', 'c.v')} AS cos_sim
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c,
+       (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3) q
+  WHERE c.vec_id <> 3
+),
+sem AS (
+  SELECT doc_id, sem_rank FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT)
+               AS sem_rank
+    FROM sem_scored
+  ) WHERE sem_rank <= 10
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank,
+         s.sem_rank,
+         COALESCE(1000000 // (60 + l.lex_rank), 0)
+         + COALESCE(1000000 // (60 + s.sem_rank), 0) AS rrf_e6
+  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_e6, rank FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT)
+            AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+
+# operators/graph.py:triangle_count over copart_edges — the same
+# wedge-join arithmetic in SQL; all-integer.
+GRAPH_TRIANGLES = """
+WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+tri AS (
+  SELECT COUNT(*) AS n
+  FROM e ab
+  JOIN e bc ON ab.dst = bc.src
+  JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM verts) AS n_vertices,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles
+"""
