@@ -62,3 +62,45 @@ def test_bm25_ranks_term_matches(spark):
     # doc with one hit ranks below the short doc with one hit
     assert got[1].score > got[2].score > got[4].score
     assert all(r.n_terms_matched == 1 for r in out)
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark):
+    """A doc ranked by BOTH legs must outscore a doc ranked the same by
+    only one; rrf contributions are exact integers."""
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "data hash vector data hash"),      # strong lexical
+            (1, "data hash vector"),                # lexical + semantic
+            (2, "unrelated words entirely here"),   # neither
+        ],
+        "doc_id bigint, text string",
+    )
+    import random
+
+    rnd = random.Random(3)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    emb = spark.createDataFrame(
+        [
+            (0, [-x for x in base]),                # anti-correlated
+            (1, [x * 1.01 for x in base]),          # near-duplicate of query
+            (2, [x * 0.99 for x in base]),          # also close
+            (9, base),                              # the query vector
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r.doc_id: r for r in search.hybrid_rrf(
+        docs, emb, ["data", "hash", "vector"], query_vec_id=9, k=5
+    ).collect()}
+    # doc 1 appears in both legs -> two contributions
+    assert out[1].lex_rank is not None and out[1].sem_rank is not None
+    assert out[1].rrf_e6 == (1000000 // (60 + out[1].lex_rank)) + (
+        1000000 // (60 + out[1].sem_rank)
+    )
+    # doc 0: lexical only (vector anti-correlated ranks it last of 3)
+    only_lex = out[0]
+    assert only_lex.rrf_e6 < out[1].rrf_e6
+    assert out[1].rank == 1

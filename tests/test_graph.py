@@ -76,3 +76,24 @@ def test_copurchase_edges_symmetric_and_disjoint(spark, sf_dir):
     assert e.exceptAll(rev).count() == 0
     # customer ids even, supplier ids odd — key spaces disjoint
     assert e.where((F.col("src") % 2 == 0) & (F.col("dst") % 2 == 0)).count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    def run(edges):
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        return graph.triangle_count(df).first()
+
+    # 4-clique: C(4,3) = 4 triangles
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = run(clique)
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (4, 6, 4)
+    # path graph: none
+    r = run([(0, 1), (1, 2), (2, 3)])
+    assert r.n_triangles == 0
+    # hub + one closing edge: exactly one triangle, hub degree highest
+    hub = [(0, h) for h in range(1, 6)] + [(1, 2)]
+    r = run(hub)
+    assert r.n_triangles == 1
+    # duplicate edges don't double-count
+    r = run(clique + clique)
+    assert (r.n_edges, r.n_triangles) == (6, 4)
