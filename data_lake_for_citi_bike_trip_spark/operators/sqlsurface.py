@@ -656,7 +656,7 @@ def ensure_partsupp(
     ~executor-memory-sized splits of the distinct (partkey, suppkey)
     domain."""
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
+    key = (app_id, sf_dir, buckets)
     if key in _PARTSUPP_TABLES:
         return _PARTSUPP_TABLES[key]
     for stale in [k for k in _PARTSUPP_TABLES if k[0] != app_id]:
