@@ -50,6 +50,11 @@ HEADLINE = [
     "ann_pq_topk",
     "graph_pagerank",
     "orc_roundtrip",
+    "hybrid_rrf",
+    "graph_triangles",
+    "hll_incremental_distinct",
+    "variant_props_rollup",
+    "pysource_agg",
 ]
 
 NOTES = {
@@ -131,6 +136,21 @@ NOTES = {
     "aggregate exchange; edges/degrees computed once and cached",
     "orc_roundtrip": "ORC read-back scan carries PartitionFilters on "
     "o_orderstatus — pruning/pushdown are format-portable",
+    "hybrid_rrf": "each leg bounded (BM25 postings restricted to query "
+    "terms; cosine leg broadcast-query); the fusion itself is a tiny "
+    "full-outer join of two depth-k lists — global window is fine on "
+    "<=2k rows",
+    "graph_triangles": "degree-oriented wedge join: out-degree bounded "
+    "O(sqrt m), both joins plain equi hash joins on a vertex key; "
+    "edge set cached and reused three times in one plan",
+    "hll_incremental_distinct": "per-hour sketches are map-side partial "
+    "aggregates; the day rollup shuffles 24 tiny sketch rows per day, "
+    "never raw data; the exact column exists for the oracle only",
+    "variant_props_rollup": "parse_json evaluated once per row inside "
+    "codegen; variant_get is a binary field access, not a re-parse",
+    "pysource_agg": "custom source plans 8 InputPartitions; rows cross "
+    "the Python/JVM boundary as Arrow RecordBatches, then the aggregate "
+    "is ordinary partial+final JVM hash agg",
     "tpch_waiting_suppliers": "Q21 EXISTS -> broadcast semi join, "
     "NOT EXISTS -> broadcast anti join on the same orderkey; no "
     "cartesian fallback from the double correlation",
