@@ -735,6 +735,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.cohort_retention(load_table(spark, sf_dir, "events"))
 
 
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user event-type paths (first 12 events by ts,
+    event_id) — sequence reconstruction for behavioral modeling."""
+    return behavior.user_paths(load_table(spark, sf_dir, "events"))
+
+
 def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.funnel_counts(load_table(spark, sf_dir, "events"))
 
@@ -933,6 +939,12 @@ def q_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sample (bottom-50 of
+    md5-uniform div n_chars) — bit-reproducible weighted sampling."""
+    return corpus.sample_weighted(load_table(spark, sf_dir, "documents"))
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1520,6 +1532,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pysource_agg": q_pysource_agg,
         "hybrid_rrf": q_hybrid_rrf,
         "graph_triangles": q_graph_triangles,
+        "user_paths": q_user_paths,
+        "sample_weighted": q_sample_weighted,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1671,6 +1685,8 @@ def oracle_sql() -> dict[str, str]:
         "pysource_agg": oracles.PYSOURCE_AGG,
         "hybrid_rrf": oracles.HYBRID_RRF,
         "graph_triangles": oracles.GRAPH_TRIANGLES,
+        "user_paths": oracles.USER_PATHS,
+        "sample_weighted": oracles.SAMPLE_WEIGHTED,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

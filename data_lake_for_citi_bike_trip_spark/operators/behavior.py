@@ -201,3 +201,40 @@ def user_gap_median(events: DataFrame) -> DataFrame:
     return keyed.groupBy("user_id").applyInPandas(
         per_user, "user_id bigint, n_gaps bigint, median_gap_s bigint"
     )
+
+
+def user_paths(events: DataFrame, max_len: int = 12) -> DataFrame:
+    """Per-user ordered event-type path — the sequence-reconstruction
+    primitive behind behavioral training data (next-event prediction,
+    path clustering): events sorted by (ts, event_id) within the user,
+    first ``max_len`` types joined into a path string.
+
+    Ordered aggregation without an ORDER BY clause: collect structs,
+    array_sort (total order — epoch micros then the unique event_id
+    breaks ties), slice, transform. One shuffle on user_id; the sort is
+    per-group in memory, bounded by the per-user event count (skewed
+    power users are an AQE concern, not a correctness one)."""
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ).alias("seq")
+        )
+        .select(
+            "user_id",
+            F.size("seq").cast("bigint").alias("n_events"),
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice("seq", 1, max_len), lambda s: s.getField("et")
+                ),
+            ).alias("path"),
+        )
+    )

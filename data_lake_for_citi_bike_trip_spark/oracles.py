@@ -2716,3 +2716,38 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM verts) AS n_vertices,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
        (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles
 """
+
+
+# operators/behavior.py:user_paths — ordered aggregation mirrored with
+# string_agg ORDER BY over the row_number-limited prefix; (ts, event_id)
+# is a total order so both engines build the identical string.
+USER_PATHS = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1)
+SELECT c.user_id, c.n_events,
+       (SELECT string_agg(o.event_type, '>' ORDER BY o.rn)
+        FROM ordered o WHERE o.user_id = c.user_id AND o.rn <= 12) AS path
+FROM counts c
+"""
+
+
+# operators/corpus.py:sample_weighted — integer weighted priority keys
+# (md5-uniform // weight); both operands non-negative so Spark div and
+# DuckDB // agree, and the bottom-k order is total via doc_id.
+SAMPLE_WEIGHTED = """
+SELECT doc_id, lang, weight, priority FROM (
+  SELECT doc_id, lang,
+         CAST(n_chars AS BIGINT) AS weight,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsample-v1'), 1, 8)
+              AS BIGINT)
+         // greatest(CAST(n_chars AS BIGINT), 1) AS priority
+  FROM documents
+)
+ORDER BY priority, doc_id
+LIMIT 50
+"""

@@ -104,3 +104,26 @@ def test_hybrid_rrf_fuses_both_rankers(spark):
     only_lex = out[0]
     assert only_lex.rrf_e6 < out[1].rrf_e6
     assert out[1].rank == 1
+
+
+def test_sample_weighted_is_biased_and_takeordered(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import corpus
+    from data_lake_for_citi_bike_trip_spark.plans.explain import executed_plan
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus.sample_weighted(docs, k=50)
+    plan = executed_plan(out)
+    # bottom-k must be a TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = out.collect()
+    assert len(rows) == 50
+    # determinism: second run identical
+    again = corpus.sample_weighted(docs, k=50).collect()
+    assert [r.doc_id for r in rows] == [r.doc_id for r in again]
+    # weight bias: sampled docs skew longer than the corpus average
+    corpus_avg = docs.agg(F.avg("n_chars")).first()[0]
+    sample_avg = sum(r.weight for r in rows) / len(rows)
+    assert sample_avg > corpus_avg, (sample_avg, corpus_avg)
