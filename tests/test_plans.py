@@ -243,3 +243,28 @@ def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark, sf_dir)
     assert "bloom_filter_agg" in plan, plan
     # and the result is unaffected by the filter
     assert joined.first().n > 0
+
+
+def test_no_contract_query_plans_a_cartesian_product(spark):
+    """Repo-wide anti-pattern invariant: no contract query may contain a
+    CartesianProduct node (an unkeyed data x data product). Broadcast
+    nested-loop joins ARE allowed — every occurrence in this repo is
+    either a 1-row stats attach or the documented brute-force ANN
+    baseline (PLANS.md annotates each) — but a CartesianProduct means
+    both sides were too big to broadcast, which at 100 TB is a job that
+    never finishes. Queries whose construction performs side-effecting
+    actions (streaming drains, table writes) are exercised by their own
+    tests and skipped here."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    skip_prefixes = ("stream_", "lake_", "orc_", "multimodal_")
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        if name.startswith(skip_prefixes):
+            continue
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if "CartesianProduct" in plan or "cartesianProduct" in plan:
+            offenders[name] = plan[:500]
+    assert not offenders, sorted(offenders)
