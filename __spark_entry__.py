@@ -700,6 +700,33 @@ def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark)
 
 
+def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight DQ metrics via df.observe: the aggregates are collected
+    during the write's own single pass (no second scan — the Spark-native
+    form of the reference's separate check job). The metric values land
+    on the driver BY DESIGN (that is the Observation API's contract);
+    re-emitting them as a 1-row DataFrame makes the feature
+    oracle-checkable."""
+    from data_lake_for_citi_bike_trip_spark.plans import checks as C
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = C.observed_write(
+        orders,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_keys": F.count(F.when(F.col("o_orderkey").isNull(), 1)),
+            "max_key": F.max("o_orderkey"),
+            "total_cents": F.sum(F.round(F.col("o_totalprice") * 100)).cast(
+                "long"
+            ),
+        },
+    )
+    return spark.createDataFrame(
+        [(got["n_rows"], got["null_keys"], got["max_key"], got["total_cents"])],
+        "n_rows bigint, null_keys bigint, max_key bigint, total_cents bigint",
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (3 iterations, e6 fixed point) over the
     customer<->supplier co-purchase graph derived from orders+lineitem;
@@ -1534,6 +1561,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "user_paths": q_user_paths,
         "sample_weighted": q_sample_weighted,
+        "observed_dq": q_observed_dq,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1687,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": oracles.GRAPH_TRIANGLES,
         "user_paths": oracles.USER_PATHS,
         "sample_weighted": oracles.SAMPLE_WEIGHTED,
+        "observed_dq": oracles.OBSERVED_DQ,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

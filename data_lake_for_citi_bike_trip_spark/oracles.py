@@ -2751,3 +2751,15 @@ SELECT doc_id, lang, weight, priority FROM (
 ORDER BY priority, doc_id
 LIMIT 50
 """
+
+
+# plans/checks.py:observed_write — metrics collected during the write's
+# pass must equal a plain aggregate; integer-valued cents sum exactly.
+OBSERVED_DQ = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+           AS null_keys,
+       max(o_orderkey) AS max_key,
+       CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents
+FROM orders
+"""
