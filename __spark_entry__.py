@@ -700,6 +700,39 @@ def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark)
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via bitmap-word aggregation
+    (bit_or masks + popcount) — the mergeable, bounded-state alternative
+    to count_distinct's shuffle-every-key plan."""
+    return profile.bitmap_distinct(load_table(spark, sf_dir, "events"))
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over parts (min price, max size) — join-free cummax
+    formulation checked against the oracle's quadratic NOT EXISTS."""
+    return analytics.pareto_frontier(load_table(spark, sf_dir, "part"))
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE first-merge statistics: corpus-wide adjacent char-pair
+    frequencies computed over the distinct-word vocabulary."""
+    return text_ops.bpe_pair_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf document similarity through a term-keyed posting
+    join (df-capped) — the lexical near-dup complement to the minhash
+    and embedding tiers."""
+    return search.tfidf_similar_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact CUSUM drift detector per station: the max(0, ...)
+    recursion rewritten as two cumulative windows."""
+    trips, _, _ = _staged(spark, sf_dir)
+    return timeseries.cusum_changepoints(trips)
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1562,6 +1595,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_paths": q_user_paths,
         "sample_weighted": q_sample_weighted,
         "observed_dq": q_observed_dq,
+        "bitmap_distinct": q_bitmap_distinct,
+        "pareto_frontier": q_pareto_frontier,
+        "bpe_pairs": q_bpe_pairs,
+        "tfidf_similar": q_tfidf_similar,
+        "cusum_changepoints": q_cusum_changepoints,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1716,6 +1754,11 @@ def oracle_sql() -> dict[str, str]:
         "user_paths": oracles.USER_PATHS,
         "sample_weighted": oracles.SAMPLE_WEIGHTED,
         "observed_dq": oracles.OBSERVED_DQ,
+        "bitmap_distinct": oracles.BITMAP_DISTINCT,
+        "pareto_frontier": oracles.PARETO_FRONTIER,
+        "bpe_pairs": oracles.BPE_PAIRS,
+        "tfidf_similar": oracles.TFIDF_SIMILAR,
+        "cusum_changepoints": oracles.CUSUM_CHANGEPOINTS,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

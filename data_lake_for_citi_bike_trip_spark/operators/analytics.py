@@ -382,3 +382,48 @@ def variant_props_rollup(events: DataFrame) -> DataFrame:
         F.max("k").alias("max_k"),
         F.sum("k").alias("sum_k"),
     )
+
+
+def pareto_frontier(part: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts where no other part is both
+    cheaper-or-equal AND larger-or-equal with one inequality strict —
+    minimize retail price, maximize size.
+
+    The naive formulation is a quadratic NOT EXISTS self-join (that IS
+    the DuckDB oracle). The scalable form used here is O(n log n) with
+    NO join at all: collapse to distinct (price, size) points, sort by
+    (price asc, size desc), and keep a point iff its size strictly
+    exceeds the running max size over all preceding points. Ordering
+    guarantees every preceding point has price < mine, or equal price
+    with size >= mine — exactly the dominance candidates — so
+    `cummax(size) < size` == "not dominated".
+
+    Scale: skyline(union) == skyline(skylines), so the distinct-point
+    aggregation (an ordinary partial-combining shuffle) already bounds
+    what the single final window sees; for adversarial inputs you would
+    additionally pre-filter each partition with the same cummax pass
+    (skyline-of-skylines) before the global sort. Price is held as
+    integer cents end-to-end — no float comparisons in the dominance
+    logic.
+    """
+    pts = (
+        part.select(
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+            F.col("p_size").cast("long").alias("part_size"),
+            "p_partkey",
+        )
+        .groupBy("price_cents", "part_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_partkey").alias("min_partkey"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("price_cents").asc(), F.col("part_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("prev_max_size", F.max("part_size").over(w))
+        .where(F.col("prev_max_size").isNull() | (F.col("prev_max_size") < F.col("part_size")))
+        .select("price_cents", "part_size", "n_parts", "min_partkey")
+    )

@@ -107,6 +107,58 @@ def orders_profile(orders: DataFrame, approx: bool = False) -> DataFrame:
     return profile_table(orders, specs, approx=approx)
 
 
+def bitmap_distinct(
+    df: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    word_bits: int = 32,
+) -> DataFrame:
+    """EXACT distinct count via bitmap-word aggregation — the
+    Druid/ClickHouse "groupBitmap" pattern, expressed in pure relational
+    ops so Catalyst plans it as two ordinary hash aggregates.
+
+    Shape: key -> (word = key div B, bit = key mod B); ``bit_or`` the
+    one-hot masks per (group, word); ``sum(bit_count(mask))`` per group.
+
+    Why this beats ``count_distinct`` at 100 TB: Spark's exact
+    count-distinct keeps every distinct key in the aggregation hash map
+    and shuffles ALL distinct keys per group. The bitmap form map-side
+    combines to at most one B-bit word per (group, word) pair per
+    partition — for dense integer key spaces the shuffle payload shrinks
+    by ~B x and the final state is bounded by key-space/B words, not by
+    key count. The words are also MERGEABLE (bit_or is associative /
+    commutative / idempotent), so per-hour word tables roll up to days
+    exactly — the exact-count analogue of the HLL rollup below. For
+    non-integral keys, hash to a 64-bit space first (collision-free up
+    to the hash; then it degrades to xxhash-keyed approximate-exact).
+
+    ``word_bits=32`` keeps the shifted mask unambiguously positive in a
+    64-bit signed lane on BOTH engines (bit 63 would flip the sign in
+    DuckDB's ``<<`` and Spark's ``shiftleft`` — semantically fine for
+    bit_or but a needless cross-engine hazard).
+
+    Emits per group: exact n_distinct plus n_words (the bitmap's
+    physical row count — the compression evidence: n_words <=
+    n_distinct, and at density it approaches key_range/B).
+    """
+    masks = df.select(
+        F.col(group_col).alias("grp"),
+        # integral `div`, not `/`: float division would lose exactness
+        # for keys beyond 2^53
+        F.expr(f"{key_col} div {word_bits}").alias("word"),
+        # expr form: the python F.shiftleft binding only takes a literal
+        # shift amount, the SQL function accepts a column
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({key_col} % {word_bits} AS INT))"
+        ).alias("mask"),
+    )
+    words = masks.groupBy("grp", "word").agg(F.bit_or("mask").alias("mask"))
+    return words.groupBy("grp").agg(
+        F.sum(F.bit_count("mask")).cast("long").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+
+
 def hll_incremental_distinct(
     events: DataFrame, error_bp: int = 500
 ) -> DataFrame:

@@ -148,3 +148,61 @@ def hybrid_rrf(
     return fused.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
         F.col("rank") <= k
     )
+
+
+def tfidf_similar_pairs(
+    docs: DataFrame,
+    k: int = 50,
+    min_df: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Top-k most similar document pairs by sparse tf-idf dot product,
+    computed through a POSTING-LIST self-join — never an all-pairs
+    product.
+
+    Pipeline: tokenize -> tf per (doc, term) -> df per term -> weight
+    w = tf * (1e6 // df) (an integer-exact reciprocal-df weighting — the
+    idf surrogate keeps every score a BIGINT so the cross-engine hash
+    can never drift on float summation order) -> join postings to
+    postings ON term with doc_a < doc_b -> sum(w_a * w_b) per pair.
+
+    Scale design: the join is keyed on term, so each term contributes
+    df^2/2 candidate rows — bounded by the DEFAULT-ON ``max_df`` cap
+    (stop-term postings are exactly the quadratic blowup; reference
+    pattern: the same cap that guards dedup's shingle join). ``min_df``
+    drops hapax terms that cannot produce a pair. Top-k plans as
+    TakeOrderedAndProject over the pair aggregate; ordering
+    (score desc, doc_a, doc_b) is total, so the LIMIT boundary is
+    deterministic.
+    """
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .where(F.length("term") >= 2)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    post = (
+        tf.join(
+            F.broadcast(df.where((F.col("df") >= min_df) & (F.col("df") <= max_df))),
+            "term",
+        )
+        .select(
+            "term",
+            "doc_id",
+            (F.col("tf") * F.expr("1000000 div df")).alias("w"),
+        )
+    )
+    a = post.select("term", F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
+    b = post.select("term", F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).cast("long").alias("score"))
+    )
+    return pairs.orderBy(
+        F.col("score").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(k)

@@ -296,3 +296,39 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         )
         .where(F.col("n_tokens") >= 2)
     )
+
+
+def bpe_pair_stats(docs: DataFrame, k: int = 40) -> DataFrame:
+    """First iteration of BPE vocabulary induction: corpus-wide adjacent
+    character-pair frequencies, word-weighted — the statistic whose
+    argmax becomes the first merge rule.
+
+    Scale design (the trick real BPE trainers use): aggregate the corpus
+    to DISTINCT words with counts FIRST (one word-keyed shuffle with
+    map-side combine; vocabulary grows ~ Heaps' law, sublinearly in
+    corpus size), then explode each distinct word into its
+    ``len(word)-1`` adjacent pairs and weight by the word count. The
+    expensive explode runs over the vocabulary, not the corpus —
+    at 100 TB that is the difference between ~10^6 and ~10^13 exploded
+    rows. Top-k plans as TakeOrderedAndProject (no global sort).
+    """
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+        )
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(k)
+    )

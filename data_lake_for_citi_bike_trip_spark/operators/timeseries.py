@@ -202,3 +202,53 @@ def trend_slope(trips: DataFrame, min_days: int = 2) -> DataFrame:
         .where(F.col("denom") > 0)
         .withColumn("slope_e6", F.expr("(1000000 * numer) div denom"))
     )
+
+
+def cusum_changepoints(trips: DataFrame) -> DataFrame:
+    """Per-station CUSUM upward-drift detection over the daily ride
+    series, INTEGER-exact end to end.
+
+    The textbook recursion S_t = max(0, S_{t-1} + dev_t) is not
+    window-expressible directly, but it has an exact closed form:
+    S_t = cumsum(dev)_t - min_{j<=t} cumsum(dev)_j — two ordinary
+    cumulative windows (running sum + running min), each partitioned by
+    station, so the whole detector is one shuffle on the station key and
+    two sorted window passes. No recursion, no UDF, no driver loop.
+
+    Deviations are held scale-free in integers: dev_t = n * x_t - total
+    (n = observed days, total = total rides for the station), i.e. the
+    deviation from the station mean multiplied by n. The alarm threshold
+    ``total`` then corresponds to one mean-day's worth of accumulated
+    excess. Emits per station: days observed, max CUSUM statistic,
+    alarm-day count, and the first alarm date (NULL when none fires).
+    """
+    daily = daily_counts(trips)
+    stats = daily.groupBy("station").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("rides").alias("total")
+    )
+    dev = daily.join(stats, "station").select(
+        "station",
+        "day",
+        "n_days",
+        "total",
+        (F.col("n_days") * F.col("rides") - F.col("total")).alias("dev"),
+    )
+    w = Window.partitionBy("station").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the prefix-min must include the EMPTY prefix (cum_0 = 0), else a
+    # series that rises from day one would lose its first deviation
+    cum = dev.withColumn("cum", F.sum("dev").over(w)).withColumn(
+        "s",
+        F.col("cum")
+        - F.least(F.lit(0).cast("long"), F.min("cum").over(w)),
+    )
+    alarmed = cum.withColumn("alarm", F.col("s") > F.col("total"))
+    return alarmed.groupBy("station").agg(
+        F.max("n_days").alias("n_days"),
+        F.max("s").alias("max_cusum"),
+        F.sum(F.col("alarm").cast("long")).cast("long").alias("n_alarms"),
+        F.min(F.when(F.col("alarm"), F.col("day")))
+        .cast("string")
+        .alias("first_alarm"),
+    )

@@ -2763,3 +2763,129 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents
 FROM orders
 """
+
+
+# operators/profile.py:bitmap_distinct — identical word/mask arithmetic;
+# DuckDB sum(bit_count) widens to HUGEINT -> cast. 32-bit words keep the
+# shifted mask positive in both engines' signed-64 lanes.
+BITMAP_DISTINCT = """
+WITH words AS (
+  SELECT event_type AS grp, user_id // 32 AS word,
+         bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS mask
+  FROM events GROUP BY 1, 2
+)
+SELECT grp, CAST(sum(bit_count(mask)) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_words
+FROM words GROUP BY 1
+"""
+
+
+# operators/analytics.py:pareto_frontier — the oracle keeps the naive
+# quadratic NOT-EXISTS dominance semantics; the Spark side must produce
+# the identical frontier from its join-free cummax formulation.
+PARETO_FRONTIER = """
+WITH pts AS (
+  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS part_size,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         min(p_partkey) AS min_partkey
+  FROM part GROUP BY 1, 2
+)
+SELECT p.price_cents, p.part_size, p.n_parts, p.min_partkey
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price_cents <= p.price_cents AND q.part_size >= p.part_size
+    AND (q.price_cents < p.price_cents OR q.part_size > p.part_size)
+)
+"""
+
+
+# operators/text.py:bpe_pair_stats — same distinct-word rollup then
+# scalar unnest(generate_series) pair explode; (pair_count DESC, pair)
+# is a total order so the LIMIT boundary is engine-independent.
+BPE_PAIRS = """
+WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 2 GROUP BY 1
+),
+expanded AS (
+  SELECT word, wc, unnest(generate_series(1, length(word) - 1)) AS i
+  FROM words
+)
+SELECT substr(word, CAST(i AS INT), 2) AS pair,
+       CAST(sum(wc) AS BIGINT) AS pair_count
+FROM expanded
+GROUP BY 1
+ORDER BY pair_count DESC, pair
+LIMIT 40
+"""
+
+
+# operators/search.py:tfidf_similar_pairs — identical integer weighting
+# (tf * (1e6 // df)); all-integer scores, total order at the LIMIT.
+TFIDF_SIMILAR = """
+WITH toks AS (
+  SELECT doc_id, w AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 2
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+post AS (
+  SELECT t.term, t.doc_id, t.tf * (1000000 // d.df) AS w
+  FROM tf t JOIN df d USING (term)
+  WHERE d.df >= 2 AND d.df <= 50
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(sum(a.w * b.w) AS BIGINT) AS score
+FROM post a JOIN post b ON a.term = b.term AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY score DESC, doc_a, doc_b
+LIMIT 50
+"""
+
+
+# operators/timeseries.py:cusum_changepoints — identical integer CUSUM
+# closed form (cumsum minus least(0, running-min of cumsum)) over the
+# staged trips' daily series.
+CUSUM_CHANGEPOINTS = with_staging(
+""",
+daily AS (
+  SELECT start_station_id AS station, CAST(starttime AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS rides
+  FROM trips GROUP BY 1, 2
+),
+stats AS (
+  SELECT station, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(sum(rides) AS BIGINT) AS total
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.station, d.day, s.n_days, s.total,
+         s.n_days * d.rides - s.total AS dev
+  FROM daily d JOIN stats s USING (station)
+),
+cum AS (
+  SELECT *, sum(dev) OVER w AS cum
+  FROM dev
+  WINDOW w AS (PARTITION BY station ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT *, cum - least(0, min(cum) OVER w) AS s
+  FROM cum
+  WINDOW w AS (PARTITION BY station ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT station,
+       CAST(max(n_days) AS BIGINT) AS n_days,
+       CAST(max(s) AS BIGINT) AS max_cusum,
+       CAST(COUNT(CASE WHEN s > total THEN 1 END) AS BIGINT) AS n_alarms,
+       CAST(min(CASE WHEN s > total THEN day END) AS VARCHAR) AS first_alarm
+FROM s GROUP BY 1
+"""
+)

@@ -87,3 +87,40 @@ def test_sessionize_gap_splits(spark):
     out = analytics.sessionize(events, gap_minutes=30)
     per_user = {r.user_id: r.cnt for r in out.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
     assert per_user == {1: 2, 2: 1}
+
+
+def test_pareto_frontier_matches_bruteforce_dominance(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import analytics
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    got = {
+        (r.price_cents, r.part_size)
+        for r in analytics.pareto_frontier(part).collect()
+    }
+    pts = {
+        (int(round(r.p_retailprice * 100)), int(r.p_size))
+        for r in part.collect()
+    }
+    expect = {
+        p
+        for p in pts
+        if not any(
+            q[0] <= p[0] and q[1] >= p[1] and q != p for q in pts
+        )
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_pareto_frontier_members_are_mutually_nondominated(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import analytics
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    rows = analytics.pareto_frontier(
+        load_table(spark, sf_dir, "part")
+    ).collect()
+    pts = [(r.price_cents, r.part_size) for r in rows]
+    for p in pts:
+        assert not any(
+            q[0] <= p[0] and q[1] >= p[1] and q != p for q in pts
+        )

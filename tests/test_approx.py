@@ -47,3 +47,67 @@ def test_hll_incremental_rollup_matches_direct_sketch(spark, sf_dir):
     )
     j = direct.join(merged, "day").collect()
     assert j and all(r.direct_est == r.union_est for r in j)
+
+
+def test_bitmap_distinct_matches_exact_count_distinct(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        r.grp: r.n_distinct
+        for r in profile.bitmap_distinct(events).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_bitmap_words_merge_exactly_across_shards(spark, sf_dir):
+    """bit_or is associative+commutative+idempotent: the word tables of
+    two overlapping shards merged with bit_or must reproduce the full
+    corpus distinct counts exactly (the rollup story)."""
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    # overlapping split: dup rows across both halves exercise idempotence
+    a = events.where(F.col("event_id") % 3 != 0)
+    b = events.where(F.col("event_id") % 2 == 0)
+
+    def words(df):
+        return df.select(
+            F.col("event_type").alias("grp"),
+            F.expr("user_id div 32").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("mask"),
+        ).groupBy("grp", "word").agg(F.bit_or("mask").alias("mask"))
+
+    merged = (
+        words(a)
+        .unionByName(words(b))
+        .groupBy("grp", "word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .groupBy("grp")
+        .agg(F.sum(F.bit_count("mask")).cast("long").alias("n_distinct"))
+    )
+    got = {r.grp: r.n_distinct for r in merged.collect()}
+    full = events.where(
+        (F.col("event_id") % 3 != 0) | (F.col("event_id") % 2 == 0)
+    )
+    exact = {
+        r.event_type: r.n
+        for r in full.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact

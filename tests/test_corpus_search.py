@@ -127,3 +127,26 @@ def test_sample_weighted_is_biased_and_takeordered(spark, sf_dir):
     corpus_avg = docs.agg(F.avg("n_chars")).first()[0]
     sample_avg = sum(r.weight for r in rows) / len(rows)
     assert sample_avg > corpus_avg, (sample_avg, corpus_avg)
+
+
+def test_tfidf_similar_pairs_integer_scores(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "cat dog"),
+            (3, "dog bird"),
+            (4, "fish"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = search.tfidf_similar_pairs(docs, k=10).collect()
+    got = [(r.doc_a, r.doc_b, r.score) for r in rows]
+    # df: cat=2 dog=3 (bird/fish hapax dropped); w_cat=500000, w_dog=333333
+    s_dog = 333333 * 333333
+    assert got == [
+        (1, 2, 2 * 500000 * 500000 + s_dog),
+        (1, 3, s_dog),
+        (2, 3, s_dog),
+    ]

@@ -222,3 +222,18 @@ def test_png_codec_roundtrip_and_failure_modes():
 
     with _pytest.raises(ValueError, match="not a PNG"):
         M.decode_png_pixels(b"BMnotapng")
+
+
+def test_bpe_pair_stats_counts_word_weighted_pairs(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "aba aba ab"), (2, "ba!aba")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.pair: r.pair_count
+        for r in text_ops.bpe_pair_stats(docs, k=10).collect()
+    }
+    # words: aba x3, ab x1, ba x1 -> pairs: ab: 3(aba)+1(ab)=4, ba: 3(aba)+1(ba)=4
+    assert got == {"ab": 4, "ba": 4}

@@ -87,3 +87,35 @@ def test_trend_slope_exact_rational(spark):
     )
     out = {r.station: r.slope_e6 for r in timeseries.trend_slope(df).collect()}
     assert out == {"A": 2_000_000, "B": -2_000_000}
+
+
+def test_cusum_closed_form_equals_textbook_recursion(spark, sf_dir):
+    """The two-window closed form must reproduce S_t = max(0, S_{t-1} +
+    dev_t) exactly, station by station, day by day."""
+    from collections import defaultdict
+
+    from data_lake_for_citi_bike_trip_spark.operators import staging, timeseries
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    trips = staging.trips(staging.rebalanced(load_table(spark, sf_dir, "events")))
+    daily = timeseries.daily_counts(trips).collect()
+    series = defaultdict(list)
+    for r in daily:
+        series[r.station].append((r.day, r.rides))
+    expect = {}
+    for st, rows in series.items():
+        rows.sort()
+        n, total = len(rows), sum(x for _, x in rows)
+        s, mx, alarms, first = 0, 0, 0, None
+        for day, x in rows:
+            s = max(0, s + (n * x - total))
+            mx = max(mx, s)
+            if s > total:
+                alarms += 1
+                first = first or str(day)
+        expect[st] = (n, mx, alarms, first)
+    got = {
+        r.station: (r.n_days, r.max_cusum, r.n_alarms, r.first_alarm)
+        for r in timeseries.cusum_changepoints(trips).collect()
+    }
+    assert got == expect
