@@ -733,6 +733,45 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.cusum_changepoints(trips)
 
 
+def q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio decode: Arrow-batched stdlib PCM-16 WAV
+    encode (RIFF container) -> generic chunk-walking decode ->
+    integer amplitude features; oracle replays the sample stream."""
+    media = multimodal.synthetic_wav_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.wav_stats(media)
+
+
+def q_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density hotspots with 3x3 neighborhood smoothing — the
+    cell-bounded companion to the radius pair join."""
+    return geo.grid_hotspots(load_table(spark, sf_dir, "customer"))
+
+
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every error event, with
+    its following-hour purchases where they exist and NULL right columns
+    where none can ever arrive (emitted at state eviction). The oracle
+    mirrors both tiers: eager inner matches, plus null rows for
+    unmatched errors whose horizon closed under the final GLOBAL
+    watermark — min(max error ts, max purchase ts) - 2h, because each
+    side's watermark operator sits after its event-type filter."""
+    scoped = streaming.scoped_session(spark, 8)
+    errors = streaming.stream_events(scoped, sf_dir).where(
+        F.col("event_type") == "error"
+    )
+    purchases = streaming.stream_events(scoped, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = streaming.left_outer_interval_join(errors, purchases, on="user_id")
+    out = joined.select(
+        "l_event_id",
+        F.unix_micros("l_ts").alias("l_ts_us"),
+        "r_event_id",
+        "r_value",
+    )
+    return streaming.run_available_now(out, "q_stream_left_join", "append")
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1600,6 +1639,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "tfidf_similar": q_tfidf_similar,
         "cusum_changepoints": q_cusum_changepoints,
+        "multimodal_wav_stats": q_multimodal_wav_stats,
+        "geo_hotspots": q_geo_hotspots,
+        "stream_left_join": q_stream_left_join,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1759,6 +1801,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": oracles.BPE_PAIRS,
         "tfidf_similar": oracles.TFIDF_SIMILAR,
         "cusum_changepoints": oracles.CUSUM_CHANGEPOINTS,
+        "multimodal_wav_stats": oracles.MULTIMODAL_WAV_STATS,
+        "geo_hotspots": oracles.GEO_HOTSPOTS,
+        "stream_left_join": oracles.STREAM_LEFT_JOIN,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

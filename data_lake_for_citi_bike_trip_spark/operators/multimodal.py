@@ -572,3 +572,130 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=PNG_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real RIFF/WAVE PCM-16 codec, pure stdlib (struct only).
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(media_id: int, n_samples: int, sample_rate: int) -> bytes:
+    """Deterministic mono 16-bit PCM WAV: sample i is
+    ((media_id*31 + i*17) % 4001) - 2000 — pure integer arithmetic a SQL
+    oracle can replay. Emits a genuine RIFF container (fmt + data
+    chunks) that any standards-conforming WAV reader accepts."""
+    import struct
+
+    samples = [
+        ((media_id * 31 + i * 17) % 4001) - 2000 for i in range(n_samples)
+    ]
+    data = struct.pack(f"<{n_samples}h", *samples)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(raw: bytes) -> tuple[int, int, int, int]:
+    """Parse a RIFF/WAVE container and the PCM-16 samples inside it.
+
+    Returns (sample_rate, n_samples, peak_abs, abs_sum). Walks the chunk
+    list generically (tolerates extra chunks, honors word alignment);
+    raises ValueError on a non-RIFF payload and NotImplementedError on
+    compressed / non-16-bit / multi-channel variants — the same
+    clean-failure contract as the image decoders."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"compressed WAV (format {audio_format})")
+    if n_channels != 1 or bits != 16:
+        raise NotImplementedError(f"{n_channels}ch/{bits}bit WAV unsupported")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    abs_vals = [abs(s) for s in samples]
+    return sample_rate, n, max(abs_vals, default=0), sum(abs_vals)
+
+
+def synthetic_wav_table(docs: DataFrame) -> DataFrame:
+    """REAL WAV payloads with oracle-predictable content: length and
+    rate derive from (doc_id, n_chars) — n_samples = n_chars%50+10,
+    sample_rate = 8000 + (doc_id%3)*4000 — so a SQL oracle can replay
+    the exact sample stream while the decode stage downstream parses
+    genuine RIFF bytes. Arrow-batched like the PNG generator."""
+    META = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (
+                    int(doc_id),
+                    encode_wav_pcm16(
+                        int(doc_id),
+                        int(n_chars) % 50 + 10,
+                        8000 + (int(doc_id) % 3) * 4000,
+                    ),
+                )
+                for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, schema=META)
+
+
+#: Output schema of the WAV feature-extraction stage.
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("abs_sum", T.LongType()),
+    ]
+)
+
+
+def wav_stats(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads end-to-end and emit integer amplitude
+    features (peak, L1 energy, duration) — the audio analogue of
+    ``png_pixel_stats``; same Arrow-batched plumbing contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, n, peak, s = decode_wav(bytes(payload))
+                rows.append(
+                    (int(media_id), rate, n, n * 1000 // rate, peak, s)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_STATS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=WAV_STATS_SCHEMA
+    )

@@ -2889,3 +2889,86 @@ SELECT station,
 FROM s GROUP BY 1
 """
 )
+
+
+# operators/multimodal.py:synthetic_wav_table + wav_stats — the oracle
+# replays the generator's integer sample stream per doc via the scalar
+# unnest(generate_series) form; a wrong chunk walk or sample unpack
+# shifts abs_sum/peak_abs.
+MULTIMODAL_WAV_STATS = """
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(n_chars % 50 + 10 AS BIGINT) AS n_samples,
+       CAST((n_chars % 50 + 10) * 1000 // (8000 + (doc_id % 3) * 4000) AS BIGINT)
+         AS duration_ms,
+       (SELECT CAST(max(abs(((doc_id * 31 + i * 17) % 4001) - 2000)) AS BIGINT)
+        FROM unnest(generate_series(0, n_chars % 50 + 9)) AS t(i)) AS peak_abs,
+       (SELECT CAST(sum(abs(((doc_id * 31 + i * 17) % 4001) - 2000)) AS BIGINT)
+        FROM unnest(generate_series(0, n_chars % 50 + 9)) AS t(i)) AS abs_sum
+FROM documents
+"""
+
+
+# operators/geo.py:grid_hotspots — same integer point synthesis and cell
+# arithmetic; the 3x3 smoothing is a cells-x-offsets product in both
+# engines. All coordinates non-negative -> div == //.
+GEO_HOTSPOTS = """
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS x,
+         (c_custkey * 2654435761) % 1000000 AS y
+  FROM customer
+),
+cells AS (
+  SELECT x // 50000 AS cx, y // 50000 AS cy,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM pts GROUP BY 1, 2
+),
+offsets AS (
+  SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)
+),
+smooth AS (
+  SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy,
+         CAST(sum(c.n_points) AS BIGINT) AS density
+  FROM cells c, offsets o
+  GROUP BY 1, 2
+)
+SELECT c.cx, c.cy, c.n_points, s.density
+FROM cells c JOIN smooth s USING (cx, cy)
+ORDER BY s.density DESC, c.cx, c.cy
+LIMIT 20
+"""
+
+
+# streaming/pipeline.py:left_outer_interval_join — two output tiers:
+# inner matches emit eagerly; null rows emit at left-state eviction,
+# which happens when the FINAL GLOBAL watermark passes l_ts + horizon.
+# The global watermark is the min over both sides' watermark operators,
+# and each sits AFTER its event-type filter — so it derives from
+# least(max error ts, max purchase ts), not the raw stream max.
+# Eviction is strict (<): a row whose horizon sits exactly at the
+# watermark could still match a boundary arrival.
+STREAM_LEFT_JOIN = """
+WITH mx AS (
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE event_type = 'error'),
+    (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+  ) AS m
+)
+SELECT e.event_id AS l_event_id, epoch_us(e.ts) AS l_ts_us,
+       p.event_id AS r_event_id, p.value AS r_value
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+UNION ALL
+SELECT e.event_id, epoch_us(e.ts),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM events e, mx
+WHERE e.event_type = 'error'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+      AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR)
+  AND e.ts + INTERVAL 1 HOUR < m - INTERVAL 2 HOURS
+"""

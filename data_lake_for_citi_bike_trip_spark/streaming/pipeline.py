@@ -452,3 +452,42 @@ def stream_merge_to_txn(
     )
     query.awaitTermination()
     return table.read(stream_df.sparkSession)
+
+
+def left_outer_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with evictable state on both sides.
+
+    Same two-sided time bound as ``interval_join`` (matches emit
+    eagerly), plus the outer semantics: a left row that found no match
+    is emitted with NULL right columns — but only once the watermark
+    passes ``l_ts + horizon``, the instant after which no future right
+    row can satisfy the bound. That deferred emission is exactly what
+    makes outer state evictable: without the bound, every unmatched
+    left row would wait forever. Spark derives the eviction point from
+    the join condition itself (state value watermark), so the state
+    store holds at most ``watermark + horizon`` of either stream.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(on).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(on).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    )

@@ -54,3 +54,30 @@ def test_grid_join_is_equi_join_not_nested_loop(spark, sf_dir):
     plan = geo.neighbor_pairs(pts, 40_000)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grid_hotspots_smoothing_is_neighborhood_sum(spark, sf_dir):
+    from collections import Counter
+
+    from data_lake_for_citi_bike_trip_spark.operators import geo
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    cell = 50_000
+    pts = geo.station_points(customer).collect()
+    counts = Counter((p.x // cell, p.y // cell) for p in pts)
+    got = geo.grid_hotspots(customer, cell=cell, k=10).collect()
+    assert len(got) == 10
+    for r in got:
+        expect = sum(
+            counts.get((r.cx + dx, r.cy + dy), 0)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        assert (r.n_points, r.density) == (counts[(r.cx, r.cy)], expect)
+    # top-1 really is the max smoothed density over occupied cells
+    best = max(
+        sum(counts.get((cx + dx, cy + dy), 0) for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        for cx, cy in counts
+    )
+    assert got[0].density == best

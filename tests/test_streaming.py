@@ -244,3 +244,52 @@ def test_stream_upsert_scd1_crash_replay_idempotent(spark, sf_dir, tmp_path):
         key="user_id", seq_col="event_id",
     )
     assert {r.user_id: r.event_id for r in noop.collect()} == expected
+
+
+def test_left_outer_join_null_tier_waits_for_watermark(spark, sf_dir):
+    """The unmatched-left tier must be gated on the global watermark:
+    the latest error event (which defines the left watermark) can never
+    emit its null row in a drain, while matches emit eagerly."""
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+    from data_lake_for_citi_bike_trip_spark.streaming import pipeline as streaming
+
+    scoped = streaming.scoped_session(spark, 4)
+    errors = streaming.stream_events(scoped, sf_dir).where(
+        F.col("event_type") == "error"
+    )
+    purchases = streaming.stream_events(scoped, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    out = streaming.run_available_now(
+        streaming.left_outer_interval_join(errors, purchases, on="user_id"),
+        "t_stream_loj",
+        "append",
+    ).collect()
+    nulls = {r.l_event_id for r in out if r.r_event_id is None}
+    assert nulls, "expected some watermark-closed unmatched rows"
+
+    events = load_table(spark, sf_dir, "events")
+    last_error = (
+        events.where(F.col("event_type") == "error")
+        .orderBy(F.col("ts").desc())
+        .first()
+    )
+    assert last_error.event_id not in nulls
+    # every emitted null row's horizon is strictly under the watermark
+    mx = (
+        events.where(F.col("event_type").isin("error", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    )
+    wm = min(r.m for r in mx)
+    err_ts = {
+        r.event_id: r.ts
+        for r in events.where(F.col("event_type") == "error").collect()
+    }
+    import datetime
+
+    for eid in nulls:
+        assert err_ts[eid] + datetime.timedelta(hours=3) < wm

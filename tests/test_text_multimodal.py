@@ -237,3 +237,43 @@ def test_bpe_pair_stats_counts_word_weighted_pairs(spark):
     }
     # words: aba x3, ab x1, ba x1 -> pairs: ab: 3(aba)+1(ab)=4, ba: 3(aba)+1(ba)=4
     assert got == {"ab": 4, "ba": 4}
+
+
+def test_wav_codec_roundtrip_and_failure_modes():
+    import struct
+
+    import pytest as _pytest
+
+    from data_lake_for_citi_bike_trip_spark.operators import multimodal as M
+
+    raw = M.encode_wav_pcm16(7, 25, 8000)
+    rate, n, peak, s = M.decode_wav(raw)
+    samples = [((7 * 31 + i * 17) % 4001) - 2000 for i in range(25)]
+    assert (rate, n) == (8000, 25)
+    assert peak == max(abs(v) for v in samples)
+    assert s == sum(abs(v) for v in samples)
+
+    # extra chunk before data (odd length -> word alignment) is tolerated
+    chunks = raw[12:]
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    padded = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(extra) + len(chunks))
+        + b"WAVE"
+        + extra
+        + chunks
+    )
+    assert M.decode_wav(padded) == (rate, n, peak, s)
+
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        M.decode_wav(b"OggS12345678")
+    # non-PCM format code -> clean NotImplementedError
+    mutated = bytearray(raw)
+    mutated[20] = 3  # audio_format field
+    with _pytest.raises(NotImplementedError, match="compressed"):
+        M.decode_wav(bytes(mutated))
+    # stereo -> unsupported
+    mutated = bytearray(raw)
+    mutated[22] = 2  # n_channels field
+    with _pytest.raises(NotImplementedError, match="2ch"):
+        M.decode_wav(bytes(mutated))
