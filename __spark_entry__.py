@@ -772,6 +772,36 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(out, "q_stream_left_join", "append")
 
 
+def q_udtf_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) doing overlapping
+    sliding-window chunking via a LATERAL join, Arrow-batched."""
+    return corpus.sliding_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom gap-sessionization in applyInPandasWithState (arbitrary
+    per-key state across batches); single-batch drain == batch
+    sessionization, so the oracle is the windowed-gap SQL."""
+    stream = streaming.stream_events(streaming.scoped_session(spark, 8), sf_dir)
+    updates = stateful.user_sessions(stream)
+    return streaming.run_available_now(
+        updates, "q_stream_user_sessions", "update"
+    )
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-postings exact phrase match ("table value"):
+    adjacency as (doc, pos)-keyed equi-joins over per-term postings."""
+    return search.phrase_search(load_table(spark, sf_dir, "documents"))
+
+
+def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations from exact integer sufficient
+    statistics in one aggregate pass (order-independent, hashable —
+    unlike F.corr's float accumulators)."""
+    return profile.corr_pairs(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1642,6 +1672,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_stats": q_multimodal_wav_stats,
         "geo_hotspots": q_geo_hotspots,
         "stream_left_join": q_stream_left_join,
+        "udtf_sliding_chunks": q_udtf_sliding_chunks,
+        "stream_user_sessions": q_stream_user_sessions,
+        "phrase_search": q_phrase_search,
+        "corr_pairs": q_corr_pairs,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1804,6 +1838,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_wav_stats": oracles.MULTIMODAL_WAV_STATS,
         "geo_hotspots": oracles.GEO_HOTSPOTS,
         "stream_left_join": oracles.STREAM_LEFT_JOIN,
+        "udtf_sliding_chunks": oracles.UDTF_SLIDING_CHUNKS,
+        "stream_user_sessions": oracles.STREAM_USER_SESSIONS,
+        "phrase_search": oracles.PHRASE_SEARCH,
+        "corr_pairs": oracles.CORR_PAIRS,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

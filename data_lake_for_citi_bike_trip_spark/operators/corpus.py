@@ -452,3 +452,51 @@ def sample_weighted(
         .orderBy(F.asc("priority"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def sliding_chunks(docs: DataFrame, width: int = 5, stride: int = 3) -> DataFrame:
+    """Overlapping sliding-window chunking (the RAG/embedding-prep
+    shape: ``width`` words per chunk, ``stride`` words apart, so
+    consecutive chunks share ``width - stride`` words of context) —
+    implemented as a Python UDTF (Spark 4's user-defined TABLE function)
+    applied with a LATERAL join.
+
+    Why a UDTF and not explode: the same semantics ARE expressible as
+    sequence+transform+explode (chunk_documents above does the
+    non-overlapping case), but the UDTF surface is the right tool when
+    per-row expansion logic outgrows what a lambda expression can say —
+    this registers the API pattern with a case simple enough to
+    oracle-check. The UDTF runs Arrow-batched; each eval emits
+    ceil(n_words/stride) rows and the plan stays a single Generate over
+    the scan (no shuffle).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_idx bigint, start_word bigint, "
+            "chunk_text string, n_words bigint"
+        ),
+        useArrow=True,
+    )
+    class ChunkWindows:
+        def eval(self, doc_id: int, text: str):
+            words = (text or "").split(" ")
+            n = len(words)
+            for ci in range((n + stride - 1) // stride):
+                start = ci * stride
+                chunk = words[start : start + width]
+                yield (
+                    doc_id,
+                    ci,
+                    start,
+                    " ".join(chunk),
+                    len(chunk),
+                )
+
+    spark = docs.sparkSession
+    spark.udtf.register("chunk_windows", ChunkWindows)
+    docs.select("doc_id", "text").createOrReplaceTempView("_chunk_src")
+    return spark.sql(
+        "SELECT c.* FROM _chunk_src, LATERAL chunk_windows(doc_id, text) c"
+    )

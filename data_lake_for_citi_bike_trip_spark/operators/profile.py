@@ -201,3 +201,70 @@ def hll_incremental_distinct(
             ).alias("hll_ok"),
         )
     )
+
+
+def corr_pairs(lineitem: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlations in ONE aggregate pass, built from
+    EXACT integer sufficient statistics.
+
+    ``F.corr`` / DuckDB ``corr`` accumulate floating moments whose value
+    depends on row visit order — un-hashable across engines. Instead the
+    moments (n, Sx, Sy, Sxy, Sxx, Syy) are summed as BIGINTs over
+    small-integer projections of the metrics (quantity 1..50, discount
+    basis points 0..10, ship week 1..53) — one shuffle of ten numbers,
+    exactly reproducible anywhere. The final correlation is then ONE
+    deterministic per-row float expression over exact ints
+    (IEEE multiply/sqrt/divide have no ordering freedom):
+    corr_bp = floor(1e4 * (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) *
+    (n*Syy - Sy^2))).
+
+    Overflow headroom: |values| <= 1e2, so n*Sxy <= n^2 * 1e4 stays in
+    int64 through n ~ 3e7 rows; beyond that switch the six sums to
+    DECIMAL(38,0) (same plan shape, Spark and DuckDB both exact).
+    """
+    base = lineitem.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+        F.weekofyear("l_shipdate").cast("long").alias("z"),
+    )
+    s = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(expr).alias(name)
+            for name, expr in {
+                "sx": F.col("x"),
+                "sy": F.col("y"),
+                "sz": F.col("z"),
+                "sxy": F.col("x") * F.col("y"),
+                "sxz": F.col("x") * F.col("z"),
+                "syz": F.col("y") * F.col("z"),
+                "sxx": F.col("x") * F.col("x"),
+                "syy": F.col("y") * F.col("y"),
+                "szz": F.col("z") * F.col("z"),
+            }.items()
+        ],
+    )
+
+    def pair(tag, sa, sb, sab, saa, sbb):
+        cov = F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)
+        va = F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)
+        vb = F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)
+        return F.struct(
+            F.lit(tag).alias("pair"),
+            F.col("n").alias("n"),
+            cov.alias("cov_num"),
+            F.floor(
+                F.lit(10000.0)
+                * cov.cast("double")
+                / F.sqrt(va.cast("double") * vb.cast("double"))
+            )
+            .cast("long")
+            .alias("corr_bp"),
+        )
+
+    rows = F.array(
+        pair("qty_discount", "sx", "sy", "sxy", "sxx", "syy"),
+        pair("qty_week", "sx", "sz", "sxz", "sxx", "szz"),
+        pair("discount_week", "sy", "sz", "syz", "syy", "szz"),
+    )
+    return s.select(F.explode(rows).alias("p")).select("p.*")

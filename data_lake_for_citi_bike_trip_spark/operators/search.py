@@ -206,3 +206,35 @@ def tfidf_similar_pairs(
     return pairs.orderBy(
         F.col("score").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
     ).limit(k)
+
+
+def phrase_search(docs: DataFrame, phrase: tuple[str, ...] = ("table", "value")) -> DataFrame:
+    """Exact phrase matching over POSITIONAL postings: a document hits
+    when the phrase terms occupy strictly consecutive token positions.
+
+    The positional index is the standard IR structure: (term, doc,
+    position) rows from one posexplode. Each adjacent phrase term pair
+    becomes an EQUI-join — (doc, pos + 1) against (doc, pos) — so an
+    n-term phrase is n-1 hash joins keyed on (doc, position), each
+    pre-filtered to ONE term's posting list before joining (the lists
+    are tiny next to the corpus; same pre-restriction as bm25_topk).
+    Never a regex scan over full text at query time, never a cross
+    product. Positions index the RAW split array, so "adjacent" means
+    separated by separators only — in both engines identically.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least two terms")
+    arr = F.split(F.lower(F.col("text")), "[^a-z]+")
+    pos = docs.select("doc_id", F.posexplode(arr).alias("pos", "term"))
+    hits = pos.where(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = pos.where(F.col("term") == term).select(
+            "doc_id", (F.col("pos") - i).alias("p")
+        )
+        hits = hits.join(
+            nxt,
+            (hits["doc_id"] == nxt["doc_id"]) & (hits["p0"] == nxt["p"]),
+        ).select(hits["doc_id"], hits["p0"])
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))

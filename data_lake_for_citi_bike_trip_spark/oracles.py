@@ -2972,3 +2972,115 @@ WHERE e.event_type = 'error'
       AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR)
   AND e.ts + INTERVAL 1 HOUR < m - INTERVAL 2 HOURS
 """
+
+
+# operators/corpus.py:sliding_chunks — width 5 / stride 3 sliding
+# windows; DuckDB list slices are 1-based inclusive, so chunk ci covers
+# ws[ci*3+1 : least(ci*3+5, n)]. Both engines split on single spaces
+# (empties preserved), so word indexing is identical.
+UDTF_SLIDING_CHUNKS = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+idx AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         unnest(generate_series(0, (len(ws) + 2) // 3 - 1)) AS ci
+  FROM words
+)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(ci * 3 AS BIGINT) AS start_word,
+       array_to_string(ws[ci * 3 + 1 : least(ci * 3 + 5, n)], ' ') AS chunk_text,
+       CAST(least(5, n - ci * 3) AS BIGINT) AS n_words
+FROM idx
+"""
+
+
+# streaming/stateful.py:user_sessions — gap-based sessions over the
+# (ts, event_id) total order; session_idx via running sum of
+# new-session flags (0-based to match the stateful walk).
+STREAM_USER_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+),
+sess AS (
+  SELECT *,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(min(us) AS BIGINT) AS start_us,
+       CAST(max(us) AS BIGINT) AS end_us
+FROM sess GROUP BY 1, 2
+"""
+
+
+# operators/search.py:phrase_search — positions over the same raw split
+# array (DuckDB lists are 1-based; adjacency is i, i+1 regardless).
+PHRASE_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS ws
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+  FROM toks
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM pos
+WHERE ws[i] = 'table' AND ws[i + 1] = 'value'
+GROUP BY 1
+"""
+
+
+# operators/profile.py:corr_pairs — identical exact-integer sufficient
+# statistics; the only float math is the final per-row
+# multiply/sqrt/divide over exact ints (no ordering freedom). Spark and
+# DuckDB weekofyear are both ISO weeks.
+CORR_PAIRS = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y,
+         CAST(weekofyear(l_shipdate) AS BIGINT) AS z
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(z) AS BIGINT) AS sz,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * z) AS BIGINT) AS sxz,
+         CAST(sum(y * z) AS BIGINT) AS syz,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(z * z) AS BIGINT) AS szz
+  FROM base
+)
+SELECT 'qty_discount' AS pair, n, n * sxy - sx * sy AS cov_num,
+       CAST(floor(10000.0 * (n * sxy - sx * sy)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS corr_bp
+FROM s
+UNION ALL
+SELECT 'qty_week', n, n * sxz - sx * sz,
+       CAST(floor(10000.0 * (n * sxz - sx * sz)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * szz - sz * sz AS DOUBLE))) AS BIGINT)
+FROM s
+UNION ALL
+SELECT 'discount_week', n, n * syz - sy * sz,
+       CAST(floor(10000.0 * (n * syz - sy * sz)
+            / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                   * CAST(n * szz - sz * sz AS DOUBLE))) AS BIGINT)
+FROM s
+"""

@@ -111,3 +111,44 @@ def test_bitmap_words_merge_exactly_across_shards(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_corr_pairs_matches_float_corr_and_pins_range(spark, sf_dir):
+    """The integer-moments correlation must agree with Spark's own
+    float corr to ~1e-4 (one basis point) and stay in [-10000, 10000]."""
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {r.pair: r.corr_bp for r in profile.corr_pairs(li).collect()}
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+        F.weekofyear("l_shipdate").cast("long").alias("z"),
+    )
+    ref = base.agg(
+        F.corr("x", "y").alias("xy"),
+        F.corr("x", "z").alias("xz"),
+        F.corr("y", "z").alias("yz"),
+    ).first()
+    for key, rv in (("qty_discount", ref.xy), ("qty_week", ref.xz), ("discount_week", ref.yz)):
+        assert abs(got[key]) <= 10000
+        assert abs(got[key] - 10000 * rv) <= 1.01, (key, got[key], rv)
+
+
+def test_phrase_search_counts_consecutive_occurrences(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table value table value x"),
+            (2, "table, value"),  # separator-only gap still adjacent
+            (3, "table x value"),
+            (4, "value table"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in search.phrase_search(docs).collect()}
+    assert got == {1: 2, 2: 1}

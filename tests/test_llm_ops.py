@@ -178,3 +178,23 @@ def test_pq_lossy_codebook_bounded_and_codes_valid(spark, sf_dir):
     codes = similarity.pq_encode(emb, cb)
     # every emitted code exists in the codebook
     assert codes.join(cb, ["m", "code"], "left_anti").count() == 0
+
+
+def test_sliding_chunks_overlap_and_tail(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x")], "doc_id bigint, text string"
+    )
+    rows = sorted(
+        (
+            (r.doc_id, r.chunk_idx, r.start_word, r.chunk_text, r.n_words)
+            for r in corpus.sliding_chunks(docs).collect()
+        )
+    )
+    assert rows == [
+        (1, 0, 0, "a b c d e", 5),
+        (1, 1, 3, "d e f g", 4),
+        (1, 2, 6, "g", 1),
+        (2, 0, 0, "x", 1),
+    ]

@@ -71,3 +71,33 @@ def test_tws_totals_or_clean_gate(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, final.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_advance_sessions_core_crosses_batches():
+    """The pure session-walk core must CONTINUE the open session across
+    a batch boundary (same id, merged extent) and must match a
+    single-batch walk of the concatenated stream."""
+    from data_lake_for_citi_bike_trip_spark.streaming.stateful import (
+        advance_sessions,
+    )
+
+    gap = 30 * 60 * 1_000_000
+    m = 60 * 1_000_000
+    batch1 = [0, 5 * m, 10 * m]
+    batch2 = [12 * m, 200 * m, 205 * m]
+
+    s1, e1 = advance_sessions(None, batch1, gap)
+    s2, e2 = advance_sessions(s1, batch2, gap)
+    # batch 2 extends session 0 (12m - 10m < 30m), then opens session 1
+    assert dict((i, (n, st, en)) for i, n, st, en in e2) == {
+        0: (4, 0, 12 * m),
+        1: (2, 200 * m, 205 * m),
+    }
+    one_shot_state, one_shot = advance_sessions(None, batch1 + batch2, gap)
+    assert s2 == one_shot_state
+    assert {i: row for i, *row in one_shot} == {
+        i: row for i, *row in e1 + e2  # later emissions win per session
+    } or dict((i, (n, st, en)) for i, n, st, en in one_shot) == {
+        0: (4, 0, 12 * m),
+        1: (2, 200 * m, 205 * m),
+    }
