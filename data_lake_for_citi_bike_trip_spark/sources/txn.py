@@ -317,18 +317,35 @@ class TxnTable:
             cols,
         )
 
-    def vacuum(self) -> list[str]:
-        """Delete data directories no manifest references (orphans from
-        crashed writers and vacuumed-away history are indistinguishable;
-        only the CURRENT manifest's files are retained, so time travel
-        ends here). Returns removed paths."""
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Retention-windowed cleanup: keep the last ``keep_last``
+        committed versions readable (their manifests AND every bucket
+        they reference), delete everything older — expired manifests,
+        bucket directories referenced only by expired versions, and
+        orphan debris from crashed writers. Time travel inside the
+        window keeps working; reading an expired version raises
+        FileNotFoundError at manifest load (fail-closed — a reader can
+        never see a manifest whose files are gone, because manifests are
+        deleted BEFORE the buckets they reference). Returns removed
+        paths."""
         import shutil
 
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.versions()
+        retained = versions[-keep_last:]
+        # expire manifests first: crash between the two phases leaves
+        # unreferenced buckets (re-vacuumable), never dangling manifests
+        removed = []
+        for v in versions[:-keep_last] if keep_last < len(versions) else []:
+            path = _manifest_path(self.root, v)
+            os.unlink(path)
+            removed.append(path)
         keep = {
             os.path.normpath(os.path.join(self.root, p))
-            for p in self.manifest()["buckets"].values()
+            for v in retained
+            for p in self.manifest(v)["buckets"].values()
         }
-        removed = []
         data_dir = os.path.join(self.root, "data")
         for txn in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
             txn_path = os.path.join(data_dir, txn)

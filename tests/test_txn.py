@@ -313,3 +313,38 @@ def test_merge_missing_payload_column_is_an_error(spark, table):
     )
     with pytest.raises(ValueError, match="lacks table columns"):
         table.merge(spark, slim, "seq", "op")
+
+
+def test_vacuum_retention_window_keeps_time_travel(spark, table):
+    import pytest as _pytest
+
+    v1 = table.latest_version()
+    v2 = table.merge(
+        spark, _changes(spark, [(1, 1, "U", "upd-a", 1), (99, 1, "I", "new", 2)]),
+        seq_col="seq", op_col="op",
+    )
+    v3 = table.merge(
+        spark, _changes(spark, [(2, 2, "U", "upd-b", 3)]),
+        seq_col="seq", op_col="op",
+    )
+    before_v2 = {tuple(r) for r in table.read(spark, v2).collect()}
+    removed = table.vacuum(keep_last=2)
+    assert removed, "expected v1 debris to be removed"
+    # inside the window: both retained versions still read fine
+    assert {tuple(r) for r in table.read(spark, v2).collect()} == before_v2
+    assert table.versions() == [v2, v3]
+    # outside the window: fail-closed at manifest load
+    with _pytest.raises(FileNotFoundError):
+        table.read(spark, v1)
+    with _pytest.raises(ValueError):
+        table.vacuum(keep_last=0)
+
+
+def test_vacuum_default_keeps_only_latest(spark, table):
+    v2 = table.merge(
+        spark, _changes(spark, [(3, 1, "U", "x", 9)]), seq_col="seq", op_col="op"
+    )
+    latest = {tuple(r) for r in table.read(spark).collect()}
+    table.vacuum()
+    assert table.versions() == [v2]
+    assert {tuple(r) for r in table.read(spark).collect()} == latest
