@@ -802,6 +802,45 @@ def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.corr_pairs(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per active day — exact sliding
+    distinct via the days-x explode, not a day-x-day self-join."""
+    return behavior.trailing_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+def q_feature_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-priority order-value quartiles by rank arithmetic."""
+    return profile.feature_quartiles(load_table(spark, sf_dir, "orders"))
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction over the embeddings table
+    (held-out query subset, deterministic tie-breaks)."""
+    return similarity.knn_classify(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact truncated EWMA over the daily ride series:
+    collect_list frame + indexed HOF weighting, rational milli-units."""
+    trips, _, _ = _staged(spark, sf_dir)
+    return timeseries.ewma_daily(trips)
+
+
+def q_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style bucket comparison against a deterministically
+    corrupted replica: xor-folded digests expose exactly the divergent
+    buckets without moving row data."""
+    return setops.replica_diff_buckets(load_table(spark, sf_dir, "orders"))
+
+
+def q_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade with audit evidence across the raw
+    fact, a per-user aggregate, and a day-level aggregate."""
+    from data_lake_for_citi_bike_trip_spark.operators import governance
+
+    return governance.gdpr_erase_audit(load_table(spark, sf_dir, "events"))
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1676,6 +1715,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_sessions": q_stream_user_sessions,
         "phrase_search": q_phrase_search,
         "corr_pairs": q_corr_pairs,
+        "window_distinct": q_window_distinct,
+        "feature_iqr": q_feature_iqr,
+        "knn_classify": q_knn_classify,
+        "ewma_daily": q_ewma_daily,
+        "replica_diff": q_replica_diff,
+        "gdpr_erase": q_gdpr_erase,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1842,6 +1887,12 @@ def oracle_sql() -> dict[str, str]:
         "stream_user_sessions": oracles.STREAM_USER_SESSIONS,
         "phrase_search": oracles.PHRASE_SEARCH,
         "corr_pairs": oracles.CORR_PAIRS,
+        "window_distinct": oracles.WINDOW_DISTINCT,
+        "feature_iqr": oracles.FEATURE_IQR,
+        "knn_classify": oracles.KNN_CLASSIFY,
+        "ewma_daily": oracles.EWMA_DAILY,
+        "replica_diff": oracles.REPLICA_DIFF,
+        "gdpr_erase": oracles.GDPR_ERASE,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

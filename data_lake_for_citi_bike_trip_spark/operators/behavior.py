@@ -238,3 +238,47 @@ def user_paths(events: DataFrame, max_len: int = 12) -> DataFrame:
             ).alias("path"),
         )
     )
+
+
+def trailing_distinct_users(events: DataFrame, days: int = 7) -> DataFrame:
+    """Distinct users over a TRAILING ``days``-day window ending on each
+    active day — the sliding-window-distinct problem, which no plain
+    window aggregate can express (count_distinct isn't frame-mergeable).
+
+    Scalable exact form: collapse to distinct (user, day) pairs first
+    (the only corpus-sized shuffle), then explode each pair into the
+    ``days`` window-end days it contributes to, distinct again, and
+    count per window end. Work is ``days ×`` the distinct-pair count —
+    linear, never the quadratic day×day self-join. The sketch-based
+    alternative (HLL per day + sliding union) trades exactness for a
+    ``days ×`` smaller shuffle; this operator is the exact tier.
+
+    Emits window ends that have at least one active user IN the window
+    (explode covers ends up to days-1 after the last active day; ends
+    are kept only if the end day itself is active — matching "per
+    active day" reporting).
+    """
+    pairs = events.select(
+        F.col("user_id"), F.to_date("ts").alias("day")
+    ).distinct()
+    active_days = pairs.select("day").distinct()
+    covered = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), days - 1),
+                F.expr("interval 1 day"),
+            )
+        ).alias("window_end"),
+    ).distinct()
+    return (
+        covered.join(
+            active_days.withColumnRenamed("day", "window_end"), "window_end"
+        )
+        .groupBy("window_end")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("window_end").cast("string").alias("window_end"), "n_users"
+        )
+    )

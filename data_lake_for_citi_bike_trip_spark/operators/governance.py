@@ -1,0 +1,79 @@
+"""Data-governance operators: right-to-be-forgotten erasure with a
+verifiable audit trail.
+
+An erasure request at lake scale is not a row delete — it must cascade
+through every DERIVED dataset (aggregates, sessions, profiles) that
+embeds the subject's contribution, and produce evidence that it did.
+These operators express the cascade as plain filters + recomputation
+(the lakehouse form: re-materialize affected partitions from the
+filtered base; with the TxnTable sink that is a bucket-COW merge), and
+the audit as one pass per derived table.
+
+Scale: the subject predicate is a pure partition-prunable filter; each
+derived table recomputes only from the filtered base (same plans as its
+original build). The audit emits O(#tables) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def erase_users(df: DataFrame, key: str = "user_id", mod: int = 97) -> DataFrame:
+    """The erasure predicate: drop every row of subjects key % mod == 0
+    (the deterministic stand-in for an erasure-request list; in
+    production the list arrives as a table and this is an anti-join)."""
+    return df.where(F.col(key) % mod != 0)
+
+
+def gdpr_erase_audit(events: DataFrame, mod: int = 97) -> DataFrame:
+    """Cascade the erasure through three representative derived shapes
+    and emit per-dataset evidence: rows before, rows after, and rows
+    attributable to erased subjects that are now gone.
+
+    - ``events``        — the raw fact (row-level delete)
+    - ``user_profiles`` — per-user aggregate (whole groups vanish)
+    - ``daily_counts``  — day×type aggregate (rows survive, VALUES
+                          shrink; removed = rows whose count changed)
+    """
+    erased = erase_users(events, mod=mod)
+
+    def count_pair(name, before: DataFrame, after: DataFrame, changed=None):
+        b = before.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("dataset"),
+            F.col("n").alias("rows_before"),
+        )
+        a = after.agg(F.count(F.lit(1)).alias("n")).select(
+            F.col("n").alias("rows_after")
+        )
+        out = b.crossJoin(a)  # 1x1 stat rows
+        if changed is not None:
+            out = out.crossJoin(
+                changed.agg(F.count(F.lit(1)).alias("rows_changed"))
+            )
+        else:
+            out = out.withColumn(
+                "rows_changed", F.col("rows_before") - F.col("rows_after")
+            )
+        return out
+
+    profiles_b = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    profiles_a = erased.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+    def daily(df):
+        return df.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    daily_b, daily_a = daily(events), daily(erased)
+    daily_changed = (
+        daily_b.withColumnRenamed("n", "nb")
+        .join(daily_a.withColumnRenamed("n", "na"), ["day", "event_type"], "left")
+        .where(F.col("na").isNull() | (F.col("na") != F.col("nb")))
+    )
+    return (
+        count_pair("events", events, erased)
+        .unionByName(count_pair("user_profiles", profiles_b, profiles_a))
+        .unionByName(count_pair("daily_counts", daily_b, daily_a, daily_changed))
+    )

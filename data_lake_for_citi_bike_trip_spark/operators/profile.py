@@ -24,7 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -268,3 +268,40 @@ def corr_pairs(lineitem: DataFrame) -> DataFrame:
         pair("discount_week", "sy", "sz", "syz", "syy", "szz"),
     )
     return s.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def feature_quartiles(orders: DataFrame) -> DataFrame:
+    """EXACT per-group quartiles (p25/p50/p75) by rank arithmetic — the
+    deterministic complement to approx_percentile: value at 0-based
+    index (n-1)*q/100 (lower-index convention) in the sorted group.
+
+    One shuffle on the group key, one sorted window pass, one final
+    aggregate. Values are integer cents; equal values make the
+    row_number tie order irrelevant (the value AT a rank is unique even
+    when rank assignment isn't). At 100 TB the same rank arithmetic
+    runs on a pre-aggregated (value, count) histogram instead of raw
+    rows — same selection logic, value-cardinality-bounded input.
+    """
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("grp").orderBy("cents")
+    ranked = base.select(
+        "grp",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    qcol = {
+        q: F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n - 1) * {q} div 100") + 1,
+                F.col("cents"),
+            )
+        ).alias(f"p{q}_cents")
+        for q in (25, 50, 75)
+    }
+    return ranked.groupBy("grp").agg(
+        F.max("n").alias("n"), qcol[25], qcol[50], qcol[75]
+    )

@@ -51,3 +51,64 @@ def null_safe_gender_rollup(trips: DataFrame) -> DataFrame:
         .groupBy("gender_label")
         .agg(F.count(F.lit(1)).alias("n_trips"))
     )
+
+
+def replica_diff_buckets(orders: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """Merkle-style anti-entropy comparison of two table replicas: find
+    WHICH key-buckets diverge without moving either table's rows.
+
+    Each replica folds to one row per bucket — (count, xor of per-row
+    content digests). XOR is associative/commutative/self-inverse, so
+    the fold is order-independent, map-side combinable, and any single
+    changed/missing/extra row flips its bucket's fold. Replicas then
+    compare ``n_buckets`` rows instead of N — at 100 TB the network
+    cost of the comparison is the digest table, and only divergent
+    buckets need a row-level re-sync (the Cassandra/Dynamo repair
+    pattern on relational rails).
+
+    The "remote" replica here is synthesized deterministically (keys
+    % 997 == 0 dropped, values at keys % 1009 == 0 perturbed one cent)
+    so the expected divergence set is oracle-checkable. Digest = first
+    60 bits of md5 over the canonical '|'-joined row repr (dates
+    formatted explicitly — engine-neutral), bucket = key % n_buckets.
+    """
+
+    def digests(df: DataFrame) -> DataFrame:
+        canon = F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        return df.select(
+            (F.col("o_orderkey") % n_buckets).alias("bucket"),
+            F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+            .cast("long")
+            .alias("digest"),
+        )
+
+    def fold(df: DataFrame, tag: str) -> DataFrame:
+        return digests(df).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.expr("bit_xor(digest)").alias(f"xor_{tag}"),
+        )
+
+    replica = orders.where(F.col("o_orderkey") % 997 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 1009 == 0, F.col("o_totalprice") + 0.01
+        ).otherwise(F.col("o_totalprice")),
+    )
+    a, b = fold(orders, "a"), fold(replica, "b")
+    joined = a.join(b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.coalesce("xor_a", F.lit(0)).alias("xor_a"),
+        F.coalesce("xor_b", F.lit(0)).alias("xor_b"),
+    )
+    return joined.where(
+        (F.col("n_a") != F.col("n_b")) | (F.col("xor_a") != F.col("xor_b"))
+    )

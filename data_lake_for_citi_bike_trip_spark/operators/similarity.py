@@ -539,3 +539,46 @@ def pq_search(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
         F.col("rank") <= k
     )
+
+
+def knn_classify(embeddings: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
+    """k-NN majority-vote label prediction with held-out queries — the
+    eval loop of an embedding model, as one DataFrame plan.
+
+    Queries are the deterministic subset vec_id % ``query_mod`` == 0;
+    each is scored against the full corpus (brute-force tier — swap in
+    the IVF/LSH candidate generators above for the 100 TB path; the
+    voting logic is identical), its top-``k`` neighbors vote, ties
+    break to the smaller label. Emits per query: predicted label, true
+    label, vote count of the winner, and correctness — aggregating
+    `correct` gives eval accuracy.
+    """
+    queries = embeddings.where(F.col("vec_id") % query_mod == 0)
+    topk = cosine_topk(embeddings, queries, k=k)
+    labels = embeddings.select(
+        "vec_id", F.col("label").cast("long").alias("nbr_label")
+    )
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("q_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("votes"), F.asc("nbr_label")
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("q_id", F.col("nbr_label").alias("pred_label"), "votes")
+    )
+    truth = embeddings.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return pred.join(truth, "q_id").select(
+        "q_id",
+        "pred_label",
+        "true_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )

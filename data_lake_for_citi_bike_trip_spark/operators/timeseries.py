@@ -252,3 +252,43 @@ def cusum_changepoints(trips: DataFrame) -> DataFrame:
         .cast("string")
         .alias("first_alarm"),
     )
+
+
+def ewma_daily(trips: DataFrame, span: int = 20) -> DataFrame:
+    """Truncated exponentially-weighted moving average of the daily ride
+    series, INTEGER-exact (half-decay per day).
+
+    True EWMA is a recursion (S_t = (x_t + S_{t-1})/2) whose float form
+    drifts by summation order; the 2^-k weights also vanish below
+    machine epsilon after ~50 terms. Truncating at ``span`` terms makes
+    it windowable AND exact in integers: collect the frame's values in
+    order, weight x_{t-j} by 2^(span-1-j) via an indexed HOF transform,
+    and emit the RATIONAL result in milli-units through integer
+    division — numerator <= 2^span * max(x) * span bounds well inside
+    int64 for span 20.
+
+    Plan shape: one shuffle on the station key, one sorted window pass
+    (collect_list over a 20-row frame), then per-row HOF arithmetic in
+    codegen. No UDF, no recursion, no driver loop.
+    """
+    daily = daily_counts(trips)
+    w = (
+        Window.partitionBy("station")
+        .orderBy("day")
+        .rowsBetween(-(span - 1), Window.currentRow)
+    )
+    arr = F.collect_list("rides").over(w)
+    return (
+        daily.withColumn("arr", arr)
+        .select(
+            "station",
+            F.col("day").cast("string").alias("day"),
+            "rides",
+            F.expr(
+                "(1000 * aggregate(transform(arr, (x, i) -> "
+                "x * shiftleft(CAST(1 AS BIGINT), i)), CAST(0 AS BIGINT), "
+                "(acc, v) -> acc + v)) div "
+                "(shiftleft(CAST(1 AS BIGINT), size(arr)) - 1)"
+            ).alias("ewma_milli"),
+        )
+    )

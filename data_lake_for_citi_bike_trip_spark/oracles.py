@@ -3084,3 +3084,178 @@ SELECT 'discount_week', n, n * syz - sy * sz,
                    * CAST(n * szz - sz * sz AS DOUBLE))) AS BIGINT)
 FROM s
 """
+
+
+# operators/behavior.py:trailing_distinct_users — the oracle keeps the
+# naive range-join formulation (window end x contributing days); the
+# Spark side must produce identical counts from its explode form.
+WINDOW_DISTINCT = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+ends AS (SELECT DISTINCT day AS window_end FROM pairs)
+SELECT CAST(e.window_end AS VARCHAR) AS window_end,
+       CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+FROM ends e
+JOIN pairs p
+  ON p.day <= e.window_end AND p.day > e.window_end - INTERVAL 7 DAY
+GROUP BY 1
+"""
+
+
+# operators/profile.py:feature_quartiles — identical lower-index rank
+# selection; integer cents, so rank-tie order cannot change the value.
+FEATURE_IQR = """
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT grp, cents,
+         row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM base
+)
+SELECT grp, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN cents END) AS p25_cents,
+       max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN cents END) AS p50_cents,
+       max(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN cents END) AS p75_cents
+FROM ranked GROUP BY 1
+"""
+
+
+# operators/similarity.py:knn_classify — same brute-force ranking as
+# ANN_COSINE_TOPK restricted to the query subset, then majority vote
+# with (votes DESC, label ASC) tie-break.
+KNN_CLASSIFY = f"""
+WITH corpus AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+queries AS (SELECT vec_id AS q_id, label AS true_label, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q_id, vec_id, label, {_cos('qv', 'v')} AS cos_sim
+  FROM corpus CROSS JOIN queries WHERE vec_id <> q_id
+),
+topk AS (
+  SELECT q_id, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT q_id, CAST(label AS BIGINT) AS pred_label,
+         CAST(COUNT(*) AS BIGINT) AS votes
+  FROM topk GROUP BY 1, 2
+),
+pred AS (
+  SELECT q_id, pred_label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY votes DESC, pred_label ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT p.q_id, p.pred_label, CAST(q.true_label AS BIGINT) AS true_label,
+       p.votes, p.pred_label = q.true_label AS correct
+FROM pred p JOIN queries q USING (q_id)
+"""
+
+
+# operators/timeseries.py:ewma_daily — windowed list() collects the
+# same ordered frame; identical 2^i weighting via list_zip (unnamed
+# struct fields index as z[1]/z[2]); all operands non-negative so
+# div == //.
+EWMA_DAILY = with_staging(
+""",
+daily AS (
+  SELECT start_station_id AS station, CAST(starttime AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS rides
+  FROM trips GROUP BY 1, 2
+),
+framed AS (
+  SELECT station, day, rides,
+         list(rides) OVER (PARTITION BY station ORDER BY day
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+  FROM daily
+)
+SELECT station, CAST(day AS VARCHAR) AS day, rides,
+       (1000 * CAST(list_sum(list_transform(
+            list_zip(arr, generate_series(0, len(arr) - 1)),
+            z -> z[1] * (1::BIGINT << CAST(z[2] AS INT)))) AS BIGINT))
+         // ((1::BIGINT << len(arr)) - 1) AS ewma_milli
+FROM framed
+"""
+)
+
+
+# operators/setops.py:replica_diff_buckets — identical digest (first 15
+# md5 hex chars -> 60-bit int), identical xor fold; the replica's
+# perturbation mirrors the float formula verbatim so both engines
+# corrupt identically.
+REPLICA_DIFF = """
+WITH dig_a AS (
+  SELECT o_orderkey % 256 AS bucket,
+         CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+              o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT),
+              strftime(o_orderdate, '%Y-%m-%d'))), 1, 15) AS BIGINT) AS digest
+  FROM orders
+),
+replica AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 1009 = 0 THEN o_totalprice + 0.01
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate
+  FROM orders WHERE o_orderkey % 997 <> 0
+),
+dig_b AS (
+  SELECT o_orderkey % 256 AS bucket,
+         CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+              o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT),
+              strftime(o_orderdate, '%Y-%m-%d'))), 1, 15) AS BIGINT) AS digest
+  FROM replica
+),
+a AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
+             bit_xor(digest) AS xor_a FROM dig_a GROUP BY 1),
+b AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
+             bit_xor(digest) AS xor_b FROM dig_b GROUP BY 1)
+SELECT bucket,
+       COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+       COALESCE(xor_a, 0) AS xor_a, COALESCE(xor_b, 0) AS xor_b
+FROM a FULL OUTER JOIN b USING (bucket)
+WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0)
+   OR COALESCE(xor_a, 0) <> COALESCE(xor_b, 0)
+"""
+
+
+# operators/governance.py:gdpr_erase_audit — same cascade arithmetic;
+# rows_changed for the day x type aggregate counts groups whose value
+# changed or vanished.
+GDPR_ERASE = """
+WITH erased AS (SELECT * FROM events WHERE user_id % 97 <> 0),
+daily_b AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+daily_a AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM erased GROUP BY 1, 2
+)
+SELECT 'events' AS dataset,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS rows_before,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS rows_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS rows_changed
+UNION ALL
+SELECT 'user_profiles',
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events),
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM erased),
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+         - (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM erased)
+UNION ALL
+SELECT 'daily_counts',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM daily_b),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM daily_a),
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM daily_b b LEFT JOIN daily_a a USING (day, event_type)
+        WHERE a.n IS NULL OR a.n <> b.n)
+"""

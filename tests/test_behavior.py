@@ -62,3 +62,28 @@ def test_markov_probabilities_sum_to_one_ish(spark, sf_dir):
     for r in sums:
         # integer floor division: sum in (10000 - n_buckets, 10000]
         assert 10000 - r.n < r.s <= 10000
+
+
+def test_trailing_distinct_matches_bruteforce(spark, sf_dir):
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from data_lake_for_citi_bike_trip_spark.operators import behavior
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select("user_id", "ts").collect()
+    by_day = defaultdict(set)
+    for r in rows:
+        by_day[r.ts.date()].add(r.user_id)
+    expect = {}
+    for end in by_day:
+        users = set()
+        for d in range(7):
+            users |= by_day.get(end - timedelta(days=d), set())
+        expect[str(end)] = len(users)
+    got = {
+        r.window_end: r.n_users
+        for r in behavior.trailing_distinct_users(events).collect()
+    }
+    assert got == expect

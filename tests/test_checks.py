@@ -92,3 +92,46 @@ def test_assert_observed_raises_on_failure(spark, sf_dir):
     bad = [C.Check("impossible", orders, F.count(F.lit(1)), -1, __import__("operator").lt)]
     with pytest.raises(ValueError, match="impossible"):
         C.assert_observed(orders, bad)
+
+
+def test_replica_diff_flags_exactly_planted_buckets(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import setops
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    planted = {
+        r.b
+        for r in orders.where(
+            (F.col("o_orderkey") % 997 == 0) | (F.col("o_orderkey") % 1009 == 0)
+        )
+        .select((F.col("o_orderkey") % 256).alias("b"))
+        .distinct()
+        .collect()
+    }
+    got = {r.bucket for r in setops.replica_diff_buckets(orders).collect()}
+    # xor collisions could in principle hide a bucket; with 60-bit
+    # digests they don't here — the diff is exactly the planted set
+    assert got == planted
+
+
+def test_gdpr_erase_audit_is_consistent(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import governance
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    audit = {r.dataset: r for r in governance.gdpr_erase_audit(events).collect()}
+    erased_rows = events.where(F.col("user_id") % 97 == 0).count()
+    assert audit["events"].rows_changed == erased_rows
+    assert audit["events"].rows_before - audit["events"].rows_after == erased_rows
+    # no erased subject may survive anywhere downstream
+    survivors = governance.erase_users(events).where(
+        F.col("user_id") % 97 == 0
+    )
+    assert survivors.count() == 0
+    assert audit["user_profiles"].rows_changed == events.where(
+        F.col("user_id") % 97 == 0
+    ).select("user_id").distinct().count()

@@ -119,3 +119,29 @@ def test_cusum_closed_form_equals_textbook_recursion(spark, sf_dir):
         for r in timeseries.cusum_changepoints(trips).collect()
     }
     assert got == expect
+
+
+def test_ewma_daily_equals_truncated_weighted_recursion(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_lake_for_citi_bike_trip_spark.operators import staging, timeseries
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    trips = staging.trips(staging.rebalanced(load_table(spark, sf_dir, "events")))
+    daily = timeseries.daily_counts(trips).collect()
+    series = defaultdict(list)
+    for r in daily:
+        series[r.station].append((r.day, r.rides))
+    expect = {}
+    for st, rows in series.items():
+        rows.sort()
+        for t in range(len(rows)):
+            frame = [x for _, x in rows[max(0, t - 19) : t + 1]]
+            num = sum(x * (1 << i) for i, x in enumerate(frame))
+            den = (1 << len(frame)) - 1
+            expect[(st, str(rows[t][0]))] = (1000 * num) // den
+    got = {
+        (r.station, r.day): r.ewma_milli
+        for r in timeseries.ewma_daily(trips).collect()
+    }
+    assert got == expect
