@@ -841,6 +841,25 @@ def q_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return governance.gdpr_erase_audit(load_table(spark, sf_dir, "events"))
 
 
+def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas per priority; percent change in
+    the engine-agreeing non-negative-numerator integer form."""
+    return analytics.mom_revenue_change(load_table(spark, sf_dir, "orders"))
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion (avg/min member-to-centroid cosine)
+    over exact integer centroid sums."""
+    return similarity.label_centroid_cosine(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def q_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-vs-BPE-regex token count audit per document."""
+    return text_ops.tokenizer_drift(load_table(spark, sf_dir, "documents"))
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -887,6 +906,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") % 4 == 0
     )
     return graph.triangle_count(graph.copart_edges(li))
+
+
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k=3, 3 synchronous rounds) over the
+    part co-occurrence graph of every 4th order."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 4 == 0
+    )
+    return graph.kcore_peel(graph.copart_edges(li))
 
 
 def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1721,6 +1749,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": q_ewma_daily,
         "replica_diff": q_replica_diff,
         "gdpr_erase": q_gdpr_erase,
+        "kcore_peel": q_kcore_peel,
+        "mom_change": q_mom_change,
+        "label_centroids": q_label_centroids,
+        "tokenizer_drift": q_tokenizer_drift,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1893,6 +1925,10 @@ def oracle_sql() -> dict[str, str]:
         "ewma_daily": oracles.EWMA_DAILY,
         "replica_diff": oracles.REPLICA_DIFF,
         "gdpr_erase": oracles.GDPR_ERASE,
+        "kcore_peel": oracles.KCORE_PEEL,
+        "mom_change": oracles.MOM_CHANGE,
+        "label_centroids": oracles.LABEL_CENTROIDS,
+        "tokenizer_drift": oracles.TOKENIZER_DRIFT,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

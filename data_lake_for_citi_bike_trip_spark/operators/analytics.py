@@ -427,3 +427,45 @@ def pareto_frontier(part: DataFrame) -> DataFrame:
         .where(F.col("prev_max_size").isNull() | (F.col("prev_max_size") < F.col("part_size")))
         .select("price_cents", "part_size", "n_parts", "min_partkey")
     )
+
+
+def mom_revenue_change(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue per order priority: absolute delta and
+    percent change, integer-exact.
+
+    Percent change is emitted as (10000 * cur) div prev - 10000 rather
+    than (10000 * (cur - prev)) div prev: the numerator stays
+    NON-NEGATIVE, where truncating (Spark ``div``) and flooring (DuckDB
+    ``//``) division agree — a negative numerator would diverge by one
+    unit between the engines. One shuffle on priority, one lag window.
+    """
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100)), 0)
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    prev = F.lag("revenue_cents").over(w)
+    return monthly.select(
+        "priority",
+        "month",
+        "revenue_cents",
+        (F.col("revenue_cents") - prev).alias("delta_cents"),
+        F.when(
+            prev.isNotNull(),
+            F.expr("10000 * revenue_cents") .cast("long"),
+        ).alias("_num"),
+        prev.alias("_prev"),
+    ).select(
+        "priority",
+        "month",
+        "revenue_cents",
+        "delta_cents",
+        F.when(
+            F.col("_prev").isNotNull(),
+            F.expr("_num div _prev") - 10000,
+        ).alias("pct_change_bp"),
+    )

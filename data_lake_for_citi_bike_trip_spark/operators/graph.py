@@ -188,3 +188,37 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(triangles.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of
+    "remove every vertex with degree < k", over a canonical src < dst
+    edge list.
+
+    Full k-core decomposition iterates to a fixpoint; a FIXED round
+    count makes the operator deterministic, SQL-unrollable (the oracle
+    replays the identical rounds), and cheap to reason about at scale —
+    each round is one degree aggregate + one semi-join filter on the
+    surviving-vertex set, all keyed shuffles. In production the loop
+    runs with the same convergence-counter pattern as pagerank/CC
+    (driver sees one scalar per round); three rounds already remove the
+    long tail on power-law graphs.
+
+    Emits the surviving vertices with their residual degree after the
+    last round.
+    """
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    for _ in range(rounds):
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.where(F.col("deg") >= k).select("src")
+        und = (
+            und.join(alive, "src")
+            .join(alive.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+        )
+    return (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("residual_degree"))
+    )

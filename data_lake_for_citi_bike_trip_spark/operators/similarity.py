@@ -582,3 +582,66 @@ def knn_classify(embeddings: DataFrame, k: int = 5, query_mod: int = 50) -> Data
         "votes",
         (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
+
+
+def label_centroid_cosine(embeddings: DataFrame) -> DataFrame:
+    """Cluster-cohesion metric per label: average cosine of each member
+    to its label CENTROID — the embedding-quality check run before
+    using labels for sampling/dedup decisions.
+
+    Hashable-exact construction: vectors quantize to e6 integers
+    (per-row, deterministic); centroid element sums are exact BIGINTs
+    via posexplode + groupBy (cosine is scale-invariant, so the
+    centroid's SUM vector substitutes for its mean — no division, no
+    floats in the aggregate); each member's cosine is then one per-row
+    IEEE expression over exact ints, floored to e6 units. The average
+    uses the shifted-numerator trick ((sum + n*1e6) div n - 1e6) so the
+    integer division never sees a negative numerator (where Spark div
+    and DuckDB // disagree).
+
+    Scale: centroids are label-cardinality-sized (tiny, broadcast); the
+    member pass is one map-side join — no shuffle of the corpus beyond
+    the centroid aggregate.
+    """
+    q = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr(
+            "transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))"
+        ).alias("q"),
+    )
+    elems = q.select("label", F.posexplode("q").alias("i", "v"))
+    cent = (
+        elems.groupBy("label", "i")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, s))), p -> p.s)"
+            ).alias("c")
+        )
+    )
+    scored = q.join(F.broadcast(cent), "label").select(
+        "label",
+        F.expr(
+            "CAST(floor(1000000.0 * CAST(aggregate(zip_with(q, c, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / "
+            "(sqrt(CAST(aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), "
+            "(acc, v) -> acc + v) AS DOUBLE)) * "
+            "sqrt(CAST(aggregate(transform(c, x -> x * x), CAST(0 AS BIGINT), "
+            "(acc, v) -> acc + v) AS DOUBLE)))) AS BIGINT)"
+        ).alias("cos_e6"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("cos_e6") + 1_000_000).cast("long")
+            - F.lit(0)
+        ).alias("_shifted"),
+        F.min("cos_e6").alias("min_cos_e6"),
+    ).select(
+        "label",
+        "n",
+        (F.expr("_shifted div n") - 1_000_000).alias("avg_cos_e6"),
+        "min_cos_e6",
+    )

@@ -332,3 +332,26 @@ def bpe_pair_stats(docs: DataFrame, k: int = 40) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(k)
     )
+
+
+def tokenizer_drift(docs: DataFrame) -> DataFrame:
+    """Dual-tokenizer audit: whitespace token counts vs the BPE-ish
+    regex tokenizer, per document — the drift check a training pipeline
+    runs before switching tokenizers (token budgets, packing lengths
+    and quality thresholds all shift with the tokenizer).
+
+    Both counts are single regexp_count expressions in codegen (the
+    pattern is RE2/Java-compatible so both engines count identically);
+    the ratio ships as basis points through non-negative integer
+    division. No explode — cost is one scan.
+    """
+    ws = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_PATTERN))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    ).withColumn(
+        "ratio_bp",
+        F.expr("(10000 * bpe_tokens) div greatest(ws_tokens, 1)"),
+    )

@@ -3259,3 +3259,106 @@ SELECT 'daily_counts',
         FROM daily_b b LEFT JOIN daily_a a USING (day, event_type)
         WHERE a.n IS NULL OR a.n <> b.n)
 """
+
+
+# operators/graph.py:kcore_peel — the oracle unrolls the identical
+# three synchronous peeling rounds (k=3) over the same subgraph.
+KCORE_PEEL = """
+WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+u0 AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+a1 AS (SELECT src FROM (SELECT src, COUNT(*) AS deg FROM u0 GROUP BY 1)
+       WHERE deg >= 3),
+u1 AS (SELECT u.src, u.dst FROM u0 u
+       JOIN a1 x ON u.src = x.src JOIN a1 y ON u.dst = y.src),
+a2 AS (SELECT src FROM (SELECT src, COUNT(*) AS deg FROM u1 GROUP BY 1)
+       WHERE deg >= 3),
+u2 AS (SELECT u.src, u.dst FROM u1 u
+       JOIN a2 x ON u.src = x.src JOIN a2 y ON u.dst = y.src),
+a3 AS (SELECT src FROM (SELECT src, COUNT(*) AS deg FROM u2 GROUP BY 1)
+       WHERE deg >= 3),
+u3 AS (SELECT u.src, u.dst FROM u2 u
+       JOIN a3 x ON u.src = x.src JOIN a3 y ON u.dst = y.src)
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS residual_degree
+FROM u3 GROUP BY 1
+"""
+
+
+# operators/analytics.py:mom_revenue_change — identical lag window and
+# the non-negative-numerator percent form ((1e4*cur)//prev - 1e4).
+MOM_CHANGE = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(round(sum(round(o_totalprice * 100))) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY 1, 2
+),
+lagged AS (
+  SELECT *, lag(revenue_cents) OVER (PARTITION BY priority ORDER BY month)
+         AS prev
+  FROM monthly
+)
+SELECT priority, month, revenue_cents,
+       revenue_cents - prev AS delta_cents,
+       CASE WHEN prev IS NOT NULL
+            THEN (10000 * revenue_cents) // prev - 10000 END AS pct_change_bp
+FROM lagged
+"""
+
+
+# operators/similarity.py:label_centroid_cosine — identical e6
+# quantization, exact integer centroid sums, identical per-row IEEE
+# expression (1e6 * dot first, then the norm division, then floor),
+# shifted-numerator integer average.
+LABEL_CENTROIDS = """
+WITH qv AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+elems AS (
+  SELECT label, i, q[i] AS v
+  FROM (SELECT label, q, unnest(generate_series(1, len(q))) AS i FROM qv)
+),
+cent AS (
+  SELECT label, list(s ORDER BY i) AS c
+  FROM (SELECT label, i, CAST(sum(v) AS BIGINT) AS s
+        FROM elems GROUP BY 1, 2)
+  GROUP BY 1
+),
+scored AS (
+  SELECT q.label,
+         CAST(floor(1000000.0 * CAST(list_sum(
+                list_transform(list_zip(q.q, c.c), z -> z[1] * z[2])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(q.q, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(c.c, x -> x * x)) AS DOUBLE))))
+          AS BIGINT) AS cos_e6
+  FROM qv q JOIN cent c USING (label)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(sum(cos_e6 + 1000000) AS BIGINT) // COUNT(*) - 1000000
+         AS avg_cos_e6,
+       min(cos_e6) AS min_cos_e6
+FROM scored GROUP BY 1
+"""
+
+
+# operators/text.py:tokenizer_drift — identical RE2-compatible patterns
+# counted with regexp_extract_all; same basis-point integer division.
+TOKENIZER_DRIFT = r"""
+WITH counts AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+  FROM documents
+)
+SELECT doc_id, ws_tokens, bpe_tokens,
+       (10000 * bpe_tokens) // greatest(ws_tokens, 1) AS ratio_bp
+FROM counts
+"""

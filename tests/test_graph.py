@@ -97,3 +97,30 @@ def test_triangle_count_known_graphs(spark):
     # duplicate edges don't double-count
     r = run(clique + clique)
     assert (r.n_edges, r.n_triangles) == (6, 4)
+
+
+def test_kcore_peel_matches_python_rounds(spark, sf_dir):
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import graph
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 0)
+    edges = [(r.src, r.dst) for r in graph.copart_edges(li).collect()]
+    und = set(edges) | {(b, a) for a, b in edges}
+    for _ in range(3):
+        deg = defaultdict(int)
+        for a, _b in und:
+            deg[a] += 1
+        alive = {v for v, d in deg.items() if d >= 3}
+        und = {(a, b) for a, b in und if a in alive and b in alive}
+    expect = defaultdict(int)
+    for a, _b in und:
+        expect[a] += 1
+    got = {
+        r.node: r.residual_degree
+        for r in graph.kcore_peel(graph.copart_edges(li)).collect()
+    }
+    assert got == dict(expect)

@@ -198,3 +198,28 @@ def test_sliding_chunks_overlap_and_tail(spark):
         (1, 2, 6, "g", 1),
         (2, 0, 0, "x", 1),
     ]
+
+
+def test_label_centroid_cosine_bounds_and_coverage(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import similarity
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.label_centroid_cosine(emb).collect()
+    assert sum(r.n for r in rows) == emb.count()
+    for r in rows:
+        assert -1_000_000 <= r.min_cos_e6 <= r.avg_cos_e6 <= 1_000_000
+
+
+def test_tokenizer_drift_counts(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "ab c1d!  e"), (2, "")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.ws_tokens, r.bpe_tokens, r.ratio_bp)
+        for r in text_ops.tokenizer_drift(docs).collect()
+    }
+    # doc1 ws: [ab, c1d!, e] = 3; bpe: ab, c, 1, d, !, e = 6
+    assert got == {1: (3, 6, 20000), 2: (0, 0, 0)}

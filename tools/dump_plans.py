@@ -55,9 +55,57 @@ HEADLINE = [
     "hll_incremental_distinct",
     "variant_props_rollup",
     "pysource_agg",
+    "bitmap_distinct",
+    "pareto_frontier",
+    "bpe_pairs",
+    "tfidf_similar",
+    "cusum_changepoints",
+    "multimodal_wav_stats",
+    "geo_hotspots",
+    "udtf_sliding_chunks",
+    "phrase_search",
+    "corr_pairs",
+    "window_distinct",
+    "feature_iqr",
+    "knn_classify",
+    "ewma_daily",
+    "replica_diff",
+    "gdpr_erase",
 ]
 
 NOTES = {
+    "bitmap_distinct": "two plain hash aggregates (mask build is codegen); "
+    "shuffle carries one word-row per (group, word) partial",
+    "pareto_frontier": "distinct-point aggregate bounds the single global "
+    "window; the WindowExec single-partition warning is the documented "
+    "final merge over the collapsed point set",
+    "bpe_pairs": "pair explode runs over the DISTINCT-word vocabulary; "
+    "top-k is TakeOrderedAndProject",
+    "tfidf_similar": "posting self-join keyed on term, df-capped; df map "
+    "broadcast; top-k TakeOrderedAndProject",
+    "cusum_changepoints": "one shuffle on station; two cumulative windows "
+    "share the sort",
+    "multimodal_wav_stats": "two Arrow-batched python stages (encode, "
+    "decode) over the scan; no shuffle",
+    "geo_hotspots": "cell counts first, 9x offset explode over CELLS; "
+    "TakeOrderedAndProject top-k",
+    "udtf_sliding_chunks": "single Generate (ArrowEvalPython UDTF) over "
+    "the scan; no shuffle",
+    "phrase_search": "per-term posting filters then (doc, pos)-keyed "
+    "equi-joins; never a regex scan at query time",
+    "corr_pairs": "ONE aggregate pass for all ten moments; final struct "
+    "explode is driver-free",
+    "window_distinct": "distinct pairs -> 7x explode -> distinct -> "
+    "count; all shuffles key-partitioned, no day x day join",
+    "feature_iqr": "one shuffle on group, one sorted window, final agg",
+    "knn_classify": "brute-force tier reuses cosine_topk (broadcast "
+    "queries); vote + argmax are two small shuffles on q_id",
+    "ewma_daily": "one station shuffle; collect_list window then per-row "
+    "HOF arithmetic in codegen",
+    "replica_diff": "two digest folds (map-side combinable xor) + a "
+    "256-row full-outer join",
+    "gdpr_erase": "cascade of filters/aggregates; the crossJoins are "
+    "1-row stat attaches",
     "fact_trips": "both dims broadcast (J1/J2); exchanges are the spread() "
     "rebalances + staging groupBys, not join shuffles",
     "pricing_summary": "partial+final HashAggregate; shipdate filter and "
