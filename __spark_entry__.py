@@ -860,6 +860,24 @@ def q_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.tokenizer_drift(load_table(spark, sf_dir, "documents"))
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous open sessions per day via the sweep-line over
+    session start/end marks."""
+    return behavior.peak_concurrency(load_table(spark, sf_dir, "events"))
+
+
+def q_near_dup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry rapid-repeat audit: same (user, type) within 10 min of
+    the previous occurrence, chain semantics."""
+    return behavior.near_dup_events(load_table(spark, sf_dir, "events"))
+
+
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly top-3 stations with rank() tie semantics."""
+    trips, _, _ = _staged(spark, sf_dir)
+    return analytics.topk_stations_with_ties(trips)
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1753,6 +1771,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mom_change": q_mom_change,
         "label_centroids": q_label_centroids,
         "tokenizer_drift": q_tokenizer_drift,
+        "peak_concurrency": q_peak_concurrency,
+        "near_dup_events": q_near_dup_events,
+        "topk_with_ties": q_topk_with_ties,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1929,6 +1950,9 @@ def oracle_sql() -> dict[str, str]:
         "mom_change": oracles.MOM_CHANGE,
         "label_centroids": oracles.LABEL_CENTROIDS,
         "tokenizer_drift": oracles.TOKENIZER_DRIFT,
+        "peak_concurrency": oracles.PEAK_CONCURRENCY,
+        "near_dup_events": oracles.NEAR_DUP_EVENTS,
+        "topk_with_ties": oracles.TOPK_WITH_TIES,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

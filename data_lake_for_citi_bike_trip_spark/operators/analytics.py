@@ -469,3 +469,22 @@ def mom_revenue_change(orders: DataFrame) -> DataFrame:
             F.expr("_num div _prev") - 10000,
         ).alias("pct_change_bp"),
     )
+
+
+def topk_stations_with_ties(trips: DataFrame, k: int = 3) -> DataFrame:
+    """Monthly top-k start stations INCLUDING ties — ``rank()`` (gap
+    semantics), not ``row_number``: a month where four stations tie for
+    third returns six rows, which is what a leaderboard means. One
+    shuffle for the counts, one month-partitioned window."""
+    counts = trips.groupBy(
+        F.date_format("starttime", "yyyy-MM").alias("month"),
+        F.col("start_station_id").alias("station"),
+    ).agg(F.count(F.lit(1)).alias("rides"))
+    # rank by rides only — rank() must see ties, so no tiebreak column
+    # in the window ordering
+    wr = Window.partitionBy("month").orderBy(F.desc("rides"))
+    return (
+        counts.withColumn("rnk", F.rank().over(wr).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("month", "station", "rides", "rnk")
+    )

@@ -282,3 +282,96 @@ def trailing_distinct_users(events: DataFrame, days: int = 7) -> DataFrame:
             F.col("window_end").cast("string").alias("window_end"), "n_users"
         )
     )
+
+
+def peak_concurrency(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Peak number of SIMULTANEOUSLY open sessions per day — the
+    capacity-planning metric — by the classic sweep line: sessionize,
+    emit +1 at each session start and -1 at each end, order the marks,
+    take the running sum's max per day.
+
+    Exactness at the boundary: a session ending at instant t and one
+    starting at t do NOT overlap (half-open [start, end)), so ends sort
+    BEFORE starts at equal timestamps via the delta as a secondary sort
+    key (-1 < +1). The whole sweep is one global-ordered cumulative
+    window over 2x#sessions marks — tiny next to the event table; at
+    100 TB you'd partition the sweep by calendar shard and carry the
+    boundary offset (associative), same as any prefix-sum split.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    sess = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("prev_us", F.unix_micros(F.lag("ts").over(w)))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_us").isNull()
+                | (F.unix_micros("ts") - F.col("prev_us") > gap_us)
+            ).cast("long"),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+    )
+    marks = sess.select(
+        F.col("start_us").alias("us"), F.lit(1).alias("delta")
+    ).unionByName(
+        # half-open: the end mark sits one microsecond after the last
+        # event so single-instant sessions still count as open
+        sess.select((F.col("end_us") + 1).alias("us"), F.lit(-1).alias("delta"))
+    )
+    sweep = marks.withColumn(
+        "open_now",
+        F.sum("delta").over(
+            Window.orderBy("us", "delta").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return (
+        sweep.withColumn(
+            "day", F.date_format(F.timestamp_micros(F.col("us")), "yyyy-MM-dd")
+        )
+        .groupBy("day")
+        .agg(F.max("open_now").cast("long").alias("peak_open_sessions"))
+    )
+
+
+def near_dup_events(events: DataFrame, tolerance_s: int = 600) -> DataFrame:
+    """Telemetry double-fire cleanup: an event is a NEAR-DUPLICATE when
+    the same (user, type) fired within ``tolerance_s`` seconds of the
+    previous occurrence — retry storms, client double-submits and rapid
+    repeats, which exact-key dedup misses because the ids differ.
+
+    Chain semantics via one lag window per (user, type): gap <=
+    tolerance marks a duplicate of the chain's anchor (so a burst of n
+    collapses to 1 kept + n-1 dups even when each gap is small but the
+    total span exceeds the tolerance). Emits the per-key audit: events
+    seen, duplicates flagged, and the kept count.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = tolerance_s * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) <= gap_us
+        ).alias("is_dup"),
+    )
+    return flagged.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce(F.col("is_dup").cast("long"), F.lit(0)))
+        .cast("long")
+        .alias("n_dups"),
+    ).where(F.col("n_dups") > 0)

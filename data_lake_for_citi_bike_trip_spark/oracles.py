@@ -3362,3 +3362,83 @@ SELECT doc_id, ws_tokens, bpe_tokens,
        (10000 * bpe_tokens) // greatest(ws_tokens, 1) AS ratio_bp
 FROM counts
 """
+
+
+# operators/behavior.py:peak_concurrency — identical sessionize, mark,
+# and sweep arithmetic; (us, delta) ordering closes before opens at
+# equal instants in both engines.
+PEAK_CONCURRENCY = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sess_id,
+         us
+  FROM ordered
+),
+spans AS (
+  SELECT user_id, sess_id, min(us) AS start_us, max(us) AS end_us
+  FROM sess GROUP BY 1, 2
+),
+marks AS (
+  SELECT start_us AS us, 1 AS delta FROM spans
+  UNION ALL
+  SELECT end_us + 1, -1 FROM spans
+),
+sweep AS (
+  SELECT us,
+         CAST(sum(delta) OVER (ORDER BY us, delta
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS open_now
+  FROM marks
+)
+SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+       CAST(max(open_now) AS BIGINT) AS peak_open_sessions
+FROM sweep GROUP BY 1
+"""
+
+
+# operators/behavior.py:near_dup_events — identical lag-gap flagging
+# over the (ts, event_id) total order.
+NEAR_DUP_EVENTS = """
+WITH flagged AS (
+  SELECT user_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                   <= 600000000
+              THEN 1 ELSE 0 END AS is_dup
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(sum(is_dup) AS BIGINT) AS n_dups
+FROM flagged GROUP BY 1, 2
+HAVING sum(is_dup) > 0
+"""
+
+
+# operators/analytics.py:topk_stations_with_ties — rank() gap semantics
+# over the staged trips' monthly station counts.
+TOPK_WITH_TIES = with_staging(
+""",
+counts AS (
+  SELECT strftime(starttime, '%Y-%m') AS month, start_station_id AS station,
+         CAST(COUNT(*) AS BIGINT) AS rides
+  FROM trips GROUP BY 1, 2
+)
+SELECT month, station, rides,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, rank() OVER (PARTITION BY month ORDER BY rides DESC) AS rnk
+  FROM counts
+) WHERE rnk <= 3
+"""
+)

@@ -87,3 +87,65 @@ def test_trailing_distinct_matches_bruteforce(spark, sf_dir):
         for r in behavior.trailing_distinct_users(events).collect()
     }
     assert got == expect
+
+
+def test_peak_concurrency_matches_bruteforce_sweep(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_lake_for_citi_bike_trip_spark.operators import behavior
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    rows = sorted(
+        ((r.user_id, r.ts, r.event_id) for r in events.collect()),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    # python sessionize
+    sessions = []
+    cur = {}
+    for uid, ts, _eid in rows:
+        us = int(ts.timestamp() * 1_000_000)
+        if uid in cur and us - cur[uid][1] <= 30 * 60 * 1_000_000:
+            cur[uid] = (cur[uid][0], us)
+        else:
+            if uid in cur:
+                sessions.append(cur[uid])
+            cur[uid] = (us, us)
+    sessions.extend(cur.values())
+    marks = [(s, 1) for s, _ in sessions] + [(e + 1, -1) for _, e in sessions]
+    marks.sort()
+    open_now, peak = 0, defaultdict(int)
+    import datetime
+
+    for us, d in marks:
+        open_now += d
+        day = datetime.datetime.fromtimestamp(us / 1e6, datetime.UTC).strftime(
+            "%Y-%m-%d"
+        )
+        peak[day] = max(peak[day], open_now)
+    got = {
+        r.day: r.peak_open_sessions
+        for r in behavior.peak_concurrency(events).collect()
+    }
+    assert got == dict(peak)
+
+
+def test_near_dup_chain_semantics(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import behavior
+
+    rows = [
+        (1, "c", "2024-01-01 00:00:00", 1),
+        (1, "c", "2024-01-01 00:04:00", 2),  # dup of 1 (4 min)
+        (1, "c", "2024-01-01 00:09:00", 3),  # dup of 2 (5 min) — chain
+        (1, "c", "2024-01-01 01:00:00", 4),  # fresh
+        (2, "c", "2024-01-01 00:00:00", 5),
+    ]
+    events = spark.createDataFrame(
+        [(u, t, __import__("datetime").datetime.fromisoformat(ts), e) for u, t, ts, e in rows],
+        "user_id bigint, event_type string, ts timestamp, event_id bigint",
+    )
+    got = {
+        (r.user_id, r.event_type): (r.n_events, r.n_dups)
+        for r in behavior.near_dup_events(events).collect()
+    }
+    assert got == {(1, "c"): (4, 2)}
