@@ -878,6 +878,19 @@ def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.topk_stations_with_ties(trips)
 
 
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-variant A/B conversion readout with integer
+    basis-point rates and lift."""
+    return analytics.ab_lift(load_table(spark, sf_dir, "events"))
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per station (ratio of means as one
+    cross-multiplied integer division)."""
+    trips, _, _ = _staged(spark, sf_dir)
+    return timeseries.dow_seasonality(trips)
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1774,6 +1787,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": q_peak_concurrency,
         "near_dup_events": q_near_dup_events,
         "topk_with_ties": q_topk_with_ties,
+        "ab_lift": q_ab_lift,
+        "dow_seasonality": q_dow_seasonality,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1953,6 +1968,8 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": oracles.PEAK_CONCURRENCY,
         "near_dup_events": oracles.NEAR_DUP_EVENTS,
         "topk_with_ties": oracles.TOPK_WITH_TIES,
+        "ab_lift": oracles.AB_LIFT,
+        "dow_seasonality": oracles.DOW_SEASONALITY,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

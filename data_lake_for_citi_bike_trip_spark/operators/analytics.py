@@ -488,3 +488,40 @@ def topk_stations_with_ties(trips: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("month", "station", "rides", "rnk")
     )
+
+
+def ab_lift(events: DataFrame) -> DataFrame:
+    """Experiment readout: users split into deterministic variants
+    (user_id parity — the hash-bucket assignment every experimentation
+    system uses), conversion = did the user ever purchase. Emits per
+    variant the exact counts and conversion in basis points, plus the
+    B-vs-A lift in basis points — all integer arithmetic, one
+    two-level aggregate (user grain, then variant grain).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias(
+            "converted"
+        )
+    )
+    variants = (
+        per_user.withColumn("variant", (F.col("user_id") % 2).cast("long"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .withColumn(
+            "conv_bp", F.expr("(10000 * n_converted) div n_users")
+        )
+    )
+    a = variants.where(F.col("variant") == 0).select(
+        F.col("conv_bp").alias("a_bp")
+    )
+    return variants.crossJoin(F.broadcast(a)).select(
+        "variant",
+        "n_users",
+        "n_converted",
+        "conv_bp",
+        # non-negative numerator form: (1e4 * b) div a - 1e4
+        (F.expr("(10000 * conv_bp) div a_bp") - 10000).alias("lift_bp"),
+    )

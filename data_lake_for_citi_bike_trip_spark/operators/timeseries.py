@@ -292,3 +292,36 @@ def ewma_daily(trips: DataFrame, span: int = 20) -> DataFrame:
             ).alias("ewma_milli"),
         )
     )
+
+
+def dow_seasonality(trips: DataFrame) -> DataFrame:
+    """Day-of-week seasonality index per station: how each weekday's
+    AVERAGE daily rides compares to the station's overall average, in
+    basis points — the normalization step before any seasonal
+    adjustment.
+
+    index_bp = (1e4 * dow_total * n_days) div (total * dow_days): the
+    ratio of means as one cross-multiplied integer division (both
+    factors exact BIGINTs, numerator non-negative). Two grouped
+    aggregates sharing the station key, one broadcast-joined totals
+    row per station.
+    """
+    daily = daily_counts(trips).withColumn(
+        "dow", (F.dayofweek("day")).cast("long")
+    )
+    per_dow = daily.groupBy("station", "dow").agg(
+        F.count(F.lit(1)).alias("dow_days"),
+        F.sum("rides").alias("dow_total"),
+    )
+    per_station = daily.groupBy("station").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("rides").alias("total")
+    )
+    return per_dow.join(F.broadcast(per_station), "station").select(
+        "station",
+        "dow",
+        "dow_days",
+        "dow_total",
+        F.expr("(10000 * dow_total * n_days) div (total * dow_days)").alias(
+            "index_bp"
+        ),
+    )

@@ -3442,3 +3442,54 @@ FROM (
 ) WHERE rnk <= 3
 """
 )
+
+
+# operators/analytics.py:ab_lift — identical parity assignment and
+# non-negative-numerator lift arithmetic.
+AB_LIFT = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+),
+variants AS (
+  SELECT user_id % 2 AS variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY 1
+),
+rated AS (
+  SELECT *, (10000 * n_converted) // n_users AS conv_bp FROM variants
+)
+SELECT r.variant, r.n_users, r.n_converted, r.conv_bp,
+       (10000 * r.conv_bp) // a.conv_bp - 10000 AS lift_bp
+FROM rated r, (SELECT conv_bp FROM rated WHERE variant = 0) a
+"""
+
+
+# operators/timeseries.py:dow_seasonality — Spark dayofweek is
+# Sunday=1..7; DuckDB dayofweek is Sunday=0..6 -> +1 (oracles.py header
+# rule).
+DOW_SEASONALITY = with_staging(
+""",
+daily AS (
+  SELECT start_station_id AS station, CAST(starttime AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS rides
+  FROM trips GROUP BY 1, 2
+),
+per_dow AS (
+  SELECT station, CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS dow_days,
+         CAST(sum(rides) AS BIGINT) AS dow_total
+  FROM daily GROUP BY 1, 2
+),
+per_station AS (
+  SELECT station, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(sum(rides) AS BIGINT) AS total
+  FROM daily GROUP BY 1
+)
+SELECT d.station, d.dow, d.dow_days, d.dow_total,
+       (10000 * d.dow_total * s.n_days) // (s.total * d.dow_days) AS index_bp
+FROM per_dow d JOIN per_station s USING (station)
+"""
+)
