@@ -891,6 +891,14 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.dow_seasonality(trips)
 
 
+def q_stream_multibatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful streaming on the gate: events re-laid as 6
+    files, drained 2 files per micro-batch through
+    applyInPandasWithState running totals — final per-user totals equal
+    the batch counts only if state truly carries across batches."""
+    return stateful.multibatch_user_totals(spark, sf_dir)
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1789,6 +1797,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_with_ties": q_topk_with_ties,
         "ab_lift": q_ab_lift,
         "dow_seasonality": q_dow_seasonality,
+        "stream_multibatch_totals": q_stream_multibatch_totals,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1970,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_with_ties": oracles.TOPK_WITH_TIES,
         "ab_lift": oracles.AB_LIFT,
         "dow_seasonality": oracles.DOW_SEASONALITY,
+        "stream_multibatch_totals": oracles.STREAM_USER_TOTALS,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

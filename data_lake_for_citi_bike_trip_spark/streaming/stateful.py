@@ -209,3 +209,47 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def multibatch_user_totals(
+    spark, sf_dir: str, n_files: int = 6, files_per_trigger: int = 2
+) -> "DataFrame":
+    """Cross-batch state PROVEN on the contract surface: re-lay the
+    events table as ``n_files`` parquet files, stream them with
+    ``maxFilesPerTrigger`` so the drain runs MULTIPLE micro-batches,
+    and fold per-user counts through applyInPandasWithState. The final
+    per-user total (max across the update rows each batch emits) must
+    equal the plain batch count — only true if state genuinely carries
+    across batches. Counting is order-independent, so file->batch
+    assignment order cannot perturb the result.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.registry import load_table
+    from . import pipeline as streaming
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_multibatch_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    src = os.path.join(scratch, "events")
+    load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    scoped = streaming.scoped_session(spark, 8)
+    stream = (
+        scoped.readStream.schema(load_table(scoped, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+    )
+    updates = user_running_totals(stream)
+    drained = streaming.run_available_now(
+        updates, "q_stream_multibatch_totals", "update"
+    )
+    from pyspark.sql import functions as F
+
+    return drained.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events")
+    )

@@ -101,3 +101,33 @@ def test_advance_sessions_core_crosses_batches():
         0: (4, 0, 12 * m),
         1: (2, 200 * m, 205 * m),
     }
+
+
+def test_multibatch_drain_emits_multiple_updates_per_user(spark, sf_dir):
+    """Evidence the drain actually ran several micro-batches: in update
+    mode each batch emits one row per touched user, so users active in
+    more than one file produce multiple update rows; and the folded
+    totals equal the batch counts."""
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+    from data_lake_for_citi_bike_trip_spark.streaming import stateful
+
+    final_df = stateful.multibatch_user_totals(spark, sf_dir)
+    final = final_df.collect()
+    # the memory sink registers on the scoped session clone the stream
+    # was built on — read the raw update rows from there
+    raw = final_df.sparkSession.table("q_stream_multibatch_totals")
+    updates_per_user = {
+        r.user_id: r.n
+        for r in raw.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert max(updates_per_user.values()) > 1, "drain ran only one batch"
+    exact = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.user_id: r.total_events for r in final} == exact
