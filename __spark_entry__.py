@@ -899,6 +899,17 @@ def q_stream_multibatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful.multibatch_user_totals(spark, sf_dir)
 
 
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: delta-only dim join +
+    partial-add merge onto the persisted stored view == from-scratch."""
+    return analytics.ivm_join_view(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1798,6 +1809,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_lift": q_ab_lift,
         "dow_seasonality": q_dow_seasonality,
         "stream_multibatch_totals": q_stream_multibatch_totals,
+        "ivm_join": q_ivm_join,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1980,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_lift": oracles.AB_LIFT,
         "dow_seasonality": oracles.DOW_SEASONALITY,
         "stream_multibatch_totals": oracles.STREAM_USER_TOTALS,
+        "ivm_join": oracles.IVM_JOIN,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

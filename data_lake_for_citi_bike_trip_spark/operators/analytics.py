@@ -525,3 +525,80 @@ def ab_lift(events: DataFrame) -> DataFrame:
         # non-negative numerator form: (1e4 * b) div a - 1e4
         (F.expr("(10000 * conv_bp) div a_bp") - 10000).alias("lift_bp"),
     )
+
+
+def ivm_join_view(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the harder IVM case
+    (merge_daily_counts above maintains a single-table aggregate).
+
+    View: revenue cents + order count per (region, nation, year),
+    i.e. ``revenue_by_nation``'s shape. Maintenance identity used:
+    the view is an aggregate over fact JOIN dims, and aggregation
+    distributes over fact deltas — so on new orders only the DELTA is
+    joined to the dims (broadcast, no fact rescan) and the per-key
+    partials ADD onto the stored view (full outer merge, coalesced).
+    At 100 TB this is the difference between touching a day's delta and
+    re-scanning years of orders; deletions work the same way with
+    negated partials.
+
+    This operator materializes the view from a deterministic "old" half
+    (o_orderkey % 101 != 0), applies the remaining rows as the delta,
+    and returns the maintained view — which the oracle checks against
+    aggregating everything from scratch. The stored view is persisted
+    (as a production MV would be) so the maintenance plan reads it, not
+    its lineage.
+    """
+    key = ["region_name", "nation_name", "order_year"]
+
+    def view(of: DataFrame) -> DataFrame:
+        return (
+            of.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy(
+                F.col("r_name").alias("region_name"),
+                F.col("n_name").alias("nation_name"),
+                F.year("o_orderdate").cast("bigint").alias("order_year"),
+            )
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100))
+                .cast("long")
+                .alias("revenue_cents"),
+                F.count(F.lit(1)).alias("order_cnt"),
+            )
+        )
+
+    # localCheckpoint: eagerly materialized AND lineage-truncated — the
+    # maintenance plan reads stored blocks, not the view's derivation;
+    # blocks are GC-reclaimed (no persist leak across bench repeats)
+    stored = view(
+        orders.where(F.col("o_orderkey") % 101 != 0)
+    ).localCheckpoint(eager=True)
+    delta = view(orders.where(F.col("o_orderkey") % 101 == 0))
+    s = stored.select(
+        *key,
+        F.col("revenue_cents").alias("s_rev"),
+        F.col("order_cnt").alias("s_cnt"),
+    )
+    d = delta.select(
+        *key,
+        F.col("revenue_cents").alias("d_rev"),
+        F.col("order_cnt").alias("d_cnt"),
+    )
+    return (
+        s.join(d, key, "full_outer")
+        .select(
+            *key,
+            (F.coalesce("s_rev", F.lit(0)) + F.coalesce("d_rev", F.lit(0))).alias(
+                "revenue_cents"
+            ),
+            (F.coalesce("s_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))).alias(
+                "order_cnt"
+            ),
+        )
+    )

@@ -3493,3 +3493,19 @@ SELECT d.station, d.dow, d.dow_days, d.dow_total,
 FROM per_dow d JOIN per_station s USING (station)
 """
 )
+
+
+# operators/analytics.py:ivm_join_view — the oracle is the from-scratch
+# aggregate over ALL orders; the Spark side must reproduce it by
+# merging delta partials onto the stored view.
+IVM_JOIN = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS order_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2, 3
+"""

@@ -124,3 +124,38 @@ def test_pareto_frontier_members_are_mutually_nondominated(spark, sf_dir):
         assert not any(
             q[0] <= p[0] and q[1] >= p[1] and q != p for q in pts
         )
+
+
+def test_ivm_join_maintenance_plan_reads_stored_blocks(spark, sf_dir):
+    """The maintained view must equal from-scratch AND the maintenance
+    plan must not re-derive the stored half (lineage truncated)."""
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import analytics
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    got = analytics.ivm_join_view(orders, customer, nation, region)
+    scratch = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name", F.year("o_orderdate").alias("y"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    expect = {
+        (r.r_name, r.n_name, r.y): (r.rev, r.cnt) for r in scratch.collect()
+    }
+    assert {
+        (r.region_name, r.nation_name, r.order_year): (r.revenue_cents, r.order_cnt)
+        for r in got.collect()
+    } == expect
+    # lineage truncation: the stored side appears as an ExistingRDD scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
