@@ -910,6 +910,18 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_deficit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-mass accounting vs configured mixture weights;
+    deficit in exact tokens."""
+    return corpus.mixture_deficit(load_table(spark, sf_dir, "documents"))
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupKFold-style leakage-free fold assignment (fold is a hash
+    function of the group key)."""
+    return corpus.group_split(load_table(spark, sf_dir, "documents"))
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1810,6 +1822,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_seasonality": q_dow_seasonality,
         "stream_multibatch_totals": q_stream_multibatch_totals,
         "ivm_join": q_ivm_join,
+        "mixture_deficit": q_mixture_deficit,
+        "group_split": q_group_split,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -1993,6 +2007,8 @@ def oracle_sql() -> dict[str, str]:
         "dow_seasonality": oracles.DOW_SEASONALITY,
         "stream_multibatch_totals": oracles.STREAM_USER_TOTALS,
         "ivm_join": oracles.IVM_JOIN,
+        "mixture_deficit": oracles.MIXTURE_DEFICIT,
+        "group_split": oracles.GROUP_SPLIT,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

@@ -500,3 +500,78 @@ def sliding_chunks(docs: DataFrame, width: int = 5, stride: int = 3) -> DataFram
     return spark.sql(
         "SELECT c.* FROM _chunk_src, LATERAL chunk_windows(doc_id, text) c"
     )
+
+
+def mixture_deficit(
+    docs: DataFrame, targets_bp: dict[str, int] | None = None
+) -> DataFrame:
+    """Mixture accounting: how far the corpus' per-source TOKEN mass is
+    from the configured mixture weights — the number a data-mixing run
+    watches to decide what to up/down-sample next.
+
+    Emits per source: docs, exact whitespace-token count, actual share
+    (bp), target (bp), and the deficit in TOKENS (negative = surplus),
+    computed as target_bp*total_tokens/1e4 - source_tokens in exact
+    integer arithmetic (the product stays well inside int64 at any
+    total a single mixture run sees; at 1e15+ tokens switch the product
+    to DECIMAL). One scan + one tiny aggregate."""
+    targets_bp = targets_bp or {
+        # four favored sources get explicit weight; the rest implicitly
+        # target zero (pure-downsample candidates)
+        "src0": 4000,
+        "src1": 2500,
+        "src2": 2000,
+        "src3": 1500,
+    }
+    items = F.array(
+        *[
+            F.struct(F.lit(s).alias("source"), F.lit(bp).alias("target_bp"))
+            for s, bp in targets_bp.items()
+        ]
+    )
+    per_source = docs.select(
+        "source", F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("toks")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("tokens"),
+    )
+    total = per_source.agg(F.sum("tokens").cast("long").alias("total_tokens"))
+    targets = (
+        docs.sparkSession.range(1)
+        .select(F.explode(items).alias("t"))
+        .select("t.source", F.col("t.target_bp").cast("long").alias("target_bp"))
+    )
+    return (
+        per_source.join(targets, "source", "full_outer")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("tokens", F.lit(0)).alias("tokens"),
+            F.expr(
+                "(10000 * coalesce(tokens, 0)) div total_tokens"
+            ).alias("actual_bp"),
+            F.coalesce("target_bp", F.lit(0)).alias("target_bp"),
+            F.expr(
+                "(coalesce(target_bp, 0) * total_tokens) div 10000"
+                " - coalesce(tokens, 0)"
+            ).alias("deficit_tokens"),
+        )
+    )
+
+
+def group_split(docs: DataFrame, folds: int = 5) -> DataFrame:
+    """Leakage-free evaluation folds: every document of a SOURCE lands
+    in the same fold (GroupKFold semantics — splitting by row would let
+    near-identical documents of one origin straddle train/eval). Fold =
+    md5-hash bucket of the group key; emits per (fold, source) counts,
+    and a leakage audit is definitionally zero because the fold is a
+    FUNCTION of the group key. Deterministic under any partitioning."""
+    fold = (TX.token_hash32(F.concat(F.col("source"), F.lit("|gkf-v1"))) % folds).cast(
+        "long"
+    )
+    return (
+        docs.select(fold.alias("fold"), "source", "doc_id")
+        .groupBy("fold", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

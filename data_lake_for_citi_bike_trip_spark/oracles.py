@@ -3509,3 +3509,37 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1, 2, 3
 """
+
+
+# operators/corpus.py:mixture_deficit — identical token counts and
+# integer mixture arithmetic; unconfigured sources target 0 bp.
+MIXTURE_DEFICIT = r"""
+WITH per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+targets AS (
+  SELECT * FROM (VALUES ('src0', 4000), ('src1', 2500),
+                        ('src2', 2000), ('src3', 1500)) t(source, target_bp)
+),
+total AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per_source)
+SELECT COALESCE(p.source, t.source) AS source,
+       COALESCE(p.n_docs, 0) AS n_docs,
+       COALESCE(p.tokens, 0) AS tokens,
+       (10000 * COALESCE(p.tokens, 0)) // total_tokens AS actual_bp,
+       CAST(COALESCE(t.target_bp, 0) AS BIGINT) AS target_bp,
+       (CAST(COALESCE(t.target_bp, 0) AS BIGINT) * total_tokens) // 10000
+         - COALESCE(p.tokens, 0) AS deficit_tokens
+FROM per_source p FULL OUTER JOIN targets t USING (source), total
+"""
+
+
+# operators/corpus.py:group_split — fold = md5-hash bucket of the
+# group key (token_hash32 mirror), so leakage is zero by construction.
+GROUP_SPLIT = """
+SELECT CAST('0x' || substr(md5(source || '|gkf-v1'), 1, 8) AS BIGINT) % 5
+         AS fold,
+       source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
