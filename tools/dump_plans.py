@@ -71,6 +71,18 @@ HEADLINE = [
     "ewma_daily",
     "replica_diff",
     "gdpr_erase",
+    "kcore_peel",
+    "mom_change",
+    "label_centroids",
+    "tokenizer_drift",
+    "peak_concurrency",
+    "near_dup_events",
+    "topk_with_ties",
+    "ab_lift",
+    "dow_seasonality",
+    "ivm_join",
+    "mixture_deficit",
+    "group_split",
 ]
 
 NOTES = {
@@ -106,6 +118,25 @@ NOTES = {
     "256-row full-outer join",
     "gdpr_erase": "cascade of filters/aggregates; the crossJoins are "
     "1-row stat attaches",
+    "kcore_peel": "three degree-aggregate + semi-join rounds, all keyed "
+    "shuffles; alive sets broadcast when small",
+    "mom_change": "one priority-keyed shuffle shared by agg and lag window",
+    "label_centroids": "centroid sums via posexplode agg (label x dim "
+    "rows); centroids broadcast back; member pass is map-side",
+    "tokenizer_drift": "single scan, two regexp_count codegen expressions",
+    "peak_concurrency": "per-user sessionize windows, then the global "
+    "sweep window over 2x#sessions marks (tiny; single-partition by design)",
+    "near_dup_events": "one (user, type) shuffle, lag window, final agg",
+    "topk_with_ties": "counts shuffle + month-partitioned rank window",
+    "ab_lift": "user-grain agg then 2-row variant agg; baseline attach "
+    "is a 1-row broadcast",
+    "dow_seasonality": "two aggregates sharing the station key; totals "
+    "broadcast-joined",
+    "ivm_join": "stored view is an ExistingRDD scan (localCheckpoint); "
+    "delta joined to broadcast dims; full-outer merge on the view key",
+    "mixture_deficit": "one scan + tiny aggregates; totals and targets "
+    "are 1-row/20-row broadcast attaches",
+    "group_split": "fold is a pure hash expression; one grouped count",
     "fact_trips": "both dims broadcast (J1/J2); exchanges are the spread() "
     "rebalances + staging groupBys, not join shuffles",
     "pricing_summary": "partial+final HashAggregate; shipdate filter and "
