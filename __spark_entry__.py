@@ -922,6 +922,26 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.group_split(load_table(spark, sf_dir, "documents"))
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source head-term L1 distance from the corpus distribution,
+    integer basis points — the crawl-snapshot drift detector."""
+    return text_ops.source_divergence(load_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cosine between parity halves — the
+    representation-shift check between snapshots."""
+    return similarity.embedding_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_stream_csv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CSV source (explicit schema) drained to per-type
+    counts — format portability of the streaming surface."""
+    return streaming.stream_csv_counts(
+        streaming.scoped_session(spark, 8), sf_dir
+    )
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1824,6 +1844,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_join": q_ivm_join,
         "mixture_deficit": q_mixture_deficit,
         "group_split": q_group_split,
+        "source_divergence": q_source_divergence,
+        "embedding_drift": q_embedding_drift,
+        "stream_csv_counts": q_stream_csv_counts,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -2009,6 +2032,9 @@ def oracle_sql() -> dict[str, str]:
         "ivm_join": oracles.IVM_JOIN,
         "mixture_deficit": oracles.MIXTURE_DEFICIT,
         "group_split": oracles.GROUP_SPLIT,
+        "source_divergence": oracles.SOURCE_DIVERGENCE,
+        "embedding_drift": oracles.EMBEDDING_DRIFT,
+        "stream_csv_counts": oracles.STREAM_CSV_COUNTS,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

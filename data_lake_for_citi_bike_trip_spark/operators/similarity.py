@@ -645,3 +645,63 @@ def label_centroid_cosine(embeddings: DataFrame) -> DataFrame:
         (F.expr("_shifted div n") - 1_000_000).alias("avg_cos_e6"),
         "min_cos_e6",
     )
+
+
+def embedding_drift(embeddings: DataFrame) -> DataFrame:
+    """Embedding-space drift check: per label, the cosine between the
+    centroid of one half of the data and the centroid of the other
+    (deterministic vec_id parity halves) — run between two model
+    versions or crawl snapshots, a drop below ~1.0 flags representation
+    shift for that class.
+
+    Same exactness construction as ``label_centroid_cosine``: e6
+    integer quantization, exact BIGINT centroid SUMS per (label, half)
+    (cosine's scale-invariance makes means unnecessary), one per-row
+    IEEE cosine over exact ints at the very end, floored to e6.
+    """
+    q = embeddings.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.col("label").cast("long").alias("label"),
+        F.expr(
+            "transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))"
+        ).alias("q"),
+    )
+    sums = (
+        q.select("label", "half", F.posexplode("q").alias("i", "v"))
+        .groupBy("label", "half", "i")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("label", "half")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, s))), p -> p.s)"
+            ).alias("c"),
+            F.count(F.lit(1)).alias("_dims"),
+        )
+    )
+    a = sums.where(F.col("half") == 0).select(
+        "label", F.col("c").alias("ca")
+    )
+    b = sums.where(F.col("half") == 1).select(
+        "label", F.col("c").alias("cb")
+    )
+    counts = q.groupBy("label").agg(
+        F.sum((F.col("half") == 0).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col("half") == 1).cast("long")).cast("long").alias("n_b"),
+    )
+    return (
+        a.join(b, "label")
+        .join(counts, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(floor(1000000.0 * CAST(aggregate(zip_with(ca, cb, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / "
+                "(sqrt(CAST(aggregate(transform(ca, x -> x * x), CAST(0 AS BIGINT), "
+                "(acc, v) -> acc + v) AS DOUBLE)) * "
+                "sqrt(CAST(aggregate(transform(cb, x -> x * x), CAST(0 AS BIGINT), "
+                "(acc, v) -> acc + v) AS DOUBLE)))) AS BIGINT)"
+            ).alias("centroid_cos_e6"),
+        )
+    )

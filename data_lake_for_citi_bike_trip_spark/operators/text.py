@@ -355,3 +355,57 @@ def tokenizer_drift(docs: DataFrame) -> DataFrame:
         "ratio_bp",
         F.expr("(10000 * bpe_tokens) div greatest(ws_tokens, 1)"),
     )
+
+
+def source_divergence(docs: DataFrame, top_terms: int = 100) -> DataFrame:
+    """Distribution-shift detector: the L1 (total-variation-style)
+    distance between each source's term distribution and the corpus
+    distribution, over the corpus' ``top_terms`` head terms — the check
+    a data pipeline runs when a new crawl snapshot lands.
+
+    Integer-exact throughout: |o_st/n_s - c_t/N| summed over head terms
+    becomes (10000 * SUM |o_st*N - c_t*n_s|) div (n_s*N) — one common
+    denominator, every factor a BIGINT, the absolute values keep the
+    single division non-negative (where both engines' integer division
+    agree). Overflow headroom: the numerator is bounded by
+    top_terms * n_s * N * 1e4, inside int64 through corpus sizes of
+    ~3e6 tokens per source; beyond that the same formula runs in
+    DECIMAL(38). Restricting to head terms bounds the per-source row
+    count (the dense grid is sources x top_terms) and the tail is noise
+    anyway.
+    """
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .where(F.length("term") >= 2)
+    )
+    corpus_term = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    head = corpus_term.orderBy(F.desc("c_t"), F.asc("term")).limit(top_terms)
+    obs = toks.join(F.broadcast(head), "term").groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("o_st")
+    )
+    n_s = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("n"))
+    grid = n_s.crossJoin(F.broadcast(head))  # dense: absent cells = 0
+    cells = grid.join(obs, ["source", "term"], "left").select(
+        "source",
+        "n_s",
+        "c_t",
+        F.coalesce("o_st", F.lit(0)).alias("o_st"),
+    )
+    scored = cells.crossJoin(F.broadcast(n_total)).select(
+        "source",
+        "n_s",
+        "n",
+        F.abs(F.col("o_st") * F.col("n") - F.col("c_t") * F.col("n_s")).alias(
+            "dev"
+        ),
+    )
+    return scored.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.expr("(10000 * sum(dev)) div (max(n_s) * max(n))")
+        .cast("long")
+        .alias("l1_bp"),
+    )

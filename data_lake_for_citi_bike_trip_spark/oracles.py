@@ -3543,3 +3543,81 @@ SELECT CAST('0x' || substr(md5(source || '|gkf-v1'), 1, 8) AS BIGINT) % 5
        source, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY 1, 2
 """
+
+
+# operators/text.py:source_divergence — identical head-term grid and
+# single-denominator L1 arithmetic; sum(dev) widens to HUGEINT in
+# DuckDB so the numerator product is cast back before the division.
+SOURCE_DIVERGENCE = """
+WITH toks AS (
+  SELECT source, w AS term FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 2
+),
+head AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c_t
+  FROM toks GROUP BY 1 ORDER BY c_t DESC, term LIMIT 100
+),
+obs AS (
+  SELECT t.source, t.term, CAST(COUNT(*) AS BIGINT) AS o_st
+  FROM toks t JOIN head h ON t.term = h.term GROUP BY 1, 2
+),
+srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM toks GROUP BY 1),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+cells AS (
+  SELECT s.source, s.n_s, h.c_t, COALESCE(o.o_st, 0) AS o_st
+  FROM srcs s CROSS JOIN head h
+  LEFT JOIN obs o ON o.source = s.source AND o.term = h.term
+)
+SELECT c.source, max(c.n_s) AS n_tokens,
+       (10000 * CAST(sum(abs(c.o_st * t.n - c.c_t * c.n_s)) AS BIGINT))
+         // (max(c.n_s) * max(t.n)) AS l1_bp
+FROM cells c, total t
+GROUP BY 1
+"""
+
+
+# operators/similarity.py:embedding_drift — identical parity halves,
+# exact centroid sums, identical final IEEE cosine expression.
+EMBEDDING_DRIFT = """
+WITH qv AS (
+  SELECT vec_id % 2 AS half, CAST(label AS BIGINT) AS label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+elems AS (
+  SELECT label, half, i, q[i] AS v
+  FROM (SELECT label, half, q,
+               unnest(generate_series(1, len(q))) AS i FROM qv)
+),
+cent AS (
+  SELECT label, half, list(s ORDER BY i) AS c
+  FROM (SELECT label, half, i, CAST(sum(v) AS BIGINT) AS s
+        FROM elems GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+counts AS (
+  SELECT label,
+         CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n_b
+  FROM qv GROUP BY 1
+)
+SELECT a.label, n.n_a, n.n_b,
+       CAST(floor(1000000.0 * CAST(list_sum(
+              list_transform(list_zip(a.c, b.c), z -> z[1] * z[2])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(a.c, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(b.c, x -> x * x)) AS DOUBLE))))
+        AS BIGINT) AS centroid_cos_e6
+FROM (SELECT label, c FROM cent WHERE half = 0) a
+JOIN (SELECT label, c FROM cent WHERE half = 1) b USING (label)
+JOIN counts n USING (label)
+"""
+
+
+# streaming/pipeline.py:stream_csv_counts — the CSV hop and the drain
+# are value-invisible; the oracle is the plain batch aggregate.
+STREAM_CSV_COUNTS = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+"""

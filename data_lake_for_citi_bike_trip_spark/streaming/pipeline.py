@@ -491,3 +491,45 @@ def left_outer_interval_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
         "left_outer",
     )
+
+
+def stream_csv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second streaming SOURCE format: the events table re-laid as
+    headered CSV files and drained through readStream.csv with an
+    explicit schema (file-source streaming requires one — schema
+    inference would race the files). Proves the streaming surface is
+    format-portable exactly like the batch lake surface (parquet/ORC/
+    CSV); the per-type counts equal the batch aggregate.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.registry import load_table
+
+    configure_runtime(spark)
+    scratch = tempfile.mkdtemp(prefix="spark_graft_streamcsv_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    src = os.path.join(scratch, "events_csv")
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(src)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("header", True).csv(src)
+    )
+    counts = stream.groupBy("event_type").count().withColumnRenamed(
+        "count", "cnt"
+    )
+    return run_available_now(counts, "q_stream_csv_counts", "complete")
