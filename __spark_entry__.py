@@ -942,6 +942,11 @@ def q_stream_csv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arrow_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (zero-copy RecordBatch) vector stats, integer-exact."""
+    return similarity.arrow_vector_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1847,6 +1852,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": q_source_divergence,
         "embedding_drift": q_embedding_drift,
         "stream_csv_counts": q_stream_csv_counts,
+        "arrow_vector_stats": q_arrow_vector_stats,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -2035,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": oracles.SOURCE_DIVERGENCE,
         "embedding_drift": oracles.EMBEDDING_DRIFT,
         "stream_csv_counts": oracles.STREAM_CSV_COUNTS,
+        "arrow_vector_stats": oracles.ARROW_VECTOR_STATS,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

@@ -705,3 +705,41 @@ def embedding_drift(embeddings: DataFrame) -> DataFrame:
             ).alias("centroid_cos_e6"),
         )
     )
+
+
+def arrow_vector_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-vector integer stats computed through ``mapInArrow`` — the
+    zero-copy tier of the Python execution surface: batches arrive as
+    pyarrow RecordBatches (no pandas materialization at all, unlike
+    mapInPandas), are processed with vectorized pyarrow/numpy kernels,
+    and leave as RecordBatches. The right tool when the per-batch work
+    is itself columnar (here: e6 quantization + L1/L-inf norms over the
+    fixed-size list column).
+
+    Output is integer-exact (same e6 rounding as the centroid ops), so
+    the oracle replays it; numpy's rint is IEEE round-half-even —
+    mirrored with DuckDB's round_even.
+    """
+    import pyarrow as pa
+
+    def batches(it):
+        import numpy as np
+
+        for batch in it:
+            tbl = pa.Table.from_batches([batch])
+            vec_ids = tbl["vec_id"].to_numpy()
+            embs = tbl["embedding"].to_pylist()
+            mat = np.asarray(embs, dtype=np.float64)
+            q = np.rint(mat * 1_000_000).astype(np.int64)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(vec_ids, pa.int64()),
+                    "dims": pa.array([mat.shape[1]] * len(vec_ids), pa.int64()),
+                    "l1_e6": pa.array(np.abs(q).sum(axis=1), pa.int64()),
+                    "linf_e6": pa.array(np.abs(q).max(axis=1), pa.int64()),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        batches, "vec_id bigint, dims bigint, l1_e6 bigint, linf_e6 bigint"
+    )

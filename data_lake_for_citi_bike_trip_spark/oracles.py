@@ -3621,3 +3621,19 @@ JOIN counts n USING (label)
 STREAM_CSV_COUNTS = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1
 """
+
+
+# operators/similarity.py:arrow_vector_stats — numpy rint is IEEE
+# round-half-even, DuckDB round_even matches; everything after is
+# integer.
+ARROW_VECTOR_STATS = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dims,
+       CAST(list_sum(list_transform(embedding::DOUBLE[],
+            x -> abs(CAST(round_even(x * 1000000, 0) AS BIGINT)))) AS BIGINT)
+         AS l1_e6,
+       CAST(list_max(list_transform(embedding::DOUBLE[],
+            x -> abs(CAST(round_even(x * 1000000, 0) AS BIGINT)))) AS BIGINT)
+         AS linf_e6
+FROM embeddings
+"""
