@@ -83,6 +83,10 @@ HEADLINE = [
     "ivm_join",
     "mixture_deficit",
     "group_split",
+    "source_divergence",
+    "embedding_drift",
+    "arrow_vector_stats",
+    "stream_multibatch_totals",
 ]
 
 NOTES = {
@@ -137,6 +141,14 @@ NOTES = {
     "mixture_deficit": "one scan + tiny aggregates; totals and targets "
     "are 1-row/20-row broadcast attaches",
     "group_split": "fold is a pure hash expression; one grouped count",
+    "source_divergence": "head terms + totals broadcast; dense grid is "
+    "sources x 100 rows; single integer division per source",
+    "embedding_drift": "two centroid-sum aggregates keyed on (label, "
+    "half); final cosine is per-row HOF arithmetic",
+    "arrow_vector_stats": "single ArrowEvalPython (mapInArrow) stage "
+    "over the scan; no shuffle",
+    "stream_multibatch_totals": "three stateful micro-batches; state "
+    "keyed on user_id",
     "fact_trips": "both dims broadcast (J1/J2); exchanges are the spread() "
     "rebalances + staging groupBys, not join shuffles",
     "pricing_summary": "partial+final HashAggregate; shipdate filter and "
