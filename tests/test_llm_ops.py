@@ -223,3 +223,53 @@ def test_tokenizer_drift_counts(spark):
     }
     # doc1 ws: [ab, c1d!, e] = 3; bpe: ab, c, 1, d, !, e = 6
     assert got == {1: (3, 6, 20000), 2: (0, 0, 0)}
+
+
+def test_group_split_has_zero_leakage(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import corpus
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    rows = corpus.group_split(load_table(spark, sf_dir, "documents")).collect()
+    folds_per_source = {}
+    for r in rows:
+        folds_per_source.setdefault(r.source, set()).add(r.fold)
+    assert all(len(fs) == 1 for fs in folds_per_source.values())
+    assert sum(r.n_docs for r in rows) == 500
+
+
+def test_mixture_deficit_accounting_closes(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import corpus
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    rows = corpus.mixture_deficit(load_table(spark, sf_dir, "documents")).collect()
+    total = sum(r.tokens for r in rows)
+    # shares tile the corpus (integer floor loses < 1bp per source)
+    share_sum = sum(r.actual_bp for r in rows)
+    assert 10000 - len(rows) <= share_sum <= 10000
+    for r in rows:
+        expect = (r.target_bp * total) // 10000 - r.tokens
+        assert r.deficit_tokens == expect
+
+
+def test_arrow_vector_stats_norm_ordering(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import similarity
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    rows = similarity.arrow_vector_stats(
+        load_table(spark, sf_dir, "embeddings")
+    ).collect()
+    assert rows and all(r.dims == 64 for r in rows)
+    for r in rows:
+        assert r.linf_e6 <= r.l1_e6 <= 64 * r.linf_e6
+
+
+def test_embedding_drift_is_scale_free_and_bounded(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import similarity
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.embedding_drift(emb).collect()
+    assert {r.label for r in rows} == set(range(10))
+    for r in rows:
+        assert -1_000_000 <= r.centroid_cos_e6 <= 1_000_000
+        assert r.n_a + r.n_b > 0
