@@ -947,6 +947,12 @@ def q_arrow_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.arrow_vector_stats(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_cube_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users under a CUBE (non-additive measure through
+    grouping sets)."""
+    return analytics.cube_distinct_users(load_table(spark, sf_dir, "events"))
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1853,6 +1859,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "stream_csv_counts": q_stream_csv_counts,
         "arrow_vector_stats": q_arrow_vector_stats,
+        "cube_distinct": q_cube_distinct,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -2042,6 +2049,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": oracles.EMBEDDING_DRIFT,
         "stream_csv_counts": oracles.STREAM_CSV_COUNTS,
         "arrow_vector_stats": oracles.ARROW_VECTOR_STATS,
+        "cube_distinct": oracles.CUBE_DISTINCT,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

@@ -602,3 +602,27 @@ def ivm_join_view(
             ),
         )
     )
+
+
+def cube_distinct_users(events: DataFrame) -> DataFrame:
+    """EXACT distinct counts under a CUBE — the hard grouping-sets
+    case: count_distinct is not roll-up-able from finer cells (distinct
+    sets overlap), so the engine must expand every row into all four
+    grouping sets BEFORE the distinct aggregation (Expand x4, then a
+    distinct-aware aggregate). cube_priority above covers additive
+    measures; this covers the non-additive one. At 100 TB you'd swap in
+    HLL sketches per cell (mergeable, one pass) — the exact form stays
+    here for the oracle."""
+    return (
+        events.cube(
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            F.col("event_type"),
+        )
+        .agg(
+            # grouping_id() must live inside the cube aggregate
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("dow", "event_type", "gid", "n_users", "n_events")
+    )

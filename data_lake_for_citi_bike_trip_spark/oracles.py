@@ -3637,3 +3637,20 @@ SELECT vec_id,
          AS linf_e6
 FROM embeddings
 """
+
+
+# operators/analytics.py:cube_distinct_users — identical CUBE grouping
+# sets; DuckDB dayofweek is Sunday=0 -> +1; GROUPING() bit order
+# matches Spark's grouping_id for the same column order.
+CUBE_DISTINCT = """
+WITH base AS (
+  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, event_type, user_id
+  FROM events
+)
+SELECT dow, event_type,
+       CAST(GROUPING(dow, event_type) AS BIGINT) AS gid,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM base
+GROUP BY CUBE (dow, event_type)
+"""
