@@ -953,6 +953,13 @@ def q_cube_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.cube_distinct_users(load_table(spark, sf_dir, "events"))
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (ppjoin-style candidate
+    pruning) at Jaccard >= 0.6; oracle brute-forces all shared-token
+    candidates so prefix losses go red."""
+    return dedup.jaccard_prefix_join(load_table(spark, sf_dir, "documents"))
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1860,6 +1867,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_csv_counts": q_stream_csv_counts,
         "arrow_vector_stats": q_arrow_vector_stats,
         "cube_distinct": q_cube_distinct,
+        "jaccard_prefix": q_jaccard_prefix,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -2050,6 +2058,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_csv_counts": oracles.STREAM_CSV_COUNTS,
         "arrow_vector_stats": oracles.ARROW_VECTOR_STATS,
         "cube_distinct": oracles.CUBE_DISTINCT,
+        "jaccard_prefix": oracles.JACCARD_PREFIX,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

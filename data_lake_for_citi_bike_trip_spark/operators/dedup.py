@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -569,4 +569,95 @@ def incremental_dedup(
             "dup_of",
             "reason",
         )
+    )
+
+
+def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (the ppjoin family):
+    all document pairs whose word-TRIGRAM shingle sets reach Jaccard >=
+    threshold, generating candidates from only each document's PREFIX
+    shingles instead of all of them. (Shingles, not unigrams: on a
+    small shared vocabulary unigram SETS of unrelated documents overlap
+    heavily — trigram sets only collide for genuine near-duplicates, so
+    the join is selective AND the test corpus exercises it.)
+
+    The guarantee: order all tokens by one global total order (rarest
+    first: (df, token)); two sets with |A∩B|/|A∪B| >= t MUST share a
+    token within each one's first |d| - ceil(t·|d|) + 1 tokens — so
+    indexing only prefixes is lossless for the threshold, while the
+    candidate join shrinks by the prefix ratio AND pivots onto the
+    RAREST tokens (tiny posting lists — the hot-shingle blowup that
+    the df-cap guards elsewhere never happens here; this is the
+    principled fix, the cap is the blunt one). Verification computes
+    exact Jaccard in integer e1·e4 arithmetic (ceil via
+    (t·|d| + 9) div 10 — all non-negative).
+
+    The oracle generates candidates from ALL shared tokens (brute
+    force) — so a prefix too short to be lossless goes red, proving
+    completeness, not just precision.
+    """
+    words = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), "[^a-z]+").alias("ws")
+    )
+    toks = (
+        words.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2), i -> "
+                    "concat(element_at(ws, i), ' ', element_at(ws, i + 1), "
+                    "' ', element_at(ws, i + 2)))"
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ranked = (
+        toks.join(F.broadcast(df_counts), "tok")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "tok")
+            ),
+        )
+        .join(F.broadcast(sizes), "doc_id")
+    )
+    prefix = ranked.where(
+        F.col("rk")
+        <= F.col("sz") - F.expr(f"({threshold_e1} * sz + 9) div 10") + 1
+    ).select("tok", "doc_id")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        toks.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(cand, "doc_a")
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), "tok"),
+            ["doc_b", "tok"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("sa") + F.col("sb") - F.col("inter")).alias("uni"),
+            F.expr("(10000 * inter) div (sa + sb - inter)").alias("jaccard_e4"),
+        )
+        .where(F.col("jaccard_e4") >= threshold_e1 * 1000)
     )

@@ -3654,3 +3654,34 @@ SELECT dow, event_type,
 FROM base
 GROUP BY CUBE (dow, event_type)
 """
+
+
+# operators/dedup.py:jaccard_prefix_join — the oracle brute-forces
+# candidates from ALL shared tokens, so a lossy prefix goes red
+# (completeness proof, not just precision).
+JACCARD_PREFIX = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS tok
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 2)) AS i FROM words)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.inter,
+       sa.sz + sb.sz - p.inter AS uni,
+       (10000 * p.inter) // (sa.sz + sb.sz - p.inter) AS jaccard_e4
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE (10000 * p.inter) // (sa.sz + sb.sz - p.inter) >= 6000
+"""

@@ -315,3 +315,44 @@ def test_incremental_dedup_consistent_with_batch_minhash(spark, sf_dir):
         r.doc_id for r in inc.where(F.col("reason") == "exact").collect()
     }
     assert {nd for nd, _ in cross} <= flagged
+
+
+def test_jaccard_prefix_filter_prunes_but_loses_nothing(spark, sf_dir):
+    """Prefix candidate generation must be a strict subset of the
+    all-shingles candidate space (pruning is real) while the final
+    pair set equals brute force (pruning is lossless)."""
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import dedup
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_e4
+        for r in dedup.jaccard_prefix_join(docs).collect()
+    }
+    # brute force in python
+    rows = docs.select("doc_id", F.lower("text").alias("t")).collect()
+    import re
+
+    sh = {}
+    for r in rows:
+        ws = re.split(r"[^a-z]+", r.t)
+        sh[r.doc_id] = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        }
+    expect = {}
+    ids = sorted(sh)
+    n_cand_all = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            n_cand_all += 1
+            uni = len(sh[a] | sh[b])
+            j = (10000 * inter) // uni
+            if j >= 6000:
+                expect[(a, b)] = j
+    assert got == expect and got, (len(got), len(expect))
+    assert n_cand_all > 10 * len(expect), "corpus too clean to prove pruning"
