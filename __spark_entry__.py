@@ -960,6 +960,61 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_prefix_join(load_table(spark, sf_dir, "documents"))
 
 
+def q_stream_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming: interval join feeding a downstream
+    tumbling-window count (two state stores, one query)."""
+    scoped = streaming.scoped_session(spark, 8)
+    counts = streaming.join_then_window(scoped, sf_dir)
+    return streaming.run_available_now(counts, "q_stream_join_window", "append")
+
+
+def q_pystream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING data source (Spark 4
+    SimpleDataSourceStreamReader): offset-bounded micro-batches from a
+    deterministic feed, drained and aggregated; oracle replays the
+    arithmetic via generate_series."""
+    from data_lake_for_citi_bike_trip_spark.sources import pydatasource
+
+    scoped = streaming.scoped_session(spark, 8)
+    pydatasource.register_stream(scoped)
+    stream = (
+        scoped.readStream.format("synth_events_stream")
+        .option("rows", "10000")
+        .option("batch_rows", "4000")
+        .load()
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount_cents").cast("long").alias("total_cents"),
+    )
+    # availableNow stops a Simple stream reader after its FIRST offset
+    # range; drain with a continuous trigger instead and stop once the
+    # complete-mode state covers the whole (finite) feed — this is what
+    # actually exercises multi-batch offset advancement (3 batches of
+    # 4000/4000/2000).
+    import time
+
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("q_pystream_agg")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            got = scoped.table("q_pystream_agg").agg(F.sum("n")).first()[0]
+            if got == 10000:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError("pystream feed never fully drained")
+    finally:
+        query.stop()
+    return scoped.table("q_pystream_agg")
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1868,6 +1923,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_vector_stats": q_arrow_vector_stats,
         "cube_distinct": q_cube_distinct,
         "jaccard_prefix": q_jaccard_prefix,
+        "stream_join_window": q_stream_join_window,
+        "pystream_agg": q_pystream_agg,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -2059,6 +2116,8 @@ def oracle_sql() -> dict[str, str]:
         "arrow_vector_stats": oracles.ARROW_VECTOR_STATS,
         "cube_distinct": oracles.CUBE_DISTINCT,
         "jaccard_prefix": oracles.JACCARD_PREFIX,
+        "stream_join_window": oracles.STREAM_JOIN_WINDOW,
+        "pystream_agg": oracles.PYSTREAM_AGG,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

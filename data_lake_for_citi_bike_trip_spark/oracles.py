@@ -3685,3 +3685,44 @@ JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
 WHERE (10000 * p.inter) // (sa.sz + sb.sz - p.inter) >= 6000
 """
+
+
+# streaming/pipeline.py:join_then_window — chained stateful operators:
+# eager inner-join pairs, then the append-mode window cutoff under the
+# final global watermark (min of the two filtered sides' max ts - 2h).
+STREAM_JOIN_WINDOW = """
+WITH mx AS (
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE event_type = 'error'),
+    (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+  ) AS m
+),
+pairs AS (
+  SELECT e.ts AS l_ts FROM events e JOIN events p
+    ON e.user_id = p.user_id
+   AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+  WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+),
+w AS (
+  SELECT epoch_us(date_trunc('hour', l_ts)) AS window_start_us,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT window_start_us, n_pairs
+FROM w, mx
+WHERE window_start_us + 3600000000 <= epoch_us(m) - 7200000000
+"""
+
+
+# sources/pydatasource.py:SynthEventsStreamSource — the deterministic
+# feed replayed by generate_series; the streaming drain is
+# value-invisible.
+PYSTREAM_AGG = """
+WITH feed AS (
+  SELECT i AS event_id, i % 97 AS user_id, (i * 37) % 10000 AS amount_cents
+  FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(sum(amount_cents) AS BIGINT) AS total_cents
+FROM feed GROUP BY 1
+"""

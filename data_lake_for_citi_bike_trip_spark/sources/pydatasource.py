@@ -73,3 +73,61 @@ class SynthEventsReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent format registration."""
     spark.dataSource.register(SynthEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming side of the same source: SimpleDataSourceStreamReader (Spark 4).
+# The micro-batch contract is offset-based — initialOffset/latestOffset
+# bound each batch, read(start) returns (rows, next_offset) — so replay
+# after failure re-reads the same offset range: exactly the semantics a
+# queue/CDC connector needs. Deterministic arithmetic keeps it
+# oracle-checkable end to end.
+# ---------------------------------------------------------------------------
+
+
+class SynthEventsStreamSource(DataSource):
+    """``spark.readStream.format("synth_events_stream")`` — options:
+
+    - ``rows``      total rows the feed will ever serve (default 10000)
+    - ``batch_rows`` rows advanced per micro-batch (default 4000)
+
+    Same row arithmetic as the batch source, emitted in offset order.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events_stream"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, amount_cents bigint"
+
+    def simpleStreamReader(self, schema):
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        rows = int(self.options.get("rows", "10000"))
+        batch_rows = int(self.options.get("batch_rows", "4000"))
+
+        class Reader(SimpleDataSourceStreamReader):
+            def initialOffset(self):
+                return {"pos": 0}
+
+            def read(self, start):
+                lo = start["pos"]
+                hi = min(lo + batch_rows, rows)
+                data = [
+                    (i, i % 97, (i * 37) % 10000) for i in range(lo, hi)
+                ]
+                return iter(data), {"pos": hi}
+
+            def readBetweenOffsets(self, start, end):
+                return iter(
+                    (i, i % 97, (i * 37) % 10000)
+                    for i in range(start["pos"], end["pos"])
+                )
+
+        return Reader()
+
+
+def register_stream(spark) -> None:
+    """Idempotent streaming-format registration."""
+    spark.dataSource.register(SynthEventsStreamSource)

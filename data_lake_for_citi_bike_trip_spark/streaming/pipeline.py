@@ -533,3 +533,37 @@ def stream_csv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count", "cnt"
     )
     return run_available_now(counts, "q_stream_csv_counts", "complete")
+
+
+def join_then_window(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: a
+    stream-stream interval join feeding a downstream tumbling-window
+    aggregation (hourly matched-pair counts). Two state stores in one
+    plan — the shape Spark only supports with watermarks threaded
+    through both operators (the join's output carries l_ts as its event
+    time, so the window's lateness bound derives from the join's
+    two-sided watermark).
+
+    Emission rule mirrored by the oracle: inner join emits eagerly;
+    the APPEND-mode window then emits only watermark-closed windows,
+    where the final global watermark is min(max error ts, max purchase
+    ts) - delay (each side's watermark operator sits after its filter).
+    """
+    errors = stream_events(spark, sf_dir).where(F.col("event_type") == "error")
+    purchases = stream_events(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join(
+        errors, purchases, on="user_id", horizon=horizon, watermark=watermark
+    )
+    counts = (
+        joined.select(F.col("l_ts").alias("ts"))
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"), "n_pairs"
+        )
+    )
+    return counts
