@@ -1015,6 +1015,19 @@ def q_pystream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoped.table("q_pystream_agg")
 
 
+def q_cep_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shaped pattern count: error followed by purchase
+    within 1h with no intervening error."""
+    return behavior.cep_error_recovery(load_table(spark, sf_dir, "events"))
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust Theil-Sen trend per station: lower median of pairwise
+    floor-slopes over the bounded per-key day grid."""
+    trips, _, _ = _staged(spark, sf_dir)
+    return timeseries.theil_sen_slope(trips)
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1925,6 +1938,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "stream_join_window": q_stream_join_window,
         "pystream_agg": q_pystream_agg,
+        "cep_recovery": q_cep_recovery,
+        "theil_sen": q_theil_sen,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -2118,6 +2133,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_prefix": oracles.JACCARD_PREFIX,
         "stream_join_window": oracles.STREAM_JOIN_WINDOW,
         "pystream_agg": oracles.PYSTREAM_AGG,
+        "cep_recovery": oracles.CEP_RECOVERY,
+        "theil_sen": oracles.THEIL_SEN,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

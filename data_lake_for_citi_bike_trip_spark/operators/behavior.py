@@ -375,3 +375,49 @@ def near_dup_events(events: DataFrame, tolerance_s: int = 600) -> DataFrame:
         .cast("long")
         .alias("n_dups"),
     ).where(F.col("n_dups") > 0)
+
+
+def cep_error_recovery(events: DataFrame, within_minutes: int = 60) -> DataFrame:
+    """Complex-event-processing pattern count: per user, occurrences of
+    ERROR followed by PURCHASE within the window with NO intervening
+    ERROR — the "recovered after failure" funnel, i.e. the
+    MATCH_RECOGNIZE shape (A B* C with a negation) on relational rails.
+
+    The no-intervening-error constraint falls out of a window function
+    instead of a NOT EXISTS anti-join: order each user's ERROR events,
+    take lead(error_ts) — the match window for error E effectively ends
+    at min(E + within, next_error) — then count purchases in (E, end].
+    One shuffle on user_id for the lead window; the purchase probe is
+    an interval join keyed on user (grid-bucketable at scale exactly
+    like intervals.overlap_join).
+    """
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("e_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("e_us", "error_id")
+    bounded = errors.withColumn(
+        "end_us",
+        F.least(
+            F.col("e_us") + within_minutes * 60 * 1_000_000,
+            F.coalesce(
+                F.lead("e_us").over(w), F.lit(2**62)
+            ),
+        ),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    matched = (
+        bounded.join(purchases, "user_id")
+        .where(
+            (F.col("p_us") > F.col("e_us")) & (F.col("p_us") <= F.col("end_us"))
+        )
+        .groupBy("user_id", "error_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_recovered_errors"),
+        F.sum("n_purchases").cast("long").alias("n_recovery_purchases"),
+    )

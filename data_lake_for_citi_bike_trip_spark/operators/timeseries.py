@@ -325,3 +325,65 @@ def dow_seasonality(trips: DataFrame) -> DataFrame:
             "index_bp"
         ),
     )
+
+
+def theil_sen_slope(trips: DataFrame, max_days: int = 64) -> DataFrame:
+    """Robust per-station trend: the THEIL-SEN estimator — median of
+    all pairwise slopes — which a single outlier day cannot move
+    (trend_slope above is OLS, minimal but outlier-sensitive; both
+    belong in a stats layer).
+
+    Each station's day count is calendar-bounded (~tens), so the
+    pairwise explode is O(days^2) PER KEY with a hard ``max_days``
+    guard — per-key quadratic over bounded groups, never corpus-wide.
+    Slopes are evaluated as floor(1e6 * dy / dx) in ONE double
+    expression over exact ints (floor matches DuckDB's // semantics on
+    negatives, unlike Spark's truncating div — the reason floor() is
+    used here); the lower median is then picked by rank over the total
+    order (slope_e6, d1, d2). All engine-identical.
+    """
+    daily = daily_counts(trips).withColumn(
+        "x", F.datediff("day", F.lit("1970-01-01")).cast("long")
+    )
+    n = daily.groupBy("station").agg(F.count(F.lit(1)).alias("n_days"))
+    keyed = daily.join(
+        F.broadcast(n.where(F.col("n_days") <= max_days)), "station"
+    )
+    a = keyed.select(
+        "station",
+        "n_days",
+        F.col("x").alias("x1"),
+        F.col("rides").alias("y1"),
+    )
+    b = keyed.select(
+        "station", F.col("x").alias("x2"), F.col("rides").alias("y2")
+    )
+    pairs = (
+        a.join(b, "station")
+        .where(F.col("x1") < F.col("x2"))
+        .select(
+            "station",
+            "n_days",
+            "x1",
+            "x2",
+            F.floor(
+                F.lit(1_000_000.0)
+                * (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+            )
+            .cast("long")
+            .alias("slope_e6"),
+        )
+    )
+    w = Window.partitionBy("station").orderBy("slope_e6", "x1", "x2")
+    ranked = pairs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(Window.partitionBy("station"))
+    )
+    return ranked.where(
+        F.col("rk") == F.expr("(n_pairs + 1) div 2")  # lower median
+    ).select(
+        "station",
+        "n_days",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope_e6").alias("median_slope_e6"),
+    )

@@ -3726,3 +3726,74 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(sum(amount_cents) AS BIGINT) AS total_cents
 FROM feed GROUP BY 1
 """
+
+
+# operators/behavior.py:cep_error_recovery — identical lead-bounded
+# match windows; ties impossible on the (e_us, error_id) total order.
+CEP_RECOVERY = """
+WITH errors AS (
+  SELECT user_id, event_id AS error_id, epoch_us(ts) AS e_us
+  FROM events WHERE event_type = 'error'
+),
+bounded AS (
+  SELECT *, least(
+           e_us + 3600000000,
+           COALESCE(lead(e_us) OVER (PARTITION BY user_id
+                                     ORDER BY e_us, error_id),
+                    4611686018427387904)
+         ) AS end_us
+  FROM errors
+),
+purchases AS (
+  SELECT user_id, epoch_us(ts) AS p_us FROM events
+  WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT b.user_id, b.error_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM bounded b JOIN purchases p
+    ON p.user_id = b.user_id AND p.p_us > b.e_us AND p.p_us <= b.end_us
+  GROUP BY 1, 2
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_recovered_errors,
+       CAST(sum(n_purchases) AS BIGINT) AS n_recovery_purchases
+FROM matched GROUP BY 1
+"""
+
+
+# operators/timeseries.py:theil_sen_slope — identical pairwise floor
+# slopes (floor == // on negatives) and lower-median rank selection.
+THEIL_SEN = with_staging(
+""",
+daily AS (
+  SELECT start_station_id AS station, CAST(starttime AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS rides
+  FROM trips GROUP BY 1, 2
+),
+keyed AS (
+  SELECT d.station, n.n_days,
+         CAST(datediff('day', DATE '1970-01-01', d.day) AS BIGINT) AS x,
+         d.rides AS y
+  FROM daily d
+  JOIN (SELECT station, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1) n USING (station)
+  WHERE n.n_days <= 64
+),
+pairs AS (
+  SELECT a.station, a.n_days, a.x AS x1, b.x AS x2,
+         CAST(floor(1000000.0 * CAST(b.y - a.y AS DOUBLE)
+                    / CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS slope_e6
+  FROM keyed a JOIN keyed b
+    ON a.station = b.station AND a.x < b.x
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY station
+                            ORDER BY slope_e6, x1, x2) AS rk,
+         COUNT(*) OVER (PARTITION BY station) AS n_pairs
+  FROM pairs
+)
+SELECT station, n_days, CAST(n_pairs AS BIGINT) AS n_pairs,
+       slope_e6 AS median_slope_e6
+FROM ranked WHERE rk = (n_pairs + 1) // 2
+"""
+)

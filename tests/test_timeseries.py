@@ -145,3 +145,53 @@ def test_ewma_daily_equals_truncated_weighted_recursion(spark, sf_dir):
         for r in timeseries.ewma_daily(trips).collect()
     }
     assert got == expect
+
+
+def test_theil_sen_is_outlier_robust_where_ols_is_not(spark):
+    """One corrupted day shifts the OLS slope but leaves the pairwise
+    median untouched — the estimator's defining property."""
+    import datetime
+
+    from data_lake_for_citi_bike_trip_spark.operators import timeseries
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (
+                    "S",
+                    datetime.datetime(2024, 1, 1 + d, 12, 0, 0),
+                    "u",
+                    str(i),
+                    "Subscriber",
+                    1.0,
+                    "S",
+                    "E",
+                    None,
+                    None,
+                )
+                for i, (d, reps) in enumerate(rows)
+                for _ in range(reps)
+            ],
+            "start_station_id string, starttime timestamp, bikeid string,"
+            " tripduration string, usertype string, value double,"
+            " s2 string, end_station_id string, gender string, birth_year string",
+        )
+
+    clean = [(d, 10 + d) for d in range(10)]  # slope exactly +1/day
+    spiked = list(clean)
+    spiked[5] = (5, 100)  # one wild day
+    ts_clean = {
+        r.station: r.median_slope_e6
+        for r in timeseries.theil_sen_slope(mk(clean)).collect()
+    }
+    ts_spiked = {
+        r.station: r.median_slope_e6
+        for r in timeseries.theil_sen_slope(mk(spiked)).collect()
+    }
+    assert ts_clean["S"] == 1_000_000
+    assert ts_spiked["S"] == 1_000_000  # median unmoved by the spike
+    ols = {
+        r.station: r.slope_e6
+        for r in timeseries.trend_slope(mk(spiked)).collect()
+    }
+    assert abs(ols["S"] - 1_000_000) > 100_000  # OLS dragged by it
