@@ -1028,6 +1028,19 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.theil_sen_slope(trips)
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals (integer e6
+    expectations, no logs at query time)."""
+    return profile.benford_audit(load_table(spark, sf_dir, "orders"))
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency mining on the staged trips: which
+    should-be keys actually hold."""
+    trips, _, _ = _staged(spark, sf_dir)
+    return profile.fd_violations(trips)
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1940,6 +1953,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pystream_agg": q_pystream_agg,
         "cep_recovery": q_cep_recovery,
         "theil_sen": q_theil_sen,
+        "benford_audit": q_benford_audit,
+        "fd_violations": q_fd_violations,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -2135,6 +2150,8 @@ def oracle_sql() -> dict[str, str]:
         "pystream_agg": oracles.PYSTREAM_AGG,
         "cep_recovery": oracles.CEP_RECOVERY,
         "theil_sen": oracles.THEIL_SEN,
+        "benford_audit": oracles.BENFORD_AUDIT,
+        "fd_violations": oracles.FD_VIOLATIONS,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

@@ -305,3 +305,89 @@ def feature_quartiles(orders: DataFrame) -> DataFrame:
     return ranked.groupBy("grp").agg(
         F.max("n").alias("n"), qcol[25], qcol[50], qcol[75]
     )
+
+
+#: Benford first-digit probabilities, log10(1 + 1/d), in e6 units.
+BENFORD_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen in financial DQ: naturally occurring
+    multi-magnitude amounts follow P(d) = log10(1 + 1/d); synthetic or
+    tampered figures usually don't.
+
+    Emits per leading digit: observed count, observed share (e6),
+    Benford expectation (e6, precomputed integer constants — no logs at
+    query time), and the absolute deviation — all integer arithmetic,
+    one scan + a 9-row aggregate. The verdict (pass/flag) is left to
+    the caller's threshold because sample size governs significance.
+    """
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = orders.where(F.col("o_totalprice") > 0).groupBy(
+        digit.alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    expect = F.array(
+        *[
+            F.struct(F.lit(d).alias("digit"), F.lit(e).alias("expected_e6"))
+            for d, e in BENFORD_E6.items()
+        ]
+    )
+    bench = (
+        orders.sparkSession.range(1)
+        .select(F.explode(expect).alias("b"))
+        .select("b.digit", F.col("b.expected_e6").cast("long").alias("expected_e6"))
+    )
+    return (
+        counts.join(F.broadcast(bench), "digit", "full_outer")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.expr("(1000000 * coalesce(n, 0)) div total").alias("observed_e6"),
+            F.coalesce("expected_e6", F.lit(0)).alias("expected_e6"),
+            F.abs(
+                F.expr("(1000000 * coalesce(n, 0)) div total")
+                - F.coalesce("expected_e6", F.lit(0))
+            ).alias("abs_dev_e6"),
+        )
+    )
+
+
+def fd_violations(trips: DataFrame) -> DataFrame:
+    """Functional-dependency mining over the staged trips: for each
+    candidate FD X -> Y, how many X values map to MORE than one Y —
+    the Metanome/profiling primitive that discovers which "should-be"
+    keys actually hold before they get baked into a dim model.
+
+    One aggregate per FD (distinct Y per X, then count violators),
+    unioned into a single report. Exact, map-side-combining shuffles on
+    each X.
+    """
+    fds = [
+        ("bikeid -> usertype", "bikeid", "usertype"),
+        ("start_station -> end_station", "start_station_id", "end_station_id"),
+        ("bikeid -> gender", "bikeid", "gender"),
+    ]
+    out = None
+    for name, x, y in fds:
+        per_x = trips.groupBy(F.col(x).alias("x")).agg(
+            F.count_distinct(F.col(y)).alias("ny"),
+            F.count(F.lit(1)).alias("rows_x"),
+        )
+        rep = per_x.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("ny") > 1).cast("long")).cast("long").alias(
+                "violating_keys"
+            ),
+            F.max("ny").alias("max_distinct_y"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out

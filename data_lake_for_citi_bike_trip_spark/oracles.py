@@ -3797,3 +3797,60 @@ SELECT station, n_days, CAST(n_pairs AS BIGINT) AS n_pairs,
 FROM ranked WHERE rk = (n_pairs + 1) // 2
 """
 )
+
+
+# operators/profile.py:benford_audit — same integer e6 Benford
+# constants and share arithmetic.
+BENFORD_AUDIT = """
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+),
+bench AS (
+  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+                        (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+                        (9, 45757)) b(digit, expected_e6)
+),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+SELECT COALESCE(c.digit, b.digit) AS digit,
+       COALESCE(c.n, 0) AS n,
+       (1000000 * COALESCE(c.n, 0)) // total AS observed_e6,
+       CAST(COALESCE(b.expected_e6, 0) AS BIGINT) AS expected_e6,
+       abs((1000000 * COALESCE(c.n, 0)) // total
+           - COALESCE(b.expected_e6, 0)) AS abs_dev_e6
+FROM counts c FULL OUTER JOIN bench b USING (digit), total
+"""
+
+
+# operators/profile.py:fd_violations — the same three candidate FDs on
+# the staged trips.
+FD_VIOLATIONS = with_staging(
+""",
+fd1 AS (
+  SELECT bikeid AS x, COUNT(DISTINCT usertype) AS ny FROM trips GROUP BY 1
+),
+fd2 AS (
+  SELECT start_station_id AS x, COUNT(DISTINCT end_station_id) AS ny
+  FROM trips GROUP BY 1
+),
+fd3 AS (
+  SELECT bikeid AS x, COUNT(DISTINCT gender) AS ny FROM trips GROUP BY 1
+)
+SELECT 'bikeid -> usertype' AS fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COUNT(CASE WHEN ny > 1 THEN 1 END) AS BIGINT) AS violating_keys,
+       CAST(max(ny) AS BIGINT) AS max_distinct_y
+FROM fd1
+UNION ALL
+SELECT 'start_station -> end_station', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(CASE WHEN ny > 1 THEN 1 END) AS BIGINT),
+       CAST(max(ny) AS BIGINT)
+FROM fd2
+UNION ALL
+SELECT 'bikeid -> gender', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(CASE WHEN ny > 1 THEN 1 END) AS BIGINT),
+       CAST(max(ny) AS BIGINT)
+FROM fd3
+"""
+)
