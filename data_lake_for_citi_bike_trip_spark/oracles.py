@@ -3689,7 +3689,11 @@ WHERE (10000 * p.inter) // (sa.sz + sb.sz - p.inter) >= 6000
 
 # streaming/pipeline.py:join_then_window — chained stateful operators:
 # eager inner-join pairs, then the append-mode window cutoff under the
-# final global watermark (min of the two filtered sides' max ts - 2h).
+# DOWNSTREAM watermark. Crucial chaining semantics (verified at three
+# scales): the join DELAYS the watermark it passes downstream by its
+# own buffering horizon — an output row's l_ts can be up to `horizon`
+# older than the source watermark — so the window cutoff is
+# (min of the two filtered sides' max ts) - delay - horizon.
 STREAM_JOIN_WINDOW = """
 WITH mx AS (
   SELECT least(
@@ -3710,7 +3714,8 @@ w AS (
 )
 SELECT window_start_us, n_pairs
 FROM w, mx
-WHERE window_start_us + 3600000000 <= epoch_us(m) - 7200000000
+WHERE window_start_us + 3600000000
+      <= epoch_us(m) - 7200000000 - 3600000000
 """
 
 

@@ -547,9 +547,12 @@ def join_then_window(
     two-sided watermark).
 
     Emission rule mirrored by the oracle: inner join emits eagerly;
-    the APPEND-mode window then emits only watermark-closed windows,
-    where the final global watermark is min(max error ts, max purchase
-    ts) - delay (each side's watermark operator sits after its filter).
+    the APPEND-mode window then emits only watermark-closed windows.
+    The chaining subtlety (verified at sf0.001/0.01/0.1): the join
+    DELAYS the watermark it hands downstream by its buffering
+    ``horizon`` — its output can carry l_ts up to horizon older than
+    the source watermark — so the window cutoff is
+    min(max error ts, max purchase ts) - watermark_delay - horizon.
     """
     errors = stream_events(spark, sf_dir).where(F.col("event_type") == "error")
     purchases = stream_events(spark, sf_dir).where(
