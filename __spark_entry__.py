@@ -1041,6 +1041,30 @@ def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.fd_violations(trips)
 
 
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-user debounce (decision-dependent state — grouped-map
+    escape hatch, hash-checked against a recursive-CTE oracle)."""
+    return behavior.debounce_events(load_table(spark, sf_dir, "events"))
+
+
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level percent-of-parent contribution (nation within region,
+    nation within global) from one rollup + window sums."""
+    return analytics.share_of_parent(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_stream_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two streams drained as one plan."""
+    return streaming.stream_union_counts(
+        streaming.scoped_session(spark, 8), sf_dir
+    )
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1955,6 +1979,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "benford_audit": q_benford_audit,
         "fd_violations": q_fd_violations,
+        "debounce_events": q_debounce_events,
+        "share_of_parent": q_share_of_parent,
+        "stream_union_counts": q_stream_union_counts,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -2152,6 +2179,9 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": oracles.THEIL_SEN,
         "benford_audit": oracles.BENFORD_AUDIT,
         "fd_violations": oracles.FD_VIOLATIONS,
+        "debounce_events": oracles.DEBOUNCE_EVENTS,
+        "share_of_parent": oracles.SHARE_OF_PARENT,
+        "stream_union_counts": oracles.STREAM_UNION_COUNTS,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

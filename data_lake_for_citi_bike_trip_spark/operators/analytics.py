@@ -626,3 +626,42 @@ def cube_distinct_users(events: DataFrame) -> DataFrame:
         )
         .select("dow", "event_type", "gid", "n_users", "n_events")
     )
+
+
+def share_of_parent(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """BI contribution analysis: each nation's share of its region's
+    revenue and of the global total, in basis points — percent-of-
+    parent at two hierarchy levels from ONE aggregate + two window
+    sums over the same rolled-up rows (no re-scan per level).
+    """
+    per_nation = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    region_total = F.sum("revenue_cents").over(
+        Window.partitionBy("region_name")
+    )
+    global_total = F.sum("revenue_cents").over(
+        Window.partitionBy()
+    )
+    return per_nation.select(
+        "region_name",
+        "nation_name",
+        "revenue_cents",
+        F.expr(
+            "(10000 * revenue_cents) div sum(revenue_cents)"
+            " over (partition by region_name)"
+        ).alias("share_of_region_bp"),
+        F.expr(
+            "(10000 * revenue_cents) div sum(revenue_cents) over ()"
+        ).alias("share_of_global_bp"),
+    )

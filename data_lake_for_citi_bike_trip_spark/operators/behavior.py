@@ -421,3 +421,49 @@ def cep_error_recovery(events: DataFrame, within_minutes: int = 60) -> DataFrame
         F.count(F.lit(1)).alias("n_recovered_errors"),
         F.sum("n_purchases").cast("long").alias("n_recovery_purchases"),
     )
+
+
+DEBOUNCE_SCHEMA = "user_id bigint, n_events bigint, n_kept bigint, kept_ids string"
+
+
+def debounce_events(events: DataFrame, refractory_minutes: int = 120) -> DataFrame:
+    """GREEDY debounce per user: keep an event only if at least
+    ``refractory_minutes`` passed since the last KEPT event — the
+    rate-limiter / alert-suppression semantics. This is genuinely
+    outside window-function reach (each decision depends on the
+    previous DECISION, not the previous row), so the batch form uses
+    the sanctioned escape hatch: an Arrow-batched grouped-map
+    (applyInPandas) walking each user's sorted events — per-key state,
+    bounded groups, no driver involvement. The oracle replays the same
+    greedy walk with a recursive CTE, so the escape-hatch logic itself
+    is hash-checked.
+
+    Emits per user: events seen, events kept, and the ordered kept ids
+    (a deterministic '>' join — total order (ts, event_id)).
+    """
+    gap_us = refractory_minutes * 60 * 1_000_000
+
+    def walk(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        kept, last = [], None
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for eid, t in zip(pdf["event_id"], us):
+            if last is None or t - last >= gap_us:
+                kept.append(int(eid))
+                last = t
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "n_kept": [len(kept)],
+                "kept_ids": [">".join(str(k) for k in kept)],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandas(walk, schema=DEBOUNCE_SCHEMA)
+    )

@@ -3859,3 +3859,64 @@ SELECT 'bikeid -> gender', CAST(COUNT(*) AS BIGINT),
 FROM fd3
 """
 )
+
+
+# operators/behavior.py:debounce_events — the greedy walk replayed by
+# a recursive CTE (decision state threaded row to row).
+DEBOUNCE_EVENTS = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+walk AS (
+  SELECT user_id, rn, n, us AS last_us,
+         CAST(event_id AS VARCHAR) AS kept, 1 AS n_kept
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.n,
+         CASE WHEN o.us - w.last_us >= 7200000000 THEN o.us
+              ELSE w.last_us END,
+         CASE WHEN o.us - w.last_us >= 7200000000
+              THEN w.kept || '>' || CAST(o.event_id AS VARCHAR)
+              ELSE w.kept END,
+         w.n_kept + CASE WHEN o.us - w.last_us >= 7200000000
+                         THEN 1 ELSE 0 END
+  FROM walk w
+  JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(n_kept AS BIGINT) AS n_kept, kept AS kept_ids
+FROM walk WHERE rn = n
+"""
+
+
+# operators/analytics.py:share_of_parent — identical two-level window
+# shares; revenue summed as exact cents.
+SHARE_OF_PARENT = """
+WITH per_nation AS (
+  SELECT r_name AS region_name, n_name AS nation_name,
+         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS revenue_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region_name, nation_name, revenue_cents,
+       (10000 * revenue_cents)
+         // CAST(sum(revenue_cents) OVER (PARTITION BY region_name) AS BIGINT)
+         AS share_of_region_bp,
+       (10000 * revenue_cents)
+         // CAST(sum(revenue_cents) OVER () AS BIGINT) AS share_of_global_bp
+FROM per_nation
+"""
+
+
+# streaming/pipeline.py:stream_union_counts — the union drain is
+# value-invisible; plain batch counts of the two types.
+STREAM_UNION_COUNTS = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+"""

@@ -570,3 +570,16 @@ def join_then_window(
         )
     )
     return counts
+
+
+def stream_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION of two streaming sources in one query (clicks from one
+    logical feed, purchases from another — here two filtered readers
+    over the same files): unioned streams share the trigger and drain
+    as one plan; counts per type equal the batch aggregate."""
+    a = stream_events(spark, sf_dir).where(F.col("event_type") == "click")
+    b = stream_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    counts = a.unionByName(b).groupBy("event_type").count().withColumnRenamed(
+        "count", "cnt"
+    )
+    return run_available_now(counts, "q_stream_union_counts", "complete")
