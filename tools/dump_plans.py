@@ -80,13 +80,21 @@ HEADLINE = [
     "topk_with_ties",
     "ab_lift",
     "dow_seasonality",
-    "ivm_join",
     "mixture_deficit",
     "group_split",
     "source_divergence",
     "embedding_drift",
     "arrow_vector_stats",
     "stream_multibatch_totals",
+    "cube_distinct",
+    "jaccard_prefix",
+    "cep_recovery",
+    "theil_sen",
+    "benford_audit",
+    "fd_violations",
+    "debounce_events",
+    "share_of_parent",
+    "ivm_join",
 ]
 
 NOTES = {
@@ -149,6 +157,23 @@ NOTES = {
     "over the scan; no shuffle",
     "stream_multibatch_totals": "three stateful micro-batches; state "
     "keyed on user_id",
+    "cube_distinct": "Expand x4 grouping sets BEFORE the distinct "
+    "aggregate (non-additive measure; HLL per cell is the scale swap)",
+    "jaccard_prefix": "candidates keyed on PREFIX shingles only "
+    "(rarest-first order); verification joins full postings of "
+    "candidates; broadcast df/size maps",
+    "cep_recovery": "one user_id shuffle for the lead window; purchase "
+    "probe is a keyed interval join",
+    "theil_sen": "pairwise explode bounded per key (calendar days); "
+    "rank window shares the station partitioning",
+    "benford_audit": "one scan, 9-row aggregate; expectation table and "
+    "total are broadcast attaches",
+    "fd_violations": "one keyed aggregate per candidate FD, unioned "
+    "1-row reports",
+    "debounce_events": "grouped-map (Arrow) walk per user — the "
+    "sanctioned escape hatch for decision-dependent state",
+    "share_of_parent": "one rollup, two window sums over the rolled-up "
+    "rows (25 rows — single-partition window is the answer size)",
     "fact_trips": "both dims broadcast (J1/J2); exchanges are the spread() "
     "rebalances + staging groupBys, not join shuffles",
     "pricing_summary": "partial+final HashAggregate; shipdate filter and "
