@@ -149,3 +149,53 @@ def test_near_dup_chain_semantics(spark):
         for r in behavior.near_dup_events(events).collect()
     }
     assert got == {(1, "c"): (4, 2)}
+
+
+def test_cep_intervening_error_truncates_match_window(spark):
+    import datetime as dt
+
+    from data_lake_for_citi_bike_trip_spark.operators import behavior
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 10, minute, 0)
+
+    rows = [
+        # user 1: error@0, error@10, purchase@20 -> only the SECOND
+        # error matches (the first is truncated by the intervening one)
+        (1, 1, t(0), "error"),
+        (1, 2, t(10), "error"),
+        (1, 3, t(20), "purchase"),
+        # user 2: error@0, purchase@30 inside the hour, no other error
+        (2, 4, t(0), "error"),
+        (2, 5, t(30), "purchase"),
+        # user 3: purchase arrives after the 60-min window
+        (3, 6, dt.datetime(2024, 1, 1, 8, 0, 0), "error"),
+        (3, 7, dt.datetime(2024, 1, 1, 9, 30, 0), "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    got = {
+        r.user_id: (r.n_recovered_errors, r.n_recovery_purchases)
+        for r in behavior.cep_error_recovery(events).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 1)}
+
+
+def test_debounce_greedy_chain(spark):
+    import datetime as dt
+
+    from data_lake_for_citi_bike_trip_spark.operators import behavior
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(minutes=minute)
+
+    # gaps of 70, 70, 200 min with refractory 120: greedy keeps
+    # events at 0 and 140 and 340 (the 70-min one is suppressed, which
+    # SHIFTS the anchor — a windowed lag-check would get this wrong)
+    rows = [(1, i, t(m)) for i, m in enumerate([0, 70, 140, 340])]
+    events = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp"
+    )
+    got = behavior.debounce_events(events).collect()[0]
+    assert (got.n_events, got.n_kept, got.kept_ids) == (4, 3, "0>2>3")
