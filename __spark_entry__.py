@@ -1065,6 +1065,18 @@ def q_stream_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph computed inside sign-pattern LSH blocks — the
+    scale path for the O(n^2) per-block primitive; exactly mirrored."""
+    return similarity.blocked_mutual_knn(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_knn_blocked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic recall readout of the blocked mutual-kNN graph vs
+    the exact graph (both reproduced by the oracle)."""
+    return similarity.blocked_knn_recall(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1982,6 +1994,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce_events": q_debounce_events,
         "share_of_parent": q_share_of_parent,
         "stream_union_counts": q_stream_union_counts,
+        "knn_blocked_pairs": q_knn_blocked_pairs,
+        "knn_blocked_recall": q_knn_blocked_recall,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -2182,6 +2196,8 @@ def oracle_sql() -> dict[str, str]:
         "debounce_events": oracles.DEBOUNCE_EVENTS,
         "share_of_parent": oracles.SHARE_OF_PARENT,
         "stream_union_counts": oracles.STREAM_UNION_COUNTS,
+        "knn_blocked_pairs": oracles.KNN_BLOCKED_PAIRS,
+        "knn_blocked_recall": oracles.KNN_BLOCKED_RECALL,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

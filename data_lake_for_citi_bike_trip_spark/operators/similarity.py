@@ -743,3 +743,68 @@ def arrow_vector_stats(embeddings: DataFrame) -> DataFrame:
     return embeddings.select("vec_id", "embedding").mapInArrow(
         batches, "vec_id bigint, dims bigint, l1_e6 bigint, linf_e6 bigint"
     )
+
+
+def blocked_mutual_knn(
+    embeddings: DataFrame, k: int = 5, bucket_bits: int = 4
+) -> DataFrame:
+    """The SCALE path for the mutual-kNN graph: the exact
+    ``mutual_knn_pairs`` above is O(n²) by contract (documented as the
+    per-block primitive) — this runs that primitive INSIDE sign-pattern
+    LSH blocks, so pair scoring is sum over buckets of |bucket|²
+    instead of n². Same mutuality canonicalization; candidate loss is
+    quantified by ``blocked_knn_recall`` below rather than hidden.
+    """
+    corpus = (
+        _prepared(embeddings)
+        .withColumn("bucket", V.sign_bucket(F.col("v"), bucket_bits))
+        .withColumn("nrm", V.norm(F.col("v")))
+    )
+    src = corpus.select(
+        F.col("bucket").alias("b2"),
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("sv"),
+        F.col("nrm").alias("snrm"),
+    )
+    scored = corpus.join(
+        src,
+        (F.col("bucket") == F.col("b2")) & (F.col("vec_id") != F.col("src")),
+    ).select(
+        "src",
+        F.col("vec_id").alias("dst"),
+        V.cosine_r6_prenormed(
+            F.col("sv"), F.col("v"), F.col("snrm"), F.col("nrm")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    edges = scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).where(F.col("rank") <= k)
+    canon = edges.select(
+        F.least("src", "dst").alias("v1"),
+        F.greatest("src", "dst").alias("v2"),
+        "cos_sim",
+    )
+    return (
+        canon.groupBy("v1", "v2")
+        .agg(F.count(F.lit(1)).alias("__n"), F.max("cos_sim").alias("cos_sim"))
+        .where(F.col("__n") == 2)
+        .drop("__n")
+    )
+
+
+def blocked_knn_recall(embeddings: DataFrame, k: int = 5, bucket_bits: int = 4) -> DataFrame:
+    """One-row quality readout for the blocked graph: exact-pair count,
+    blocked-pair count, their intersection, and recall in basis points
+    — entirely deterministic, so the oracle reproduces the number
+    rather than trusting a bound."""
+    exact = mutual_knn_pairs(embeddings, k=k).select("v1", "v2")
+    blocked = blocked_mutual_knn(embeddings, k=k, bucket_bits=bucket_bits).select(
+        "v1", "v2"
+    )
+    common = exact.join(blocked, ["v1", "v2"]).count()
+    n_exact, n_blocked = exact.count(), blocked.count()
+    return embeddings.sparkSession.createDataFrame(
+        [(n_exact, n_blocked, common, (10000 * common) // max(n_exact, 1))],
+        "n_exact bigint, n_blocked bigint, n_common bigint, recall_bp bigint",
+    )

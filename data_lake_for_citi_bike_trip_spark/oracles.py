@@ -3920,3 +3920,84 @@ STREAM_UNION_COUNTS = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
 """
+
+
+# operators/similarity.py:blocked_mutual_knn — mutual kNN restricted to
+# sign-pattern blocks (first 4 coords), exactly mirrored.
+_SIGN4 = (
+    "array_to_string(list_transform({v}[1:4], "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+KNN_BLOCKED_PAIRS = f"""
+WITH corpus AS (
+  SELECT vec_id, v, {_SIGN4.format(v='v')} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_cos('a.v', 'b.v')} AS cos_sim
+  FROM corpus a JOIN corpus b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+edges AS (
+  SELECT * FROM (
+    SELECT *, CAST(row_number() OVER (
+      PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS BIGINT) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+)
+SELECT f.src AS v1, f.dst AS v2, f.cos_sim
+FROM edges f JOIN edges r ON f.src = r.dst AND f.dst = r.src
+WHERE f.src < f.dst
+"""
+
+
+# operators/similarity.py:blocked_knn_recall — both graphs reproduced,
+# recall computed as the same integer division.
+KNN_BLOCKED_RECALL = f"""
+WITH corpus AS (
+  SELECT vec_id, v, {_SIGN4.format(v='v')} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+scored_e AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_cos('a.v', 'b.v')} AS cos_sim
+  FROM corpus a CROSS JOIN corpus b WHERE a.vec_id <> b.vec_id
+),
+edges_e AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
+    FROM scored_e
+  ) WHERE rank <= 5
+),
+exact AS (
+  SELECT f.src AS v1, f.dst AS v2
+  FROM edges_e f JOIN edges_e r ON f.src = r.dst AND f.dst = r.src
+  WHERE f.src < f.dst
+),
+scored_b AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_cos('a.v', 'b.v')} AS cos_sim
+  FROM corpus a JOIN corpus b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+edges_b AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
+    FROM scored_b
+  ) WHERE rank <= 5
+),
+blocked AS (
+  SELECT f.src AS v1, f.dst AS v2
+  FROM edges_b f JOIN edges_b r ON f.src = r.dst AND f.dst = r.src
+  WHERE f.src < f.dst
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM blocked) AS n_blocked,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM exact e JOIN blocked b USING (v1, v2)) AS n_common,
+       (10000 * (SELECT CAST(COUNT(*) AS BIGINT)
+                 FROM exact e JOIN blocked b USING (v1, v2)))
+         // greatest((SELECT CAST(COUNT(*) AS BIGINT) FROM exact), 1)
+         AS recall_bp
+"""
