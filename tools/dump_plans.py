@@ -95,6 +95,7 @@ HEADLINE = [
     "debounce_events",
     "share_of_parent",
     "ivm_join",
+    "knn_blocked_pairs",
 ]
 
 NOTES = {
@@ -174,6 +175,9 @@ NOTES = {
     "sanctioned escape hatch for decision-dependent state",
     "share_of_parent": "one rollup, two window sums over the rolled-up "
     "rows (25 rows — single-partition window is the answer size)",
+    "knn_blocked_pairs": "pair scoring keyed on the sign bucket (sum of "
+    "squared block sizes, never n^2); per-src window top-k then the "
+    "mutuality group",
     "fact_trips": "both dims broadcast (J1/J2); exchanges are the spread() "
     "rebalances + staging groupBys, not join shuffles",
     "pricing_summary": "partial+final HashAggregate; shipdate filter and "
