@@ -1077,6 +1077,47 @@ def q_knn_blocked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.blocked_knn_recall(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel as a queryable surface: build the lake_merge table
+    (create + two CDC merges), then read EVERY committed version back
+    through the manifest log and emit per-version row counts — the
+    oracle replays the merge sequence to predict all three."""
+    import tempfile
+
+    from data_lake_for_citi_bike_trip_spark.sources.txn import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    current = customer.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+    )
+
+    def batch(mod: int, prefix: str) -> DataFrame:
+        return orders.where(F.col("o_orderkey") % 3 == mod).select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderkey") % 10 < 2, "D")
+            .when(F.col("o_orderkey") % 10 < 6, "U")
+            .otherwise("I")
+            .alias("op"),
+            F.concat(F.lit(prefix), F.col("o_orderkey").cast("string")).alias(
+                "c_name"
+            ),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("acctbal_cents"),
+        )
+
+    root = tempfile.mkdtemp(prefix="txn_history_")
+    t = TxnTable.create(spark, os.path.join(root, "t"), current, key="c_custkey")
+    t.merge(spark, batch(0, "m1_"), "seq", "op")
+    t.merge(spark, batch(1, "m2_"), "seq", "op")
+    rows = [(v, t.read(spark, v).count()) for v in t.versions()]
+    return spark.createDataFrame(rows, "version bigint, n_rows bigint")
+
+
 def q_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight DQ metrics via df.observe: the aggregates are collected
     during the write's own single pass (no second scan — the Spark-native
@@ -1996,6 +2037,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_union_counts": q_stream_union_counts,
         "knn_blocked_pairs": q_knn_blocked_pairs,
         "knn_blocked_recall": q_knn_blocked_recall,
+        "txn_history": q_txn_history,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
         "window_funcs": q_window_funcs,
@@ -2198,6 +2240,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_union_counts": oracles.STREAM_UNION_COUNTS,
         "knn_blocked_pairs": oracles.KNN_BLOCKED_PAIRS,
         "knn_blocked_recall": oracles.KNN_BLOCKED_RECALL,
+        "txn_history": oracles.TXN_HISTORY,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,
         "window_funcs": oracles.WINDOW_FUNCS,

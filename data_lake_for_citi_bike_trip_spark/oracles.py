@@ -4001,3 +4001,69 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
          // greatest((SELECT CAST(COUNT(*) AS BIGINT) FROM exact), 1)
          AS recall_bp
 """
+
+
+# sources/txn.py time travel as a queryable surface: per-version row
+# counts of the lake_merge table, derived by replaying both merges.
+TXN_HISTORY = """
+WITH cur0 AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+),
+ch1 AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+              WHEN o_orderkey % 10 < 6 THEN 'U'
+              ELSE 'I' END AS op,
+         'm1_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS acctbal_cents
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+l1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM ch1
+  ) WHERE rn = 1
+),
+cur1 AS (
+  SELECT COALESCE(g.c_custkey, c.c_custkey) AS c_custkey,
+         CASE WHEN g.c_custkey IS NOT NULL THEN g.c_name
+              ELSE c.c_name END AS c_name,
+         CASE WHEN g.c_custkey IS NOT NULL THEN g.acctbal_cents
+              ELSE c.acctbal_cents END AS acctbal_cents
+  FROM cur0 c FULL JOIN l1 g ON c.c_custkey = g.c_custkey
+  WHERE NOT (g.c_custkey IS NOT NULL AND g.op = 'D')
+),
+ch2 AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+              WHEN o_orderkey % 10 < 6 THEN 'U'
+              ELSE 'I' END AS op,
+         'm2_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS acctbal_cents
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+l2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM ch2
+  ) WHERE rn = 1
+)
+,
+cur2 AS (
+SELECT COALESCE(g.c_custkey, c.c_custkey) AS c_custkey,
+       CASE WHEN g.c_custkey IS NOT NULL THEN g.c_name
+            ELSE c.c_name END AS c_name,
+       CASE WHEN g.c_custkey IS NOT NULL THEN g.acctbal_cents
+            ELSE c.acctbal_cents END AS acctbal_cents
+FROM cur1 c FULL JOIN l2 g ON c.c_custkey = g.c_custkey
+WHERE NOT (g.c_custkey IS NOT NULL AND g.op = 'D')
+)
+SELECT CAST(1 AS BIGINT) AS version,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cur0) AS n_rows
+UNION ALL
+SELECT 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM cur1)
+UNION ALL
+SELECT 3, (SELECT CAST(COUNT(*) AS BIGINT) FROM cur2)
+"""
