@@ -1082,6 +1082,8 @@ def q_txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     (create + two CDC merges), then read EVERY committed version back
     through the manifest log and emit per-version row counts — the
     oracle replays the merge sequence to predict all three."""
+    import atexit
+    import shutil
     import tempfile
 
     from data_lake_for_citi_bike_trip_spark.sources.txn import TxnTable
@@ -1111,6 +1113,7 @@ def q_txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     root = tempfile.mkdtemp(prefix="txn_history_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     t = TxnTable.create(spark, os.path.join(root, "t"), current, key="c_custkey")
     t.merge(spark, batch(0, "m1_"), "seq", "op")
     t.merge(spark, batch(1, "m2_"), "seq", "op")
@@ -1744,183 +1747,60 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_fact_trips(spark, SF_SMOKE)
 
 
-# Queries with a green driver row in CORRECTNESS_r04 (the most recent
-# round). Ordered LAST among checked queries so the 50-entry gate's tail
-# lands on least-recently-checked rows first.
-_CHECKED_R04 = frozenset({
-    "ann_ivf_topk",
-    "approx_distinct_users",
-    "asof_nearest",
-    "asof_purchase",
-    "boilerplate_chunks",
-    "cumulative_uniques",
-    "dedup_incremental",
-    "dim_bike",
-    "dim_covid",
-    "dim_station",
-    "dim_time",
-    "dim_user_agg",
-    "dim_weather",
-    "dq_counts",
-    "event_type_pivot",
-    "fact_trips",
-    "gap_fill_daily",
-    "incident_exposure",
-    "interpolate_daily",
-    "lake_roundtrip",
-    "lateral_topk",
-    "multimodal_png_pixels",
-    "not_in_null_semantics",
-    "null_safe_gender_rollup",
-    "pricing_summary",
-    "quantize_int8",
-    "revenue_by_nation",
-    "rides_per_hour",
-    "sessionize",
-    "stream_append_counts",
-    "stream_interval_join",
-    "stream_scd1_upsert",
-    "stream_session_counts",
-    "stream_sliding_sum",
-    "stream_static_enrich",
-    "top_stations",
-    "tpch_customer_distribution",
-    "tpch_inactive_customers",
-    "tpch_min_cost_supplier",
-    "tpch_promo_stock_suppliers",
-    "tpch_small_quantity_revenue",
-    "tpch_supplier_relation",
-    "tpch_top_supplier",
-    "tpch_waiting_suppliers",
-    "trend_slope",
-    "user_gap_median",
-})
+def _driver_green_rounds() -> dict[str, int]:
+    """query -> latest round with a green driver-gate row, scanned from
+    the CORRECTNESS_r*.json artifacts the driver writes next to this
+    file. Self-maintaining: each round's artifact automatically reorders
+    the gate rotation so never-checked queries go first and the rest
+    rotate least-recently-checked-first. A row is green iff it errored
+    nowhere and no recorded comparison (rows/schema/hash) failed —
+    rows-only checks (hash_match null for non-SQL ops) count."""
+    import glob
+    import json
+    import re as _re
 
-# Queries with a green driver row in any of CORRECTNESS_r01-r04. The
-# driver's correctness gate samples only the FIRST 50 entries of
-# queries() in dict order, so queries() front-loads everything NOT in
-# this set (new work, plus r04's four HUGEINT-mismatch rows whose casts
-# landed this round and need a fresh driver row) until each has one.
-_DRIVER_CHECKED = _CHECKED_R04 | frozenset({
-    "above_average_orders",
-    "ann_cosine_topk",
-    "ann_ivf_recall",
-    "ann_lsh_topk",
-    "anti_users",
-    "approx_percentile",
-    "asof_forward",
-    "asof_purchase",
-    "bm25_topk",
-    "cdc_merge",
-    "chunk_documents",
-    "cohort_retention",
-    "contamination_check",
-    "corpus_vocabulary",
-    "cte_monthly_top_segment",
-    "cube_priority",
-    "dedup_clusters",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_levenshtein",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_docs",
-    "dedup_simhash_pairs",
-    "dim_bike",
-    "dim_covid",
-    "dim_station",
-    "dim_time",
-    "dim_user_agg",
-    "dim_weather",
-    "dq_counts",
-    "event_type_pivot",
-    "except_parts",
-    "exists_big_spenders",
-    "fact_trips",
-    "feature_deciles",
-    "funnel_counts",
-    "grouping_sets_orders",
-    "incremental_agg",
-    "intersect_users",
-    "json_props_rollup",
-    "key_skew_profile",
-    "knn_mutual_pairs",
-    "lake_roundtrip",
-    "length_histogram",
-    "llm_prep_pipeline",
-    "mad_anomalies",
-    "markov_transitions",
-    "mixture_epochs",
-    "moving_average",
-    "multimodal_decode_dims",
-    "multimodal_payload_stats",
-    "pack_sequences",
-    "pricing_summary",
-    "profile_orders",
-    "range_price_match",
-    "referential_orphans",
-    "revenue_by_nation",
-    "rides_per_hour",
-    "rollup_revenue",
-    "sample_by_hash",
-    "sample_per_group",
-    "sample_stratified",
-    "scd1_customers",
-    "scd2_stations",
-    "scrub_text",
-    "semantic_dedup",
-    "session_window",
-    "sessionize",
-    "skew_salted_agg",
-    "snapshot_diff",
-    "station_neighbors",
-    "stats_summary",
-    "stream_dedup_keys",
-    "stream_user_totals",
-    "stream_window_counts",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality",
-    "text_repetition",
-    "text_surprisal",
-    "text_token_stats",
-    "token_colocation",
-    "top_stations",
-    "tpch_discounted_revenue",
-    "tpch_forecast_revenue",
-    "tpch_large_orders",
-    "tpch_local_supplier_volume",
-    "tpch_market_share",
-    "tpch_order_priority",
-    "tpch_promo_effect",
-    "tpch_returned_items",
-    "tpch_shipping_priority",
-    "tpch_volume_shipping",
-    "train_test_split",
-    "union_backfill",
-    "unpivot_event_counts",
-    "vector_norms",
-    "window_funcs",
-    "zorder_sample",
-})
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """fact_trips first (flagship), then never-driver-checked queries so
-    the 50-entry gate lands on new work, then the already-green rest in
-    least-recently-checked order (r01-r03 rows before r04 rows)."""
+    """fact_trips first (flagship), then queries with NO green driver row
+    in any CORRECTNESS_r*.json (new work + past reds), then the already-
+    green rest ordered by how long ago their latest green row landed
+    (least-recently-checked first). The driver's gate samples only the
+    first 50 entries, so this ordering guarantees every query earns a
+    fresh row within ceil(n/50) rounds."""
     allq = _all_queries()
-    ordered = {"fact_trips": allq["fact_trips"]}
-    for name, fn in allq.items():
-        if name not in _DRIVER_CHECKED:
-            ordered.setdefault(name, fn)
-    for name, fn in allq.items():
-        if name not in _CHECKED_R04:
-            ordered.setdefault(name, fn)
-    for name, fn in allq.items():
-        ordered.setdefault(name, fn)
-    return ordered
+    green = _driver_green_rounds()
+    names = sorted(
+        allq,
+        key=lambda n: (n != "fact_trips", green.get(n, 0), list(allq).index(n)),
+    )
+    return {n: allq[n] for n in names}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

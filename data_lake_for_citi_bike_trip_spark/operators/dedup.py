@@ -599,6 +599,12 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     words = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), "[^a-z]+").alias("ws")
     )
+    # Docs with <3 tokens have no trigram shingles. Without this guard
+    # sequence(1, size-2) auto-DESCENDS for size<3 (sequence(1,0) ->
+    # [1,0]) and element_at(ws, 0) raises INVALID_INDEX_OF_ZERO; the
+    # DuckDB oracle's generate_series(1, len-2) is empty for the same
+    # input, so filtering matches oracle semantics exactly.
+    words = words.where(F.size("ws") >= 3)
     toks = (
         words.select(
             "doc_id",
@@ -614,15 +620,19 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     )
     df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # No broadcast hints on df_counts/sizes: both grow with the corpus
+    # (one row per distinct shingle / per doc), so a forced hint would
+    # blow the 8 GB broadcast limit at 100 TB. AQE still broadcasts
+    # them when they are actually small.
     ranked = (
-        toks.join(F.broadcast(df_counts), "tok")
+        toks.join(df_counts, "tok")
         .withColumn(
             "rk",
             F.row_number().over(
                 Window.partitionBy("doc_id").orderBy("df", "tok")
             ),
         )
-        .join(F.broadcast(sizes), "doc_id")
+        .join(sizes, "doc_id")
     )
     prefix = ranked.where(
         F.col("rk")
@@ -650,8 +660,8 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -146,8 +146,9 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     is pure integer arithmetic regardless of summation order.
 
     Scale: explode -> map-side-combined counts; the unigram table
-    re-joins postings keyed on token (broadcast when the vocab is small);
-    corpus total attaches as a 1-row broadcast."""
+    re-joins postings keyed on token (AQE broadcasts it when small; no
+    forced hint — the vocab grows with the corpus); corpus total
+    attaches as a 1-row broadcast."""
     postings = (
         spread(docs)
         .select("doc_id", TX.tokens(F.col("text")).alias("w"))
@@ -159,8 +160,12 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     per_token_mb = F.floor(
         F.log2(F.col("total_cf").cast("double") / F.col("cf")) * 1000 + F.lit(0.5)
     ).cast("bigint")
+    # vocab grows with the corpus (one row per distinct token) — no
+    # forced broadcast hint; AQE broadcasts it when it is actually
+    # small and falls back to a shuffle join at 100 TB vocab sizes.
+    # The 1-row `total` stays hinted (provably bounded).
     scored = (
-        postings.join(F.broadcast(vocab), "token")
+        postings.join(vocab, "token")
         .crossJoin(F.broadcast(total))
         .select("doc_id", per_token_mb.alias("mb"))
     )
@@ -186,9 +191,10 @@ def token_colocation_lift(docs: DataFrame, min_count: int = 3) -> DataFrame:
     the token array — no positional self-join), and the corpus is
     scanned/exploded exactly ONCE: the (a, b) pair counts are the only
     full-data aggregate, and the marginals n_a / n_b / n_total are
-    RE-aggregations of that |distinct-bigrams|-sized table (broadcast
-    back). ``min_count`` prunes the long tail after the marginals are
-    taken, so they stay exact.
+    RE-aggregations of that |distinct-bigrams|-sized table (joined back
+    with AQE choosing the strategy — the marginals are vocabulary-sized,
+    so no forced broadcast). ``min_count`` prunes the long tail after
+    the marginals are taken, so they stay exact.
     """
     toks = spread(docs).select(
         "doc_id", TX.tokens(F.lower(F.col("text"))).alias("toks")
@@ -211,9 +217,12 @@ def token_colocation_lift(docs: DataFrame, min_count: int = 3) -> DataFrame:
     second_counts = pair_counts.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
     total = pair_counts.agg(F.sum("n_ab").alias("n_total"))
     return (
+        # Marginal tables are vocabulary-sized (grow with the corpus) —
+        # no forced broadcast; AQE chooses. Only the 1-row total keeps
+        # its hint.
         pair_counts.where(F.col("n_ab") >= min_count)
-        .join(F.broadcast(first_counts), "a")
-        .join(F.broadcast(second_counts), "b")
+        .join(first_counts, "a")
+        .join(second_counts, "b")
         .crossJoin(F.broadcast(total))
         .select(
             "a",

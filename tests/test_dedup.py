@@ -356,3 +356,25 @@ def test_jaccard_prefix_filter_prunes_but_loses_nothing(spark, sf_dir):
                 expect[(a, b)] = j
     assert got == expect and got, (len(got), len(expect))
     assert n_cand_all > 10 * len(expect), "corpus too clean to prove pruning"
+
+
+def test_jaccard_prefix_short_docs_no_crash(spark):
+    """Docs whose split yields <3 tokens have no trigram shingles; they
+    must produce no rows (matching the oracle's empty generate_series)
+    instead of crashing on sequence(1, size-2) auto-descending into
+    element_at(ws, 0) (INVALID_INDEX_OF_ZERO)."""
+    from data_lake_for_citi_bike_trip_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                      # 0 usable tokens
+            (2, "word"),                  # 1 token
+            (3, "two words"),             # 2 tokens -> no trigram
+            (4, "alpha beta gamma delta epsilon zeta"),
+            (5, "alpha beta gamma delta epsilon zeta"),  # exact dup of 4
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.jaccard_prefix_join(docs).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(4, 5)}
+    assert rows[0].jaccard_e4 == 10000

@@ -268,3 +268,32 @@ def test_no_contract_query_plans_a_cartesian_product(spark):
         if "CartesianProduct" in plan or "cartesianProduct" in plan:
             offenders[name] = plan[:500]
     assert not offenders, sorted(offenders)
+
+
+def test_corpus_sized_sides_not_hint_forced_broadcast(spark, sf_dir):
+    """The shingle-df / doc-size / vocab / bigram-marginal sides of
+    jaccard_prefix_join, text_surprisal, and token_colocation grow with
+    the corpus, so they must NOT carry a forced broadcast hint (at
+    100 TB a forced hint overflows the 8 GB broadcast limit; AQE still
+    broadcasts them while they are small). Assert the optimized plans
+    carry no ResolvedHint on those joins, the queries still avoid
+    BroadcastNestedLoopJoin, and results stay non-empty with AQE
+    choosing the strategy."""
+    for name in ("jaccard_prefix", "text_surprisal", "token_colocation"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        # simple physical string counts each node once (formatted_plan
+        # lists every node twice: tree + detail section)
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        n_bnlj = physical.count("BroadcastNestedLoopJoin")
+        assert n_bnlj <= 1, (name, n_bnlj)
+        # the only hint allowed is the 1-row stat attach (total counts);
+        # count hint-forced broadcasts in the analyzed plan instead —
+        # optimizer erases hints, analyzed keeps them
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        n_hints = analyzed.count("UnresolvedHint") + analyzed.count(
+            "ResolvedHint"
+        )
+        assert n_hints <= 1, (name, n_hints, analyzed[:800])
+        assert df.limit(1).count() == 1, name
+        assert "CartesianProduct" not in optimized, name
