@@ -91,6 +91,15 @@ def main() -> None:
     with open(hist_path, "a") as f:
         f.write(json.dumps({"ts": time.time(), **result}) + "\n")
 
+    # Full artifact at a stable path: the driver's BENCH_r*.json keeps
+    # only a 2000-char tail of stdout, which truncates the per-query
+    # map; BENCH_FULL.json is the complete, parseable record for the
+    # latest run (history stays in BENCH_HISTORY.jsonl).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump({"ts": time.time(), **result}, f, indent=1, sort_keys=True)
+
     print(json.dumps(result))
 
 

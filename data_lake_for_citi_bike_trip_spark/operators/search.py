@@ -154,7 +154,7 @@ def tfidf_similar_pairs(
     docs: DataFrame,
     k: int = 50,
     min_df: int = 2,
-    max_df: int = 50,
+    max_df_pct: int = 5,
 ) -> DataFrame:
     """Top-k most similar document pairs by sparse tf-idf dot product,
     computed through a POSTING-LIST self-join — never an all-pairs
@@ -167,11 +167,18 @@ def tfidf_similar_pairs(
     postings ON term with doc_a < doc_b -> sum(w_a * w_b) per pair.
 
     Scale design: the join is keyed on term, so each term contributes
-    df^2/2 candidate rows — bounded by the DEFAULT-ON ``max_df`` cap
+    df^2/2 candidate rows — bounded by the DEFAULT-ON stop-term cap
     (stop-term postings are exactly the quadratic blowup; reference
-    pattern: the same cap that guards dedup's shingle join). ``min_df``
-    drops hapax terms that cannot produce a pair. Top-k plans as
-    TakeOrderedAndProject over the pair aggregate; ordering
+    pattern: the same cap that guards dedup's shingle join). The cap is
+    FRACTIONAL — ``df * 100 <= max_df_pct * n_docs`` — because any
+    fixed absolute cap goes vacuous once the corpus outgrows it (at
+    10x the docs every term's df is ~10x; an absolute cap then filters
+    the whole vocabulary and the query silently returns nothing).
+    ``min_df`` drops hapax terms that cannot produce a pair. The
+    integer comparison df*100 <= pct*n is exact in every engine. The
+    df table is vocabulary-sized (grows with the corpus) so it carries
+    NO forced broadcast hint — AQE broadcasts it while small. Top-k
+    plans as TakeOrderedAndProject over the pair aggregate; ordering
     (score desc, doc_a, doc_b) is total, so the LIMIT boundary is
     deterministic.
     """
@@ -182,18 +189,21 @@ def tfidf_similar_pairs(
         )
         .where(F.length("term") >= 2)
     )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    post = (
-        tf.join(
-            F.broadcast(df.where((F.col("df") >= min_df) & (F.col("df") <= max_df))),
-            "term",
+    capped = (
+        df.crossJoin(F.broadcast(n_docs))  # 1-row stat attach
+        .where(
+            (F.col("df") >= min_df)
+            & (F.col("df") * 100 <= F.lit(max_df_pct) * F.col("n_docs"))
         )
-        .select(
-            "term",
-            "doc_id",
-            (F.col("tf") * F.expr("1000000 div df")).alias("w"),
-        )
+        .select("term", "df")
+    )
+    post = tf.join(capped, "term").select(
+        "term",
+        "doc_id",
+        (F.col("tf") * F.expr("1000000 div df")).alias("w"),
     )
     a = post.select("term", F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
     b = post.select("term", F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))

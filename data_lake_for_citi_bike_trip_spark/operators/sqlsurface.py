@@ -752,7 +752,8 @@ _TPCH_IMPORTANT_STOCK_BODY = """
 SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS stock_value_cents
 FROM national
 GROUP BY ps_partkey
-HAVING sum(v) * 800 > (SELECT sum(v) FROM national)
+HAVING sum(v) * (SELECT count(DISTINCT ps_partkey) FROM national)
+       > 3 * (SELECT sum(v) FROM national)
 ORDER BY stock_value_cents DESC, ps_partkey
 """
 
@@ -761,10 +762,14 @@ TPCH_IMPORTANT_STOCK_SQL = PARTSUPP_CTE + _TPCH_IMPORTANT_STOCK_BODY
 
 def tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock): per-part stock value within a
-    nation group, HAVING-filtered against an UNCORRELATED SCALAR
-    SUBQUERY over the same two-level aggregate (a fraction of the
-    national total). All-integer arithmetic so the threshold comparison
-    is exact in both engines."""
+    nation group, HAVING-filtered against TWO UNCORRELATED SCALAR
+    SUBQUERIES over the same two-level aggregate. The threshold is
+    MEAN-RELATIVE (part value > 3x the mean per-part value), so the
+    selected fraction (~2.5% of parts) is scale-invariant — a fixed
+    fraction-of-total cutoff (Q11's literal) selects zero rows once the
+    part count outgrows the fraction's reciprocal. All-integer
+    arithmetic; the cross-product sum(v)*count stays under int64 up to
+    ~sf 1e4."""
     _views(spark, sf_dir, ["supplier", "nation"])
     _partsupp_view(spark, sf_dir)
     return spark.sql(_PARTSUPP_MAT_CTE + _TPCH_IMPORTANT_STOCK_BODY)

@@ -2838,7 +2838,8 @@ df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
 post AS (
   SELECT t.term, t.doc_id, t.tf * (1000000 // d.df) AS w
   FROM tf t JOIN df d USING (term)
-  WHERE d.df >= 2 AND d.df <= 50
+  WHERE d.df >= 2
+    AND d.df * 100 <= 5 * (SELECT count(*) FROM documents)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(sum(a.w * b.w) AS BIGINT) AS score

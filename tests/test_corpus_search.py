@@ -141,7 +141,8 @@ def test_tfidf_similar_pairs_integer_scores(spark):
         ],
         "doc_id bigint, text string",
     )
-    rows = search.tfidf_similar_pairs(docs, k=10).collect()
+    # pct cap sized for the 4-doc corpus: df*100 <= 75*4 keeps df<=3
+    rows = search.tfidf_similar_pairs(docs, k=10, max_df_pct=75).collect()
     got = [(r.doc_a, r.doc_b, r.score) for r in rows]
     # df: cat=2 dog=3 (bird/fish hapax dropped); w_cat=500000, w_dog=333333
     s_dog = 333333 * 333333
