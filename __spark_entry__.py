@@ -663,6 +663,8 @@ def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return the v3 snapshot. The oracle mirrors the two merges as nested
     full-outer joins; the transactional machinery must be value-
     invisible."""
+    import atexit
+    import shutil
     import tempfile
 
     from data_lake_for_citi_bike_trip_spark.sources.txn import TxnTable
@@ -692,12 +694,40 @@ def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     root = tempfile.mkdtemp(prefix="lake_merge_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     t = TxnTable.create(
         spark, os.path.join(root, "t"), current, key="c_custkey"
     )
     t.merge(spark, batch(0, "m1_"), "seq", "op")
     t.merge(spark, batch(1, "m2_"), "seq", "op")
     return t.read(spark)
+
+
+def q_txn_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID-table point lookup through BUCKET PRUNING: build the
+    bucketed customer TxnTable, then read_keys() maps each requested
+    key to its hash bucket and scans only those bucket directories
+    (sources/txn.py:read_keys — at 100 TB / 4096 buckets a 5-key lookup
+    touches ~0.1% of the files). The oracle predicts the exact rows
+    from the source table; a pruning bug that drops a bucket (or scans
+    a stale manifest) goes red. The companion plan test asserts
+    inputFiles() is a strict subset of the full scan's."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from data_lake_for_citi_bike_trip_spark.sources.txn import TxnTable
+
+    customer = load_table(spark, sf_dir, "customer")
+    current = customer.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="txn_lookup_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = TxnTable.create(spark, os.path.join(root, "t"), current, key="c_custkey")
+    return t.read_keys(spark, [1, 7, 19, 23, 42])
 
 
 def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,6 +1105,25 @@ def q_knn_blocked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic recall readout of the blocked mutual-kNN graph vs
     the exact graph (both reproduced by the oracle)."""
     return similarity.blocked_knn_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_knn_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe blocked mutual-kNN: home bucket + one-bit-flip
+    probes recover hyperplane-straddling pairs at (1+bits)x candidate
+    cost; exactly mirrored by the oracle's probe-list SQL."""
+    return similarity.blocked_mutual_knn_multiprobe(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def q_knn_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single- vs multi-probe recall against the exact graph in one
+    deterministic row — the oracle reproduces both numbers, and the
+    gate therefore proves multi_recall_bp >= single_recall_bp on this
+    data rather than asserting it on faith."""
+    return similarity.blocked_knn_multiprobe_recall(
+        load_table(spark, sf_dir, "embeddings")
+    )
 
 
 def q_txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1858,6 +1907,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_levenshtein": q_dedup_levenshtein,
         "cdc_merge": q_cdc_merge,
         "lake_merge": q_lake_merge,
+        "txn_point_lookup": q_txn_point_lookup,
         "graph_pagerank": q_graph_pagerank,
         "ann_pq_topk": q_ann_pq_topk,
         "orc_roundtrip": q_orc_roundtrip,
@@ -1917,6 +1967,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_union_counts": q_stream_union_counts,
         "knn_blocked_pairs": q_knn_blocked_pairs,
         "knn_blocked_recall": q_knn_blocked_recall,
+        "knn_multiprobe_pairs": q_knn_multiprobe_pairs,
+        "knn_multiprobe_recall": q_knn_multiprobe_recall,
         "txn_history": q_txn_history,
         "ann_pq_recall": q_ann_pq_recall,
         "incremental_agg": q_incremental_agg,
@@ -2061,6 +2113,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_levenshtein": oracles.DEDUP_LEVENSHTEIN,
         "cdc_merge": oracles.CDC_MERGE,
         "lake_merge": oracles.LAKE_MERGE,
+        "txn_point_lookup": oracles.TXN_POINT_LOOKUP,
         "graph_pagerank": oracles.GRAPH_PAGERANK,
         "ann_pq_topk": oracles.ANN_PQ_TOPK,
         "orc_roundtrip": oracles.ORC_ROUNDTRIP,
@@ -2120,6 +2173,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_union_counts": oracles.STREAM_UNION_COUNTS,
         "knn_blocked_pairs": oracles.KNN_BLOCKED_PAIRS,
         "knn_blocked_recall": oracles.KNN_BLOCKED_RECALL,
+        "knn_multiprobe_pairs": oracles.KNN_MULTIPROBE_PAIRS,
+        "knn_multiprobe_recall": oracles.KNN_MULTIPROBE_RECALL,
         "txn_history": oracles.TXN_HISTORY,
         "ann_pq_recall": oracles.ANN_PQ_RECALL,
         "incremental_agg": oracles.INCREMENTAL_AGG,

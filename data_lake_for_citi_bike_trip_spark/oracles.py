@@ -4068,3 +4068,119 @@ SELECT 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM cur1)
 UNION ALL
 SELECT 3, (SELECT CAST(COUNT(*) AS BIGINT) FROM cur2)
 """
+
+
+# sources/txn.py:read_keys — bucket-pruned point lookup; the rows must
+# be exactly the source rows for the requested keys, whatever subset of
+# buckets the pruning scanned.
+TXN_POINT_LOOKUP = """
+SELECT c_custkey, c_name,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer
+WHERE c_custkey IN (1, 7, 19, 23, 42)
+"""
+
+
+# operators/similarity.py:blocked_mutual_knn_multiprobe — each vector
+# probes its home sign-bucket plus the 4 one-bit-flip buckets; the
+# probe relation is symmetric so the mutual graph needs no second pass.
+_PROBES4 = (
+    "unnest(list_prepend(bucket, list_transform(range(1, 5), j -> "
+    "substring(bucket, 1, j - 1) || "
+    "(CASE WHEN substring(bucket, j, 1) = '1' THEN '0' ELSE '1' END) || "
+    "substring(bucket, j + 1, 4))))"
+)
+
+KNN_MULTIPROBE_PAIRS = f"""
+WITH corpus AS (
+  SELECT vec_id, v, {_SIGN4.format(v='v')} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+probes AS (
+  SELECT vec_id AS src, v AS sv, {_PROBES4} AS pb
+  FROM corpus
+),
+scored AS (
+  SELECT p.src, b.vec_id AS dst, {_cos('p.sv', 'b.v')} AS cos_sim
+  FROM probes p JOIN corpus b ON b.bucket = p.pb AND b.vec_id <> p.src
+),
+edges AS (
+  SELECT * FROM (
+    SELECT *, CAST(row_number() OVER (
+      PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS BIGINT) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+)
+SELECT f.src AS v1, f.dst AS v2, f.cos_sim
+FROM edges f JOIN edges r ON f.src = r.dst AND f.dst = r.src
+WHERE f.src < f.dst
+"""
+
+KNN_MULTIPROBE_RECALL = f"""
+WITH corpus AS (
+  SELECT vec_id, v, {_SIGN4.format(v='v')} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+scored_e AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_cos('a.v', 'b.v')} AS cos_sim
+  FROM corpus a CROSS JOIN corpus b WHERE a.vec_id <> b.vec_id
+),
+edges_e AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
+    FROM scored_e
+  ) WHERE rank <= 5
+),
+exact AS (
+  SELECT f.src AS v1, f.dst AS v2
+  FROM edges_e f JOIN edges_e r ON f.src = r.dst AND f.dst = r.src
+  WHERE f.src < f.dst
+),
+scored_s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_cos('a.v', 'b.v')} AS cos_sim
+  FROM corpus a JOIN corpus b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+edges_s AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
+    FROM scored_s
+  ) WHERE rank <= 5
+),
+single AS (
+  SELECT f.src AS v1, f.dst AS v2
+  FROM edges_s f JOIN edges_s r ON f.src = r.dst AND f.dst = r.src
+  WHERE f.src < f.dst
+),
+probes AS (
+  SELECT vec_id AS src, v AS sv, {_PROBES4} AS pb
+  FROM corpus
+),
+scored_m AS (
+  SELECT p.src, b.vec_id AS dst, {_cos('p.sv', 'b.v')} AS cos_sim
+  FROM probes p JOIN corpus b ON b.bucket = p.pb AND b.vec_id <> p.src
+),
+edges_m AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
+    FROM scored_m
+  ) WHERE rank <= 5
+),
+multi AS (
+  SELECT f.src AS v1, f.dst AS v2
+  FROM edges_m f JOIN edges_m r ON f.src = r.dst AND f.dst = r.src
+  WHERE f.src < f.dst
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+       (10000 * (SELECT CAST(COUNT(*) AS BIGINT)
+                 FROM exact e JOIN single s USING (v1, v2)))
+         // greatest((SELECT CAST(COUNT(*) AS BIGINT) FROM exact), 1)
+         AS single_recall_bp,
+       (10000 * (SELECT CAST(COUNT(*) AS BIGINT)
+                 FROM exact e JOIN multi m USING (v1, v2)))
+         // greatest((SELECT CAST(COUNT(*) AS BIGINT) FROM exact), 1)
+         AS multi_recall_bp
+"""

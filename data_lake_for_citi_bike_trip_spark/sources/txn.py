@@ -118,6 +118,50 @@ class TxnTable:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
 
+    def read_keys(
+        self,
+        spark: SparkSession,
+        keys: list,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point-lookup read with BUCKET PRUNING: map each requested key
+        to its hash bucket (via the same JVM Murmur3 ``pmod(hash(k), n)``
+        the writer used — computed on a |keys|-row literal frame, so the
+        two sides can never disagree on the hash), then scan ONLY the
+        matching bucket directories and apply the IN filter as a parquet
+        pushdown. At 100 TB / 4096 buckets a 5-key lookup reads ~5
+        buckets (~0.1% of the table) instead of all of them — the same
+        metadata-level pruning Delta/Iceberg get from their file stats.
+        The key filter still applies inside the pruned scan, so results
+        are exactly ``read().where(key IN keys)``."""
+        m = self.manifest(version)
+        key, n_buckets = m["key"], m["n_buckets"]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        key_type = schema[key].dataType
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField(key, key_type)])
+        )
+        wanted = sorted(
+            r[0]
+            for r in kdf.select(
+                F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        paths = [
+            os.path.join(self.root, m["buckets"][str(b)])
+            for b in wanted
+            if str(b) in m["buckets"]
+        ]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return (
+            spark.read.schema(schema)
+            .parquet(*paths)
+            .where(F.col(key).isin(keys))
+        )
+
     # -- write -------------------------------------------------------------
 
     @staticmethod

