@@ -1051,6 +1051,20 @@ def q_cep_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.cep_error_recovery(load_table(spark, sf_dir, "events"))
 
 
+def q_cep_click_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second CEP pattern through the reusable builder: click ->
+    purchase within 30 min with no intervening ERROR — the forbidden
+    set differs from the start type, exercising the union-window bound
+    against a separate event stream."""
+    return behavior.cep_sequence_matches(
+        load_table(spark, sf_dir, "events"),
+        start_type="click",
+        end_type="purchase",
+        forbid_types=("error",),
+        within_minutes=30,
+    )
+
+
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust Theil-Sen trend per station: lower median of pairwise
     floor-slopes over the bounded per-key day grid."""
@@ -1959,6 +1973,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_window": q_stream_join_window,
         "pystream_agg": q_pystream_agg,
         "cep_recovery": q_cep_recovery,
+        "cep_click_conversion": q_cep_click_conversion,
         "theil_sen": q_theil_sen,
         "benford_audit": q_benford_audit,
         "fd_violations": q_fd_violations,
@@ -2165,6 +2180,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_join_window": oracles.STREAM_JOIN_WINDOW,
         "pystream_agg": oracles.PYSTREAM_AGG,
         "cep_recovery": oracles.CEP_RECOVERY,
+        "cep_click_conversion": oracles.CEP_CLICK_CONVERSION,
         "theil_sen": oracles.THEIL_SEN,
         "benford_audit": oracles.BENFORD_AUDIT,
         "fd_violations": oracles.FD_VIOLATIONS,

@@ -377,49 +377,113 @@ def near_dup_events(events: DataFrame, tolerance_s: int = 600) -> DataFrame:
     ).where(F.col("n_dups") > 0)
 
 
-def cep_error_recovery(events: DataFrame, within_minutes: int = 60) -> DataFrame:
-    """Complex-event-processing pattern count: per user, occurrences of
-    ERROR followed by PURCHASE within the window with NO intervening
-    ERROR — the "recovered after failure" funnel, i.e. the
-    MATCH_RECOGNIZE shape (A B* C with a negation) on relational rails.
+def cep_sequence_matches(
+    events: DataFrame,
+    start_type: str,
+    end_type: str,
+    forbid_types: tuple[str, ...] = (),
+    within_minutes: int = 60,
+) -> DataFrame:
+    """REUSABLE complex-event-processing matcher: per user, count
+    occurrences of ``start_type`` followed by ``end_type`` within the
+    window with NO intervening event of any ``forbid_types`` — the
+    MATCH_RECOGNIZE family A B* C where B is "anything except the
+    forbidden set". ``forbid=(start,)`` gives the classic
+    non-overlapping "recovered after failure" shape;
+    ``forbid=('error',)`` with other endpoints gives "conversion not
+    interrupted by an error"; empty forbid is a plain windowed funnel.
 
-    The no-intervening-error constraint falls out of a window function
-    instead of a NOT EXISTS anti-join: order each user's ERROR events,
-    take lead(error_ts) — the match window for error E effectively ends
-    at min(E + within, next_error) — then count purchases in (E, end].
-    One shuffle on user_id for the lead window; the purchase probe is
-    an interval join keyed on user (grid-bucketable at scale exactly
-    like intervals.overlap_join).
+    The negation falls out of ONE window function instead of a
+    NOT EXISTS anti-join: union the start and forbidden events, order
+    each user's rows by (ts, event_id) — a total order, so same-
+    timestamp ties are deterministic — and take the min forbidden ts
+    over the strictly-following frame. The match window for start S
+    then ends at min(S + within, next_forbid). One shuffle on user_id
+    for the window; the end-event probe is an interval join keyed on
+    user (grid-bucketable at scale exactly like
+    intervals.overlap_join).
+
+    Output: user_id, n_matched_starts, n_end_events.
     """
-    errors = events.where(F.col("event_type") == "error").select(
+    within_us = within_minutes * 60 * 1_000_000
+    starts = events.where(F.col("event_type") == start_type).select(
         "user_id",
-        F.col("event_id").alias("error_id"),
-        F.unix_micros("ts").alias("e_us"),
+        F.col("event_id").alias("start_id"),
+        F.unix_micros("ts").alias("s_us"),
     )
-    w = Window.partitionBy("user_id").orderBy("e_us", "error_id")
-    bounded = errors.withColumn(
-        "end_us",
-        F.least(
-            F.col("e_us") + within_minutes * 60 * 1_000_000,
-            F.coalesce(
-                F.lead("e_us").over(w), F.lit(2**62)
-            ),
-        ),
-    )
-    purchases = events.where(F.col("event_type") == "purchase").select(
+    if forbid_types:
+        tagged = starts.select(
+            "user_id",
+            F.col("start_id").alias("eid"),
+            F.col("s_us").alias("us"),
+            F.lit("s").alias("tag"),
+        ).unionByName(
+            events.where(F.col("event_type").isin(list(forbid_types))).select(
+                "user_id",
+                F.col("event_id").alias("eid"),
+                F.unix_micros("ts").alias("us"),
+                F.lit("f").alias("tag"),
+            )
+        )
+        # tag is the tiebreaker: when forbid includes the start type,
+        # each start event appears twice (as 's' and 'f') with the same
+        # (us, eid); 'f' < 's' puts the forbid copy BEFORE its start
+        # copy, so a start never sees its own forbid in the strictly-
+        # following frame (matching the classic lead(next_start) bound)
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("us", "eid", "tag")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        bounded = (
+            tagged.withColumn(
+                "next_f_us", F.min(F.when(F.col("tag") == "f", F.col("us"))).over(w)
+            )
+            .where(F.col("tag") == "s")
+            .select(
+                "user_id",
+                F.col("eid").alias("start_id"),
+                F.col("us").alias("s_us"),
+                F.least(
+                    F.col("us") + within_us,
+                    F.coalesce(F.col("next_f_us"), F.lit(2**62)),
+                ).alias("end_us"),
+            )
+        )
+    else:
+        bounded = starts.withColumn("end_us", F.col("s_us") + within_us)
+    ends = events.where(F.col("event_type") == end_type).select(
         "user_id", F.unix_micros("ts").alias("p_us")
     )
     matched = (
-        bounded.join(purchases, "user_id")
+        bounded.join(ends, "user_id")
         .where(
-            (F.col("p_us") > F.col("e_us")) & (F.col("p_us") <= F.col("end_us"))
+            (F.col("p_us") > F.col("s_us")) & (F.col("p_us") <= F.col("end_us"))
         )
-        .groupBy("user_id", "error_id")
-        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .groupBy("user_id", "start_id")
+        .agg(F.count(F.lit(1)).alias("n_ends"))
     )
     return matched.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_recovered_errors"),
-        F.sum("n_purchases").cast("long").alias("n_recovery_purchases"),
+        F.count(F.lit(1)).alias("n_matched_starts"),
+        F.sum("n_ends").cast("long").alias("n_end_events"),
+    )
+
+
+def cep_error_recovery(events: DataFrame, within_minutes: int = 60) -> DataFrame:
+    """The "recovered after failure" funnel — ERROR then PURCHASE
+    within the window with no intervening ERROR — expressed through the
+    reusable ``cep_sequence_matches`` builder (forbid = the start type
+    itself, which reproduces the lead(next_error) window bound)."""
+    return cep_sequence_matches(
+        events,
+        start_type="error",
+        end_type="purchase",
+        forbid_types=("error",),
+        within_minutes=within_minutes,
+    ).select(
+        "user_id",
+        F.col("n_matched_starts").alias("n_recovered_errors"),
+        F.col("n_end_events").alias("n_recovery_purchases"),
     )
 
 

@@ -4184,3 +4184,44 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
          // greatest((SELECT CAST(COUNT(*) AS BIGINT) FROM exact), 1)
          AS multi_recall_bp
 """
+
+
+# operators/behavior.py:cep_sequence_matches with the SECOND pattern
+# shape: click -> purchase within 30 min with no intervening ERROR
+# (the forbidden set differs from the start type, so the window bound
+# comes from a different event stream than the starts — the
+# generalization the reusable builder exists for).
+CEP_CLICK_CONVERSION = """
+WITH starts AS (
+  SELECT user_id, event_id AS start_id, epoch_us(ts) AS s_us
+  FROM events WHERE event_type = 'click'
+),
+forb AS (
+  SELECT user_id, event_id, epoch_us(ts) AS f_us
+  FROM events WHERE event_type = 'error'
+),
+bounded AS (
+  SELECT s.user_id, s.start_id, s.s_us,
+         least(s.s_us + 1800000000,
+               COALESCE((SELECT min(f.f_us) FROM forb f
+                         WHERE f.user_id = s.user_id
+                           AND (f.f_us > s.s_us
+                                OR (f.f_us = s.s_us
+                                    AND f.event_id > s.start_id))),
+                        4611686018427387904)) AS end_us
+  FROM starts s
+),
+ends AS (
+  SELECT user_id, epoch_us(ts) AS p_us FROM events
+  WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT b.user_id, b.start_id, CAST(COUNT(*) AS BIGINT) AS n_ends
+  FROM bounded b JOIN ends p
+    ON p.user_id = b.user_id AND p.p_us > b.s_us AND p.p_us <= b.end_us
+  GROUP BY 1, 2
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matched_starts,
+       CAST(sum(n_ends) AS BIGINT) AS n_end_events
+FROM matched GROUP BY 1
+"""
