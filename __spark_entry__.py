@@ -567,6 +567,44 @@ def q_scd2_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd.scd2_apply(current, updates, "station_id", ["capacity"], batch_ts_us=1000)
 
 
+def q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the channel of
+    the latest touch within 24 h (one preceding-frame window per user —
+    no per-pair interval join)."""
+    return behavior.last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF read through the SCD2 dimension: build scd2_stations
+    (change batch committed at us=1000), probe half the orders at us=0
+    and half at us=1500 via the interval-residual equi-join
+    (operators/scd.py:point_in_time_join), and aggregate capacity per
+    probe epoch. The oracle predicts both versions straight from the
+    update rule, so a wrong interval bound (fanout, off-by-one at the
+    boundary) shifts the sums."""
+    from data_lake_for_citi_bike_trip_spark.operators import scd as scd_ops
+
+    current, updates = _scd2_inputs(spark, sf_dir)
+    dim = scd.scd2_apply(current, updates, "station_id", ["capacity"], batch_ts_us=1000)
+    facts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("station_id"),
+        ((F.col("o_orderkey") % 2) * 1500).cast("bigint").alias("probe_us"),
+    )
+    j = scd_ops.point_in_time_join(facts, dim, "station_id", "probe_us", how="inner")
+    return j.groupBy("probe_us").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("capacity").cast("long").alias("total_capacity"),
+    )
+
+
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end-to-end: JVM-assembled SVID containers ->
+    Arrow-batched header parse + strided frame seek -> per-sampled-frame
+    pixel sums; the oracle replays the generator formula per frame."""
+    media = multimodal.synthetic_video_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_video_frames(media, stride=2)
+
+
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.session_window_agg(load_table(spark, sf_dir, "events"))
 
@@ -1974,6 +2012,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pystream_agg": q_pystream_agg,
         "cep_recovery": q_cep_recovery,
         "cep_click_conversion": q_cep_click_conversion,
+        "last_touch": q_last_touch,
+        "scd2_point_in_time": q_scd2_point_in_time,
+        "multimodal_video_frames": q_multimodal_video_frames,
         "theil_sen": q_theil_sen,
         "benford_audit": q_benford_audit,
         "fd_violations": q_fd_violations,
@@ -2181,6 +2222,9 @@ def oracle_sql() -> dict[str, str]:
         "pystream_agg": oracles.PYSTREAM_AGG,
         "cep_recovery": oracles.CEP_RECOVERY,
         "cep_click_conversion": oracles.CEP_CLICK_CONVERSION,
+        "last_touch": oracles.LAST_TOUCH_ATTRIBUTION,
+        "scd2_point_in_time": oracles.SCD2_POINT_IN_TIME,
+        "multimodal_video_frames": oracles.MULTIMODAL_VIDEO_FRAMES,
         "theil_sen": oracles.THEIL_SEN,
         "benford_audit": oracles.BENFORD_AUDIT,
         "fd_violations": oracles.FD_VIOLATIONS,

@@ -531,3 +531,61 @@ def debounce_events(events: DataFrame, refractory_minutes: int = 120) -> DataFra
         .groupBy("user_id")
         .applyInPandas(walk, schema=DEBOUNCE_SCHEMA)
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    within_hours: int = 24,
+) -> DataFrame:
+    """Marketing-style LAST-TOUCH attribution: every purchase is
+    credited to the channel (event_type) of the latest touch event
+    strictly before it in the (ts, event_id) total order, provided the
+    touch is within the lookback window; purchases with no qualifying
+    touch are 'direct'.
+
+    One window, one shuffle: union is avoided entirely — the frame
+    ORDER BY (us, event_id) over ALL relevant events per user carries a
+    null-unless-touch struct, and last(..., ignorenulls=True) over the
+    strictly-preceding frame is the argmax-by-time touch. No per-pair
+    interval join, so a user with p purchases and t touches costs
+    p + t rows, not p*t.
+
+    Output: channel, n_purchases, n_users (distinct purchasers whose
+    last touch was that channel)."""
+    within_us = within_hours * 3600 * 1_000_000
+    rel = events.where(
+        F.col("event_type").isin([*touch_types, "purchase"])
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    touch = F.when(
+        F.col("event_type").isin(list(touch_types)),
+        F.struct(F.col("us").alias("t_us"), F.col("event_type").alias("t_type")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = (
+        rel.withColumn("lt", F.last(touch, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.when(
+                F.col("lt").isNotNull()
+                & (F.col("lt.t_us") >= F.col("us") - within_us),
+                F.col("lt.t_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )

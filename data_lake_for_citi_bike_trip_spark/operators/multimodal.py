@@ -699,3 +699,97 @@ def wav_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=WAV_STATS_SCHEMA
     )
+
+
+def synthetic_video_table(docs: DataFrame) -> DataFrame:
+    """Raw-video container payloads built ENTIRELY JVM-side (pure
+    codegen, like the BMP path): a 12-byte header — magic 'SVID',
+    u32-LE n_frames, u16-LE width, u16-LE height — followed by
+    n_frames contiguous 8-bit grayscale frames. Geometry and pixels
+    derive from source columns (n_frames = doc_id%5+2,
+    w = n_chars%16+2, h = doc_id%8+2, pixel(f,y,x) =
+    (doc_id + 3f + 5y + 7x) % 256), so a SQL oracle can compute exact
+    per-frame statistics while the decode stage downstream parses
+    genuine container bytes. The pixel stream is assembled as one
+    transform over a pixel-index sequence emitting 2-char hex per
+    byte — whole-stage-codegen, no Python in the generator."""
+    dims = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 5 + 2).cast("long").alias("n_frames"),
+        (F.col("n_chars") % 16 + 2).cast("long").alias("w"),
+        (F.col("doc_id") % 8 + 2).cast("long").alias("h"),
+    )
+    header_hex = F.concat(
+        F.lit("53564944"),  # 'SVID'
+        _le_hex(F.col("n_frames"), 4),
+        _le_hex(F.col("w"), 2),
+        _le_hex(F.col("h"), 2),
+    )
+    pix_hex = F.expr(
+        "array_join(transform(sequence(0, CAST(n_frames * h * w - 1 AS INT)), "
+        "i -> lpad(hex((media_id + 3 * (i div (h * w)) "
+        "+ 5 * ((i % (h * w)) div w) + 7 * (i % w)) % 256), 2, '0')), '')"
+    )
+    return dims.select(
+        "media_id",
+        F.unhex(F.concat(header_hex, pix_hex)).alias("payload"),
+        F.struct(
+            F.lit("video/x-svid").alias("mime"),
+            (F.col("n_frames") * F.col("h") * F.col("w") + 12).alias(
+                "declared_bytes"
+            ),
+        ).alias("meta"),
+    )
+
+
+#: Output schema of the frame-sampling stage.
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """FRAME SAMPLING over opaque video payloads — the training-data
+    shape for video corpora: parse the container header, seek straight
+    to every ``stride``-th frame (0, stride, 2*stride, ...) WITHOUT
+    touching the bytes of skipped frames, and emit per-sampled-frame
+    integer stats. Arrow-batched ``mapInPandas``; per-row state is one
+    frame's bytes.
+
+    The byte parsing (struct.unpack of the SVID header, offset
+    arithmetic into the frame array) is real; a non-SVID payload
+    raises ValueError rather than guessing. Real-codec formats (H.264
+    etc.) would slot in behind the same schema/partitioning with a
+    lazy-imported decoder — the plumbing, not the codec, is what this
+    engine owns."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in VIDEO_FRAME_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != b"SVID":
+                    raise ValueError(
+                        f"media_id={media_id}: not an SVID payload"
+                    )
+                n_frames, w, h = struct.unpack_from("<IHH", buf, 4)
+                fsz = w * h
+                for f in range(0, n_frames, stride):
+                    frame = buf[12 + f * fsz : 12 + (f + 1) * fsz]
+                    out["media_id"].append(int(media_id))
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["pixel_sum"].append(sum(frame))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA
+    )

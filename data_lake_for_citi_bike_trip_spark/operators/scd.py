@@ -150,3 +150,42 @@ def snapshot_diff(
         out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
         out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
     return joined.where(status.isNotNull()).select(*out_cols)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    probe_us_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """POINT-IN-TIME join (the AS OF read against an SCD2 dimension):
+    each fact row joins the dimension version whose validity interval
+    covers the fact's probe instant — ``valid_from_us <= probe <
+    valid_to_us``. Versions of one key never overlap (scd2_apply
+    guarantees half-open, adjacent intervals), so the match is unique
+    by construction and the join cannot fan out.
+
+    Scale shape: the EQUI key is the join key, so this plans as a plain
+    hash/sort-merge join with the interval bounds as residual filters —
+    one shuffle on the key, co-partitioned with any downstream per-key
+    work. The dimension side carries a handful of versions per key
+    (SCD2 history), never the fact cardinality."""
+    d = dim.select(
+        F.col(key).alias("__pit_key"),
+        *[
+            F.col(c)
+            for c in dim.columns
+            if c not in (key, "valid_from_us", "valid_to_us")
+        ],
+        "valid_from_us",
+        "valid_to_us",
+    )
+    joined = facts.join(
+        d,
+        (facts[key] == d["__pit_key"])
+        & (facts[probe_us_col] >= d["valid_from_us"])
+        & (facts[probe_us_col] < d["valid_to_us"]),
+        how,
+    )
+    return joined.drop("__pit_key")

@@ -4225,3 +4225,67 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matched_starts,
        CAST(sum(n_ends) AS BIGINT) AS n_end_events
 FROM matched GROUP BY 1
 """
+
+
+# operators/behavior.py:last_touch_attribution — latest touch strictly
+# before each purchase in the (us, event_id) total order, within 24 h,
+# else 'direct'; mirrored with correlated argmax subqueries.
+LAST_TOUCH_ATTRIBUTION = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+  FROM events WHERE event_type IN ('click', 'view', 'signup')
+),
+p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+),
+lt AS (
+  SELECT p.user_id, p.us,
+         (SELECT t.event_type FROM t
+          WHERE t.user_id = p.user_id
+            AND (t.us < p.us OR (t.us = p.us AND t.event_id < p.event_id))
+          ORDER BY t.us DESC, t.event_id DESC LIMIT 1) AS lt_type,
+         (SELECT t.us FROM t
+          WHERE t.user_id = p.user_id
+            AND (t.us < p.us OR (t.us = p.us AND t.event_id < p.event_id))
+          ORDER BY t.us DESC, t.event_id DESC LIMIT 1) AS lt_us
+  FROM p
+)
+SELECT CASE WHEN lt_us IS NOT NULL AND lt_us >= us - 86400000000
+            THEN lt_type ELSE 'direct' END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM lt GROUP BY 1
+"""
+
+
+# operators/scd.py:point_in_time_join probed at us=0 (pre-change) and
+# us=1500 (post-change) against the scd2_stations dimension; the
+# oracle predicts the version directly from the update rule (%3==0
+# keys gained +1 capacity at batch_ts_us=1000).
+SCD2_POINT_IN_TIME = """
+SELECT CAST((o_orderkey % 2) * 1500 AS BIGINT) AS probe_us,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(sum(c_nationkey
+                + CASE WHEN o_orderkey % 2 = 1 AND c_custkey % 3 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS total_capacity
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+# operators/multimodal.py:synthetic_video_table + sample_video_frames —
+# the generator writes pixel(f,y,x) = (doc_id + 3f + 5y + 7x) % 256
+# with n_frames = doc_id%5+2, w = n_chars%16+2, h = doc_id%8+2; the
+# expected per-sampled-frame sum is replayed without touching a byte
+# of the container.
+MULTIMODAL_VIDEO_FRAMES = """
+SELECT doc_id AS media_id, CAST(f.f AS BIGINT) AS frame_idx,
+       CAST(n_chars % 16 + 2 AS BIGINT) AS width,
+       CAST(doc_id % 8 + 2 AS BIGINT) AS height,
+       (SELECT CAST(sum((doc_id + 3 * f.f + 5 * y.y + 7 * x.x) % 256) AS BIGINT)
+        FROM unnest(generate_series(0, doc_id % 8 + 1)) AS y(y),
+             unnest(generate_series(0, n_chars % 16 + 1)) AS x(x)) AS pixel_sum
+FROM documents, unnest(generate_series(0, doc_id % 5 + 1)) AS f(f)
+WHERE f.f % 2 = 0
+"""

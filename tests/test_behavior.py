@@ -199,3 +199,45 @@ def test_debounce_greedy_chain(spark):
     )
     got = behavior.debounce_events(events).collect()[0]
     assert (got.n_events, got.n_kept, got.kept_ids) == (4, 3, "0>2>3")
+
+
+def test_last_touch_attribution_window_and_ties(spark):
+    """Boundary semantics: a touch exactly at the lookback edge counts,
+    one micro-second older is 'direct'; same-timestamp touches resolve
+    by event_id; touches AFTER the purchase never attribute."""
+    from data_lake_for_citi_bike_trip_spark.operators import behavior
+
+    h24 = 24 * 3600 * 1_000_000
+    rows = [
+        # u1: click at edge exactly -> attributed to click
+        (1, 1, 0 + 0, "click", 0.0, None),
+        (2, 1, h24, "purchase", 1.0, None),
+        # u2: view one us beyond the edge -> direct
+        (3, 2, 0, "view", 0.0, None),
+        (4, 2, h24 + 1, "purchase", 1.0, None),
+        # u3: same-ts click(id=5) and view(id=6) before purchase ->
+        # higher event_id (view) is the LAST touch
+        (5, 3, 100, "click", 0.0, None),
+        (6, 3, 100, "view", 0.0, None),
+        (7, 3, 200, "purchase", 1.0, None),
+        # u4: touch after the purchase -> direct
+        (8, 4, 300, "purchase", 1.0, None),
+        (9, 4, 400, "click", 0.0, None),
+    ]
+    events = spark.createDataFrame(
+        [(eid, u, t, et, v, p) for eid, u, t, et, v, p in rows],
+        "event_id bigint, user_id bigint, us bigint, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    got = {
+        r.channel: (r.n_purchases, r.n_users)
+        for r in behavior.last_touch_attribution(events).collect()
+    }
+    assert got == {"click": (1, 1), "view": (1, 1), "direct": (2, 2)}, got

@@ -104,3 +104,36 @@ def test_snapshot_diff_classification(spark):
         3: ("changed", 30, 99),
         4: ("added", None, 40),
     }  # unchanged key 2 dropped
+
+
+def test_point_in_time_join_boundaries_and_uniqueness(spark):
+    """Half-open interval semantics: a probe exactly at valid_from_us
+    hits the NEW version, exactly at valid_to_us misses the old one;
+    every fact row matches at most one dimension version."""
+    from data_lake_for_citi_bike_trip_spark.operators import scd as S
+
+    dim = spark.createDataFrame(
+        [
+            ("a", 10, 0, 1000),
+            ("a", 20, 1000, S.OPEN_END_US),
+            ("b", 5, 0, S.OPEN_END_US),
+        ],
+        "station_id string, capacity bigint, valid_from_us bigint,"
+        " valid_to_us bigint",
+    )
+    facts = spark.createDataFrame(
+        [("a", 999), ("a", 1000), ("a", 0), ("b", 5), ("missing", 1)],
+        "station_id string, probe_us bigint",
+    )
+    j = S.point_in_time_join(facts, dim, "station_id", "probe_us", how="left")
+    got = {
+        (r.station_id, r.probe_us): r.capacity for r in j.collect()
+    }
+    assert got == {
+        ("a", 999): 10,   # last instant of the old version
+        ("a", 1000): 20,  # valid_from is inclusive on the new version
+        ("a", 0): 10,
+        ("b", 5): 5,
+        ("missing", 1): None,
+    }
+    assert j.count() == facts.count()  # unique match, no fanout

@@ -277,3 +277,36 @@ def test_wav_codec_roundtrip_and_failure_modes():
     mutated[22] = 2  # n_channels field
     with _pytest.raises(NotImplementedError, match="2ch"):
         M.decode_wav(bytes(mutated))
+
+
+def test_video_frame_sampling_stride_and_bytes(spark, sf_dir):
+    """The sampler must emit exactly the strided frame indices with
+    sums matching a pure-Python replay of the generator formula, and
+    reject non-SVID payloads."""
+    import pytest as _pytest
+
+    from data_lake_for_citi_bike_trip_spark.operators import multimodal
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.synthetic_video_table(docs)
+    got = {
+        (r.media_id, r.frame_idx): (r.width, r.height, r.pixel_sum)
+        for r in multimodal.sample_video_frames(media, stride=2).collect()
+    }
+    for d in docs.select("doc_id", "n_chars").collect():
+        nf, w, h = d.doc_id % 5 + 2, d.n_chars % 16 + 2, d.doc_id % 8 + 2
+        for f in range(0, nf, 2):
+            s = sum(
+                (d.doc_id + 3 * f + 5 * y + 7 * x) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            assert got.pop((d.doc_id, f)) == (w, h, s), (d.doc_id, f)
+    assert not got, f"unexpected frames: {sorted(got)[:5]}"
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"NOPE" + b"\x00" * 20))], "media_id bigint, payload binary"
+    )
+    with _pytest.raises(Exception, match="SVID"):
+        multimodal.sample_video_frames(bad).collect()

@@ -96,9 +96,33 @@ HEADLINE = [
     "share_of_parent",
     "ivm_join",
     "knn_blocked_pairs",
+    "knn_multiprobe_pairs",
+    "cep_click_conversion",
+    "last_touch",
+    "scd2_point_in_time",
+    "multimodal_video_frames",
+    "txn_point_lookup",
 ]
 
 NOTES = {
+    "cep_click_conversion": "union of starts + forbidden errors, one "
+    "(ts,event_id,tag)-ordered window for the match bound, then a "
+    "user-keyed interval join to purchases — same shape as cep_recovery "
+    "but the bound comes from a different event stream",
+    "knn_multiprobe_pairs": "home + one-bit-flip probe buckets explode "
+    "(1+bits rows/vector) then ONE equi-join probe-bucket = home-bucket; "
+    "never n^2 — multi-probe recall gain quantified by its recall query",
+    "last_touch": "single user-keyed window carrying a null-unless-touch "
+    "struct; last(ignorenulls) over the strictly-preceding frame replaces "
+    "a p*t interval join with p+t rows",
+    "scd2_point_in_time": "equi-join on the dimension key with interval "
+    "bounds as residual filters; versions per key are bounded so no fanout",
+    "multimodal_video_frames": "JVM-codegen container assembly (hex "
+    "transform over a pixel-index sequence) then one Arrow-batched python "
+    "stage seeking strided frames; no shuffle",
+    "txn_point_lookup": "manifest-level bucket pruning BEFORE the scan: "
+    "keys -> murmur3 buckets -> file subset; the IN filter pushes into "
+    "the pruned parquet scan",
     "bitmap_distinct": "two plain hash aggregates (mask build is codegen); "
     "shuffle carries one word-row per (group, word) partial",
     "pareto_frontier": "distinct-point aggregate bounds the single global "
