@@ -1172,10 +1172,15 @@ def q_knn_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single- vs multi-probe recall against the exact graph in one
     deterministic row — the oracle reproduces both numbers, and the
     gate therefore proves multi_recall_bp >= single_recall_bp on this
-    data rather than asserting it on faith."""
-    return similarity.blocked_knn_multiprobe_recall(
-        load_table(spark, sf_dir, "embeddings")
+    data rather than asserting it on faith. Measured on the
+    deterministic 1-in-5 subsample (vec_id % 5 == 0): the exact-graph
+    baseline is quadratic, so at scale recall is only ever ESTIMATED on
+    a sample — the production path (knn_multiprobe_pairs) stays
+    full-corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 5 == 0
     )
+    return similarity.blocked_knn_multiprobe_recall(emb)
 
 
 def q_txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,6 +1262,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
     return graph.pagerank(edges, iters=3)
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (Pregel frontier expansion) from customer 1
+    over the co-purchase graph: min hop distance within 3 hops; the
+    oracle replays it with a UNION-distinct recursive CTE."""
+    edges = graph.copurchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return graph.bfs_levels(edges, source=2, max_depth=3)
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1961,6 +1976,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_merge": q_lake_merge,
         "txn_point_lookup": q_txn_point_lookup,
         "graph_pagerank": q_graph_pagerank,
+        "graph_bfs": q_graph_bfs,
         "ann_pq_topk": q_ann_pq_topk,
         "orc_roundtrip": q_orc_roundtrip,
         "hll_incremental_distinct": q_hll_incremental_distinct,
@@ -2171,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_merge": oracles.LAKE_MERGE,
         "txn_point_lookup": oracles.TXN_POINT_LOOKUP,
         "graph_pagerank": oracles.GRAPH_PAGERANK,
+        "graph_bfs": oracles.GRAPH_BFS_LEVELS,
         "ann_pq_topk": oracles.ANN_PQ_TOPK,
         "orc_roundtrip": oracles.ORC_ROUNDTRIP,
         "hll_incremental_distinct": oracles.HLL_INCREMENTAL_DISTINCT,

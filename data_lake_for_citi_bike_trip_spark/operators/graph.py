@@ -222,3 +222,44 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
         und.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("residual_degree"))
     )
+
+
+def bfs_levels(edges: DataFrame, source: int, max_depth: int = 4) -> DataFrame:
+    """Bounded-depth breadth-first search from ``source``: every node
+    reachable within ``max_depth`` hops with its MINIMUM hop distance —
+    the Pregel frontier-expansion pattern on DataFrames.
+
+    Each round is ONE equi-join of the current frontier against the
+    edge list (keyed on src — the same partitioning every round) plus
+    an anti-join against the visited set; both sides shrink as the
+    frontier saturates, and an empty frontier short-circuits the loop.
+    ``localCheckpoint`` truncates the growing lineage each round (the
+    iterative-plan discipline PageRank documents at module top). Depth
+    is bounded by contract — unbounded closure belongs to
+    connected-components (dedup.connected_components), not BFS.
+
+    Output: (node, level) with level in [0, max_depth]."""
+    sess = edges.sparkSession
+    visited = sess.createDataFrame(
+        [(source, 0)], "node bigint, level bigint"
+    ).localCheckpoint()
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(
+                edges.select(
+                    F.col("src").alias("node"), F.col("dst").alias("nbr")
+                ),
+                "node",
+            )
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).cast("bigint").alias("level"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

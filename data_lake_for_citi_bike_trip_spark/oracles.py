@@ -4119,7 +4119,8 @@ WHERE f.src < f.dst
 KNN_MULTIPROBE_RECALL = f"""
 WITH corpus AS (
   SELECT vec_id, v, {_SIGN4.format(v='v')} AS bucket
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 5 = 0)
 ),
 scored_e AS (
   SELECT a.vec_id AS src, b.vec_id AS dst, {_cos('a.v', 'b.v')} AS cos_sim
@@ -4288,4 +4289,29 @@ SELECT doc_id AS media_id, CAST(f.f AS BIGINT) AS frame_idx,
              unnest(generate_series(0, n_chars % 16 + 1)) AS x(x)) AS pixel_sum
 FROM documents, unnest(generate_series(0, doc_id % 5 + 1)) AS f(f)
 WHERE f.f % 2 = 0
+"""
+
+
+# operators/graph.py:bfs_levels over the co-purchase graph from node 2
+# (customer 1), depth 3 — UNION-distinct recursion keeps each level at
+# most |V| rows, min(level) is the BFS distance.
+GRAPH_BFS_LEVELS = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+bfs AS (
+  SELECT CAST(2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS level
+  UNION
+  SELECT e.dst, b.level + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.level < 3
+)
+SELECT node, CAST(min(level) AS BIGINT) AS level
+FROM bfs GROUP BY 1
 """

@@ -124,3 +124,20 @@ def test_kcore_peel_matches_python_rounds(spark, sf_dir):
         for r in graph.kcore_peel(graph.copart_edges(li)).collect()
     }
     assert got == dict(expect)
+
+
+def test_bfs_levels_min_distance_and_early_stop(spark):
+    """BFS must report MIN hop distance (a node reachable at levels 2
+    and 4 reports 2), stop expanding at max_depth, and short-circuit
+    when the frontier empties."""
+    from data_lake_for_citi_bike_trip_spark.operators import graph
+
+    #    1 -> 2 -> 3 -> 4 -> 5 ;  1 -> 3 (shortcut)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.level for r in graph.bfs_levels(edges, 1, max_depth=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    # early stop: isolated source explores nothing beyond itself
+    lone = {r.node: r.level for r in graph.bfs_levels(edges, 99, max_depth=3).collect()}
+    assert lone == {99: 0}
