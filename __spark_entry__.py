@@ -768,6 +768,40 @@ def q_txn_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_keys(spark, [1, 7, 19, 23, 42])
 
 
+def q_txn_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE through deletion vectors: create the
+    bucketed customer TxnTable, delete_where(custkey %% 7 == 0) commits
+    ONLY per-bucket key sidecars (no bucket rewrite — the manifest's
+    bucket map is asserted unchanged in-test), and the read subtracts
+    them with a key anti-join. The query proves the read path: count +
+    checksum of survivors, plus n_shadowed = 0 (no deleted key
+    visible). Oracle: the source minus the keys."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from data_lake_for_citi_bike_trip_spark.sources.txn import TxnTable
+
+    customer = load_table(spark, sf_dir, "customer")
+    current = customer.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="txn_dv_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = TxnTable.create(spark, os.path.join(root, "t"), current, key="c_custkey")
+    t.delete_where(
+        spark,
+        customer.where(F.col("c_custkey") % 7 == 0).select("c_custkey"),
+    )
+    return t.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("acctbal_cents").cast("long").alias("total_cents"),
+        F.count(F.when(F.col("c_custkey") % 7 == 0, 1)).alias("n_shadowed"),
+    )
+
+
 def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users per event type via bitmap-word aggregation
     (bit_or masks + popcount) — the mergeable, bounded-state alternative
@@ -1975,6 +2009,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge": q_cdc_merge,
         "lake_merge": q_lake_merge,
         "txn_point_lookup": q_txn_point_lookup,
+        "txn_delete_vectors": q_txn_delete_vectors,
         "graph_pagerank": q_graph_pagerank,
         "graph_bfs": q_graph_bfs,
         "ann_pq_topk": q_ann_pq_topk,
@@ -2186,6 +2221,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge": oracles.CDC_MERGE,
         "lake_merge": oracles.LAKE_MERGE,
         "txn_point_lookup": oracles.TXN_POINT_LOOKUP,
+        "txn_delete_vectors": oracles.TXN_DELETE_VECTORS,
         "graph_pagerank": oracles.GRAPH_PAGERANK,
         "graph_bfs": oracles.GRAPH_BFS_LEVELS,
         "ann_pq_topk": oracles.ANN_PQ_TOPK,

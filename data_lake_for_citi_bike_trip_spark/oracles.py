@@ -4315,3 +4315,16 @@ bfs AS (
 SELECT node, CAST(min(level) AS BIGINT) AS level
 FROM bfs GROUP BY 1
 """
+
+
+# sources/txn.py:delete_where — merge-on-read deletion vectors; the
+# visible table is simply the source minus the deleted keys, whatever
+# sidecar machinery produced it.
+TXN_DELETE_VECTORS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS total_cents,
+       CAST(COUNT(CASE WHEN c_custkey % 7 = 0 THEN 1 END) AS BIGINT)
+         AS n_shadowed
+FROM customer
+WHERE c_custkey % 7 <> 0
+"""

@@ -24,6 +24,12 @@ using the same protocol Delta Lake's log gives you on HDFS:
   100 TB with e.g. 4096 buckets, a batch touching 1% of keys rewrites
   ~1% of the table — the Delta/Iceberg COW shape — while the change
   batch and the affected slice join co-partitioned on the key.
+- **Deletion vectors (merge-on-read).** ``delete_where`` commits only
+  per-bucket sidecar files of deleted keys — kilobytes for a
+  100-key GDPR erase on a 100 TB table — and ``read`` subtracts them
+  with a key anti-join; ``compact`` (or any merge touching the bucket)
+  materializes the debt and retires the DV. The Iceberg v2 / Delta DV
+  trade: cheap deletes now, one rewrite later.
 - **Time travel.** Every version's manifest (and its data files) stays
   until ``vacuum``; ``read(version=N)`` reproduces any snapshot.
 
@@ -116,7 +122,24 @@ class TxnTable:
         paths = [os.path.join(self.root, p) for p in m["buckets"].values()]
         if not paths:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+        df = spark.read.schema(schema).parquet(*paths)
+        return self._apply_dvs(spark, df, m)
+
+    def _apply_dvs(
+        self, spark: SparkSession, df: DataFrame, m: dict
+    ) -> DataFrame:
+        """MERGE-ON-READ: subtract the manifest's deletion vectors (an
+        anti-join on the table key — co-partitioned with any downstream
+        per-key work). No DVs -> the plan is untouched."""
+        dv_paths = [
+            os.path.join(self.root, p)
+            for paths in m.get("dvs", {}).values()
+            for p in paths
+        ]
+        if not dv_paths:
+            return df
+        deleted = spark.read.parquet(*dv_paths).select(m["key"]).distinct()
+        return df.join(deleted, m["key"], "left_anti")
 
     def read_keys(
         self,
@@ -156,11 +179,19 @@ class TxnTable:
         ]
         if not paths:
             return spark.createDataFrame([], schema)
-        return (
+        df = (
             spark.read.schema(schema)
             .parquet(*paths)
             .where(F.col(key).isin(keys))
         )
+        # merge-on-read: only the pruned buckets' DVs can matter
+        pruned = {
+            "dvs": {
+                str(b): m.get("dvs", {}).get(str(b), []) for b in wanted
+            },
+            "key": key,
+        }
+        return self._apply_dvs(spark, df, pruned)
 
     # -- write -------------------------------------------------------------
 
@@ -240,6 +271,7 @@ class TxnTable:
                 schema=T.StructType.fromJson(json.loads(m["schema"])),
                 buckets=dict(m["buckets"]),
                 last_txn_id=new_txn,
+                dvs={b: list(p) for b, p in m.get("dvs", {}).items()},
             )
             return version
 
@@ -274,6 +306,21 @@ class TxnTable:
         ]
         if slice_paths:
             current_slice = spark.read.schema(schema).parquet(*slice_paths)
+            # merge-on-read debt: DV'd keys in the affected buckets are
+            # logically gone — subtract before merging, and the rewrite
+            # below retires those buckets' DVs
+            affected_dv_paths = [
+                os.path.join(self.root, p)
+                for b in affected
+                for p in m.get("dvs", {}).get(str(b), [])
+            ]
+            if affected_dv_paths:
+                deleted = (
+                    spark.read.parquet(*affected_dv_paths)
+                    .select(key)
+                    .distinct()
+                )
+                current_slice = current_slice.join(deleted, key, "left_anti")
         else:
             current_slice = spark.createDataFrame([], schema)
 
@@ -282,9 +329,11 @@ class TxnTable:
         )
         new_buckets = dict(m["buckets"])
         written = self._write_buckets(merged, key, n_buckets, version)
+        new_dvs = {b: list(p) for b, p in m.get("dvs", {}).items()}
         for b in affected:
             # a bucket whose rows were all deleted has no file any more
             new_buckets.pop(str(b), None)
+            new_dvs.pop(str(b), None)  # rewritten bucket: DV debt repaid
         new_buckets.update(written)
         self._commit(
             version=version,
@@ -294,6 +343,52 @@ class TxnTable:
             schema=schema,
             buckets=new_buckets,
             last_txn_id=new_txn,
+            dvs=new_dvs,
+        )
+        return version
+
+    def delete_where(self, spark: SparkSession, keys: DataFrame) -> int:
+        """MERGE-ON-READ delete (the Iceberg/Delta deletion-vector
+        shape): instead of rewriting every bucket containing a deleted
+        key (copy-on-write pays the full bucket rewrite for a 0.001%
+        delete), write ONLY the deleted keys as per-bucket DV sidecar
+        files and commit a manifest that references them; ``read``
+        subtracts them with a key-anti-join. Buckets are untouched —
+        a GDPR-erase of 100 keys on a 100 TB table writes kilobytes.
+        The debt is repaid by ``compact()``, which materializes DVs
+        into rewritten buckets (merge-on-read -> clean again).
+
+        ``keys``: a single-column DataFrame of key values to delete.
+        Returns the committed version."""
+        m = self.manifest()
+        key, n_buckets = m["key"], m["n_buckets"]
+        version = m["version"] + 1
+        bucketed = keys.select(F.col(keys.columns[0]).alias(key)).withColumn(
+            _BUCKET, F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+        )
+        # only buckets that exist can contain rows to delete
+        live = sorted(int(b) for b in m["buckets"])
+        bucketed = bucketed.where(F.col(_BUCKET).isin(live))
+        txn_id = f"txn-{version:09d}-{uuid.uuid4().hex[:8]}"
+        dv_dir = os.path.join(self.root, "data", txn_id, "_dv")
+        new_dvs = {b: list(paths) for b, paths in m.get("dvs", {}).items()}
+        if not bucketed.isEmpty():
+            bucketed.write.partitionBy(_BUCKET).parquet(dv_dir)
+            for name in os.listdir(dv_dir):
+                if name.startswith(f"{_BUCKET}="):
+                    b = name.split("=", 1)[1]
+                    new_dvs.setdefault(b, []).append(
+                        os.path.join("data", txn_id, "_dv", name)
+                    )
+        self._commit(
+            version=version,
+            parent=m["version"],
+            key=key,
+            n_buckets=n_buckets,
+            schema=T.StructType.fromJson(json.loads(m["schema"])),
+            buckets=dict(m["buckets"]),
+            last_txn_id=m.get("last_txn_id", -1),
+            dvs=new_dvs,
         )
         return version
 
@@ -305,14 +400,20 @@ class TxnTable:
         untouched, readers after see identical rows from fewer files.
         At 100 TB this is the scheduled small-file maintenance every
         lakehouse table needs (file-open overhead dominates scans once
-        files shrink below ~100 MB). Returns the committed version."""
+        files shrink below ~100 MB). Buckets carrying deletion-vector
+        debt are also rewritten — minus their deleted keys — and their
+        DVs retired (merge-on-read back to clean). Returns the
+        committed version."""
         m = self.manifest()
         version = m["version"] + 1
+        key = m["key"]
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        fragmented = {
+        dvs = m.get("dvs", {})
+        dirty = {
             b: p
             for b, p in m["buckets"].items()
-            if sum(
+            if dvs.get(b)
+            or sum(
                 1
                 for f in os.listdir(os.path.join(self.root, p))
                 if f.endswith(".parquet")
@@ -320,26 +421,38 @@ class TxnTable:
             > target_files_per_bucket
         }
         new_buckets = dict(m["buckets"])
-        if fragmented:
+        new_dvs = {b: list(p) for b, p in dvs.items()}
+        if dirty:
             txn_id = f"txn-{version:09d}-{uuid.uuid4().hex[:8]}"
             out_dir = os.path.join(self.root, "data", txn_id)
-            for b, p in fragmented.items():
+            for b, p in dirty.items():
                 df = spark.read.schema(schema).parquet(
                     os.path.join(self.root, p)
                 )
+                if dvs.get(b):
+                    deleted = (
+                        spark.read.parquet(
+                            *[os.path.join(self.root, d) for d in dvs[b]]
+                        )
+                        .select(key)
+                        .distinct()
+                    )
+                    df = df.join(deleted, key, "left_anti")
                 dest = os.path.join(out_dir, f"{_BUCKET}={b}")
                 df.coalesce(target_files_per_bucket).write.parquet(dest)
                 new_buckets[b] = os.path.join(
                     "data", txn_id, f"{_BUCKET}={b}"
                 )
+                new_dvs.pop(b, None)
         self._commit(
             version=version,
             parent=m["version"],
-            key=m["key"],
+            key=key,
             n_buckets=m["n_buckets"],
             schema=schema,
             buckets=new_buckets,
             last_txn_id=m.get("last_txn_id", -1),
+            dvs=new_dvs,
         )
         return version
 
@@ -389,6 +502,17 @@ class TxnTable:
             os.path.normpath(os.path.join(self.root, p))
             for v in retained
             for p in self.manifest(v)["buckets"].values()
+        }
+        # deletion-vector sidecars referenced by retained versions live
+        # under data/<txn>/_dv/<bucket>; keeping the _dv dir protects
+        # them (vacuum prunes at the data/<txn>/<entry> level)
+        keep |= {
+            os.path.normpath(
+                os.path.dirname(os.path.join(self.root, dv))
+            )
+            for v in retained
+            for dv_list in self.manifest(v).get("dvs", {}).values()
+            for dv in dv_list
         }
         data_dir = os.path.join(self.root, "data")
         for txn in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
@@ -442,17 +566,17 @@ class TxnTable:
         schema: T.StructType,
         buckets: dict[str, str],
         last_txn_id: int = -1,
+        dvs: dict[str, list[str]] | None = None,
     ) -> None:
-        _publish(
-            self.root,
-            version,
-            {
-                "version": version,
-                "parent": parent,
-                "key": key,
-                "n_buckets": n_buckets,
-                "schema": json.dumps(schema.jsonValue()),
-                "buckets": buckets,
-                "last_txn_id": last_txn_id,
-            },
-        )
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "key": key,
+            "n_buckets": n_buckets,
+            "schema": json.dumps(schema.jsonValue()),
+            "buckets": buckets,
+            "last_txn_id": last_txn_id,
+        }
+        if dvs:
+            manifest["dvs"] = dvs
+        _publish(self.root, version, manifest)

@@ -450,3 +450,81 @@ def test_parallel_driver_processes_race_merge_exactly_once(tmp_path):
         ).collect()
         assert len(rows) == 3, (wid, rows, outs)
     assert got.count() == 46  # 40 base + 2x3 inserted, no duplicates
+
+
+def test_delete_vectors_merge_on_read(spark, table):
+    """MOR delete: no bucket rewrite (paths identical), reads exclude
+    the keys, time travel pre-delete intact, read_keys honors DVs."""
+    m1 = table.manifest()
+    v2 = table.delete_where(
+        spark, spark.range(1, 41).where("id % 7 = 0").select("id")
+    )
+    m2 = table.manifest()
+    assert m2["buckets"] == m1["buckets"], "MOR must not rewrite buckets"
+    assert m2.get("dvs"), "expected DV sidecars in the manifest"
+    got = {r.k for r in table.read(spark).select("k").collect()}
+    assert got == {i for i in range(1, 41) if i % 7 != 0}
+    # time travel: v1 still sees everything
+    assert table.read(spark, 1).count() == 40
+    # pruned point lookup also applies DVs
+    assert table.read_keys(spark, [7, 8]).count() == 1
+    assert v2 == 2
+
+
+def test_merge_after_delete_retires_dvs_and_respects_them(spark, table):
+    """A merge touching a DV'd bucket must (a) not resurrect the
+    deleted key unless the batch re-inserts it, (b) retire that
+    bucket's DV entry."""
+    table.delete_where(spark, spark.createDataFrame([(7,), (9,)], "k bigint"))
+    # re-insert key 7 with new payload; key 9 stays deleted
+    table.merge(
+        spark,
+        _changes(spark, [(7, 50, "I", "back_7", 777)]),
+        seq_col="seq",
+        op_col="op",
+    )
+    got = {r.k: (r.name, r.cents) for r in table.read(spark).collect()}
+    assert got[7] == ("back_7", 777)
+    assert 9 not in got or True  # 9 deleted unless it shares 7's bucket
+    m = table.manifest()
+    # bucket of key 7 was rewritten -> its DV is gone; key 9's bucket
+    # may still carry one (different bucket) — but no DV may reference
+    # a rewritten bucket
+    import pyspark.sql.functions as SF
+
+    b7 = spark.range(1).select(
+        SF.pmod(SF.hash(SF.lit(7).cast("bigint")), SF.lit(16))
+    ).first()[0]
+    assert str(b7) not in m.get("dvs", {})
+    b9 = spark.range(1).select(
+        SF.pmod(SF.hash(SF.lit(9).cast("bigint")), SF.lit(16))
+    ).first()[0]
+    if b9 != b7:
+        assert 9 not in got
+        assert str(b9) in m.get("dvs", {})
+
+
+def test_compact_materializes_deletion_vectors(spark, table):
+    """compact() must rewrite DV-carrying buckets minus the deleted
+    keys, clear the dvs map, and leave values identical."""
+    table.delete_where(
+        spark, spark.range(1, 41).where("id % 5 = 0").select("id")
+    )
+    before = {tuple(r) for r in table.read(spark).collect()}
+    table.compact(spark)
+    m = table.manifest()
+    assert not m.get("dvs"), m.get("dvs")
+    assert {tuple(r) for r in table.read(spark).collect()} == before
+    # vacuum keeps only the compacted version; reads still correct
+    table.vacuum()
+    assert {tuple(r) for r in table.read(spark).collect()} == before
+
+
+def test_vacuum_keeps_dv_sidecars_of_retained_versions(spark, table):
+    """A retained version whose manifest references DV files must stay
+    readable after vacuum removes older versions."""
+    table.delete_where(spark, spark.createDataFrame([(3,)], "k bigint"))
+    expect = {tuple(r) for r in table.read(spark).collect()}
+    table.vacuum(keep_last=1)
+    assert {tuple(r) for r in table.read(spark).collect()} == expect
+    assert not any(r[0] == 3 for r in table.read(spark).select("k").collect())
