@@ -1298,6 +1298,55 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iters=3)
 
 
+def q_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket recommender surface: top-3 co-purchased partners
+    per part, one basket one vote, deterministic rank order."""
+    return graph.also_bought(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text source (sources/readers.py:read_fixed_width):
+    stage supplier as a fixed-width export (rpad'd slices), scan it
+    back with the codegen substring/cast reader, and return the parsed
+    rows — the oracle is the source table, so any slicing, trimming,
+    or cast bug shifts values."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from data_lake_for_citi_bike_trip_spark.sources.readers import (
+        read_fixed_width,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier")
+    lines = sup.select(
+        F.concat(
+            F.rpad(F.col("s_suppkey").cast("string"), 10, " "),
+            F.rpad(F.col("s_name"), 30, " "),
+            F.rpad(F.col("s_nationkey").cast("string"), 6, " "),
+            F.rpad(
+                F.round(F.col("s_acctbal") * 100).cast("bigint").cast("string"),
+                14,
+                " ",
+            ),
+        ).alias("value")
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_fw_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    out = os.path.join(scratch, "supplier_fw")
+    lines.write.mode("overwrite").text(out)
+    return read_fixed_width(
+        spark,
+        out,
+        [
+            ("s_suppkey", 1, 10, "bigint"),
+            ("s_name", 11, 30, "string"),
+            ("s_nationkey", 41, 6, "bigint"),
+            ("acctbal_cents", 47, 14, "bigint"),
+        ],
+    )
+
+
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (Pregel frontier expansion) from customer 1
     over the co-purchase graph: min hop distance within 3 hops; the
@@ -2012,6 +2061,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_delete_vectors": q_txn_delete_vectors,
         "graph_pagerank": q_graph_pagerank,
         "graph_bfs": q_graph_bfs,
+        "also_bought": q_also_bought,
+        "fixed_width_roundtrip": q_fixed_width_roundtrip,
         "ann_pq_topk": q_ann_pq_topk,
         "orc_roundtrip": q_orc_roundtrip,
         "hll_incremental_distinct": q_hll_incremental_distinct,
@@ -2224,6 +2275,8 @@ def oracle_sql() -> dict[str, str]:
         "txn_delete_vectors": oracles.TXN_DELETE_VECTORS,
         "graph_pagerank": oracles.GRAPH_PAGERANK,
         "graph_bfs": oracles.GRAPH_BFS_LEVELS,
+        "also_bought": oracles.ALSO_BOUGHT,
+        "fixed_width_roundtrip": oracles.FIXED_WIDTH_ROUNDTRIP,
         "ann_pq_topk": oracles.ANN_PQ_TOPK,
         "orc_roundtrip": oracles.ORC_ROUNDTRIP,
         "hll_incremental_distinct": oracles.HLL_INCREMENTAL_DISTINCT,

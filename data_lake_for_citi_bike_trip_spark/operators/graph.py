@@ -22,7 +22,7 @@ lineage, exactly like ``connected_components`` does.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: e6 fixed-point scale for ranks.
@@ -263,3 +263,37 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 4) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def also_bought(lineitem: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k "customers also bought" per part: co-occurrence counts
+    over order baskets, ranked per source part by (count desc, partner
+    asc) — a TOTAL order, so the top-k boundary is deterministic.
+
+    Scale shape: the basket self-join is keyed on l_orderkey (bounded
+    by order size, never corpus-wide), the count aggregate is map-side
+    combined, and the per-part window ranks each part's partner list —
+    partner lists are catalog-bounded, not corpus-bounded, so the
+    window never skews with row count."""
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("other")
+    )
+    counts = (
+        a.join(b, "ok")
+        .where(F.col("part") != F.col("other"))
+        .select("ok", "part", "other")
+        .distinct()  # one vote per basket, however many line items
+        .groupBy("part", "other")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.desc("n_baskets"), F.asc("other")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("part", "other", "n_baskets", "rank")
+    )

@@ -4328,3 +4328,33 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM customer
 WHERE c_custkey % 7 <> 0
 """
+
+
+# operators/graph.py:also_bought — basket co-occurrence top-k per part,
+# total order (n_baskets desc, other asc).
+ALSO_BOUGHT = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS part,
+                  b.l_partkey AS other
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+counts AS (
+  SELECT part, other, CAST(COUNT(*) AS BIGINT) AS n_baskets
+  FROM pairs GROUP BY 1, 2
+)
+SELECT part, other, n_baskets, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY part ORDER BY n_baskets DESC, other ASC) AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= 3
+"""
+
+
+# sources/readers.py:read_fixed_width — the staged fixed-width export
+# must round-trip byte-exactly back to the source columns.
+FIXED_WIDTH_ROUNDTRIP = """
+SELECT s_suppkey, s_name, s_nationkey,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM supplier
+"""

@@ -126,3 +126,29 @@ def read_json_permissive(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width text scan — the mainframe-export format the staging
+    layer of a lake still meets: ``colspecs`` is (name, start_1based,
+    width, spark_type) per field; each field is a substring slice of
+    the line, trimmed, then cast. The slicing/casting is pure codegen
+    over a ``spark.read.text`` scan (one column in, N out — column
+    pruning applies to the OUTPUT projection, and the text scan itself
+    is splittable by line like any CSV). Whitespace-trimmed empty
+    fields become NULL via the cast, matching CSV null semantics."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path)
+    return df.select(
+        *[
+            F.nullif(F.trim(F.substring("value", start, width)), F.lit(""))
+            .cast(dtype)
+            .alias(name)
+            for name, start, width, dtype in colspecs
+        ]
+    )

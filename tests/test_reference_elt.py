@@ -278,3 +278,24 @@ def test_elt_observed_metrics_match_written_counts(spark, staging_paths, tmp_pat
         reread = spark.read.parquet(os.path.join(out, name)).count()
         assert metrics[name]["rows"] == reread, name
     assert metrics["bikeshare_fact_table"]["null_ids"] == 0
+
+
+def test_fixed_width_reader_trims_casts_and_nulls(spark, tmp_path):
+    """Slice boundaries, whitespace trim, type cast, and empty->NULL."""
+    from data_lake_for_citi_bike_trip_spark.sources.readers import (
+        read_fixed_width,
+    )
+
+    p = tmp_path / "fw.txt"
+    p.write_text(
+        "42        alpha     7    \n"
+        "          beta      -3   \n"  # empty key -> NULL
+        "7         gamma          \n"  # empty last field -> NULL
+    )
+    rows = read_fixed_width(
+        spark,
+        str(p),
+        [("k", 1, 10, "bigint"), ("name", 11, 10, "string"), ("v", 21, 5, "bigint")],
+    ).collect()
+    got = {(r.k, r.name, r.v) for r in rows}
+    assert got == {(42, "alpha", 7), (None, "beta", -3), (7, "gamma", None)}
