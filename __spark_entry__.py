@@ -802,6 +802,20 @@ def q_txn_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day lower-median of daily event counts per type —
+    RANGE frame on the integer day index (gaps shorten the window),
+    integer-exact selection."""
+    return timeseries.rolling_median_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the top-20 users:
+    depth x width bounded-state build, md5 hashes replayed by the
+    oracle, one-sided guarantee flag hash-checked per row."""
+    return profile.countmin_frequencies(load_table(spark, sf_dir, "events"))
+
+
 def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users per event type via bitmap-word aggregation
     (bit_or masks + popcount) — the mergeable, bounded-state alternative
@@ -2074,6 +2088,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "observed_dq": q_observed_dq,
         "bitmap_distinct": q_bitmap_distinct,
+        "countmin_freq": q_countmin_freq,
+        "rolling_median": q_rolling_median,
         "pareto_frontier": q_pareto_frontier,
         "bpe_pairs": q_bpe_pairs,
         "tfidf_similar": q_tfidf_similar,
@@ -2288,6 +2304,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_weighted": oracles.SAMPLE_WEIGHTED,
         "observed_dq": oracles.OBSERVED_DQ,
         "bitmap_distinct": oracles.BITMAP_DISTINCT,
+        "countmin_freq": oracles.COUNTMIN_FREQUENCIES,
+        "rolling_median": oracles.ROLLING_MEDIAN_DAILY,
         "pareto_frontier": oracles.PARETO_FRONTIER,
         "bpe_pairs": oracles.BPE_PAIRS,
         "tfidf_similar": oracles.TFIDF_SIMILAR,

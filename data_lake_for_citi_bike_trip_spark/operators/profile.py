@@ -391,3 +391,86 @@ def fd_violations(trips: DataFrame) -> DataFrame:
         )
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+def countmin_frequencies(
+    events: DataFrame,
+    depth: int = 3,
+    width: int = 64,
+    track_top: int = 20,
+) -> DataFrame:
+    """COUNT-MIN SKETCH frequency estimation — the mergeable,
+    fixed-size companion to the HLL (distinct) and bitmap (exact
+    distinct) sketches already in this module: per-key frequency
+    estimates from a depth x width counter grid, with the one-sided
+    guarantee estimate >= true count (collisions only ever ADD).
+
+    Scale shape: the sketch build is ONE grouped aggregate over
+    (row, bucket) — depth*width cells TOTAL regardless of input size
+    (bounded state; shard sketches merge by cell-wise addition, the
+    property that makes this the streaming/pre-agg frequency
+    structure). The probe side joins ``track_top`` keys x depth rows
+    against the cell table on (row, bucket) — both sides bounded by
+    construction, so the hint-free join broadcasts under AQE.
+
+    Hashes are md5-derived (functions/text.py:token_hash32), exactly
+    mirrorable in DuckDB, so the oracle REPLAYS the sketch cell-for-
+    cell: the emitted estimate, the exact count, and the
+    ``overestimate_ok`` guarantee flag (must be TRUE on every row —
+    a CMS that ever underestimates is broken) are all hash-checked,
+    not trusted."""
+    from ..functions.text import token_hash32
+
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    keyed = events.select(F.col("user_id").alias("k")).select(
+        "k", F.explode(rows).alias("i")
+    )
+    bucketed = keyed.select(
+        "i",
+        (
+            token_hash32(
+                F.concat(
+                    F.col("k").cast("string"),
+                    F.lit("cms-"),
+                    F.col("i").cast("string"),
+                )
+            )
+            % width
+        ).alias("b"),
+    )
+    cells = bucketed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+    exact = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    tracked = exact.orderBy(F.desc("exact_cnt"), F.asc("k")).limit(track_top)
+    probes = tracked.select("k", "exact_cnt").select(
+        "k", "exact_cnt", F.explode(rows).alias("i")
+    ).select(
+        "k",
+        "exact_cnt",
+        "i",
+        (
+            token_hash32(
+                F.concat(
+                    F.col("k").cast("string"),
+                    F.lit("cms-"),
+                    F.col("i").cast("string"),
+                )
+            )
+            % width
+        ).alias("b"),
+    )
+    return (
+        probes.join(cells, ["i", "b"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            F.col("k").alias("user_id"),
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_cnt")).alias(
+                "overestimate_ok"
+            ),
+        )
+    )

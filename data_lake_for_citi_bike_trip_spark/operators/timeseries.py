@@ -387,3 +387,38 @@ def theil_sen_slope(trips: DataFrame, max_days: int = 64) -> DataFrame:
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.col("slope_e6").alias("median_slope_e6"),
     )
+
+
+def rolling_median_daily(events: DataFrame, days: int = 7) -> DataFrame:
+    """Trailing ``days``-day rolling LOWER-MEDIAN of daily event counts
+    per event type — the robust smoother for spiky operational series
+    (one bad day cannot drag a median the way it drags moving_average's
+    mean).
+
+    Integer-exact by construction: the window collects the trailing
+    counts over a RANGE frame keyed on the integer day index (calendar
+    gaps therefore shorten the window rather than silently spanning
+    them — the sparse-series semantics moving_average_range documents),
+    sorts, and selects element (n+1) div 2 — pure integer selection,
+    nothing to round differently. The frame is bounded by ``days``
+    rows, and the window partitions by event type over day-grain rows —
+    thousands of rows at any corpus size, never the event grain."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    idx = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(idx)
+        .rangeBetween(-(days - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list("n_events").over(w))
+    return daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")).alias(
+            "rolling_median"
+        ),
+        F.size(arr).cast("bigint").alias("window_days"),
+    )

@@ -4358,3 +4358,65 @@ SELECT s_suppkey, s_name, s_nationkey,
        CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
 FROM supplier
 """
+
+
+# operators/profile.py:countmin_frequencies — the sketch is replayed
+# cell-for-cell (same md5 hashes), so estimate, exact count, and the
+# one-sided guarantee flag are all hash-checked.
+COUNTMIN_FREQUENCIES = """
+WITH keyed AS (
+  SELECT user_id AS k, i
+  FROM events, unnest(generate_series(0, 2)) AS t(i)
+),
+cells AS (
+  SELECT i,
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR) || 'cms-'
+                                 || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+           % 64 AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM keyed GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY 1
+),
+tracked AS (
+  SELECT k, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, k ASC LIMIT 20
+),
+probes AS (
+  SELECT t.k, t.exact_cnt, s.i,
+         CAST('0x' || substr(md5(CAST(t.k AS VARCHAR) || 'cms-'
+                                 || CAST(s.i AS VARCHAR)), 1, 8) AS BIGINT)
+           % 64 AS b
+  FROM tracked t, unnest(generate_series(0, 2)) AS s(i)
+)
+SELECT p.k AS user_id, p.exact_cnt,
+       CAST(min(c.cnt) AS BIGINT) AS cms_estimate,
+       min(c.cnt) >= p.exact_cnt AS overestimate_ok
+FROM probes p JOIN cells c ON p.i = c.i AND p.b = c.b
+GROUP BY 1, 2
+"""
+
+
+# operators/timeseries.py:rolling_median_daily — identical RANGE frame
+# on the integer day index, identical lower-median selection.
+ROLLING_MEDIAN_DAILY = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, n_events,
+         list_sort(list(n_events) OVER (
+           PARTITION BY event_type
+           ORDER BY datediff('day', DATE '1970-01-01', day)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM daily
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, n_events,
+       CAST(arr[(len(arr) + 1) // 2] AS BIGINT) AS rolling_median,
+       CAST(len(arr) AS BIGINT) AS window_days
+FROM win
+"""

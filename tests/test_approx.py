@@ -152,3 +152,17 @@ def test_phrase_search_counts_consecutive_occurrences(spark):
     )
     got = {r.doc_id: r.n_hits for r in search.phrase_search(docs).collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_countmin_never_underestimates_and_cells_bounded(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    rows = profile.countmin_frequencies(events, depth=3, width=64).collect()
+    assert rows and all(r.overestimate_ok for r in rows)
+    assert all(r.cms_estimate >= r.exact_cnt for r in rows)
+    # sketch state is bounded by construction: depth x width cells max
+    # (the property that makes shard sketches mergeable by addition)
+    n_users = events.select("user_id").distinct().count()
+    assert len(rows) == min(20, n_users)

@@ -195,3 +195,28 @@ def test_theil_sen_is_outlier_robust_where_ols_is_not(spark):
         for r in timeseries.trend_slope(mk(spiked)).collect()
     }
     assert abs(ols["S"] - 1_000_000) > 100_000  # OLS dragged by it
+
+
+def test_rolling_median_gaps_shorten_window(spark):
+    """A calendar gap larger than the frame must RESET the window (the
+    RANGE frame spans day indices, not adjacent rows), and the lower
+    median of an even window picks the smaller middle element."""
+    from data_lake_for_citi_bike_trip_spark.operators import timeseries
+
+    rows = []
+    # type 'a': days 1..4 with counts 10,2,30,4 then a 30-day gap, then 99
+    for day, n in [(1, 10), (2, 2), (3, 30), (4, 4), (40, 99)]:
+        for i in range(n):
+            rows.append((len(rows), day * 86400_000_000, 1, "a"))
+    events = spark.createDataFrame(
+        [(eid, us, u, et) for eid, us, u, et in rows],
+        "event_id bigint, us bigint, user_id bigint, event_type string",
+    ).select("event_id", F.timestamp_micros("us").alias("ts"), "user_id", "event_type")
+    got = {
+        r.day: (r.rolling_median, r.window_days)
+        for r in timeseries.rolling_median_daily(events).collect()
+    }
+    days = sorted(got)
+    # windows: [10]=10; [10,2]->2 (lower); [10,2,30]->10; [10,2,30,4]->4
+    assert [got[d][0] for d in days] == [10, 2, 10, 4, 99]
+    assert got[days[-1]] == (99, 1), "gap must reset the frame"
