@@ -464,6 +464,44 @@ def q_stream_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GDPR erase into the ACID table through merge-on-read
+    deletion vectors: the customer TxnTable takes one delete_where
+    commit per micro-batch of erase requests (user_id %% 3 == 0 from
+    the event stream) — DV sidecars only, no bucket rewrites — and the
+    final read must equal source-minus-erased however the feed was
+    batched (replay-idempotent by the anti-join's nature)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from data_lake_for_citi_bike_trip_spark.sources.txn import TxnTable
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_erase_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    sess = streaming.scoped_session(spark, 8)
+    customer = load_table(sess, sf_dir, "customer")
+    current = customer.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+    )
+    table = TxnTable.create(
+        sess, os.path.join(scratch, "t"), current, key="c_custkey"
+    )
+    stream = streaming.stream_events(sess, sf_dir)
+    requests = stream.where(F.col("user_id") % 3 == 0).select(
+        F.col("user_id").alias("c_custkey")
+    )
+    final = streaming.stream_erase_to_txn(
+        requests, table, os.path.join(scratch, "ckpt"), key_col="c_custkey"
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("acctbal_cents").cast("long").alias("total_cents"),
+    )
+
+
 def q_stream_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC drained into the ACID TxnTable: each micro-batch
     MERGEs with txn_id=batch_id (replay-skipped exactly-once), deletes
@@ -2059,6 +2097,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "stream_scd1_upsert": q_stream_scd1_upsert,
         "stream_txn_merge": q_stream_txn_merge,
+        "stream_erase": q_stream_erase,
         "scd2_stations": q_scd2_stations,
         "session_window": q_session_window,
         "unpivot_event_counts": q_unpivot_event_counts,
@@ -2275,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": oracles.DEDUP_INCREMENTAL,
         "stream_scd1_upsert": oracles.STREAM_SCD1_UPSERT,
         "stream_txn_merge": oracles.STREAM_TXN_MERGE,
+        "stream_erase": oracles.STREAM_ERASE,
         "scd2_stations": oracles.SCD2_STATIONS,
         "session_window": oracles.SESSION_WINDOW,
         "unpivot_event_counts": oracles.UNPIVOT_EVENT_COUNTS,

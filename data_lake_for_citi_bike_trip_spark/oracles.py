@@ -4420,3 +4420,16 @@ SELECT event_type, CAST(day AS VARCHAR) AS day, n_events,
        CAST(len(arr) AS BIGINT) AS window_days
 FROM win
 """
+
+
+# streaming/pipeline.py:stream_erase_to_txn — batching-invisible: the
+# final table is the source minus every requested key, however the
+# erase feed was micro-batched or replayed.
+STREAM_ERASE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS total_cents
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0
+)
+"""

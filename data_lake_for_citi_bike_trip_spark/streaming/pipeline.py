@@ -583,3 +583,35 @@ def stream_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count", "cnt"
     )
     return run_available_now(counts, "q_stream_union_counts", "complete")
+
+
+def stream_erase_to_txn(
+    stream_df: DataFrame,
+    table,
+    checkpoint: str,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming GDPR-erase sink: each micro-batch of erase requests
+    becomes ONE merge-on-read ``delete_where`` commit on the TxnTable —
+    per-bucket DV sidecars, kilobytes per batch, no bucket rewrites on
+    the hot path (compaction materializes later, out of band).
+
+    Replay-safe WITHOUT txn-ids: deleting an already-deleted key just
+    appends another DV row for the same key, and the read-side
+    anti-join is idempotent under duplicates — at-least-once delivery
+    therefore yields exactly-once table SEMANTICS for deletes, the same
+    end state however the feed is batched or replayed."""
+
+    def _erase(batch_df: DataFrame, batch_id: int) -> None:
+        keys = batch_df.select(key_col).distinct()
+        if not keys.isEmpty():
+            table.delete_where(batch_df.sparkSession, keys)
+
+    query = (
+        stream_df.writeStream.foreachBatch(_erase)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return table.read(stream_df.sparkSession)

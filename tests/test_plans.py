@@ -297,3 +297,30 @@ def test_corpus_sized_sides_not_hint_forced_broadcast(spark, sf_dir):
         assert n_hints <= 1, (name, n_hints, analyzed[:800])
         assert df.limit(1).count() == 1, name
         assert "CartesianProduct" not in optimized, name
+
+
+def test_gate_rotation_frontloads_unchecked_queries():
+    """The driver's correctness gate samples the FIRST 50 entries of
+    queries(): every query with no green CORRECTNESS_r* row must sort
+    before every already-green one (after the flagship), so new work
+    always earns a driver row within one round while there are <50
+    unchecked entries."""
+    import __spark_entry__ as entrymod
+
+    q = list(entrymod.queries())
+    green = entrymod._driver_green_rounds()
+    assert q[0] == "fact_trips"
+    unchecked = [n for n in q if n not in green and n != "fact_trips"]
+    if unchecked:
+        last_unchecked = max(q.index(n) for n in unchecked)
+        first_checked = min(
+            q.index(n) for n in q if n in green and n != "fact_trips"
+        )
+        assert last_unchecked < first_checked, (
+            q[first_checked],
+            q[last_unchecked],
+        )
+        if len(unchecked) < 49:
+            assert last_unchecked < 50, "unchecked query outside gate window"
+    # and every queries() entry still has an oracle
+    assert set(entrymod.queries()) == set(entrymod.oracle_sql())

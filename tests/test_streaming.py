@@ -293,3 +293,39 @@ def test_left_outer_join_null_tier_waits_for_watermark(spark, sf_dir):
 
     for eid in nulls:
         assert err_ts[eid] + datetime.timedelta(hours=3) < wm
+
+
+def test_stream_erase_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-draining the erase feed from scratch (checkpoint wiped — the
+    at-least-once worst case) must leave the table state identical:
+    duplicate DV rows are absorbed by the read-side anti-join."""
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+    from data_lake_for_citi_bike_trip_spark.sources.txn import TxnTable
+    from data_lake_for_citi_bike_trip_spark.streaming import pipeline as SP
+
+    sess = SP.scoped_session(spark, 4)
+    customer = load_table(sess, sf_dir, "customer")
+    current = customer.select("c_custkey", "c_name")
+    t = TxnTable.create(sess, str(tmp_path / "t"), current, key="c_custkey")
+
+    def drain(ckpt):
+        stream = SP.stream_events(sess, sf_dir)
+        reqs = stream.where(F.col("user_id") % 3 == 0).select(
+            F.col("user_id").alias("c_custkey")
+        )
+        return SP.stream_erase_to_txn(reqs, t, str(tmp_path / ckpt), "c_custkey")
+
+    first = {r.c_custkey for r in drain("ck1").select("c_custkey").collect()}
+    replay = {r.c_custkey for r in drain("ck2").select("c_custkey").collect()}
+    assert first == replay
+    erased = {
+        r.user_id
+        for r in load_table(sess, sf_dir, "events")
+        .where(F.col("user_id") % 3 == 0)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert first == {
+        r.c_custkey for r in current.select("c_custkey").collect()
+    } - erased
