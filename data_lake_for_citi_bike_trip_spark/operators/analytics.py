@@ -665,3 +665,41 @@ def share_of_parent(
             "(10000 * revenue_cents) div sum(revenue_cents) over ()"
         ).alias("share_of_global_bp"),
     )
+
+
+def purchase_streaks(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive
+    calendar days with at least one purchase — the classic engagement
+    streak, computed with the day_index - row_number() island trick
+    (two windows over day-grain rows, no self-join, no recursion).
+
+    Scale shape: events reduce to distinct (user, day) pairs first
+    (one keyed agg), so the windows run over day-grain cardinality;
+    both windows share the same user partitioning."""
+    days = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp",
+        F.datediff(F.col("day"), F.lit("1970-01-01"))
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("start_day")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("longest_streak_days"),
+            F.col("start_day").cast("string").alias("streak_start"),
+        )
+    )

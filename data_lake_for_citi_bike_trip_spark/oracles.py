@@ -3958,7 +3958,8 @@ WHERE f.src < f.dst
 KNN_BLOCKED_RECALL = f"""
 WITH corpus AS (
   SELECT vec_id, v, {_SIGN4.format(v='v')} AS bucket
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 5 = 0)
 ),
 scored_e AS (
   SELECT a.vec_id AS src, b.vec_id AS dst, {_cos('a.v', 'b.v')} AS cos_sim
@@ -4432,4 +4433,48 @@ FROM customer
 WHERE c_custkey NOT IN (
   SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0
 )
+"""
+
+
+# operators/analytics.py:purchase_streaks — identical island-grouping
+# (day index minus row_number), identical (len desc, start asc) pick.
+PURCHASE_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE event_type = 'purchase'
+),
+islands AS (
+  SELECT user_id, day,
+         datediff('day', DATE '1970-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+         min(day) AS start_day
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, len AS longest_streak_days,
+       CAST(start_day AS VARCHAR) AS streak_start
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY len DESC, start_day ASC) AS rn
+  FROM streaks
+) WHERE rn = 1
+"""
+
+
+# sources/txn.py evolve_schema as a queryable surface: after the
+# widening merge, untouched rows read the new column as NULL
+# (schema-on-read) while merged rows carry it — the fill/null split is
+# predicted straight from the update rule.
+TXN_SCHEMA_EVOLUTION = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(3 AS BIGINT) AS n_cols_before,
+       CAST(4 AS BIGINT) AS n_cols_after,
+       CAST(COUNT(CASE WHEN c_custkey % 10 = 0 THEN 1 END) AS BIGINT)
+         AS n_segment_filled,
+       CAST(COUNT(CASE WHEN c_custkey % 10 <> 0 THEN 1 END) AS BIGINT)
+         AS n_segment_null
+FROM customer
 """
