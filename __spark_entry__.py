@@ -897,6 +897,13 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.rolling_median_daily(load_table(spark, sf_dir, "events"))
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF tier: 10%-trimmed mean of event values
+    per type, integer-exact (cents in, floor-div e2 out), oracle
+    replays the sort/trim/div."""
+    return profile.trimmed_mean_by_type(load_table(spark, sf_dir, "events"))
+
+
 def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates for the top-20 users:
     depth x width bounded-state build, md5 hashes replayed by the
@@ -2185,6 +2192,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observed_dq": q_observed_dq,
         "bitmap_distinct": q_bitmap_distinct,
         "countmin_freq": q_countmin_freq,
+        "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "purchase_streaks": q_purchase_streaks,
         "txn_schema_evolution": q_txn_schema_evolution,
@@ -2404,6 +2412,7 @@ def oracle_sql() -> dict[str, str]:
         "observed_dq": oracles.OBSERVED_DQ,
         "bitmap_distinct": oracles.BITMAP_DISTINCT,
         "countmin_freq": oracles.COUNTMIN_FREQUENCIES,
+        "trimmed_mean": oracles.TRIMMED_MEAN,
         "rolling_median": oracles.ROLLING_MEDIAN_DAILY,
         "purchase_streaks": oracles.PURCHASE_STREAKS,
         "txn_schema_evolution": oracles.TXN_SCHEMA_EVOLUTION,

@@ -474,3 +474,51 @@ def countmin_frequencies(
             ),
         )
     )
+
+
+def trimmed_mean_by_type(events: DataFrame, trim_pct: int = 10) -> DataFrame:
+    """10%-trimmed mean of event values per type through a GROUPED_AGG
+    pandas UDF — the Arrow-batched user-defined AGGREGATE tier of the
+    Python surface (grouped-map applyInPandas and mapInArrow are
+    showcased elsewhere; this is the third shape: a custom aggregate
+    the built-ins genuinely lack, fed per-group as a numpy array).
+
+    Integer-exact contract: values quantize to cents BEFORE the UDF;
+    inside, the trim drops floor(n*pct/100) from each sorted end and
+    the result is the INTEGER-DIV mean in e2 units — floor semantics
+    every engine reproduces, so the oracle replays it with list_sort
+    + slicing.
+
+    Scale: a pandas UDAF computes partial results per Arrow batch and
+    merges (unlike grouped-map, it does NOT need a whole group in one
+    executor's memory for the built-in partial-agg plan — though
+    order-dependent trims force Spark to collect the group; groups
+    here are event types, a handful of bounded series)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module postpones annotations
+    # (__future__), which turns the Series->scalar hints into strings
+    # the inferencer can't read
+    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean_e2(cents):
+        v = cents.sort_values().to_numpy()
+        k = (len(v) * trim_pct) // 100
+        kept = v[k : len(v) - k] if len(v) > 2 * k else v
+        return int((100 * int(kept.sum())) // len(kept))
+
+    cents = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    # Spark forbids mixing pandas and JVM aggregates in one agg(); the
+    # plain count comes from a separate tiny agg joined on the group
+    # key (|event types| rows — broadcast under AQE)
+    trimmed = cents.groupBy("event_type").agg(
+        trimmed_mean_e2("cents").alias("trimmed_mean_e2")
+    )
+    counts = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return counts.join(trimmed, "event_type").select(
+        "event_type", "n_events", "trimmed_mean_e2"
+    )
