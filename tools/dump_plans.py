@@ -102,9 +102,37 @@ HEADLINE = [
     "scd2_point_in_time",
     "multimodal_video_frames",
     "txn_point_lookup",
+    "txn_delete_vectors",
+    "also_bought",
+    "graph_bfs",
+    "countmin_freq",
+    "rolling_median",
+    "purchase_streaks",
+    "trimmed_mean",
+    "fixed_width_roundtrip",
 ]
 
 NOTES = {
+    "txn_delete_vectors": "merge-on-read: delete commits per-bucket key "
+    "sidecars only (no rewrite); the read plans a key anti-join against "
+    "the DV union — co-partitioned with downstream per-key work",
+    "also_bought": "basket self-join keyed on l_orderkey (bounded by "
+    "order size), one-vote-per-basket distinct, per-part window over "
+    "catalog-bounded partner lists",
+    "graph_bfs": "per-round frontier-edge equi-join + visited anti-join; "
+    "localCheckpoint truncates lineage so the final plan reads "
+    "materialized partitions, not 4 rounds of joins",
+    "countmin_freq": "sketch build is ONE grouped agg into depth*width "
+    "cells (bounded state); probe joins 20 keys x depth against the "
+    "cell table — both sides bounded, AQE broadcasts",
+    "rolling_median": "day-grain agg then one RANGE-frame window per "
+    "event type; frame bounded by the trailing-days constant",
+    "purchase_streaks": "distinct (user, day) reduction then two windows "
+    "sharing the user partitioning; no self-join, no recursion",
+    "trimmed_mean": "GROUPED_AGG pandas UDAF over |event types| groups; "
+    "plain count from a separate JVM agg joined on the group key",
+    "fixed_width_roundtrip": "text scan + pure-codegen substring/cast "
+    "projection; write side is a single rpad concat",
     "cep_click_conversion": "union of starts + forbidden errors, one "
     "(ts,event_id,tag)-ordered window for the match bound, then a "
     "user-keyed interval join to purchases — same shape as cep_recovery "
