@@ -897,6 +897,14 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.rolling_median_daily(load_table(spark, sf_dir, "events"))
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over REAL PNG decodes: integer brightness
+    mean (e2) + 4-bin intensity histogram per image; the oracle replays
+    the generator formula closed-form."""
+    media = multimodal.synthetic_png_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.image_features(media)
+
+
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas UDAF tier: 10%-trimmed mean of event values
     per type, integer-exact (cents in, floor-div e2 out), oracle
@@ -2193,6 +2201,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_distinct": q_bitmap_distinct,
         "countmin_freq": q_countmin_freq,
         "trimmed_mean": q_trimmed_mean,
+        "image_features": q_image_features,
         "rolling_median": q_rolling_median,
         "purchase_streaks": q_purchase_streaks,
         "txn_schema_evolution": q_txn_schema_evolution,
@@ -2413,6 +2422,7 @@ def oracle_sql() -> dict[str, str]:
         "bitmap_distinct": oracles.BITMAP_DISTINCT,
         "countmin_freq": oracles.COUNTMIN_FREQUENCIES,
         "trimmed_mean": oracles.TRIMMED_MEAN,
+        "image_features": oracles.IMAGE_FEATURES,
         "rolling_median": oracles.ROLLING_MEDIAN_DAILY,
         "purchase_streaks": oracles.PURCHASE_STREAKS,
         "txn_schema_evolution": oracles.TXN_SCHEMA_EVOLUTION,

@@ -793,3 +793,49 @@ def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=VIDEO_FRAME_SCHEMA
     )
+
+
+#: Output schema of the image feature-extraction stage.
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_e2", T.LongType()),
+        T.StructField("hist_q1", T.LongType()),
+        T.StructField("hist_q2", T.LongType()),
+        T.StructField("hist_q3", T.LongType()),
+        T.StructField("hist_q4", T.LongType()),
+    ]
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """FEATURE EXTRACTION over decoded images — the fourth multimodal
+    verb alongside decode / resize / frame-sample: per-image integer
+    brightness mean (e2, floor) and a 4-bin intensity histogram
+    (64-wide bins), computed from the REAL PNG decode (inflate + five
+    unfilters) with numpy inside one Arrow batch. Every output is an
+    integer derived from exact pixel bytes, so the oracle replays the
+    generator formula closed-form — a wrong unfilter or a biased bin
+    boundary shifts the counts."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in IMAGE_FEATURE_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c, pix = decode_png_pixels(bytes(payload))
+                arr = np.frombuffer(pix, dtype=np.uint8)
+                out["media_id"].append(int(media_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_e2"].append(int(100 * int(arr.sum()) // arr.size))
+                hist = np.bincount(arr >> 6, minlength=4)
+                for q in range(4):
+                    out[f"hist_q{q + 1}"].append(int(hist[q]))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=IMAGE_FEATURE_SCHEMA
+    )

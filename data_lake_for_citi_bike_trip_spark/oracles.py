@@ -4503,3 +4503,30 @@ SELECT event_type, n_events,
        CAST((100 * list_sum(kept)) // len(kept) AS BIGINT) AS trimmed_mean_e2
 FROM trimmed
 """
+
+
+# operators/multimodal.py:image_features over synthetic_png_table —
+# rows are constant (doc_id+y)%256 across 3 channels, so every feature
+# is closed-form: mean_e2 = 100*total // npix, histogram bin = v//64
+# with each row y contributing 3*width pixels.
+IMAGE_FEATURES = """
+SELECT doc_id AS media_id,
+       CAST(n_chars % 31 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 17 + 1 AS BIGINT) AS height,
+       (SELECT CAST((100 * sum((doc_id + y) % 256) * 3 * (n_chars % 31 + 1))
+                    // ((n_chars % 31 + 1) * (doc_id % 17 + 1) * 3) AS BIGINT)
+        FROM unnest(generate_series(0, doc_id % 17)) AS t(y)) AS mean_e2,
+       (SELECT CAST(coalesce(sum(CASE WHEN (doc_id + y) % 256 // 64 = 0
+                                      THEN 3 * (n_chars % 31 + 1) END), 0) AS BIGINT)
+        FROM unnest(generate_series(0, doc_id % 17)) AS t(y)) AS hist_q1,
+       (SELECT CAST(coalesce(sum(CASE WHEN (doc_id + y) % 256 // 64 = 1
+                                      THEN 3 * (n_chars % 31 + 1) END), 0) AS BIGINT)
+        FROM unnest(generate_series(0, doc_id % 17)) AS t(y)) AS hist_q2,
+       (SELECT CAST(coalesce(sum(CASE WHEN (doc_id + y) % 256 // 64 = 2
+                                      THEN 3 * (n_chars % 31 + 1) END), 0) AS BIGINT)
+        FROM unnest(generate_series(0, doc_id % 17)) AS t(y)) AS hist_q3,
+       (SELECT CAST(coalesce(sum(CASE WHEN (doc_id + y) % 256 // 64 = 3
+                                      THEN 3 * (n_chars % 31 + 1) END), 0) AS BIGINT)
+        FROM unnest(generate_series(0, doc_id % 17)) AS t(y)) AS hist_q4
+FROM documents
+"""
