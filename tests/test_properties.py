@@ -98,3 +98,62 @@ def test_overlap_join_equals_brute_force(spark, lefts, rights):
         if ls <= re and rs <= le
     )
     assert got == want
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),        # user_id
+        st.integers(min_value=0, max_value=50),       # minute offset
+        st.sampled_from(["error", "purchase", "click", "view"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(EVENTS)
+def test_cep_sequence_matches_python_reference(spark, rows):
+    """cep_sequence_matches must agree with a direct per-user Python
+    replay on arbitrary small event streams (ties, adjacent starts,
+    forbid==start, empty users all included)."""
+    from data_lake_for_citi_bike_trip_spark.operators import behavior
+
+    data = [
+        (i, u, m * 60_000_000, t) for i, (u, m, t) in enumerate(rows)
+    ]
+    events = spark.createDataFrame(
+        data, "event_id bigint, user_id bigint, us bigint, event_type string"
+    ).select(
+        "event_id", F.timestamp_micros("us").alias("ts"), "user_id", "event_type"
+    )
+    got = {
+        r.user_id: (r.n_matched_starts, r.n_end_events)
+        for r in behavior.cep_sequence_matches(
+            events, "error", "purchase", ("error",), within_minutes=10
+        ).collect()
+    }
+    # python reference: for each error, window ends at min(start+10m,
+    # next error in (us, id) order); count purchases in (s, end]
+    within = 10 * 60_000_000
+    expect = {}
+    by_user = {}
+    for eid, u, us, t in data:
+        by_user.setdefault(u, []).append((us, eid, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        errors = [(us, eid) for us, eid, t in evs if t == "error"]
+        purch = [us for us, eid, t in evs if t == "purchase"]
+        n_starts = n_ends = 0
+        for i, (s_us, s_id) in enumerate(errors):
+            end = min(
+                s_us + within,
+                errors[i + 1][0] if i + 1 < len(errors) else 2**62,
+            )
+            hits = sum(1 for p in purch if s_us < p <= end)
+            if hits:
+                n_starts += 1
+                n_ends += hits
+        if n_starts:
+            expect[u] = (n_starts, n_ends)
+    assert got == expect, (got, expect, data)

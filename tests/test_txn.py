@@ -528,3 +528,15 @@ def test_vacuum_keeps_dv_sidecars_of_retained_versions(spark, table):
     table.vacuum(keep_last=1)
     assert {tuple(r) for r in table.read(spark).collect()} == expect
     assert not any(r[0] == 3 for r in table.read(spark).select("k").collect())
+
+
+def test_read_plans_no_antijoin_without_dvs(spark, table):
+    """A clean table's read must be a plain scan — the DV anti-join only
+    enters the plan once deletion vectors exist."""
+    clean = table.read(spark)
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:400]
+    table.delete_where(spark, spark.createDataFrame([(5,)], "k bigint"))
+    dirty = table.read(spark)
+    plan2 = dirty._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan2, plan2[:400]
