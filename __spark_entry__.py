@@ -1894,6 +1894,25 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(result, "q_stream_window_counts", "complete")
 
 
+def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed trending top-k: streaming tumbling counts drained
+    complete-mode, then ranked per window with a total order — the
+    "what's hot each hour" surface. Oracle mirrors hourly counts +
+    rank."""
+    from pyspark.sql import Window as W
+
+    stream = streaming.stream_events(streaming.scoped_session(spark, 8), sf_dir)
+    agg = streaming.trending_topk(stream, window="1 hour", watermark="2 hours")
+    drained = streaming.run_available_now(agg, "q_stream_trending", "complete")
+    w = W.partitionBy("window_start_us").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        drained.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 2)
+    )
+
+
 def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): per-user
     running totals drained with availableNow; the max update per user is
@@ -2279,6 +2298,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "llm_prep_pipeline": q_llm_prep_pipeline,
         "stream_window_counts": q_stream_window_counts,
+        "stream_trending": q_stream_trending,
         "stream_user_totals": q_stream_user_totals,
         "stream_dedup_keys": q_stream_dedup_keys,
         "stream_interval_join": q_stream_interval_join,
@@ -2500,6 +2520,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": oracles.CHUNK_DOCUMENTS,
         "llm_prep_pipeline": oracles.LLM_PREP_PIPELINE,
         "stream_window_counts": oracles.STREAM_WINDOW_COUNTS,
+        "stream_trending": oracles.STREAM_TRENDING_TOPK,
         "stream_user_totals": oracles.STREAM_USER_TOTALS,
         "stream_dedup_keys": oracles.STREAM_DEDUP_KEYS,
         "stream_interval_join": oracles.STREAM_INTERVAL_JOIN,

@@ -4530,3 +4530,20 @@ SELECT doc_id AS media_id,
         FROM unnest(generate_series(0, doc_id % 17)) AS t(y)) AS hist_q4
 FROM documents
 """
+
+
+# streaming/pipeline.py:trending_topk drained complete-mode then ranked
+# — batch mirror: hourly counts, rank with (cnt desc, type asc).
+STREAM_TRENDING_TOPK = """
+WITH counts AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+         event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start_us, event_type, cnt, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY window_start_us ORDER BY cnt DESC, event_type ASC)
+    AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= 2
+"""

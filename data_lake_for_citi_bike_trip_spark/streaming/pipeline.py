@@ -615,3 +615,27 @@ def stream_erase_to_txn(
     )
     query.awaitTermination()
     return table.read(stream_df.sparkSession)
+
+
+def trending_topk(
+    events: DataFrame,
+    k: int = 2,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window TRENDING top-k: tumbling-window counts per (window,
+    event_type). The rank itself is applied AFTER the drain (streaming
+    forbids non-time windows mid-stream); this returns the windowed
+    aggregate — callers drain it, then rank with the deterministic
+    (cnt desc, event_type asc) total order. State stays
+    watermark-bounded exactly like windowed_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "cnt",
+        )
+    )
