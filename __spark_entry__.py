@@ -897,6 +897,15 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.rolling_median_daily(load_table(spark, sf_dir, "events"))
 
 
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features over REAL RIFF/PCM decodes: per-frame
+    integer mean absolute amplitude + zero-crossing count (the VAD
+    primitives); oracle replays the generator's sample stream per
+    frame."""
+    media = multimodal.synthetic_wav_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_frame_features(media)
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over REAL PNG decodes: integer brightness
     mean (e2) + 4-bin intensity histogram per image; the oracle replays
@@ -2221,6 +2230,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_freq": q_countmin_freq,
         "trimmed_mean": q_trimmed_mean,
         "image_features": q_image_features,
+        "audio_frames": q_audio_frames,
         "rolling_median": q_rolling_median,
         "purchase_streaks": q_purchase_streaks,
         "txn_schema_evolution": q_txn_schema_evolution,
@@ -2443,6 +2453,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_freq": oracles.COUNTMIN_FREQUENCIES,
         "trimmed_mean": oracles.TRIMMED_MEAN,
         "image_features": oracles.IMAGE_FEATURES,
+        "audio_frames": oracles.AUDIO_FRAME_FEATURES,
         "rolling_median": oracles.ROLLING_MEDIAN_DAILY,
         "purchase_streaks": oracles.PURCHASE_STREAKS,
         "txn_schema_evolution": oracles.TXN_SCHEMA_EVOLUTION,

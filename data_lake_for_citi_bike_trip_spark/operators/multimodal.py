@@ -600,14 +600,13 @@ def encode_wav_pcm16(media_id: int, n_samples: int, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(raw: bytes) -> tuple[int, int, int, int]:
-    """Parse a RIFF/WAVE container and the PCM-16 samples inside it.
-
-    Returns (sample_rate, n_samples, peak_abs, abs_sum). Walks the chunk
-    list generically (tolerates extra chunks, honors word alignment);
-    raises ValueError on a non-RIFF payload and NotImplementedError on
-    compressed / non-16-bit / multi-channel variants — the same
-    clean-failure contract as the image decoders."""
+def decode_wav_samples(raw: bytes) -> tuple[int, tuple]:
+    """Parse a RIFF/WAVE container; return (sample_rate, samples).
+    Walks the chunk list generically (tolerates extra chunks, honors
+    word alignment); raises ValueError on a non-RIFF payload and
+    NotImplementedError on compressed / non-16-bit / multi-channel
+    variants — the same clean-failure contract as the image
+    decoders."""
     import struct
 
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
@@ -630,9 +629,15 @@ def decode_wav(raw: bytes) -> tuple[int, int, int, int]:
     if n_channels != 1 or bits != 16:
         raise NotImplementedError(f"{n_channels}ch/{bits}bit WAV unsupported")
     n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    return sample_rate, struct.unpack(f"<{n}h", data[: n * 2])
+
+
+def decode_wav(raw: bytes) -> tuple[int, int, int, int]:
+    """Stats face of ``decode_wav_samples``: (sample_rate, n_samples,
+    peak_abs, abs_sum)."""
+    sample_rate, samples = decode_wav_samples(raw)
     abs_vals = [abs(s) for s in samples]
-    return sample_rate, n, max(abs_vals, default=0), sum(abs_vals)
+    return sample_rate, len(samples), max(abs_vals, default=0), sum(abs_vals)
 
 
 def synthetic_wav_table(docs: DataFrame) -> DataFrame:
@@ -838,4 +843,52 @@ def image_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+#: Output schema of the audio frame-feature stage.
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_abs", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_frame_features(media: DataFrame, frame_size: int = 16) -> DataFrame:
+    """FRAME-LEVEL audio feature extraction over decoded PCM — the
+    audio analogue of image_features / sample_video_frames: split each
+    clip into fixed-size frames and emit per-frame integer mean
+    absolute amplitude (floor) and the zero-crossing count (sign flips
+    between consecutive samples WITHIN the frame, sign(s) := s >= 0) —
+    the two classic cheap features voice-activity detectors run on.
+    Arrow-batched; integer-exact, so the oracle replays the generator's
+    sample formula per frame."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in AUDIO_FRAME_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, samples = decode_wav_samples(bytes(payload))
+                for f0 in range(0, len(samples), frame_size):
+                    fr = samples[f0 : f0 + frame_size]
+                    zc = sum(
+                        1
+                        for a, b in zip(fr, fr[1:])
+                        if (a >= 0) != (b >= 0)
+                    )
+                    out["media_id"].append(int(media_id))
+                    out["frame_idx"].append(f0 // frame_size)
+                    out["n_samples"].append(len(fr))
+                    out["mean_abs"].append(
+                        sum(abs(s) for s in fr) // len(fr)
+                    )
+                    out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FRAME_SCHEMA
     )

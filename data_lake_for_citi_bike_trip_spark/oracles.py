@@ -4547,3 +4547,30 @@ SELECT window_start_us, event_type, cnt, rank FROM (
   FROM counts
 ) WHERE rank <= 2
 """
+
+
+# operators/multimodal.py:audio_frame_features — sample i is
+# ((doc_id*31 + i*17) % 4001) - 2000, frames of 16; mean_abs floors,
+# zero crossings compare (s >= 0) of consecutive in-frame samples.
+AUDIO_FRAME_FEATURES = """
+WITH clips AS (
+  SELECT doc_id AS media_id, n_chars % 50 + 10 AS n
+  FROM documents
+),
+frames AS (
+  SELECT media_id, n, f.f AS frame_idx,
+         least(16, n - f.f * 16) AS n_samples
+  FROM clips, unnest(generate_series(0, (n - 1) // 16)) AS f(f)
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       (SELECT CAST(sum(abs(((media_id * 31 + (frame_idx * 16 + i) * 17)
+                             % 4001) - 2000)) // n_samples AS BIGINT)
+        FROM unnest(generate_series(0, n_samples - 1)) AS t(i)) AS mean_abs,
+       (SELECT CAST(coalesce(sum(CASE WHEN
+            ((((media_id * 31 + (frame_idx * 16 + i) * 17) % 4001) - 2000 >= 0)
+             <> (((media_id * 31 + (frame_idx * 16 + i + 1) * 17) % 4001) - 2000 >= 0))
+            THEN 1 END), 0) AS BIGINT)
+        FROM unnest(generate_series(0, n_samples - 2)) AS t(i)) AS zero_crossings
+FROM frames
+"""
