@@ -916,8 +916,9 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas UDAF tier: 10%-trimmed mean of event values
-    per type, integer-exact (cents in, floor-div e2 out), oracle
-    replays the sort/trim/div."""
+    per (user, type) — bounded groups, the scale-safe grain for an
+    order-dependent aggregate — integer-exact (cents in, floor-div e2
+    out), oracle replays the sort/trim/div."""
     return profile.trimmed_mean_by_type(load_table(spark, sf_dir, "events"))
 
 

@@ -489,11 +489,12 @@ def trimmed_mean_by_type(events: DataFrame, trim_pct: int = 10) -> DataFrame:
     every engine reproduces, so the oracle replays it with list_sort
     + slicing.
 
-    Scale: a pandas UDAF computes partial results per Arrow batch and
-    merges (unlike grouped-map, it does NOT need a whole group in one
-    executor's memory for the built-in partial-agg plan — though
-    order-dependent trims force Spark to collect the group; groups
-    here are event types, a handful of bounded series)."""
+    Scale: an order-dependent trim needs the whole group's series, so
+    the GROUP must be bounded — grouping is per (user_id, event_type),
+    whose cardinality is bounded in practice (the same per-key
+    justification as user_gap_median's grouped map); a per-type-only
+    trim at 100 TB would pull one event type's entire series into a
+    single UDAF call, which is exactly the shape this module avoids."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     # explicit functionType: this module postpones annotations
@@ -507,18 +508,19 @@ def trimmed_mean_by_type(events: DataFrame, trim_pct: int = 10) -> DataFrame:
         return int((100 * int(kept.sum())) // len(kept))
 
     cents = events.select(
+        "user_id",
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     # Spark forbids mixing pandas and JVM aggregates in one agg(); the
-    # plain count comes from a separate tiny agg joined on the group
-    # key (|event types| rows — broadcast under AQE)
-    trimmed = cents.groupBy("event_type").agg(
+    # plain count comes from a separate agg joined on the group key
+    # (same partitioning — co-located join)
+    trimmed = cents.groupBy("user_id", "event_type").agg(
         trimmed_mean_e2("cents").alias("trimmed_mean_e2")
     )
-    counts = cents.groupBy("event_type").agg(
+    counts = cents.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    return counts.join(trimmed, "event_type").select(
-        "event_type", "n_events", "trimmed_mean_e2"
+    return counts.join(trimmed, ["user_id", "event_type"]).select(
+        "user_id", "event_type", "n_events", "trimmed_mean_e2"
     )

@@ -4484,22 +4484,22 @@ FROM customer
 # count floor(n*10/100), and integer-div e2 mean.
 TRIMMED_MEAN = """
 WITH cents AS (
-  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS c
   FROM events
 ),
 grouped AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
          list_sort(list(c)) AS v
-  FROM cents GROUP BY 1
+  FROM cents GROUP BY 1, 2
 ),
 trimmed AS (
-  SELECT event_type, n_events,
+  SELECT user_id, event_type, n_events,
          CASE WHEN len(v) > 2 * (len(v) * 10 // 100)
               THEN v[(len(v) * 10 // 100) + 1 : len(v) - (len(v) * 10 // 100)]
               ELSE v END AS kept
   FROM grouped
 )
-SELECT event_type, n_events,
+SELECT user_id, event_type, n_events,
        CAST((100 * list_sum(kept)) // len(kept) AS BIGINT) AS trimmed_mean_e2
 FROM trimmed
 """
