@@ -840,6 +840,46 @@ def q_txn_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txn_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between ACID-table versions as a queryable
+    surface: create v1 from customer, apply one CDC merge, then
+    changes(1, 2) — added/removed/changed with both payload versions,
+    computed from the snapshots. The oracle replays the merge rule, so
+    a wrong diff classification or a lost delete goes red."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from data_lake_for_citi_bike_trip_spark.sources.txn import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    current = customer.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+    )
+    batch = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 < 2, "D")
+        .when(F.col("o_orderkey") % 10 < 6, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.concat(F.lit("m1_"), F.col("o_orderkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "acctbal_cents"
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="txn_cdf_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = TxnTable.create(spark, os.path.join(root, "t"), current, key="c_custkey")
+    t.merge(spark, batch, "seq", "op")
+    return t.changes(spark, 1, 2)
+
+
 def q_txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution as a queryable surface: a widening MERGE
     (evolve_schema=True) adds a segment column for every 10th customer;
@@ -2235,6 +2275,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": q_rolling_median,
         "purchase_streaks": q_purchase_streaks,
         "txn_schema_evolution": q_txn_schema_evolution,
+        "txn_cdf": q_txn_cdf,
         "pareto_frontier": q_pareto_frontier,
         "bpe_pairs": q_bpe_pairs,
         "tfidf_similar": q_tfidf_similar,
@@ -2458,6 +2499,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median": oracles.ROLLING_MEDIAN_DAILY,
         "purchase_streaks": oracles.PURCHASE_STREAKS,
         "txn_schema_evolution": oracles.TXN_SCHEMA_EVOLUTION,
+        "txn_cdf": oracles.TXN_CDF,
         "pareto_frontier": oracles.PARETO_FRONTIER,
         "bpe_pairs": oracles.BPE_PAIRS,
         "tfidf_similar": oracles.TFIDF_SIMILAR,

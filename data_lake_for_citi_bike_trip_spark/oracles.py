@@ -4574,3 +4574,38 @@ SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         FROM unnest(generate_series(0, n_samples - 2)) AS t(i)) AS zero_crossings
 FROM frames
 """
+
+
+# sources/txn.py:changes() — change data feed between v1 (customer
+# snapshot) and v2 (one CDC merge): latest-seq-wins per key; 'D' on an
+# existing key -> removed, upserts -> changed (the m1_ name prefix
+# guarantees inequality); keys absent from v1 never emit.
+TXN_CDF = """
+WITH cur AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+),
+ch AS (
+  SELECT o_custkey AS k, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+              WHEN o_orderkey % 10 < 6 THEN 'U'
+              ELSE 'I' END AS op,
+         'm1_' || CAST(o_orderkey AS VARCHAR) AS name,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+l AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey,
+       CASE WHEN l.op = 'D' THEN 'removed' ELSE 'changed' END AS status,
+       c.c_name AS old_c_name,
+       CASE WHEN l.op = 'D' THEN NULL ELSE l.name END AS new_c_name,
+       c.acctbal_cents AS old_acctbal_cents,
+       CASE WHEN l.op = 'D' THEN NULL ELSE l.cents END AS new_acctbal_cents
+FROM l JOIN cur c ON c.c_custkey = l.k
+"""
