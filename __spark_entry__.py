@@ -930,6 +930,20 @@ def q_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.purchase_streaks(load_table(spark, sf_dir, "events"))
 
 
+def q_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type multiple regression (intercept + trend + weekend) solved
+    distributedly by the normal equations: one aggregate builds the 3x3
+    Gram matrix as BIGINT sums, Cramer's rule emits exact-integer
+    determinants and e6 coefficients."""
+    return timeseries.ols_two_factor(load_table(spark, sf_dir, "events"))
+
+
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-lag ACF (lags 1..7) of the zero-filled per-type daily
+    series — seven leads in one window pass, exact integer moments."""
+    return timeseries.autocorr_daily(load_table(spark, sf_dir, "events"))
+
+
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day lower-median of daily event counts per type —
     RANGE frame on the integer day index (gaps shorten the window),
@@ -2273,6 +2287,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_frames": q_audio_frames,
         "rolling_median": q_rolling_median,
+        "ols_two_factor": q_ols_two_factor,
+        "autocorr_daily": q_autocorr_daily,
         "purchase_streaks": q_purchase_streaks,
         "txn_schema_evolution": q_txn_schema_evolution,
         "txn_cdf": q_txn_cdf,
@@ -2497,6 +2513,8 @@ def oracle_sql() -> dict[str, str]:
         "image_features": oracles.IMAGE_FEATURES,
         "audio_frames": oracles.AUDIO_FRAME_FEATURES,
         "rolling_median": oracles.ROLLING_MEDIAN_DAILY,
+        "ols_two_factor": oracles.OLS_TWO_FACTOR,
+        "autocorr_daily": oracles.AUTOCORR_DAILY,
         "purchase_streaks": oracles.PURCHASE_STREAKS,
         "txn_schema_evolution": oracles.TXN_SCHEMA_EVOLUTION,
         "txn_cdf": oracles.TXN_CDF,

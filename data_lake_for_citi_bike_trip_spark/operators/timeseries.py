@@ -389,6 +389,171 @@ def theil_sen_slope(trips: DataFrame, max_days: int = 64) -> DataFrame:
     )
 
 
+def _daily_events(events: DataFrame) -> DataFrame:
+    """Per-type daily event counts — the day-grain series the fitting
+    operators below consume (one grouped aggregate; map-side partials)."""
+    return events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+
+
+def ols_two_factor(events: DataFrame) -> DataFrame:
+    """Multiple linear regression — intercept + two features — fitted in
+    ONE distributed aggregate via the normal equations, exactly.
+
+    Model per event type: daily_count ~ b0 + b1*day_idx + b2*is_weekend
+    (trend + weekly seasonality — the minimal useful multivariate fit).
+    The design matrix never materializes: the 3x3 Gram matrix A = X'X
+    and the moment vector c = X'y are NINE BIGINT sums (x1 = day index
+    relative to the type's first day, x2 = 0/1 weekend flag), reduced
+    map-side into one row per type. Cramer's rule then solves A b = c
+    with four 3x3 determinants — pure integer arithmetic — and the
+    coefficients ship as floor(1e6 * det_i / det) (one deterministic
+    IEEE double expression over exact ints, the corr_pairs discipline).
+
+    This is the textbook "ML via sufficient statistics" shape for a
+    1000-executor cluster: no iteration, no driver-side matrix, one
+    shuffle of ten numbers per key. Overflow headroom: x1 is bounded by
+    the calendar span (~1e4 days), x2 by 1, so the largest determinant
+    term n*S11*S22 stays inside int64 while daily counts are < ~1e9.
+
+    Determinant > 0 is guaranteed when the series has >= 2 distinct
+    day indices on both weekend and weekday rows (Gram matrix positive
+    definite); degenerate types are filtered, not divided by zero.
+    """
+    daily = _daily_events(events)
+    d0 = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    # one row per event TYPE — an enum-bounded dictionary, safe to pin
+    base = daily.join(F.broadcast(d0), "event_type").select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("x1"),
+        F.dayofweek("day").isin(1, 7).cast("long").alias("x2"),
+        F.col("y").cast("long").alias("y"),
+    )
+    g = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    det = (
+        "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s12 - s11 * s2))"
+    )
+    det0 = (
+        "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+        " + s2 * (s1y * s12 - s11 * s2y))"
+    )
+    det1 = (
+        "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s2y - s1y * s2))"
+    )
+    det2 = (
+        "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+        " + sy * (s1 * s12 - s11 * s2))"
+    )
+
+    def coef(num: str) -> str:
+        return (
+            f"CAST(floor((1000000.0 * CAST({num} AS DOUBLE))"
+            f" / CAST({det} AS DOUBLE)) AS BIGINT)"
+        )
+
+    return g.where(F.expr(det) > 0).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr(det).alias("det"),
+        F.expr(coef(det0)).alias("b0_e6"),
+        F.expr(coef(det1)).alias("b1_e6"),
+        F.expr(coef(det2)).alias("b2_e6"),
+    )
+
+
+def autocorr_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of the per-type daily count series at
+    lags 1..max_lag, from EXACT integer sufficient statistics.
+
+    The series is densified first (zero-filled spine over each type's
+    [min, max] span — a day with no events is an observed 0, so the lag
+    is a true CALENDAR shift, not a row shift over holes). All seven
+    lags come out of ONE sorted window pass (seven ``lead`` columns over
+    the same type partitioning), exploded and re-grouped to per-(type,
+    lag) moment sums (n, Sx, Sy, Sxy, Sxx, Syy) — exact BIGINTs, so
+    engines can't disagree on accumulation order. corr_bp is the single
+    deterministic double expression floor(1e4 * cov / sqrt(vx * vy)).
+
+    Plan: one shuffle on event_type for the window, map-side partial
+    aggregation into <= types x max_lag groups. The window partition is
+    day-grain per type — calendar-bounded, never the event grain.
+    """
+    daily = _daily_events(events)
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    # window expressions evaluate in their own projection; the explode
+    # over the (lag, lead) structs happens in the NEXT one
+    led = filled.select(
+        "event_type",
+        "y",
+        *[
+            F.lead("y", k).over(w).alias(f"y_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    lagged = led.select(
+        "event_type",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"y_{k}").alias("y2"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("p"),
+    ).where(F.col("p.y2").isNotNull())
+    g = lagged.groupBy("event_type", F.col("p.lag").alias("lag")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("y").alias("sx"),
+        F.sum("p.y2").alias("sy"),
+        F.sum(F.col("y") * F.col("p.y2")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("sxx"),
+        F.sum(F.col("p.y2") * F.col("p.y2")).alias("syy"),
+    )
+    cov = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    return g.where((vx > 0) & (vy > 0)).select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        cov.alias("cov_num"),
+        F.floor(
+            F.lit(10000.0)
+            * cov.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double"))
+        )
+        .cast("long")
+        .alias("corr_bp"),
+    )
+
+
 def rolling_median_daily(events: DataFrame, days: int = 7) -> DataFrame:
     """Trailing ``days``-day rolling LOWER-MEDIAN of daily event counts
     per event type — the robust smoother for spiky operational series

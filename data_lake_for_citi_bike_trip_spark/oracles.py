@@ -4609,3 +4609,104 @@ SELECT c.c_custkey,
        CASE WHEN l.op = 'D' THEN NULL ELSE l.cents END AS new_acctbal_cents
 FROM l JOIN cur c ON c.c_custkey = l.k
 """
+
+
+# operators/timeseries.py:ols_two_factor — normal-equations fit solved by
+# Cramer's rule over exact BIGINT moment sums; the e6 coefficients are the
+# identical IEEE double expression floor(1e6 * det_i / det) in both engines.
+_OLS_DET = (
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+_OLS_DET0 = (
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+_OLS_DET1 = (
+    "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+_OLS_DET2 = (
+    "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+
+
+def _ols_coef(num: str) -> str:
+    return (
+        f"CAST(floor((1000000.0 * CAST({num} AS DOUBLE))"
+        f" / CAST({_OLS_DET} AS DOUBLE)) AS BIGINT)"
+    )
+
+
+OLS_TWO_FACTOR = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+d0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+base AS (
+  SELECT daily.event_type,
+         CAST(datediff('day', d0.d0, daily.day) AS BIGINT) AS x1,
+         CAST(CASE WHEN isodow(daily.day) IN (6, 7) THEN 1 ELSE 0 END
+              AS BIGINT) AS x2,
+         y
+  FROM daily JOIN d0 ON daily.event_type = d0.event_type
+),
+g AS (
+  SELECT event_type, COUNT(*) AS n,
+         sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+         sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+  FROM base GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST({_OLS_DET} AS BIGINT) AS det,
+       {_ols_coef(_OLS_DET0)} AS b0_e6,
+       {_ols_coef(_OLS_DET1)} AS b1_e6,
+       {_ols_coef(_OLS_DET2)} AS b2_e6
+FROM g WHERE {_OLS_DET} > 0
+"""
+
+
+# operators/timeseries.py:autocorr_daily — calendar-lag ACF on the
+# zero-filled spine; exact integer moments, one double corr_bp expression.
+_ACF_LEADS = "\nUNION ALL\n".join(
+    f"SELECT event_type, y, CAST({k} AS BIGINT) AS lag,"
+    f" lead(y, {k}) OVER (PARTITION BY event_type ORDER BY day) AS y2"
+    " FROM filled"
+    for k in range(1, 8)
+)
+
+AUTOCORR_DAILY = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+spine AS (
+  SELECT event_type, CAST(unnest(generate_series(
+    CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+    AS day
+  FROM spans
+),
+filled AS (
+  SELECT s.event_type, s.day, COALESCE(d.y, 0) AS y
+  FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+),
+lagged AS ({_ACF_LEADS}),
+g AS (
+  SELECT event_type, lag, COUNT(*) AS n_pairs,
+         sum(y) AS sx, sum(y2) AS sy, sum(y * y2) AS sxy,
+         sum(y * y) AS sxx, sum(y2 * y2) AS syy
+  FROM lagged WHERE y2 IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(floor(10000.0 * CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                   * CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS BIGINT)
+         AS corr_bp
+FROM g
+WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+"""

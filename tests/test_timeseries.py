@@ -220,3 +220,56 @@ def test_rolling_median_gaps_shorten_window(spark):
     # windows: [10]=10; [10,2]->2 (lower); [10,2,30]->10; [10,2,30,4]->4
     assert [got[d][0] for d in days] == [10, 2, 10, 4, 99]
     assert got[days[-1]] == (99, 1), "gap must reset the frame"
+
+
+def _events_from_daily(spark, counts):
+    """counts: list of (day_of_jan_2024, event_type, n) -> events df."""
+    rows = []
+    for day, et, n in counts:
+        for i in range(n):
+            rows.append((len(rows), (19723 + day - 1) * 86400_000_000 + i, 1, et))
+    return spark.createDataFrame(
+        rows, "event_id bigint, us bigint, user_id bigint, event_type string"
+    ).select(
+        "event_id", F.timestamp_micros("us").alias("ts"), "user_id", "event_type"
+    )
+
+
+def test_ols_two_factor_recovers_exact_plane(spark):
+    """Counts generated from y = 5 + 2*x1 + 10*weekend have zero
+    residual, so Cramer's rule returns the plane EXACTLY (e6 units).
+    2024-01-01 is a Monday, so x1 in 0..13 makes days 5,6,12,13 the
+    weekend."""
+    counts = []
+    for x1 in range(14):
+        wknd = 1 if x1 % 7 in (5, 6) else 0
+        counts.append((x1 + 1, "a", 5 + 2 * x1 + 10 * wknd))
+    got = {r.event_type: r for r in timeseries.ols_two_factor(
+        _events_from_daily(spark, counts)).collect()}
+    r = got["a"]
+    assert (r.b0_e6, r.b1_e6, r.b2_e6) == (5_000_000, 2_000_000, 10_000_000)
+    assert r.n_days == 14 and r.det > 0
+
+
+def test_autocorr_alternating_series(spark):
+    """2,1,2,1,... daily counts: lag-1 ACF is exactly -1, lag-2 exactly
+    +1 (unfilled days would break this — the spine keeps the calendar
+    lag honest). A constant series has zero variance and is filtered."""
+    counts = [(d, "alt", 2 if d % 2 == 1 else 1) for d in range(1, 11)]
+    counts += [(d, "flat", 3) for d in range(1, 11)]
+    out = timeseries.autocorr_daily(_events_from_daily(spark, counts))
+    got = {(r.event_type, r.lag): r.corr_bp for r in out.collect()}
+    assert got[("alt", 1)] == -10000
+    assert got[("alt", 2)] == 10000
+    assert not any(k[0] == "flat" for k in got), "zero-variance filtered"
+
+
+def test_autocorr_spine_zero_fills_missing_days(spark):
+    """A day with no events is an observed zero: dropping day 2 from a
+    three-day series must still pair day1->day2(0) and day2(0)->day3 at
+    lag 1 (n_pairs counts calendar adjacency, not row adjacency)."""
+    counts = [(1, "g", 4), (3, "g", 4)]
+    out = timeseries.autocorr_daily(_events_from_daily(spark, counts))
+    rows = {r.lag: r for r in out.collect() if r.event_type == "g"}
+    assert rows[1].n_pairs == 2  # (d1,d2) and (d2,d3) with y(d2)=0
+    assert rows[1].cov_num == 2 * (4 * 0 + 0 * 4) - (4 + 0) * (0 + 4)
