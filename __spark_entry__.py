@@ -930,6 +930,32 @@ def q_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.purchase_streaks(load_table(spark, sf_dir, "events"))
 
 
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen over the event_type x day-of-week
+    contingency table; per-cell contributions from exact BIGINT margins
+    through one deterministic double expression."""
+    return profile.chisq_independence(load_table(spark, sf_dir, "events"))
+
+
+def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U on click-vs-purchase values, ranked over the
+    value-domain histogram (never raw rows); doubled rank sums keep
+    tie-averaged ranks integral."""
+    return profile.rank_sum_test(load_table(spark, sf_dir, "events"))
+
+
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap |A and B| by inclusion-exclusion over three HLL
+    sketches, bounded against the exact per-user flag rollup."""
+    return profile.hll_overlap(load_table(spark, sf_dir, "events"))
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type mean: exact p05/p95 cut points by histogram
+    rank selection, tails clamped, integer-cents arithmetic."""
+    return profile.winsorized_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type multiple regression (intercept + trend + weekend) solved
     distributedly by the normal equations: one aggregate builds the 3x3
@@ -2289,6 +2315,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": q_rolling_median,
         "ols_two_factor": q_ols_two_factor,
         "autocorr_daily": q_autocorr_daily,
+        "chisq_independence": q_chisq_independence,
+        "rank_sum_test": q_rank_sum_test,
+        "hll_overlap": q_hll_overlap,
+        "winsorized_stats": q_winsorized_stats,
         "purchase_streaks": q_purchase_streaks,
         "txn_schema_evolution": q_txn_schema_evolution,
         "txn_cdf": q_txn_cdf,
@@ -2515,6 +2545,10 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median": oracles.ROLLING_MEDIAN_DAILY,
         "ols_two_factor": oracles.OLS_TWO_FACTOR,
         "autocorr_daily": oracles.AUTOCORR_DAILY,
+        "chisq_independence": oracles.CHISQ_INDEPENDENCE,
+        "rank_sum_test": oracles.RANK_SUM_TEST,
+        "hll_overlap": oracles.HLL_OVERLAP,
+        "winsorized_stats": oracles.WINSORIZED_STATS,
         "purchase_streaks": oracles.PURCHASE_STREAKS,
         "txn_schema_evolution": oracles.TXN_SCHEMA_EVOLUTION,
         "txn_cdf": oracles.TXN_CDF,

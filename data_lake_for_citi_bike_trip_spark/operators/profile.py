@@ -524,3 +524,258 @@ def trimmed_mean_by_type(events: DataFrame, trim_pct: int = 10) -> DataFrame:
     return counts.join(trimmed, ["user_id", "event_type"]).select(
         "user_id", "event_type", "n_events", "trimmed_mean_e2"
     )
+
+
+def chisq_independence(events: DataFrame) -> DataFrame:
+    """Chi-square test of independence for the event_type x day-of-week
+    contingency table — the workhorse categorical-drift screen (is the
+    event mix different on weekends? did a source shift its type
+    distribution?).
+
+    Entirely distributed: one grouped count builds the O(types x 7)
+    cell table, two cheap re-aggregates produce the margins, and the
+    per-cell chi-square contribution ships as ONE deterministic double
+    expression over exact BIGINT counts — contribution = (O*N - R*C)^2
+    / (N*R*C), evaluated with the subtraction done in doubles so the
+    formula survives corpora where O*N exceeds int64. floor(1e6 * .)
+    makes it hashable cross-engine. Margins are cell-table-sized (enum
+    x 7 rows), so their broadcast is provably bounded.
+
+    Degrees of freedom = (types-1) * (dows-1); the caller owns the
+    p-value threshold (sample size governs significance, same stance as
+    benford_audit).
+    """
+    cells = events.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("row_total"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("col_total"))
+    total = cells.agg(F.sum("o").cast("long").alias("n_total"))
+    dev = (
+        F.col("o").cast("double") * F.col("n_total")
+        - F.col("row_total").cast("double") * F.col("col_total")
+    )
+    denom = (
+        F.col("n_total").cast("double")
+        * F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+    )
+    return (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            "row_total",
+            "col_total",
+            "n_total",
+            F.floor(F.lit(1000000.0) * dev * dev / denom)
+            .cast("long")
+            .alias("contrib_e6"),
+        )
+    )
+
+
+def rank_sum_test(
+    events: DataFrame, type_a: str = "click", type_b: str = "purchase"
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two event types' value
+    distributions — the nonparametric two-sample screen (no normality
+    assumption; robust to the heavy tails that break a t-test).
+
+    The scale trick: ranks are never assigned to raw rows. Values
+    quantize to cents and pre-aggregate to a (cents -> count_a,
+    count_b) HISTOGRAM, bounded by the value domain's cardinality, and
+    average ranks of tied blocks come from one cumulative window over
+    that histogram. Everything stays integer-exact by carrying DOUBLED
+    rank sums (2*avg_rank of a tied block = 2*start + len - 1 is always
+    an integer): r2_a = 2*R_a, u2_a = 2*U_a, mean2 = 2*E[U] = n1*n2.
+    The tie-corrected z-statistic is the one deterministic double
+    expression at the end (z_e6).
+
+    The single-partition window is bounded by the histogram's row count
+    (value-domain cardinality, <= ~50k here), never the event grain —
+    the same justification as feature_quartiles' histogram note.
+    """
+    base = events.where(F.col("event_type").isin(type_a, type_b)).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == type_a).cast("long").alias("is_a"),
+    )
+    hist = base.groupBy("cents").agg(
+        F.sum("is_a").alias("na"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("nb"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = F.col("na") + F.col("nb")
+    ranked = hist.select(
+        "na",
+        "nb",
+        t.alias("t"),
+        (F.sum(t).over(w) - t).alias("before"),
+    )
+    # 2 * average rank of the tied block starting at before+1, length t
+    avg2 = 2 * F.col("before") + F.col("t") + 1
+    agg = ranked.agg(
+        F.sum("na").cast("long").alias("n1"),
+        F.sum("nb").cast("long").alias("n2"),
+        F.sum(F.col("na") * avg2).cast("long").alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    u2 = F.col("r2_a") - F.col("n1") * (F.col("n1") + 1)
+    n = F.col("n1") + F.col("n2")
+    var4 = (
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        / 3.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u2.alias("u2_a"),
+        (F.col("n1") * F.col("n2")).alias("mean2"),
+        "tie_term",
+        F.floor(
+            F.lit(1000000.0)
+            * (u2 - F.col("n1") * F.col("n2")).cast("double")
+            / F.sqrt(var4)
+        )
+        .cast("long")
+        .alias("z_e6"),
+    )
+
+
+def hll_overlap(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    error_bp: int = 1000,
+) -> DataFrame:
+    """Audience-overlap estimation from MERGEABLE sketches: |A and B|
+    via inclusion-exclusion over three HLLs (est_a + est_b - est_union)
+    — the pattern for "how many users both clicked and purchased" when
+    A and B live in different partitions/tables and an exact
+    intersection would shuffle raw IDs. Sketches are tiny, unionable,
+    and precomputable per segment.
+
+    Emits the exact triple (for the oracle) plus overlap_ok — the
+    sketch estimate within error_bp of exact, scaled by the UNION size
+    (inclusion-exclusion compounds the per-sketch error, so the bound
+    is relative to what the sketches actually measured). Exact side
+    is one conditional aggregate per user — the per-user flag rollup.
+    """
+    per_user = events.where(
+        F.col("event_type").isin(type_a, type_b)
+    ).groupBy("user_id").agg(
+        F.max((F.col("event_type") == type_a).cast("long")).alias("ha"),
+        F.max((F.col("event_type") == type_b).cast("long")).alias("hb"),
+    )
+    exact = per_user.agg(
+        F.sum("ha").cast("long").alias("exact_a"),
+        F.sum("hb").cast("long").alias("exact_b"),
+        F.sum(F.col("ha") * F.col("hb")).cast("long").alias("exact_both"),
+    )
+    sk = events.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(F.col("event_type") == type_a, F.col("user_id"))
+            )
+        ).alias("est_a"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(F.col("event_type") == type_b, F.col("user_id"))
+            )
+        ).alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(
+                    F.col("event_type").isin(type_a, type_b), F.col("user_id")
+                )
+            )
+        ).alias("est_u"),
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "exact_a",
+        "exact_b",
+        "exact_both",
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_u"))
+                - F.col("exact_both")
+            )
+            * 10000
+            <= F.lit(error_bp)
+            * (F.col("exact_a") + F.col("exact_b") - F.col("exact_both"))
+        ).alias("overlap_ok"),
+    )
+
+
+def winsorized_stats(events: DataFrame) -> DataFrame:
+    """Winsorized (clamped-tail) summary per event type: exact p05/p95
+    cut points by histogram-rank selection, then the mean of values
+    clamped into [p05, p95] — the robust location estimate that a few
+    corrupt extreme values cannot move (the preprocessing standard for
+    reward/score columns before training).
+
+    Exactness: values quantize to cents; cut points are values AT
+    integer ranks (ceil(q*n), lower-value convention) read off the
+    per-type cumulative histogram — value-cardinality-bounded, same
+    discipline as feature_quartiles at scale. The clamped sum then
+    accumulates as BIGINT cents via the histogram (count * clamped
+    value), and the mean ships as truncating integer division (sums
+    are non-negative, so Spark div == DuckDB //).
+    """
+    hist = events.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    k_lo = F.expr("(5 * n + 99) div 100")
+    k_hi = F.expr("(95 * n + 99) div 100")
+    cuts = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") >= k_lo, F.col("cents"))).alias("lo_cents"),
+        F.min(F.when(F.col("cum") >= k_hi, F.col("cents"))).alias("hi_cents"),
+    )
+    clamped = (
+        hist.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "lo_cents",
+            "hi_cents",
+            (
+                F.col("cnt")
+                * F.greatest(
+                    F.col("lo_cents"), F.least(F.col("hi_cents"), F.col("cents"))
+                )
+            ).alias("part"),
+        )
+    )
+    return clamped.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("lo_cents").alias("lo_cents"),
+        F.max("hi_cents").alias("hi_cents"),
+        F.sum("part").cast("long").alias("clamped_sum_cents"),
+    ).withColumn(
+        "winsor_mean_cents", F.expr("clamped_sum_cents div n")
+    )

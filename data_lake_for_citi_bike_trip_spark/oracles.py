@@ -4710,3 +4710,120 @@ SELECT event_type, lag, CAST(n_pairs AS BIGINT) AS n_pairs,
 FROM g
 WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
 """
+
+
+# operators/profile.py:chisq_independence — contingency margins as exact
+# BIGINTs; the per-cell contribution is the identical double expression
+# (Spark dayofweek is Sunday=1..7; DuckDB's is Sunday=0..6, hence +1).
+CHISQ_INDEPENDENCE = """
+WITH cells AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_total FROM cells GROUP BY 1),
+c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS col_total FROM cells GROUP BY 1),
+t AS (SELECT CAST(sum(o) AS BIGINT) AS n_total FROM cells)
+SELECT cells.event_type, cells.dow, cells.o, r.row_total, c.col_total,
+       t.n_total,
+       CAST(floor(((1000000.0
+         * (CAST(cells.o AS DOUBLE) * t.n_total
+            - CAST(r.row_total AS DOUBLE) * c.col_total))
+         * (CAST(cells.o AS DOUBLE) * t.n_total
+            - CAST(r.row_total AS DOUBLE) * c.col_total))
+         / (CAST(t.n_total AS DOUBLE) * CAST(r.row_total AS DOUBLE)
+            * CAST(c.col_total AS DOUBLE))) AS BIGINT) AS contrib_e6
+FROM cells
+JOIN r ON cells.event_type = r.event_type
+JOIN c ON cells.dow = c.dow
+CROSS JOIN t
+"""
+
+
+# operators/profile.py:rank_sum_test — doubled rank sums stay integral
+# through ties; the tie-corrected z is one mirrored double expression.
+RANK_SUM_TEST = """
+WITH base AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+hist AS (
+  SELECT cents, sum(is_a) AS na, sum(1 - is_a) AS nb FROM base GROUP BY 1
+),
+ranked AS (
+  SELECT na, nb, na + nb AS t,
+         sum(na + nb) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (na + nb)
+           AS before
+  FROM hist
+),
+agg AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2,
+         CAST(sum(na * (2 * before + t + 1)) AS BIGINT) AS r2_a,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(r2_a - n1 * (n1 + 1) AS BIGINT) AS u2_a,
+       CAST(n1 * n2 AS BIGINT) AS mean2,
+       tie_term,
+       CAST(floor(1000000.0
+         * CAST(r2_a - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+         / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 3.0
+                * (CAST(n1 + n2 + 1 AS DOUBLE)
+                   - CAST(tie_term AS DOUBLE)
+                     / (CAST(n1 + n2 AS DOUBLE)
+                        * CAST(n1 + n2 - 1 AS DOUBLE)))))
+         AS BIGINT) AS z_e6
+FROM agg
+"""
+
+
+# operators/profile.py:hll_overlap — the exact flag rollup is the oracle;
+# the sketch estimate is engine-specific, pinned by the within-bound flag
+# (same stance as hll_incremental_distinct / approx_distinct_users).
+HLL_OVERLAP = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ha,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hb
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+)
+SELECT CAST(sum(ha) AS BIGINT) AS exact_a,
+       CAST(sum(hb) AS BIGINT) AS exact_b,
+       CAST(sum(ha * hb) AS BIGINT) AS exact_both,
+       TRUE AS overlap_ok
+FROM per_user
+"""
+
+
+# operators/profile.py:winsorized_stats — cut points at histogram ranks
+# (ceil(q*n), lower-value convention); clamped sums in BIGINT cents.
+WINSORIZED_STATS = """
+WITH hist AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         min(CASE WHEN cum >= (5 * n + 99) // 100 THEN cents END) AS lo_cents,
+         min(CASE WHEN cum >= (95 * n + 99) // 100 THEN cents END) AS hi_cents
+  FROM cum GROUP BY 1
+)
+SELECT h.event_type, c.n, c.lo_cents, c.hi_cents,
+       CAST(sum(h.cnt * greatest(c.lo_cents, least(c.hi_cents, h.cents)))
+            AS BIGINT) AS clamped_sum_cents,
+       CAST(sum(h.cnt * greatest(c.lo_cents, least(c.hi_cents, h.cents)))
+            AS BIGINT) // c.n AS winsor_mean_cents
+FROM hist h JOIN cuts c ON h.event_type = c.event_type
+GROUP BY 1, 2, 3, 4
+"""

@@ -166,3 +166,75 @@ def test_countmin_never_underestimates_and_cells_bounded(spark, sf_dir):
     # (the property that makes shard sketches mergeable by addition)
     n_users = events.select("user_id").distinct().count()
     assert len(rows) == min(20, n_users)
+
+
+def _typed_events(spark, rows):
+    """rows: (event_type, value, user_id, day_of_jan) -> events frame."""
+    data = [
+        (i, (19723 + d - 1) * 86400_000_000 + i, u, et, float(v))
+        for i, (et, v, u, d) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id bigint, us bigint, user_id bigint, event_type string, value double"
+    ).select(
+        "event_id", F.timestamp_micros("us").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+
+
+def test_chisq_uniform_table_has_zero_statistic(spark):
+    """A perfectly independent table (every cell = rowshare*colshare*N)
+    has contribution 0 in every cell; a skewed cell pushes its
+    contribution positive."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = []
+    # 2 types x 2 days (Mon Jan 1, Tue Jan 2), all cells equal -> chi2 = 0
+    for et in ("a", "b"):
+        for d in (1, 2):
+            rows += [(et, 1.0, 1, d)] * 4
+    out = profile.chisq_independence(_typed_events(spark, rows))
+    assert {r.contrib_e6 for r in out.collect()} == {0}
+
+    rows.append(("a", 1.0, 1, 1))  # skew one cell
+    out2 = profile.chisq_independence(_typed_events(spark, rows)).collect()
+    assert sum(r.contrib_e6 for r in out2) > 0
+
+
+def test_rank_sum_exact_u_and_ties(spark):
+    """click values {1,2,3}, purchase {2,3,4} (cents 100..400):
+    pairwise wins for click: beats none of purchase except ties —
+    U_a = #\{(a,b): a>b\} + ties/2 = (2>?)... computed by hand below."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = [("click", v, 1, 1) for v in (1.0, 2.0, 3.0)]
+    rows += [("purchase", v, 1, 1) for v in (2.0, 3.0, 4.0)]
+    r = profile.rank_sum_test(_typed_events(spark, rows)).first()
+    # hand count: a=1: 0 wins; a=2: ties with b=2 (0.5); a=3: beats b=2,
+    # ties b=3 (1.5). U_a = 2.0 -> u2_a = 4; mean2 = 9
+    assert (r.n1, r.n2, r.u2_a, r.mean2) == (3, 3, 4, 9)
+    # ties: two blocks of size 2 -> tie_term = 2*(8-2) = 12
+    assert r.tie_term == 12
+    assert r.z_e6 < 0  # click distribution sits below purchase
+
+
+def test_hll_overlap_exact_flags(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = [("click", 1.0, u, 1) for u in (1, 2, 3)]
+    rows += [("purchase", 1.0, u, 1) for u in (3, 4)]
+    rows += [("view", 1.0, 99, 1)]  # other types must not leak in
+    r = profile.hll_overlap(_typed_events(spark, rows)).first()
+    assert (r.exact_a, r.exact_b, r.exact_both) == (3, 2, 1)
+    assert r.overlap_ok  # tiny sets: HLL is exact here
+
+
+def test_winsorized_clamps_outlier(spark):
+    """19 values of 100 cents + one 100000-cent outlier: p95 cut falls
+    on 100, so the winsorized mean is 100 while the raw mean is ~5095."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = [("click", 1.0, 1, 1)] * 19 + [("click", 1000.0, 1, 1)]
+    r = profile.winsorized_stats(_typed_events(spark, rows)).first()
+    assert (r.n, r.lo_cents, r.hi_cents) == (20, 100, 100)
+    assert r.winsor_mean_cents == 100
