@@ -924,10 +924,25 @@ def q_txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour -> day -> week continuous-aggregate cascade with in-plan
+    equality flags against the direct-from-raw weekly rollup."""
+    return analytics.rollup_cascade(load_table(spark, sf_dir, "events"))
+
+
 def q_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-day purchase streak per user — the
     gaps-and-islands window trick over day-grain rows."""
     return analytics.purchase_streaks(load_table(spark, sf_dir, "events"))
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d x d covariance of the embedding space: per-row upper-triangle
+    outer products in one codegen expression, reduced map-side to
+    d(d+1)/2 exact BIGINT moment cells."""
+    return similarity.embedding_covariance(
+        load_table(spark, sf_dir, "embeddings")
+    )
 
 
 def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2316,6 +2331,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_two_factor": q_ols_two_factor,
         "autocorr_daily": q_autocorr_daily,
         "chisq_independence": q_chisq_independence,
+        "embedding_covariance": q_embedding_covariance,
+        "rollup_cascade": q_rollup_cascade,
         "rank_sum_test": q_rank_sum_test,
         "hll_overlap": q_hll_overlap,
         "winsorized_stats": q_winsorized_stats,
@@ -2546,6 +2563,8 @@ def oracle_sql() -> dict[str, str]:
         "ols_two_factor": oracles.OLS_TWO_FACTOR,
         "autocorr_daily": oracles.AUTOCORR_DAILY,
         "chisq_independence": oracles.CHISQ_INDEPENDENCE,
+        "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
+        "rollup_cascade": oracles.ROLLUP_CASCADE,
         "rank_sum_test": oracles.RANK_SUM_TEST,
         "hll_overlap": oracles.HLL_OVERLAP,
         "winsorized_stats": oracles.WINSORIZED_STATS,

@@ -703,3 +703,49 @@ def purchase_streaks(events: DataFrame) -> DataFrame:
             F.col("start_day").cast("string").alias("streak_start"),
         )
     )
+
+
+def rollup_cascade(events: DataFrame) -> DataFrame:
+    """Continuous-aggregate hierarchy (the hypertable rollup pattern):
+    hour -> day -> week, where EACH LEVEL AGGREGATES THE LEVEL BELOW —
+    never re-scanning raw events. At 100 TB this is the only sane way
+    to serve "weekly numbers": the hourly layer absorbs the raw scan
+    once, the day/week layers reduce hour-grain (tiny) inputs, and a
+    late-arriving hour re-aggregates one hour + its day + its week.
+
+    Correctness is part of the contract: the weekly row carries the
+    cascade-computed measures AND in-plan equality flags against a
+    direct-from-raw recomputation (count + cents sums are associative,
+    so the flags must be universally true; a non-associative measure
+    slipped into the cascade would go red here). The oracle computes
+    the direct path — the hash match proves cascade == direct.
+
+    Cents quantize per ROW (round(value*100) before any sum) so both
+    paths and both engines add exact integers in any order.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+    )
+    daily = hourly.groupBy(
+        "event_type", F.to_date("hour").alias("day")
+    ).agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    weekly = daily.groupBy(
+        "event_type", F.to_date(F.date_trunc("week", "day")).alias("week")
+    ).agg(F.sum("n").cast("long").alias("n"), F.sum("cents").cast("long").alias("cents"))
+    direct = events.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+    ).agg(
+        F.count(F.lit(1)).alias("dn"), F.sum(cents).alias("dcents")
+    )
+    return weekly.join(direct, ["event_type", "week"], "full_outer").select(
+        "event_type",
+        F.col("week").cast("string").alias("week"),
+        F.col("n").alias("n_events"),
+        F.col("cents").alias("value_cents"),
+        (F.col("n") == F.col("dn")).alias("count_match"),
+        (F.col("cents") == F.col("dcents")).alias("cents_match"),
+    )

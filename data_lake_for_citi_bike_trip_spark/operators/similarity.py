@@ -905,3 +905,57 @@ def blocked_knn_multiprobe_recall(
         ],
         "n_exact bigint, single_recall_bp bigint, multi_recall_bp bigint",
     )
+
+
+def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+    """Distributed d x d covariance matrix of the embedding space — the
+    feature-drift / whitening primitive (its diagonal is per-dimension
+    variance; off-diagonal structure reveals collapsed or duplicated
+    dimensions before they poison similarity search).
+
+    The design matrix never leaves the executors: each row expands to
+    its upper-triangle outer-product cells d(d+1)/2 at a time through
+    ONE codegen expression (nested ``transform`` over index sequences —
+    no UDF, no join), and a groupBy (i, j) reduces them with map-side
+    partial aggregation, so the shuffle carries at most d(d+1)/2 rows
+    PER TASK regardless of corpus size. Components quantize to e3
+    integers first, making every moment sum an exact BIGINT (headroom:
+    |q| <= ~1e3 for unit-scale embeddings, so Sxy survives ~1e9 rows;
+    switch the sums to DECIMAL(38,0) beyond, same plan).
+
+    Emits per cell (i <= j): n, Sx, Sy, Sxy and the centered numerator
+    cov_num = n*Sxy - Sx*Sy (the exact integer n^2-scaled covariance);
+    callers divide by n^2 when they want the float.
+    """
+    q = embeddings.select(
+        F.expr(
+            "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+        ).alias("q")
+    )
+    cells = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(q) - 1), i -> "
+                "transform(sequence(i, size(q) - 1), j -> "
+                "struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, "
+                "q[i] AS x, q[j] AS y, q[i] * q[j] AS xy))))"
+            )
+        ).alias("c")
+    ).select("c.*")
+    g = cells.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+    )
+    return g.select(
+        "i",
+        "j",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "cov_num"
+        ),
+    )

@@ -4827,3 +4827,42 @@ SELECT h.event_type, c.n, c.lo_cents, c.hi_cents,
 FROM hist h JOIN cuts c ON h.event_type = c.event_type
 GROUP BY 1, 2, 3, 4
 """
+
+
+# operators/similarity.py:embedding_covariance — upper-triangle outer
+# products reduced to exact BIGINT moments; Spark array subscripts are
+# 0-based, DuckDB's 1-based, hence the +1 shifts.
+EMBEDDING_COVARIANCE = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cells AS (
+  SELECT i.i AS i, j.j AS j, qv[i.i + 1] AS x, qv[j.j + 1] AS y
+  FROM q,
+       LATERAL (SELECT unnest(range(len(qv))) AS i) i,
+       LATERAL (SELECT unnest(range(len(qv))) AS j) j
+  WHERE j.j >= i.i
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sx,
+       CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x * y) AS BIGINT) AS sxy,
+       CAST(COUNT(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num
+FROM cells GROUP BY 1, 2
+"""
+
+
+# operators/analytics.py:rollup_cascade — the oracle takes the DIRECT
+# path; a hash match therefore proves the hour->day->week cascade is
+# lossless. Both engines truncate weeks to Monday.
+ROLLUP_CASCADE = """
+SELECT event_type,
+       CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       TRUE AS count_match,
+       TRUE AS cents_match
+FROM events GROUP BY 1, 2
+"""

@@ -159,3 +159,38 @@ def test_ivm_join_maintenance_plan_reads_stored_blocks(spark, sf_dir):
     # lineage truncation: the stored side appears as an ExistingRDD scan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_embedding_covariance_hand_computed(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 5.0])], "vec_id bigint, embedding array<float>"
+    )
+    got = {(r.i, r.j): (r.n, r.sx, r.sy, r.sxy, r.cov_num)
+           for r in similarity.embedding_covariance(df).collect()}
+    assert got[(0, 0)] == (2, 4000, 4000, 10_000_000, 4_000_000)
+    assert got[(0, 1)] == (2, 4000, 7000, 17_000_000, 6_000_000)
+    assert got[(1, 1)] == (2, 7000, 7000, 29_000_000, 9_000_000)
+    assert set(got) == {(0, 0), (0, 1), (1, 1)}  # upper triangle only
+
+
+def test_rollup_cascade_is_lossless_across_week_boundary(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import analytics
+
+    # Sunday Jan 7 23:30 and Monday Jan 8 00:30 2024 — adjacent hours,
+    # different ISO weeks; cascade must split them exactly as direct does
+    rows = [
+        (1, "2024-01-07 23:30:00", 1, "click", 1.25),
+        (2, "2024-01-07 23:45:00", 1, "click", 2.50),
+        (3, "2024-01-08 00:30:00", 1, "click", 4.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, s string, user_id bigint, event_type string, value double"
+    ).select("event_id", F.to_timestamp("s").alias("ts"), "user_id", "event_type", "value")
+    got = {r.week: r for r in analytics.rollup_cascade(df).collect()}
+    assert got["2024-01-01"].n_events == 2
+    assert got["2024-01-01"].value_cents == 375
+    assert got["2024-01-08"].n_events == 1
+    assert got["2024-01-08"].value_cents == 400
+    assert all(r.count_match and r.cents_match for r in got.values())
