@@ -31,7 +31,7 @@ from data_lake_for_citi_bike_trip_spark.operators import (
 from data_lake_for_citi_bike_trip_spark.operators import corpus, search, skew, sqlsurface
 from data_lake_for_citi_bike_trip_spark.operators import layout, profile
 from data_lake_for_citi_bike_trip_spark.operators import behavior, geo, timeseries
-from data_lake_for_citi_bike_trip_spark.operators import graph
+from data_lake_for_citi_bike_trip_spark.operators import graph, linkage
 from data_lake_for_citi_bike_trip_spark.operators import intervals
 from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
 from data_lake_for_citi_bike_trip_spark.functions import vectors
@@ -934,6 +934,13 @@ def q_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-day purchase streak per user — the
     gaps-and-islands window trick over day-grain rows."""
     return analytics.purchase_streaks(load_table(spark, sf_dir, "events"))
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: selective name-digit blocking + purged
+    (nation, balance-bucket) recovery blocks, Fellegi-Sunter-style
+    integer agreement scores, threshold 45."""
+    return linkage.link_customers(load_table(spark, sf_dir, "customer"))
 
 
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2333,6 +2340,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisq_independence": q_chisq_independence,
         "embedding_covariance": q_embedding_covariance,
         "rollup_cascade": q_rollup_cascade,
+        "record_linkage": q_record_linkage,
         "rank_sum_test": q_rank_sum_test,
         "hll_overlap": q_hll_overlap,
         "winsorized_stats": q_winsorized_stats,
@@ -2565,6 +2573,7 @@ def oracle_sql() -> dict[str, str]:
         "chisq_independence": oracles.CHISQ_INDEPENDENCE,
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "rollup_cascade": oracles.ROLLUP_CASCADE,
+        "record_linkage": oracles.RECORD_LINKAGE,
         "rank_sum_test": oracles.RANK_SUM_TEST,
         "hll_overlap": oracles.HLL_OVERLAP,
         "winsorized_stats": oracles.WINSORIZED_STATS,

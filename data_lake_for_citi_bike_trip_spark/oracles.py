@@ -4866,3 +4866,71 @@ SELECT event_type,
        TRUE AS cents_match
 FROM events GROUP BY 1, 2
 """
+
+
+# operators/linkage.py:link_customers — both blocking passes, the block
+# purge, and the agreement scoring replayed verbatim in SQL.
+RECORD_LINKAGE = """
+WITH clean AS (
+  SELECT c_custkey AS clean_id,
+         CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS digits,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+         CAST(c_nationkey AS BIGINT) AS nation,
+         c_mktsegment AS seg
+  FROM customer
+),
+dirty AS (
+  SELECT c_custkey AS dirty_id,
+         CAST(regexp_extract(
+           'cust-' || CASE WHEN c_custkey % 13 = 0
+                           THEN reverse(CAST(c_custkey AS VARCHAR))
+                           ELSE CAST(c_custkey AS VARCHAR) END,
+           '([0-9]+)$', 1) AS BIGINT) AS d_digits,
+         CAST(round(c_acctbal * 100) AS BIGINT) + (c_custkey % 7) - 3
+           AS d_cents,
+         CAST(CASE WHEN c_custkey % 20 = 0 THEN (c_nationkey + 1) % 25
+                   ELSE c_nationkey END AS BIGINT) AS d_nation,
+         c_mktsegment AS d_seg
+  FROM customer WHERE c_custkey % 10 <> 9
+),
+p1 AS (
+  SELECT clean_id, digits, cents, nation, seg,
+         dirty_id, d_digits, d_cents, d_nation, d_seg
+  FROM clean JOIN dirty ON digits = d_digits
+),
+cblk AS (
+  SELECT clean.*, CAST(floor(cents / 10000.0) AS BIGINT) AS blk FROM clean
+),
+sizes AS (SELECT nation, blk, COUNT(*) AS bn FROM cblk GROUP BY 1, 2),
+bounded AS (
+  SELECT cblk.* FROM cblk
+  JOIN sizes ON cblk.nation = sizes.nation AND cblk.blk = sizes.blk
+  WHERE sizes.bn <= 1000
+),
+dblk AS (
+  SELECT dirty.*, CAST(floor(d_cents / 10000.0) AS BIGINT) AS d_blk
+  FROM dirty
+),
+p2 AS (
+  SELECT clean_id, digits, cents, nation, seg,
+         dirty_id, d_digits, d_cents, d_nation, d_seg
+  FROM bounded JOIN dblk
+    ON bounded.nation = dblk.d_nation AND bounded.blk = dblk.d_blk
+),
+cands AS (SELECT DISTINCT * FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+scored AS (
+  SELECT clean_id, dirty_id,
+         CAST(CASE WHEN digits = d_digits THEN 40 ELSE 0 END AS BIGINT)
+           AS name_pts,
+         CAST(CASE WHEN abs(cents - d_cents) <= 3 THEN 30 ELSE 0 END
+           AS BIGINT) AS bal_pts,
+         CAST(CASE WHEN nation = d_nation THEN 10 ELSE 0 END AS BIGINT)
+           AS nation_pts,
+         CAST(CASE WHEN seg = d_seg THEN 5 ELSE 0 END AS BIGINT) AS seg_pts
+  FROM cands
+)
+SELECT clean_id, dirty_id, name_pts, bal_pts, nation_pts, seg_pts,
+       CAST(name_pts + bal_pts + nation_pts + seg_pts AS BIGINT) AS score
+FROM scored
+WHERE name_pts + bal_pts + nation_pts + seg_pts >= 45
+"""

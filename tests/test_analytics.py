@@ -194,3 +194,23 @@ def test_rollup_cascade_is_lossless_across_week_boundary(spark):
     assert got["2024-01-08"].n_events == 1
     assert got["2024-01-08"].value_cents == 400
     assert all(r.count_match and r.cents_match for r in got.values())
+
+
+def test_record_linkage_branches(spark):
+    """One customer per corruption branch: normal (85 via pass 1),
+    name-corrupted (45, only reachable through the recovery blocks),
+    nation-shifted (75 via pass 1), both-corrupted (documented recall
+    loss), and dropped-from-feed (no dirty row at all)."""
+    from data_lake_for_citi_bike_trip_spark.operators import linkage
+
+    rows = [
+        (k, f"Customer#{k:09d}", 5, 100.0 + 10 * k, "BUILDING")
+        for k in (1, 13, 20, 260, 9)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    got = {(r.clean_id, r.dirty_id): r.score
+           for r in linkage.link_customers(df).collect()}
+    assert got == {(1, 1): 85, (13, 13): 45, (20, 20): 75}
