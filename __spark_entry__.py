@@ -936,6 +936,13 @@ def q_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.purchase_streaks(load_table(spark, sf_dir, "events"))
 
 
+def q_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-bounded per-user inventory balance (clamped [0, cap]) —
+    decision-dependent state in an Arrow grouped map, recursive-CTE
+    oracle hash-checks the walk."""
+    return behavior.capped_running_sum(load_table(spark, sf_dir, "events"))
+
+
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: selective name-digit blocking + purged
     (nation, balance-bucket) recovery blocks, Fellegi-Sunter-style
@@ -2341,6 +2348,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "rollup_cascade": q_rollup_cascade,
         "record_linkage": q_record_linkage,
+        "capped_running_sum": q_capped_running_sum,
         "rank_sum_test": q_rank_sum_test,
         "hll_overlap": q_hll_overlap,
         "winsorized_stats": q_winsorized_stats,
@@ -2574,6 +2582,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "rollup_cascade": oracles.ROLLUP_CASCADE,
         "record_linkage": oracles.RECORD_LINKAGE,
+        "capped_running_sum": oracles.CAPPED_RUNNING_SUM,
         "rank_sum_test": oracles.RANK_SUM_TEST,
         "hll_overlap": oracles.HLL_OVERLAP,
         "winsorized_stats": oracles.WINSORIZED_STATS,

@@ -589,3 +589,64 @@ def last_touch_attribution(
         F.count(F.lit(1)).alias("n_purchases"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+CAPPED_SUM_SCHEMA = (
+    "user_id bigint, n_events bigint, final_balance bigint, "
+    "n_sat_hi bigint, n_sat_lo bigint"
+)
+
+
+def capped_running_sum(events: DataFrame, cap: int = 100_000) -> DataFrame:
+    """Bounded-inventory running balance per user: credits (non-purchase
+    events add their cents) and debits (purchases subtract 3x cents)
+    accumulate in event order, CLAMPED into [0, cap] at every step —
+    the stock-level / token-bucket / credit-limit semantics.
+
+    Like debounce, the clamp makes each step depend on the previous
+    DECISION (a saturated balance forgets the overflow), which no
+    window closed form expresses — cumsum-minus-running-min handles one
+    bound (see cusum), not two. So this is the sanctioned escape hatch:
+    an Arrow-batched grouped map walking each user's (ts, event_id)
+    total order with O(1) state, groups bounded by per-user event
+    counts. The DELTAS are computed declaratively BEFORE the UDF (JVM
+    cents quantization), and the oracle replays the same walk with a
+    recursive CTE — the imperative logic itself is hash-checked.
+
+    Emits per user: event count, final balance, and how many steps
+    saturated at each bound (the overflow/underflow telemetry a real
+    inventory system alerts on).
+    """
+
+    def walk(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, hi, lo = 0, 0, 0
+        for d in pdf["delta"]:
+            b = bal + int(d)
+            if b > cap:
+                bal, hi = cap, hi + 1
+            elif b < 0:
+                bal, lo = 0, lo + 1
+            else:
+                bal = b
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "final_balance": [bal],
+                "n_sat_hi": [hi],
+                "n_sat_lo": [lo],
+            }
+        )
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    delta = F.when(
+        F.col("event_type") == "purchase", -3 * cents
+    ).otherwise(cents)
+    return (
+        events.select("user_id", "ts", "event_id", delta.alias("delta"))
+        .groupBy("user_id")
+        .applyInPandas(walk, schema=CAPPED_SUM_SCHEMA)
+    )

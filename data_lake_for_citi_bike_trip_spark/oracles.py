@@ -4934,3 +4934,40 @@ SELECT clean_id, dirty_id, name_pts, bal_pts, nation_pts, seg_pts,
 FROM scored
 WHERE name_pts + bal_pts + nation_pts + seg_pts >= 45
 """
+
+
+# operators/behavior.py:capped_running_sum — the double-bounded clamp
+# walk replayed as a recursive CTE (same discipline as debounce_events:
+# the escape-hatch imperative logic is itself hash-checked).
+CAPPED_RUNNING_SUM = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         CASE WHEN event_type = 'purchase'
+              THEN -3 * CAST(round(value * 100) AS BIGINT)
+              ELSE CAST(round(value * 100) AS BIGINT) END AS delta
+  FROM events
+),
+walk AS (
+  SELECT user_id, rn, n,
+         CASE WHEN delta > 100000 THEN 100000
+              WHEN delta < 0 THEN 0 ELSE delta END AS bal,
+         CASE WHEN delta > 100000 THEN 1 ELSE 0 END AS hi,
+         CASE WHEN delta < 0 THEN 1 ELSE 0 END AS lo
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.n,
+         CASE WHEN w.bal + o.delta > 100000 THEN 100000
+              WHEN w.bal + o.delta < 0 THEN 0
+              ELSE w.bal + o.delta END,
+         w.hi + CASE WHEN w.bal + o.delta > 100000 THEN 1 ELSE 0 END,
+         w.lo + CASE WHEN w.bal + o.delta < 0 THEN 1 ELSE 0 END
+  FROM walk w JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(bal AS BIGINT) AS final_balance,
+       CAST(hi AS BIGINT) AS n_sat_hi, CAST(lo AS BIGINT) AS n_sat_lo
+FROM walk WHERE rn = n
+"""

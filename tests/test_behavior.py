@@ -241,3 +241,26 @@ def test_last_touch_attribution_window_and_ties(spark):
         for r in behavior.last_touch_attribution(events).collect()
     }
     assert got == {"click": (1, 1), "view": (1, 1), "direct": (2, 2)}, got
+
+
+def test_capped_running_sum_clamps_both_bounds(spark):
+    """Hand walk with cap=100: +80, +80 (clamps to 100, forgetting 60),
+    purchase -3*50=-150 (clamps to 0, forgetting -50), +30 -> 30.
+    A plain cumsum would say 80+80-150+30 = 40 — the clamp history
+    matters, which is exactly why this is not window-expressible."""
+    from data_lake_for_citi_bike_trip_spark.operators import behavior
+
+    rows = [
+        (1, 1_000_000, 7, "click", 0.80),
+        (2, 2_000_000, 7, "view", 0.80),
+        (3, 3_000_000, 7, "purchase", 0.50),
+        (4, 4_000_000, 7, "click", 0.30),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, us bigint, user_id bigint, event_type string, value double"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"),
+             "user_id", "event_type", "value")
+    r = behavior.capped_running_sum(df, cap=100).first()
+    assert (r.user_id, r.n_events, r.final_balance, r.n_sat_hi, r.n_sat_lo) == (
+        7, 4, 30, 1, 1
+    )
