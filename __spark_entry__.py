@@ -116,6 +116,35 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited JSON on the sink/source surface: write documents
+    as gzipped JSONL (newlines in text must round-trip through JSON
+    escaping), read back with a PINNED schema — at 100 TB, schema
+    inference is a second scan of the corpus; production readers always
+    pin — and aggregate. sum(length(text)) proves the payload survived
+    the escaping hop byte-for-byte in length; min/max ids bound the
+    key space."""
+    import atexit
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_jsonl_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(scratch, "docs_jsonl")
+    docs.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum(F.length("text")).cast("bigint").alias("text_chars"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+    )
+
+
 def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full lake round-trip: write the fact table partitioned by
     (year, month) with dynamic partition overwrite (S8), read it back
@@ -1021,6 +1050,14 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the generator formula closed-form."""
     media = multimodal.synthetic_png_table(load_table(spark, sf_dir, "documents"))
     return multimodal.image_features(media)
+
+
+def q_image_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 2x downsample over REAL PNG decodes (numpy
+    strided view in one Arrow batch); the oracle replays which rows
+    survive the stride closed-form."""
+    media = multimodal.synthetic_png_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.image_downsample(media)
 
 
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2349,6 +2386,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cascade": q_rollup_cascade,
         "record_linkage": q_record_linkage,
         "capped_running_sum": q_capped_running_sum,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "image_downsample": q_image_downsample,
         "rank_sum_test": q_rank_sum_test,
         "hll_overlap": q_hll_overlap,
         "winsorized_stats": q_winsorized_stats,
@@ -2583,6 +2622,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_cascade": oracles.ROLLUP_CASCADE,
         "record_linkage": oracles.RECORD_LINKAGE,
         "capped_running_sum": oracles.CAPPED_RUNNING_SUM,
+        "jsonl_roundtrip": oracles.JSONL_ROUNDTRIP,
+        "image_downsample": oracles.IMAGE_DOWNSAMPLE,
         "rank_sum_test": oracles.RANK_SUM_TEST,
         "hll_overlap": oracles.HLL_OVERLAP,
         "winsorized_stats": oracles.WINSORIZED_STATS,

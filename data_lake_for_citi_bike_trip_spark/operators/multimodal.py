@@ -892,3 +892,50 @@ def audio_frame_features(media: DataFrame, frame_size: int = 16) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=AUDIO_FRAME_SCHEMA
     )
+
+
+#: Output schema of the image downsample stage.
+IMAGE_DOWNSAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("down_pixel_sum", T.LongType()),
+        T.StructField("down_mean_e2", T.LongType()),
+    ]
+)
+
+
+def image_downsample(media: DataFrame, stride: int = 2) -> DataFrame:
+    """RESIZE over decoded images: nearest-neighbor ``stride``x
+    downsample (keep pixel (stride*i, stride*j)) — the thumbnail /
+    vision-model-input preprocessing verb, run on the REAL PNG decode
+    (inflate + unfilters) with a numpy strided view inside one Arrow
+    batch — no per-pixel Python, no copy until the sum.
+
+    Integer contract: emits the downsampled dimensions, exact pixel sum
+    and floor mean (e2). The synthetic generator makes rows constant at
+    (doc_id + y) % 256, so the oracle replays which rows survive the
+    stride closed-form — an off-by-one in the stride arithmetic shifts
+    every surviving row and goes red.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in IMAGE_DOWNSAMPLE_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c, pix = decode_png_pixels(bytes(payload))
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, c)
+                small = arr[::stride, ::stride, :]
+                s = int(small.astype(np.int64).sum())
+                out["media_id"].append(int(media_id))
+                out["out_width"].append(small.shape[1])
+                out["out_height"].append(small.shape[0])
+                out["down_pixel_sum"].append(s)
+                out["down_mean_e2"].append(100 * s // small.size)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=IMAGE_DOWNSAMPLE_SCHEMA
+    )

@@ -4971,3 +4971,37 @@ SELECT user_id, CAST(n AS BIGINT) AS n_events,
        CAST(hi AS BIGINT) AS n_sat_hi, CAST(lo AS BIGINT) AS n_sat_lo
 FROM walk WHERE rn = n
 """
+
+
+# __spark_entry__.py:q_jsonl_roundtrip — the oracle reads the parquet
+# directly; a hash match proves the JSONL write/read hop was lossless.
+JSONL_ROUNDTRIP = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM documents GROUP BY 1, 2
+"""
+
+
+# operators/multimodal.py:image_downsample — surviving rows are
+# y = 0, 2, ... (ceil-div dims); each contributes 3 * out_width pixels of
+# the generator's (doc_id + y) % 256 row value.
+IMAGE_DOWNSAMPLE = """
+SELECT doc_id AS media_id,
+       CAST((n_chars % 31 + 2) // 2 AS BIGINT) AS out_width,
+       CAST((doc_id % 17 + 2) // 2 AS BIGINT) AS out_height,
+       (SELECT CAST(sum((doc_id + 2 * yy) % 256) * 3 * ((n_chars % 31 + 2) // 2)
+               AS BIGINT)
+        FROM unnest(generate_series(0, (doc_id % 17 + 2) // 2 - 1)) AS t(yy))
+         AS down_pixel_sum,
+       (SELECT CAST((100 * sum((doc_id + 2 * yy) % 256) * 3
+                     * ((n_chars % 31 + 2) // 2))
+                    // (((n_chars % 31 + 2) // 2)
+                        * ((doc_id % 17 + 2) // 2) * 3) AS BIGINT)
+        FROM unnest(generate_series(0, (doc_id % 17 + 2) // 2 - 1)) AS t(yy))
+         AS down_mean_e2
+FROM documents
+"""

@@ -310,3 +310,24 @@ def test_video_frame_sampling_stride_and_bytes(spark, sf_dir):
     )
     with _pytest.raises(Exception, match="SVID"):
         multimodal.sample_video_frames(bad).collect()
+
+
+def test_image_downsample_strides_and_sums(spark):
+    """A 3x5 image (odd dims) keeps rows {0,2} and cols {0,2,4}: out
+    2x3. Encode a real PNG via the generator's encoder and check the
+    decode->stride->sum path against a direct per-pixel computation."""
+    import numpy as np
+
+    from data_lake_for_citi_bike_trip_spark.operators import multimodal as mm
+
+    doc_id, w, h = 7, 5, 3
+    payload = mm.encode_png_rgb(doc_id, w, h)
+    df = spark.createDataFrame(
+        [(doc_id, bytearray(payload))], "media_id bigint, payload binary"
+    )
+    r = mm.image_downsample(df).first()
+    rows = [(doc_id + y) % 256 for y in (0, 2)]  # surviving rows
+    expect = sum(v * 3 * 3 for v in rows)  # 3 surviving cols x 3 channels
+    assert (r.out_width, r.out_height) == (3, 2)
+    assert r.down_pixel_sum == expect
+    assert r.down_mean_e2 == 100 * expect // (3 * 2 * 3)
