@@ -965,6 +965,18 @@ def q_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.purchase_streaks(load_table(spark, sf_dir, "events"))
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules with exact-bp support /
+    confidence / lift over order baskets (basket-bounded pair join)."""
+    return graph.assoc_rules(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type: lag-7 predictor
+    on the zero-filled spine, WAPE in exact basis points."""
+    return timeseries.forecast_backtest(load_table(spark, sf_dir, "events"))
+
+
 def q_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double-bounded per-user inventory balance (clamped [0, cap]) —
     decision-dependent state in an Arrow grouped map, recursive-CTE
@@ -2388,6 +2400,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_running_sum": q_capped_running_sum,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "image_downsample": q_image_downsample,
+        "assoc_rules": q_assoc_rules,
+        "forecast_backtest": q_forecast_backtest,
         "rank_sum_test": q_rank_sum_test,
         "hll_overlap": q_hll_overlap,
         "winsorized_stats": q_winsorized_stats,
@@ -2624,6 +2638,8 @@ def oracle_sql() -> dict[str, str]:
         "capped_running_sum": oracles.CAPPED_RUNNING_SUM,
         "jsonl_roundtrip": oracles.JSONL_ROUNDTRIP,
         "image_downsample": oracles.IMAGE_DOWNSAMPLE,
+        "assoc_rules": oracles.ASSOC_RULES,
+        "forecast_backtest": oracles.FORECAST_BACKTEST,
         "rank_sum_test": oracles.RANK_SUM_TEST,
         "hll_overlap": oracles.HLL_OVERLAP,
         "winsorized_stats": oracles.WINSORIZED_STATS,

@@ -297,3 +297,58 @@ def also_bought(lineitem: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("part", "other", "n_baskets", "rank")
     )
+
+
+def assoc_rules(lineitem: DataFrame, min_baskets: int = 3) -> DataFrame:
+    """Association rules A -> B over order baskets with the three
+    classic metrics in exact basis points: support (how common the
+    pair), confidence (P(B|A)), lift (confidence vs B's base rate) —
+    the market-basket layer ON TOP of also_bought's raw co-occurrence.
+
+    Scale shape mirrors also_bought: the only self-join is keyed on
+    l_orderkey (bounded by basket size), per-part basket counts are one
+    keyed aggregate, and the final metric join attaches two
+    catalog-sized count tables. min_baskets prunes the noise tail
+    before the metric join, bounding the output. All three metrics are
+    truncating integer divisions over exact counts (all positive, so
+    Spark div == DuckDB //); lift > 1e4 bp means genuinely associated.
+    """
+    baskets = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = baskets.agg(
+        F.count_distinct("ok").cast("long").alias("n_orders")
+    )
+    per_part = baskets.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    pairs = (
+        baskets.join(baskets.select(F.col("ok"), F.col("part").alias("other")), "ok")
+        .where(F.col("part") != F.col("other"))
+        .groupBy("part", "other")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_baskets)
+    )
+    return (
+        pairs.join(per_part.withColumnRenamed("n_part", "n_a"), "part")
+        .join(
+            per_part.select(
+                F.col("part").alias("other"), F.col("n_part").alias("n_b")
+            ),
+            "other",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("part").alias("part_a"),
+            F.col("other").alias("part_b"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_orders",
+            F.expr("(10000 * n_ab) div n_orders").alias("support_bp"),
+            F.expr("(10000 * n_ab) div n_a").alias("confidence_bp"),
+            F.expr("(10000 * n_ab * n_orders) div (n_a * n_b)").alias(
+                "lift_bp"
+            ),
+        )
+    )

@@ -587,3 +587,43 @@ def rolling_median_daily(events: DataFrame, days: int = 7) -> DataFrame:
         ),
         F.size(arr).cast("bigint").alias("window_days"),
     )
+
+
+def forecast_backtest(events: DataFrame, season: int = 7) -> DataFrame:
+    """Backtest of the SEASONAL-NAIVE forecaster (predict today =
+    same weekday last week) over the zero-filled per-type daily series
+    — the baseline every fancier forecaster must beat, and the
+    evaluation harness is the operator: walk the series, score each
+    day that has a lag-``season`` ancestor, aggregate the errors.
+
+    Error metric is WAPE in basis points — sum|err| / sum(actual) —
+    chosen because it is a ratio of two exact BIGINTs (per-day MAPE
+    divides by zero on quiet days and floats differently per engine).
+    One window pass (lag 7 over the spine), one aggregate. Emits per
+    type: days evaluated, total absolute error, total actual volume,
+    wape_bp (truncating div, non-negative), and the count of days the
+    naive forecast was exactly right.
+    """
+    daily = _daily_events(events)
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = filled.withColumn("pred", F.lag("y", season).over(w)).where(
+        F.col("pred").isNotNull()
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.abs(F.col("y") - F.col("pred"))).cast("long").alias("abs_err"),
+        F.sum("y").cast("long").alias("actual_total"),
+        F.sum((F.col("y") == F.col("pred")).cast("long"))
+        .cast("long")
+        .alias("n_exact"),
+    ).withColumn("wape_bp", F.expr("(10000 * abs_err) div actual_total"))

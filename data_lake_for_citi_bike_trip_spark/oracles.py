@@ -5005,3 +5005,63 @@ SELECT doc_id AS media_id,
          AS down_mean_e2
 FROM documents
 """
+
+
+# operators/graph.py:assoc_rules — basket-bounded pair join; support /
+# confidence / lift as truncating integer divisions over exact counts.
+ASSOC_RULES = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM baskets),
+per_part AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_part FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.part AS part, b.part AS other, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.part <> b.part
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT p.part AS part_a, p.other AS part_b, p.n_ab,
+       pa.n_part AS n_a, pb.n_part AS n_b, n.n_orders,
+       (10000 * p.n_ab) // n.n_orders AS support_bp,
+       (10000 * p.n_ab) // pa.n_part AS confidence_bp,
+       (10000 * p.n_ab * n.n_orders) // (pa.n_part * pb.n_part) AS lift_bp
+FROM pairs p
+JOIN per_part pa ON p.part = pa.part
+JOIN per_part pb ON p.other = pb.part
+CROSS JOIN n_orders n
+"""
+
+
+# operators/timeseries.py:forecast_backtest — seasonal-naive lag-7 on
+# the zero-filled spine; WAPE as a ratio of exact BIGINTs.
+FORECAST_BACKTEST = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+spine AS (
+  SELECT event_type, CAST(unnest(generate_series(
+    CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+    AS day
+  FROM spans
+),
+filled AS (
+  SELECT s.event_type, s.day, COALESCE(d.y, 0) AS y
+  FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+),
+scored AS (
+  SELECT event_type, y,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+  FROM filled
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(sum(abs(y - pred)) AS BIGINT) AS abs_err,
+       CAST(sum(y) AS BIGINT) AS actual_total,
+       CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       (10000 * CAST(sum(abs(y - pred)) AS BIGINT))
+         // CAST(sum(y) AS BIGINT) AS wape_bp
+FROM scored WHERE pred IS NOT NULL
+GROUP BY 1
+"""

@@ -141,3 +141,27 @@ def test_bfs_levels_min_distance_and_early_stop(spark):
     # early stop: isolated source explores nothing beyond itself
     lone = {r.node: r.level for r in graph.bfs_levels(edges, 99, max_depth=3).collect()}
     assert lone == {99: 0}
+
+
+def test_assoc_rules_metrics_by_hand(spark):
+    """4 baskets: {1,2} {1,2} {1,2} {1,3}: rule 1->2 has n_ab=3, n_a=4,
+    n_b=3, n_orders=4 -> support 7500bp, confidence 7500bp, lift
+    (3*4)/(4*3)=1.0 -> 10000bp. Pairs below min_baskets are pruned."""
+    from data_lake_for_citi_bike_trip_spark.operators import graph as g
+
+    rows = []
+    for ok, parts in [(10, [1, 2]), (11, [1, 2]), (12, [1, 2]), (13, [1, 3])]:
+        for p in parts:
+            rows.append((ok, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-01"))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate string",
+    )
+    got = {(r.part_a, r.part_b): (r.support_bp, r.confidence_bp, r.lift_bp)
+           for r in g.assoc_rules(li).collect()}
+    assert got == {
+        (1, 2): (7500, 7500, 10000),
+        (2, 1): (7500, 10000, 10000),
+    }

@@ -273,3 +273,21 @@ def test_autocorr_spine_zero_fills_missing_days(spark):
     rows = {r.lag: r for r in out.collect() if r.event_type == "g"}
     assert rows[1].n_pairs == 2  # (d1,d2) and (d2,d3) with y(d2)=0
     assert rows[1].cov_num == 2 * (4 * 0 + 0 * 4) - (4 + 0) * (0 + 4)
+
+
+def test_forecast_backtest_perfect_weekly_cycle(spark):
+    """A series with exact period 7 backtests to zero error; breaking
+    one day puts exactly its |delta| into abs_err."""
+    counts = [(d, "w", 10 + (d % 7)) for d in range(1, 22)]  # 3 weeks
+    r = {x.event_type: x for x in timeseries.forecast_backtest(
+        _events_from_daily(spark, counts)).collect()}["w"]
+    assert (r.n_eval, r.abs_err, r.wape_bp) == (14, 0, 0)
+    assert r.n_exact == 14
+
+    counts2 = [(d, "w", (10 + (d % 7)) if d != 15 else 99) for d in range(1, 22)]
+    r2 = {x.event_type: x for x in timeseries.forecast_backtest(
+        _events_from_daily(spark, counts2)).collect()}["w"]
+    # day 15 (pred from day 8) wrong by |99-11|, and day 22 doesn't exist;
+    # but day 15 also mispredicts nothing else within the span
+    assert r2.abs_err == abs(99 - (10 + 15 % 7))
+    assert r2.n_exact == 13
