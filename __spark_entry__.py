@@ -965,6 +965,13 @@ def q_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.purchase_streaks(load_table(spark, sf_dir, "events"))
 
 
+def q_ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance with mixed +1/-1 multiplicity
+    deltas and zero-group removal; the oracle recomputes the final
+    state from scratch."""
+    return analytics.ivm_agg_delta(load_table(spark, sf_dir, "orders"))
+
+
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules with exact-bp support /
     confidence / lift over order baskets (basket-bounded pair join)."""
@@ -2401,6 +2408,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "image_downsample": q_image_downsample,
         "assoc_rules": q_assoc_rules,
+        "ivm_agg_delta": q_ivm_agg_delta,
         "forecast_backtest": q_forecast_backtest,
         "rank_sum_test": q_rank_sum_test,
         "hll_overlap": q_hll_overlap,
@@ -2639,6 +2647,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": oracles.JSONL_ROUNDTRIP,
         "image_downsample": oracles.IMAGE_DOWNSAMPLE,
         "assoc_rules": oracles.ASSOC_RULES,
+        "ivm_agg_delta": oracles.IVM_AGG_DELTA,
         "forecast_backtest": oracles.FORECAST_BACKTEST,
         "rank_sum_test": oracles.RANK_SUM_TEST,
         "hll_overlap": oracles.HLL_OVERLAP,

@@ -749,3 +749,70 @@ def rollup_cascade(events: DataFrame) -> DataFrame:
         (F.col("n") == F.col("dn")).alias("count_match"),
         (F.col("cents") == F.col("dcents")).alias("cents_match"),
     )
+
+
+def ivm_agg_delta(orders: DataFrame) -> DataFrame:
+    """Incremental aggregate maintenance under MIXED inserts AND
+    deletes — the multiplicity algebra ivm_join_view's docstring
+    promises, exercised: delta rows carry mult = +1 (insert) / -1
+    (delete), partials are mult-weighted sums, and groups whose
+    maintained count reaches ZERO are removed from the view (the
+    classic IVM correctness detail — a count-0 group left behind
+    resurrects as a phantom row on the next query).
+
+    View: order count + revenue cents per (priority, year). Base =
+    orders with key % 97 != 0 (localCheckpointed, as a stored MV);
+    delta = inserts (key % 97 == 0) union deletes (key % 89 == 0, drawn
+    from EITHER half — an order both inserted and deleted nets to
+    multiplicity 0, exactly as the algebra dictates). The maintained
+    view therefore equals aggregating orders where key % 89 != 0 from
+    scratch — which is what the oracle computes, so the hash match
+    proves the delta path.
+
+    At 100 TB the delta join touches only delta-sized inputs and the
+    stored view; avg derives from the maintained sums (never averaged
+    averages). One full-outer merge on the view key.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    keyed = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        cents.alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    key = ["priority", "order_year"]
+    base = keyed.where(F.col("k") % 97 != 0)
+    stored = (
+        base.groupBy(*key)
+        .agg(
+            F.count(F.lit(1)).alias("s_cnt"),
+            F.sum("cents").alias("s_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    inserts = keyed.where(F.col("k") % 97 == 0).withColumn(
+        "mult", F.lit(1).cast("long")
+    )
+    deletes = keyed.where(F.col("k") % 89 == 0).withColumn(
+        "mult", F.lit(-1).cast("long")
+    )
+    partials = (
+        inserts.unionByName(deletes)
+        .groupBy(*key)
+        .agg(
+            F.sum("mult").alias("d_cnt"),
+            F.sum(F.col("mult") * F.col("cents")).alias("d_cents"),
+        )
+    )
+    merged = stored.join(partials, key, "full_outer").select(
+        *key,
+        (F.coalesce("s_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        (F.coalesce("s_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0)))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    return merged.where(F.col("n_orders") > 0).withColumn(
+        "avg_cents", F.expr("revenue_cents div n_orders")
+    )

@@ -5065,3 +5065,19 @@ SELECT event_type,
 FROM scored WHERE pred IS NOT NULL
 GROUP BY 1
 """
+
+
+# operators/analytics.py:ivm_agg_delta — the oracle aggregates the final
+# state from scratch (key % 89 != 0); a hash match proves the
+# insert/delete multiplicity algebra, including zero-group removal.
+IVM_AGG_DELTA = """
+SELECT o_orderpriority AS priority,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         // COUNT(*) AS avg_cents
+FROM orders WHERE o_orderkey % 89 <> 0
+GROUP BY 1, 2
+"""

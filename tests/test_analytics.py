@@ -214,3 +214,29 @@ def test_record_linkage_branches(spark):
     got = {(r.clean_id, r.dirty_id): r.score
            for r in linkage.link_customers(df).collect()}
     assert got == {(1, 1): 85, (13, 13): 45, (20, 20): 75}
+
+
+def test_ivm_agg_delta_zero_group_vanishes(spark):
+    """A group whose only member is deleted must disappear from the
+    maintained view (not linger as a count-0 phantom); an order both
+    inserted and deleted nets to multiplicity zero."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    rows = [
+        # key 89: sole member of priority 'X' in base (89%97!=0), deleted
+        (89, 1, "O", 10.0, "2024-03-01", "X"),
+        # key 97: insert-only (97%97==0), priority 'Y'
+        (97, 1, "O", 20.0, "2024-03-01", "Y"),
+        # key 97*89=8633: inserted AND deleted -> net zero, priority 'Z'
+        (8633, 1, "O", 30.0, "2024-03-01", "Z"),
+        # key 2: plain base survivor, priority 'Y'
+        (2, 1, "O", 40.0, "2024-03-01", "Y"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    got = {(r.priority): (r.n_orders, r.revenue_cents, r.avg_cents)
+           for r in an.ivm_agg_delta(orders).collect()}
+    assert got == {"Y": (2, 6000, 3000)}
