@@ -965,6 +965,25 @@ def q_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.purchase_streaks(load_table(spark, sf_dir, "events"))
 
 
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column with a contract-ordered
+    float fold (sorted histogram, explicit seed) so both engines run
+    the identical IEEE sequence."""
+    return profile.entropy_profile(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week profile removal + 3x MAD residual flagging per event
+    type, integer-exact end to end."""
+    return timeseries.seasonal_residual_anomalies(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 def q_ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance with mixed +1/-1 multiplicity
     deltas and zero-group removal; the oracle recomputes the final
@@ -2409,6 +2428,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_downsample": q_image_downsample,
         "assoc_rules": q_assoc_rules,
         "ivm_agg_delta": q_ivm_agg_delta,
+        "entropy_profile": q_entropy_profile,
+        "seasonal_residual_anomalies": q_seasonal_residual_anomalies,
         "forecast_backtest": q_forecast_backtest,
         "rank_sum_test": q_rank_sum_test,
         "hll_overlap": q_hll_overlap,
@@ -2556,6 +2577,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_gap_median": q_user_gap_median,
         "stream_append_counts": q_stream_append_counts,
         "not_in_null_semantics": sqlsurface.not_in_null_semantics,
+        "recursive_hierarchy": sqlsurface.recursive_hierarchy,
     }
 
 
@@ -2648,6 +2670,9 @@ def oracle_sql() -> dict[str, str]:
         "image_downsample": oracles.IMAGE_DOWNSAMPLE,
         "assoc_rules": oracles.ASSOC_RULES,
         "ivm_agg_delta": oracles.IVM_AGG_DELTA,
+        "recursive_hierarchy": oracles.RECURSIVE_HIERARCHY,
+        "entropy_profile": oracles.ENTROPY_PROFILE,
+        "seasonal_residual_anomalies": oracles.SEASONAL_RESIDUAL_ANOMALIES,
         "forecast_backtest": oracles.FORECAST_BACKTEST,
         "rank_sum_test": oracles.RANK_SUM_TEST,
         "hll_overlap": oracles.HLL_OVERLAP,

@@ -779,3 +779,58 @@ def winsorized_stats(events: DataFrame) -> DataFrame:
     ).withColumn(
         "winsor_mean_cents", F.expr("clamped_sum_cents div n")
     )
+
+
+def _column_entropy(df: DataFrame, col: str, label: str) -> DataFrame:
+    """One row: Shannon entropy of a categorical column in e6 units.
+
+    Float summation order is the cross-engine killer for entropy
+    (-sum p log p accumulates differently per engine); the fix is to
+    make the fold order PART OF THE CONTRACT: counts collect into a
+    SORTED array and reduce left-to-right with an explicit 0.0 seed —
+    both engines then execute the identical IEEE operation sequence
+    (ties in the sorted order hold equal values, so their order can't
+    matter). The collected array is value-cardinality-bounded (it's a
+    histogram, not rows). entropy = log2(n) - sum(c*log2(c))/n.
+    """
+    counts = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.agg(
+        F.lit(label).alias("column_name"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sort_array(F.collect_list(F.col("cnt").cast("double"))).alias("arr"),
+    ).select(
+        "column_name",
+        "n_values",
+        "n_rows",
+        F.expr(
+            "CAST(floor(1000000.0 * (log2(CAST(n_rows AS DOUBLE)) - "
+            "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * log2(x))"
+            " / CAST(n_rows AS DOUBLE))) AS BIGINT)"
+        ).alias("entropy_e6"),
+    )
+
+
+def entropy_profile(
+    events: DataFrame, documents: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Column-entropy profile across the lake's categorical columns —
+    the screening stat for mix drift, collapsed enums, and
+    high-cardinality identifier leaks (near-log2(n) entropy on a
+    'category' column means it isn't one).
+
+    One keyed aggregate per column (map-side partials), each collapsing
+    to a single histogram row; the union is four rows. Deterministic
+    float discipline lives in _column_entropy."""
+    parts = [
+        _column_entropy(events, "event_type", "events.event_type"),
+        _column_entropy(documents, "lang", "documents.lang"),
+        _column_entropy(documents, "source", "documents.source"),
+        _column_entropy(orders, "o_orderpriority", "orders.o_orderpriority"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -913,3 +913,35 @@ def tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ["lineitem", "supplier", "part", "orders", "nation"])
     _partsupp_view(spark, sf_dir)
     return spark.sql(_PARTSUPP_MAT_CTE + _TPCH_PRODUCT_PROFIT_BODY)
+
+
+def recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4's WITH RECURSIVE): walk the
+    implicit decimal hierarchy parent(k) = k div 10 from a bounded seed
+    set up to the root, emitting per node its depth and the sum of
+    ancestor keys — the org-chart / BOM-explosion query shape, executed
+    by the engine's own fixpoint operator instead of the driver-side
+    iteration graph_bfs uses (both belong on the surface: the CTE form
+    is concise and engine-planned; the iterative form gives checkpoint
+    control for deep graphs).
+
+    Recursion depth is log10(max key) — bounded by key width, not
+    corpus size. The DuckDB oracle runs the same recursion (// for
+    Spark's div; both floor on non-negative keys)."""
+    _views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS node, c_custkey AS cur,
+                 CAST(0 AS BIGINT) AS depth
+          FROM customer WHERE c_custkey % 50 = 0
+          UNION ALL
+          SELECT node, cur div 10, depth + 1 FROM walk WHERE cur > 0
+        )
+        SELECT node,
+               max(depth) AS depth,
+               CAST(sum(cur) AS BIGINT) AS ancestor_key_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_steps
+        FROM walk GROUP BY node
+        """
+    )

@@ -627,3 +627,56 @@ def forecast_backtest(events: DataFrame, season: int = 7) -> DataFrame:
         .cast("long")
         .alias("n_exact"),
     ).withColumn("wape_bp", F.expr("(10000 * abs_err) div actual_total"))
+
+
+def seasonal_residual_anomalies(events: DataFrame) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: remove each event type's
+    day-of-week profile from its daily series, then flag days whose
+    residual exceeds 3x the type's MAD of residuals — the robust
+    two-stage screen (dow_seasonality models the cycle; mad_anomalies
+    screens raw values; this composes them, catching a quiet Sunday
+    that is anomalous FOR a Sunday).
+
+    The dow profile is the per-(type, dow) lower MEDIAN, not the mean —
+    a mean profile is dragged by the very outlier being hunted, which
+    then makes every NORMAL day of that weekday look anomalous (the
+    classic leave-nothing-in failure). Median profile + MAD threshold
+    is robust at both stages and keeps everything pure integer: no
+    division anywhere, residuals are exact e4 subtractions, both
+    selections are rank lookups. Two bounded windows sharing the
+    event_type partitioning; day-grain inputs are calendar-bounded."""
+    daily = _daily_events(events).withColumn(
+        "dow", F.dayofweek("day").cast("long")
+    )
+    wd = Window.partitionBy("event_type", "dow").orderBy("y", "day")
+    ranked_d = daily.withColumn("rn", F.row_number().over(wd)).withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("event_type", "dow"))
+    )
+    prof = ranked_d.where(F.col("rn") == F.expr("(nd + 1) div 2")).select(
+        "event_type", "dow", F.col("y").alias("med")
+    )
+    res = daily.join(prof, ["event_type", "dow"]).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "y",
+        (10000 * F.col("med")).alias("expected_e4"),
+        (10000 * (F.col("y") - F.col("med"))).alias("residual_e4"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs("residual_e4"), "day"
+    )
+    ranked = res.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    mad = ranked.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.abs("residual_e4").alias("mad_e4")
+    )
+    return res.join(mad, "event_type").select(
+        "event_type",
+        "day",
+        "y",
+        "expected_e4",
+        "residual_e4",
+        "mad_e4",
+        (F.abs("residual_e4") > 3 * F.col("mad_e4")).alias("flagged"),
+    )

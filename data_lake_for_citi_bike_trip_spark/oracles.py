@@ -5081,3 +5081,93 @@ SELECT o_orderpriority AS priority,
 FROM orders WHERE o_orderkey % 89 <> 0
 GROUP BY 1, 2
 """
+
+
+# operators/sqlsurface.py:recursive_hierarchy — same fixpoint in DuckDB
+# (// mirrors Spark div on the non-negative keys).
+RECURSIVE_HIERARCHY = """
+WITH RECURSIVE walk AS (
+  SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+  FROM customer WHERE c_custkey % 50 = 0
+  UNION ALL
+  SELECT node, cur // 10, depth + 1 FROM walk WHERE cur > 0
+)
+SELECT node,
+       max(depth) AS depth,
+       CAST(sum(cur) AS BIGINT) AS ancestor_key_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_steps
+FROM walk GROUP BY node
+"""
+
+
+# operators/profile.py:entropy_profile — the fold order is part of the
+# contract: sorted histogram, explicit 0.0 seed, left fold; both engines
+# then run the identical IEEE sequence.
+def _entropy_col_sql(table: str, col: str, label: str) -> str:
+    return f"""
+SELECT '{label}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(floor(1000000.0 * (log2(CAST(sum(cnt) AS DOUBLE))
+         - list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+                          list_sort(list(CAST(cnt AS DOUBLE)))),
+             (acc, x) -> acc + x * log2(x))
+           / CAST(sum(cnt) AS DOUBLE))) AS BIGINT) AS entropy_e6
+FROM (SELECT {col} AS v, COUNT(*) AS cnt FROM {table} GROUP BY 1)
+"""
+
+
+ENTROPY_PROFILE = "\nUNION ALL\n".join(
+    [
+        _entropy_col_sql("events", "event_type", "events.event_type"),
+        _entropy_col_sql("documents", "lang", "documents.lang"),
+        _entropy_col_sql("documents", "source", "documents.source"),
+        _entropy_col_sql("orders", "o_orderpriority", "orders.o_orderpriority"),
+    ]
+)
+
+
+# operators/timeseries.py:seasonal_residual_anomalies — dow profile
+# removal + lower-median MAD flagging, all integer; DuckDB dayofweek+1
+# mirrors Spark's Sunday=1 convention.
+SEASONAL_RESIDUAL_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2, 3
+),
+ranked_d AS (
+  SELECT event_type, dow, day, y,
+         row_number() OVER (PARTITION BY event_type, dow
+                            ORDER BY y, day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, dow) AS nd
+  FROM daily
+),
+prof AS (
+  SELECT event_type, dow, y AS med FROM ranked_d WHERE rn = (nd + 1) // 2
+),
+res AS (
+  SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.y,
+         10000 * p.med AS expected_e4,
+         10000 * (d.y - p.med) AS residual_e4
+  FROM daily d JOIN prof p ON d.event_type = p.event_type AND d.dow = p.dow
+),
+ranked AS (
+  SELECT event_type, abs(residual_e4) AS ar,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(residual_e4), day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM res
+),
+mad AS (
+  SELECT event_type, ar AS mad_e4 FROM ranked WHERE rn = (n + 1) // 2
+)
+SELECT r.event_type, r.day, r.y,
+       CAST(r.expected_e4 AS BIGINT) AS expected_e4,
+       CAST(r.residual_e4 AS BIGINT) AS residual_e4,
+       CAST(m.mad_e4 AS BIGINT) AS mad_e4,
+       abs(r.residual_e4) > 3 * m.mad_e4 AS flagged
+FROM res r JOIN mad m ON r.event_type = m.event_type
+"""

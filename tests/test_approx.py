@@ -238,3 +238,28 @@ def test_winsorized_clamps_outlier(spark):
     r = profile.winsorized_stats(_typed_events(spark, rows)).first()
     assert (r.n, r.lo_cents, r.hi_cents) == (20, 100, 100)
     assert r.winsor_mean_cents == 100
+
+
+def test_entropy_profile_uniform_and_degenerate(spark):
+    """4 equally common types -> exactly 2 bits (e6=2_000_000); a
+    single-valued column -> 0. The sorted-fold discipline makes these
+    exact, not approximate."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    ev = _typed_events(
+        spark, [(t, 1.0, 1, 1) for t in ("a", "b", "c", "d") for _ in range(5)]
+    )
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "web", 1) for i in range(6)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    orders = spark.createDataFrame(
+        [(i, 1, "O", 1.0, "2024-01-01", "P1") for i in range(3)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    got = {r.column_name: (r.n_values, r.entropy_e6)
+           for r in profile.entropy_profile(ev, docs, orders).collect()}
+    assert got["events.event_type"] == (4, 2_000_000)
+    assert got["documents.lang"] == (1, 0)
+    assert got["orders.o_orderpriority"] == (1, 0)

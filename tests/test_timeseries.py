@@ -291,3 +291,17 @@ def test_forecast_backtest_perfect_weekly_cycle(spark):
     # but day 15 also mispredicts nothing else within the span
     assert r2.abs_err == abs(99 - (10 + 15 % 7))
     assert r2.n_exact == 13
+
+
+def test_seasonal_residual_flags_the_odd_sunday(spark):
+    """Mondays always 10, Sundays always 20 except one Sunday at 90:
+    after dow-profile removal only the odd Sunday exceeds 3x MAD."""
+    counts = []
+    for week in range(4):
+        counts.append((1 + 7 * week, "s", 10))       # Mondays (Jan 1 2024)
+        sun = 7 + 7 * week
+        counts.append((sun, "s", 90 if week == 3 else 20))
+    out = timeseries.seasonal_residual_anomalies(
+        _events_from_daily(spark, counts))
+    flagged = sorted(r.day for r in out.collect() if r.flagged)
+    assert flagged == ["2024-01-28"]

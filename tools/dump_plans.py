@@ -110,9 +110,60 @@ HEADLINE = [
     "purchase_streaks",
     "trimmed_mean",
     "fixed_width_roundtrip",
+    "ols_two_factor",
+    "autocorr_daily",
+    "chisq_independence",
+    "rank_sum_test",
+    "hll_overlap",
+    "winsorized_stats",
+    "embedding_covariance",
+    "rollup_cascade",
+    "record_linkage",
+    "capped_running_sum",
+    "jsonl_roundtrip",
+    "image_downsample",
+    "assoc_rules",
+    "forecast_backtest",
+    "ivm_agg_delta",
 ]
 
 NOTES = {
+    "ols_two_factor": "one grouped aggregate builds the 3x3 Gram matrix "
+    "as nine BIGINT sums (map-side partials); Cramer determinants are "
+    "per-row codegen — no iteration, no driver matrix",
+    "autocorr_daily": "spine explode + one sorted window pass carrying "
+    "seven leads; regrouped map-side into types x lags cells",
+    "chisq_independence": "cell counts + two margin re-aggregates (enum "
+    "x 7 rows, provably bounded broadcasts); contribution is codegen",
+    "rank_sum_test": "ranks assigned on the value-domain HISTOGRAM, not "
+    "raw rows; the single-partition window is value-cardinality-bounded",
+    "hll_overlap": "three conditional HLL sketches in ONE aggregate "
+    "pass; exact side is a per-user flag rollup",
+    "winsorized_stats": "per-type cumulative histogram window; cut "
+    "points and clamped sums all from the histogram grain",
+    "embedding_covariance": "per-row upper-triangle outer products in "
+    "one codegen expression; shuffle carries <= d(d+1)/2 rows per task "
+    "regardless of corpus size",
+    "rollup_cascade": "hour agg absorbs the raw scan once; day and week "
+    "levels aggregate hour-grain inputs; equality flags join the direct "
+    "path only for verification",
+    "record_linkage": "pass-1 equi-join on the selective digit key; "
+    "pass-2 recovery blocks purged above max_block so the join can "
+    "never go quadratic",
+    "capped_running_sum": "deltas quantized JVM-side; one Arrow grouped "
+    "map with O(1) per-key state over user-bounded groups",
+    "jsonl_roundtrip": "gzipped JSONL write + pinned-schema read (no "
+    "inference scan); final agg is one keyed shuffle",
+    "image_downsample": "one Arrow-batched python stage (decode + numpy "
+    "strided view); no shuffle",
+    "assoc_rules": "basket-keyed self-join (bounded by basket size), "
+    "min-support prune BEFORE the metric join; catalog-sized count "
+    "tables attach via AQE-chosen joins",
+    "forecast_backtest": "spine + one lag-7 window per type, one final "
+    "aggregate; WAPE is a ratio of two exact sums",
+    "ivm_agg_delta": "stored view is an ExistingRDD scan "
+    "(localCheckpoint); delta partials touch only delta-sized inputs; "
+    "zero-count groups filtered after the full-outer merge",
     "txn_delete_vectors": "merge-on-read: delete commits per-bucket key "
     "sidecars only (no rewrite); the read plans a key anti-join against "
     "the DV union — co-partitioned with downstream per-key work",
