@@ -431,6 +431,13 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM scoring per document; millibit terms
+    quantize before the per-doc sum so aggregation order cannot
+    matter."""
+    return text_ops.bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
 def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_stats(load_table(spark, sf_dir, "documents"))
 
@@ -691,6 +698,39 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.json_props_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_pysink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER: customer staged per partition
+    by executor tasks, published by the driver's two-phase commit()
+    (staged files become visible only on success — a failed task can
+    never leave a half-written partition), then read back and
+    aggregated. The oracle reads the parquet directly, so a hash match
+    proves the sink round-trip lossless."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from data_lake_for_citi_bike_trip_spark.sources import pydatasource
+
+    pydatasource.register_sink(spark)
+    scratch = tempfile.mkdtemp(prefix="spark_graft_pysink_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    cust.write.format("jsondir").option("path", scratch).mode("append").save()
+    back = spark.read.schema(
+        "c_custkey bigint, c_mktsegment string, cents bigint"
+    ).json(os.path.join(scratch, "data"))
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
 
 
 def q_pysource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2430,6 +2470,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_agg_delta": q_ivm_agg_delta,
         "entropy_profile": q_entropy_profile,
         "seasonal_residual_anomalies": q_seasonal_residual_anomalies,
+        "bigram_surprisal": q_bigram_surprisal,
+        "pysink_roundtrip": q_pysink_roundtrip,
         "forecast_backtest": q_forecast_backtest,
         "rank_sum_test": q_rank_sum_test,
         "hll_overlap": q_hll_overlap,
@@ -2673,6 +2715,8 @@ def oracle_sql() -> dict[str, str]:
         "recursive_hierarchy": oracles.RECURSIVE_HIERARCHY,
         "entropy_profile": oracles.ENTROPY_PROFILE,
         "seasonal_residual_anomalies": oracles.SEASONAL_RESIDUAL_ANOMALIES,
+        "bigram_surprisal": oracles.BIGRAM_SURPRISAL,
+        "pysink_roundtrip": oracles.PYSINK_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,
         "rank_sum_test": oracles.RANK_SUM_TEST,
         "hll_overlap": oracles.HLL_OVERLAP,

@@ -418,3 +418,59 @@ def source_divergence(docs: DataFrame, top_terms: int = 100) -> DataFrame:
         .cast("long")
         .alias("l1_bp"),
     )
+
+
+def bigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — the
+    second-order perplexity-filtering primitive (unigram_surprisal
+    scores vocabulary rarity; this scores SEQUENCE plausibility:
+    shuffled or machine-mangled text keeps its unigram profile but
+    loses its bigram structure).
+
+    Model: P(b|a) = (c(a,b) + 1) / (c(a,*) + V), V = |vocabulary|.
+    Engine-exact by the same discipline as unigram_surprisal: each
+    bigram's surprisal quantizes to integer millibits (floor(x*1000 +
+    0.5) over exact-int inputs — one IEEE expression) BEFORE the
+    per-doc sum, so aggregation order cannot matter.
+
+    Scale: bigrams generate inline per document (transform over the
+    token array — no positional self-join) and explode once; the
+    (a, b) count table is the only corpus-sized aggregate and joins
+    back UNHINTED (AQE broadcasts while small, shuffles at vocab^2
+    scale); the first-token marginal is a re-aggregation of that
+    table; V attaches as a 1-row broadcast."""
+    toked = spread(docs).select(
+        "doc_id", TX.tokens(F.col("text")).alias("w")
+    )
+    grams = toked.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(w)), i -> "
+                "struct(element_at(w, i - 1) AS a, element_at(w, i) AS b))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.a", "g.b")
+    counts = grams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    firsts = counts.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vsize = toked.select(F.explode("w").alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    mb = F.floor(
+        F.log2(
+            (F.col("c_a") + F.col("v")).cast("double")
+            / (F.col("c_ab") + 1).cast("double")
+        )
+        * 1000
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        grams.join(counts, ["a", "b"])
+        .join(firsts, "a")
+        .crossJoin(F.broadcast(vsize))
+        .select("doc_id", mb.alias("mb"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("mb").alias("surprisal_mb"),
+    ).withColumn("avg_surprisal_mb", F.expr("surprisal_mb div n_bigrams"))

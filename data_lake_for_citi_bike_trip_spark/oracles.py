@@ -5171,3 +5171,51 @@ SELECT r.event_type, r.day, r.y,
        abs(r.residual_e4) > 3 * m.mad_e4 AS flagged
 FROM res r JOIN mad m ON r.event_type = m.event_type
 """
+
+
+# operators/text.py:bigram_surprisal — add-one-smoothed bigram LM; each
+# term floors to millibits before the per-doc integer sum.
+BIGRAM_SURPRISAL = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, w[i - 1] AS a, w[i] AS b
+  FROM toked, LATERAL (SELECT unnest(generate_series(2, len(w))) AS i) g
+  WHERE len(w) >= 2
+),
+counts AS (SELECT a, b, COUNT(*) AS c_ab FROM grams GROUP BY 1, 2),
+firsts AS (SELECT a, SUM(c_ab) AS c_a FROM counts GROUP BY 1),
+vsize AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest(w) AS t FROM toked)
+),
+scored AS (
+  SELECT g.doc_id,
+         CAST(floor(log2(CAST(f.c_a + s.v AS DOUBLE)
+                         / CAST(c.c_ab + 1 AS DOUBLE)) * 1000 + 0.5)
+              AS BIGINT) AS mb
+  FROM grams g
+  JOIN counts c ON g.a = c.a AND g.b = c.b
+  JOIN firsts f ON g.a = f.a
+  CROSS JOIN vsize s
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(mb) AS BIGINT) AS surprisal_mb,
+       CAST(SUM(mb) // COUNT(*) AS BIGINT) AS avg_surprisal_mb
+FROM scored GROUP BY doc_id
+"""
+
+
+# __spark_entry__.py:q_pysink_roundtrip — oracle reads the parquet
+# directly; hash match proves the python-sink round-trip lossless.
+PYSINK_ROUNDTRIP = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(min(c_custkey) AS BIGINT) AS min_key,
+       CAST(max(c_custkey) AS BIGINT) AS max_key,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM customer GROUP BY 1
+"""

@@ -16,7 +16,13 @@ source-extension plumbing itself oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class SynthEventsDataSource(DataSource):
@@ -131,3 +137,93 @@ class SynthEventsStreamSource(DataSource):
 def register_stream(spark) -> None:
     """Idempotent streaming-format registration."""
     spark.dataSource.register(SynthEventsStreamSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer side of the Python DataSource API (Spark 4): executor-side
+# partition writes + a driver-side two-phase commit. This is the
+# connector shape for a sink Spark has no built-in writer for (an
+# internal service, a queue): each task stages its partition to a
+# uniquely-named temp file and reports it in a WriterCommitMessage;
+# only the driver's commit() publishes staged files into data/ — so a
+# failed/speculated task can never leave a half-visible partition, and
+# abort() removes the staging leftovers. Content is line-delimited JSON
+# with sorted keys, making the round-trip oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+class JsonDirCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file name + its row count.
+    Module-level so the executor->driver pickle round-trip is plain."""
+
+    def __init__(self, fname: str, rows: int):
+        self.fname = fname
+        self.rows = rows
+
+
+class JsonDirDataSource(DataSource):
+    """``df.write.format("jsondir").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsondir"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonDirWriter(self.options, [f.name for f in schema.fields])
+
+
+class JsonDirWriter(DataSourceWriter):
+    def __init__(self, options, field_names):
+        self.path = options["path"]
+        self.fields = field_names
+
+    def write(self, iterator):
+        """Executor-side: stage this partition to _staging/<uuid>."""
+        import json as _json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = f"{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(staging, fname), "w") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps(
+                        dict(zip(self.fields, tuple(row))), sort_keys=True
+                    )
+                )
+                fh.write("\n")
+                n += 1
+        return JsonDirCommit(fname, n)
+
+    def commit(self, messages):
+        """Driver-side publish: move every staged file into data/."""
+        import os
+        import shutil
+
+        data = os.path.join(self.path, "data")
+        os.makedirs(data, exist_ok=True)
+        for i, m in enumerate(messages):
+            shutil.move(
+                os.path.join(self.path, "_staging", m.fname),
+                os.path.join(data, f"part-{i:05d}.jsonl"),
+            )
+        shutil.rmtree(
+            os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+        os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+
+
+def register_sink(spark) -> None:
+    """Idempotent format registration."""
+    spark.dataSource.register(JsonDirDataSource)

@@ -299,3 +299,27 @@ def test_multiprobe_knn_superset_and_strictly_better_recall(spark, sf_dir):
         r.multi_recall_bp,
     )
     assert m_pairs, (len(s_pairs), len(m_pairs))
+
+
+def test_bigram_surprisal_prefers_repeated_sequences(spark):
+    """Corpus: 'a b' x3 and one 'a c'. P(b|a) = (3+1)/(4+3); P(c|a) =
+    (1+1)/(4+3). Surprisal checks hand-computed millibits, and the
+    common continuation scores lower (more plausible) than the rare
+    one. One-token docs are excluded."""
+    import math
+
+    from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "solo")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.surprisal_mb)
+           for r in text_ops.bigram_surprisal(docs).collect()}
+    # V = 4 (a, b, c, solo — the one-token doc still feeds the vocab)
+    mb_b = math.floor(math.log2(8 / 4) * 1000 + 0.5)
+    mb_c = math.floor(math.log2(8 / 2) * 1000 + 0.5)
+    assert got[1] == (1, mb_b)
+    assert got[4] == (1, mb_c)
+    assert 5 not in got  # no bigrams in a one-token doc
+    assert mb_c > mb_b

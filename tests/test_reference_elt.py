@@ -299,3 +299,28 @@ def test_fixed_width_reader_trims_casts_and_nulls(spark, tmp_path):
     ).collect()
     got = {(r.k, r.name, r.v) for r in rows}
     assert got == {(42, "alpha", 7), (None, "beta", -3), (7, "gamma", None)}
+
+
+def test_pysink_two_phase_commit_roundtrip(spark, sf_dir, tmp_path):
+    """The python sink stages per task and publishes only on commit():
+    after save(), data/ holds every row and _staging/ is gone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark.sources import pydatasource
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    pydatasource.register_sink(spark)
+    path = str(tmp_path / "sink")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.write.format("jsondir").option("path", path).mode("append").save()
+    assert not os.path.exists(os.path.join(path, "_staging")) or not os.listdir(
+        os.path.join(path, "_staging")
+    )
+    back = spark.read.schema("n_nationkey bigint, n_name string").json(
+        os.path.join(path, "data")
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in nation.collect()
+    )
