@@ -1005,6 +1005,30 @@ def q_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.purchase_streaks(load_table(spark, sf_dir, "events"))
 
 
+def q_nested_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-style nested modeling: line items collapsed into a
+    sorted array<struct> per order, questions answered from the nested
+    value via HOFs (no re-explode); relational oracle proves it."""
+    return analytics.nested_order_items(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over (nation, segment, balance-band)
+    quasi-identifiers: exposure histogram + failing-class flags."""
+    from data_lake_for_citi_bike_trip_spark.operators import governance
+
+    return governance.k_anonymity(load_table(spark, sf_dir, "customer"))
+
+
+def q_ooo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order ingestion audit per event type: backward event-time
+    steps in arrival order — the watermark-budget number."""
+    return profile.ooo_audit(load_table(spark, sf_dir, "events"))
+
+
 def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy per categorical column with a contract-ordered
     float fold (sorted histogram, explicit seed) so both engines run
@@ -2472,6 +2496,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_residual_anomalies": q_seasonal_residual_anomalies,
         "bigram_surprisal": q_bigram_surprisal,
         "pysink_roundtrip": q_pysink_roundtrip,
+        "ooo_audit": q_ooo_audit,
+        "nested_order_items": q_nested_order_items,
+        "k_anonymity": q_k_anonymity,
         "forecast_backtest": q_forecast_backtest,
         "rank_sum_test": q_rank_sum_test,
         "hll_overlap": q_hll_overlap,
@@ -2717,6 +2744,9 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_residual_anomalies": oracles.SEASONAL_RESIDUAL_ANOMALIES,
         "bigram_surprisal": oracles.BIGRAM_SURPRISAL,
         "pysink_roundtrip": oracles.PYSINK_ROUNDTRIP,
+        "ooo_audit": oracles.OOO_AUDIT,
+        "nested_order_items": oracles.NESTED_ORDER_ITEMS,
+        "k_anonymity": oracles.K_ANONYMITY,
         "forecast_backtest": oracles.FORECAST_BACKTEST,
         "rank_sum_test": oracles.RANK_SUM_TEST,
         "hll_overlap": oracles.HLL_OVERLAP,

@@ -816,3 +816,46 @@ def ivm_agg_delta(orders: DataFrame) -> DataFrame:
     return merged.where(F.col("n_orders") > 0).withColumn(
         "avg_cents", F.expr("revenue_cents div n_orders")
     )
+
+
+def nested_order_items(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Nested-data modeling round trip: collapse each order's line
+    items into a SORTED array<struct> column (the document-style layout
+    lakes use to avoid join-at-read), then answer per-order questions
+    from the nested value with higher-order functions — no re-explode,
+    no second shuffle.
+
+    Determinism note: collect_list order is execution-dependent, so the
+    array is sort_array'd over a struct whose leading fields (cents
+    desc via negation, then partkey) form a TOTAL order — after that,
+    element_at and HOF folds are engine-exact. Emits per order: item
+    count, the priciest item's part key and cents (element 1 of the
+    sorted array), and the total cents folded from the nested array
+    with ``aggregate`` (exercising the nested path, not a flat sum).
+    One shuffle on the join key; the nested build and every readout
+    share it."""
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"),
+        F.struct(
+            (-F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "neg_cents"
+            ),
+            F.col("l_partkey").alias("partkey"),
+        ).alias("it"),
+    )
+    nested = items.groupBy("okey").agg(
+        F.sort_array(F.collect_list("it")).alias("items")
+    )
+    return nested.join(
+        orders.select(F.col("o_orderkey").alias("okey"), "o_orderpriority"),
+        "okey",
+    ).select(
+        "okey",
+        "o_orderpriority",
+        F.size("items").cast("long").alias("n_items"),
+        F.expr("items[0].partkey").alias("top_partkey"),
+        F.expr("-items[0].neg_cents").alias("top_cents"),
+        F.expr(
+            "aggregate(items, CAST(0 AS BIGINT), (acc, x) -> acc - x.neg_cents)"
+        ).alias("total_cents"),
+    )

@@ -77,3 +77,36 @@ def gdpr_erase_audit(events: DataFrame, mod: int = 97) -> DataFrame:
         .unionByName(count_pair("user_profiles", profiles_b, profiles_a))
         .unionByName(count_pair("daily_counts", daily_b, daily_a, daily_changed))
     )
+
+
+def k_anonymity(customer: DataFrame, k: int = 5) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    segment, $1000-balance-band): how identifiable is each equivalence
+    class — the release-readiness screen run before sharing
+    "anonymized" extracts (a class of size 1 is a direct
+    re-identification; < k is policy-failing).
+
+    Emits one row per class size bucket: how many classes and how many
+    PEOPLE sit at that exposure level, plus the failing-class flag.
+    Two keyed aggregates (class grouping, then size histogram) — the
+    whole audit is two map-side-combinable shuffles at any scale.
+    Balance bands use floor division on cents shifted non-negative, so
+    both engines band identically."""
+    cls = customer.groupBy(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000"
+        ).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return cls.groupBy("class_size").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        (F.count(F.lit(1)) * F.col("class_size"))
+        .cast("long")
+        .alias("n_people"),
+    ).select(
+        "class_size",
+        "n_classes",
+        "n_people",
+        (F.col("class_size") < k).alias("fails_k"),
+    )

@@ -5219,3 +5219,72 @@ SELECT c_mktsegment,
          AS total_cents
 FROM customer GROUP BY 1
 """
+
+
+# operators/profile.py:ooo_audit — arrival order = event_id; exact
+# epoch-microsecond deltas.
+OOO_AUDIT = """
+WITH stepped AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY event_id) AS step_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CAST(sum(CASE WHEN step_us < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_backward,
+       CAST(min(step_us) AS BIGINT) AS worst_regression_us,
+       (10000 * CAST(sum(CASE WHEN step_us < 0 THEN 1 ELSE 0 END) AS BIGINT))
+         // COUNT(*) AS backward_bp
+FROM stepped WHERE step_us IS NOT NULL
+GROUP BY 1
+"""
+
+
+# operators/analytics.py:nested_order_items — the oracle answers the
+# same per-order questions relationally (max_by / count / sum); a hash
+# match proves the nested build+HOF readouts lossless.
+NESTED_ORDER_ITEMS = """
+WITH it AS (
+  SELECT l_orderkey AS okey, l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+ranked AS (
+  SELECT okey, l_partkey, cents,
+         row_number() OVER (PARTITION BY okey
+                            ORDER BY cents DESC, l_partkey) AS rn
+  FROM it
+),
+per_order AS (
+  SELECT okey, CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM it GROUP BY 1
+)
+SELECT p.okey, o.o_orderpriority, p.n_items,
+       CAST(r.l_partkey AS BIGINT) AS top_partkey,
+       CAST(r.cents AS BIGINT) AS top_cents,
+       p.total_cents
+FROM per_order p
+JOIN ranked r ON p.okey = r.okey AND r.rn = 1
+JOIN orders o ON p.okey = o.o_orderkey
+"""
+
+
+# operators/governance.py:k_anonymity — class sizes then a size
+# histogram; bands via non-negative floor division.
+K_ANONYMITY = """
+WITH cls AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+           AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(COUNT(*) * class_size AS BIGINT) AS n_people,
+       class_size < 5 AS fails_k
+FROM cls GROUP BY 1
+"""

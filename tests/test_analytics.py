@@ -240,3 +240,35 @@ def test_ivm_agg_delta_zero_group_vanishes(spark):
     got = {(r.priority): (r.n_orders, r.revenue_cents, r.avg_cents)
            for r in an.ivm_agg_delta(orders).collect()}
     assert got == {"Y": (2, 6000, 3000)}
+
+
+def test_nested_order_items_tie_break_and_fold(spark):
+    """Priciest-item tie broken by smallest partkey; the nested HOF
+    fold reproduces the flat sum."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    li = spark.createDataFrame(
+        [(1, 9, 5.0), (1, 4, 5.0), (1, 7, 1.0)],
+        "l_orderkey bigint, l_partkey bigint, l_extendedprice double",
+    )
+    orders = spark.createDataFrame(
+        [(1, "P1")], "o_orderkey bigint, o_orderpriority string"
+    )
+    r = an.nested_order_items(orders, li).first()
+    assert (r.n_items, r.top_partkey, r.top_cents, r.total_cents) == (
+        3, 4, 500, 1100
+    )
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import governance
+
+    rows = [(i, f"Customer#{i:09d}", 1, 100.0, "BUILDING") for i in range(6)]
+    rows.append((99, "Customer#000000099", 2, 100.0, "AUTOMOBILE"))
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    got = {r.class_size: (r.n_classes, r.n_people, r.fails_k)
+           for r in governance.k_anonymity(df).collect()}
+    assert got == {6: (1, 6, False), 1: (1, 1, True)}

@@ -125,9 +125,29 @@ HEADLINE = [
     "assoc_rules",
     "forecast_backtest",
     "ivm_agg_delta",
+    "recursive_hierarchy",
+    "entropy_profile",
+    "seasonal_residual_anomalies",
+    "bigram_surprisal",
+    "pysink_roundtrip",
+    "ooo_audit",
 ]
 
 NOTES = {
+    "recursive_hierarchy": "engine-planned UnionLoop fixpoint (native "
+    "WITH RECURSIVE); depth bounded by key width, not corpus size",
+    "entropy_profile": "four keyed aggregates, each collapsing to one "
+    "histogram row; the sorted-array float fold is per-row codegen",
+    "seasonal_residual_anomalies": "two rank-selection windows sharing "
+    "the event_type partitioning over day-grain rows; no division",
+    "bigram_surprisal": "inline bigram transform (no positional "
+    "self-join); count table joins back unhinted — AQE broadcasts while "
+    "small, shuffles at vocab^2 scale; millibit terms sum as integers",
+    "pysink_roundtrip": "python DataSourceWriter: executor-side staging "
+    "writes + driver-side two-phase commit; read-back is a pinned-schema "
+    "JSON scan",
+    "ooo_audit": "one lag window per type in arrival order, then a "
+    "grouped aggregate; exact epoch-microsecond integers",
     "ols_two_factor": "one grouped aggregate builds the 3x3 Gram matrix "
     "as nine BIGINT sums (map-side partials); Cramer determinants are "
     "per-row codegen — no iteration, no driver matrix",
