@@ -1005,6 +1005,54 @@ def q_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.purchase_streaks(load_table(spark, sf_dir, "events"))
 
 
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry-vs-billing reconciliation through cogrouped pandas —
+    both sides' rows per key in one Arrow-batched callable; full-outer
+    key semantics."""
+    from data_lake_for_citi_bike_trip_spark.operators import governance
+
+    return governance.cogroup_reconcile(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_arrow_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats via grouped applyInArrow (zero-copy
+    Arrow tier, pyarrow.compute kernels)."""
+    return similarity.arrow_label_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/DDL surface: CTAS into an external parquet table, a
+    second slice via INSERT INTO, read back through spark.table — the
+    managed-DDL path the path-based lake ops bypass."""
+    import atexit
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_ddl_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    name = f"ddl_nation_{tag}"
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_src")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} USING parquet LOCATION '{scratch}/t' AS "
+        "SELECT * FROM nation_src WHERE n_nationkey < 20"
+    )
+    spark.sql(
+        f"INSERT INTO {name} SELECT * FROM nation_src WHERE n_nationkey >= 20"
+    )
+    return spark.table(name).groupBy(
+        F.col("n_regionkey").cast("long").alias("region")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_nationkey").alias("min_key"),
+        F.max("n_nationkey").alias("max_key"),
+    )
+
+
 def q_nested_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-style nested modeling: line items collapsed into a
     sorted array<struct> per order, questions answered from the nested
@@ -2499,6 +2547,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ooo_audit": q_ooo_audit,
         "nested_order_items": q_nested_order_items,
         "k_anonymity": q_k_anonymity,
+        "cogroup_reconcile": q_cogroup_reconcile,
+        "arrow_label_stats": q_arrow_label_stats,
+        "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
         "rank_sum_test": q_rank_sum_test,
         "hll_overlap": q_hll_overlap,
@@ -2747,6 +2798,9 @@ def oracle_sql() -> dict[str, str]:
         "ooo_audit": oracles.OOO_AUDIT,
         "nested_order_items": oracles.NESTED_ORDER_ITEMS,
         "k_anonymity": oracles.K_ANONYMITY,
+        "cogroup_reconcile": oracles.COGROUP_RECONCILE,
+        "arrow_label_stats": oracles.ARROW_LABEL_STATS,
+        "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,
         "rank_sum_test": oracles.RANK_SUM_TEST,
         "hll_overlap": oracles.HLL_OVERLAP,

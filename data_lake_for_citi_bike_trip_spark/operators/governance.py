@@ -110,3 +110,52 @@ def k_anonymity(customer: DataFrame, k: int = 5) -> DataFrame:
         "n_people",
         (F.col("class_size") < k).alias("fails_k"),
     )
+
+
+COGROUP_RECONCILE_SCHEMA = (
+    "k bigint, n_events bigint, event_cents bigint, "
+    "n_orders bigint, order_cents bigint, in_both boolean"
+)
+
+
+def cogroup_reconcile(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Two-source reconciliation through COGROUPED pandas — the API
+    tier for per-key logic that needs BOTH sides' rows at once (here a
+    telemetry-vs-billing audit keyed on user): Spark co-partitions the
+    two inputs on the key and hands each key's pair of frames to one
+    Arrow-batched callable. Keys present on either side appear (the
+    cogroup contract mirrors FULL OUTER), so silent one-sided keys
+    can't hide.
+
+    The per-key work is O(group) sums in vectorized pandas; cents
+    quantize JVM-side before the UDF (the usual discipline). The oracle
+    reproduces it as a full outer join of two aggregates — hash-checked
+    semantics for the cogroup plumbing itself."""
+    import pandas as pd
+
+    e = events.select(
+        F.col("user_id").alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def merge(key, epdf: "pd.DataFrame", opdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "k": [int(key[0])],
+                "n_events": [len(epdf)],
+                "event_cents": [int(epdf["cents"].sum())],
+                "n_orders": [len(opdf)],
+                "order_cents": [int(opdf["cents"].sum())],
+                "in_both": [len(epdf) > 0 and len(opdf) > 0],
+            }
+        )
+
+    return (
+        e.groupBy("k")
+        .cogroup(o.groupBy("k"))
+        .applyInPandas(merge, schema=COGROUP_RECONCILE_SCHEMA)
+    )

@@ -959,3 +959,54 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
             "cov_num"
         ),
     )
+
+
+ARROW_LABEL_SCHEMA = (
+    "label bigint, n_vecs bigint, dim0_sum_e6 bigint, "
+    "min_vec_id bigint, max_vec_id bigint"
+)
+
+
+def arrow_label_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding stats through grouped ``applyInArrow`` — the
+    zero-copy Arrow-native tier (one step below applyInPandas: no
+    pandas conversion at all; the callable sees pyarrow Tables and
+    computes with pyarrow.compute kernels). The right tier when group
+    logic is expressible in Arrow kernels and the pandas materialization
+    would be pure overhead.
+
+    Components quantize to e6 JVM-side; the per-group kernel work is
+    sum/min/max — all in Arrow's native C++ kernels. Oracle mirrors
+    relationally."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    q = embeddings.select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        F.expr(
+            "CAST(round(element_at(embedding, 1) * 1000000) AS BIGINT)"
+        ).alias("d0_e6"),
+    )
+
+    # NOTE: applyInArrow resolves the eval type FROM these annotations
+    # (tuple-of-Tables signature => grouped-map-with-key); they must be
+    # real types, not strings, or pyspark's hint inspection falls over.
+    def stats(key: tuple, tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": pa.array([key[0].as_py()], pa.int64()),
+                "n_vecs": pa.array([tbl.num_rows], pa.int64()),
+                "dim0_sum_e6": pa.array(
+                    [pc.sum(tbl.column("d0_e6")).as_py()], pa.int64()
+                ),
+                "min_vec_id": pa.array(
+                    [pc.min(tbl.column("vec_id")).as_py()], pa.int64()
+                ),
+                "max_vec_id": pa.array(
+                    [pc.max(tbl.column("vec_id")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return q.groupBy("label").applyInArrow(stats, schema=ARROW_LABEL_SCHEMA)

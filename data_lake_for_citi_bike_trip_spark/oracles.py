@@ -5288,3 +5288,52 @@ SELECT class_size,
        class_size < 5 AS fails_k
 FROM cls GROUP BY 1
 """
+
+
+# operators/governance.py:cogroup_reconcile — full outer of two keyed
+# aggregates; the cogroup contract mirrors exactly this.
+COGROUP_RECONCILE = """
+WITH e AS (
+  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS event_cents
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS order_cents
+  FROM orders GROUP BY 1
+)
+SELECT COALESCE(e.k, o.k) AS k,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.event_cents, 0) AS event_cents,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.order_cents, 0) AS order_cents,
+       e.k IS NOT NULL AND o.k IS NOT NULL AS in_both
+FROM e FULL OUTER JOIN o ON e.k = o.k
+"""
+
+
+# operators/similarity.py:arrow_label_stats — relational mirror of the
+# Arrow-kernel per-label stats (DuckDB lists are 1-based).
+ARROW_LABEL_STATS = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(round(embedding[1] * 1000000) AS BIGINT)) AS BIGINT)
+         AS dim0_sum_e6,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(max(vec_id) AS BIGINT) AS max_vec_id
+FROM embeddings GROUP BY 1
+"""
+
+
+# __spark_entry__.py:q_sql_ddl_roundtrip — oracle aggregates nation
+# directly; hash match proves CTAS + INSERT INTO rebuilt it losslessly.
+SQL_DDL_ROUNDTRIP = """
+SELECT CAST(n_regionkey AS BIGINT) AS region,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(min(n_nationkey) AS BIGINT) AS min_key,
+       CAST(max(n_nationkey) AS BIGINT) AS max_key
+FROM nation GROUP BY 1
+"""

@@ -272,3 +272,26 @@ def test_k_anonymity_flags_small_classes(spark):
     got = {r.class_size: (r.n_classes, r.n_people, r.fails_k)
            for r in governance.k_anonymity(df).collect()}
     assert got == {6: (1, 6, False), 1: (1, 1, True)}
+
+
+def test_cogroup_reconcile_one_sided_keys(spark):
+    """Keys present on only one side must still appear (full-outer
+    semantics of cogroup), with zeros on the absent side."""
+    from data_lake_for_citi_bike_trip_spark.operators import governance
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, "click", 1.0)],
+        "event_id bigint, s string, user_id bigint, event_type string, value double",
+    ).select("event_id", F.to_timestamp("s").alias("ts"), "user_id",
+             "event_type", "value")
+    orders = spark.createDataFrame(
+        [(100, 20, "O", 2.0, "2024-01-01", "P")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    got = {r.k: (r.n_events, r.event_cents, r.n_orders, r.order_cents, r.in_both)
+           for r in governance.cogroup_reconcile(ev, orders).collect()}
+    assert got == {
+        10: (1, 100, 0, 0, False),
+        20: (0, 0, 1, 200, False),
+    }

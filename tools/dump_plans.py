@@ -131,6 +131,8 @@ HEADLINE = [
     "bigram_surprisal",
     "pysink_roundtrip",
     "ooo_audit",
+    "nested_order_items",
+    "k_anonymity",
 ]
 
 NOTES = {
@@ -148,6 +150,11 @@ NOTES = {
     "JSON scan",
     "ooo_audit": "one lag window per type in arrival order, then a "
     "grouped aggregate; exact epoch-microsecond integers",
+    "nested_order_items": "one shuffle on the join key shared by the "
+    "nested build and every HOF readout; sort_array neutralizes "
+    "collect_list order",
+    "k_anonymity": "two map-side-combinable keyed aggregates; output is "
+    "a class-size histogram",
     "ols_two_factor": "one grouped aggregate builds the 3x3 Gram matrix "
     "as nine BIGINT sums (map-side partials); Cramer determinants are "
     "per-row codegen — no iteration, no driver matrix",
