@@ -927,9 +927,13 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     cov_num = n*Sxy - Sx*Sy (the exact integer n^2-scaled covariance);
     callers divide by n^2 when they want the float.
     """
+    # the multiply must promote to DOUBLE before round: float32 * int
+    # rounds on single-precision boundaries and disagrees with any
+    # engine that promotes (invisible on small samples, real at scale)
     q = embeddings.select(
         F.expr(
-            "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+            "transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
         ).alias("q")
     )
     cells = q.select(
@@ -985,7 +989,7 @@ def arrow_label_stats(embeddings: DataFrame) -> DataFrame:
         F.col("label").cast("long").alias("label"),
         "vec_id",
         F.expr(
-            "CAST(round(element_at(embedding, 1) * 1000000) AS BIGINT)"
+            "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE) * 1000000) AS BIGINT)"
         ).alias("d0_e6"),
     )
 

@@ -4834,7 +4834,7 @@ GROUP BY 1, 2, 3, 4
 # 0-based, DuckDB's 1-based, hence the +1 shifts.
 EMBEDDING_COVARIANCE = """
 WITH q AS (
-  SELECT list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 cells AS (
@@ -5320,7 +5320,7 @@ FROM e FULL OUTER JOIN o ON e.k = o.k
 ARROW_LABEL_STATS = """
 SELECT CAST(label AS BIGINT) AS label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       CAST(sum(CAST(round(embedding[1] * 1000000) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
          AS dim0_sum_e6,
        CAST(min(vec_id) AS BIGINT) AS min_vec_id,
        CAST(max(vec_id) AS BIGINT) AS max_vec_id

@@ -133,6 +133,9 @@ HEADLINE = [
     "ooo_audit",
     "nested_order_items",
     "k_anonymity",
+    "cogroup_reconcile",
+    "arrow_label_stats",
+    "sql_ddl_roundtrip",
 ]
 
 NOTES = {
@@ -150,6 +153,12 @@ NOTES = {
     "JSON scan",
     "ooo_audit": "one lag window per type in arrival order, then a "
     "grouped aggregate; exact epoch-microsecond integers",
+    "cogroup_reconcile": "FlatMapCoGroupsInPandas co-partitions both "
+    "inputs on the key — one shuffle per side, one Arrow stage",
+    "arrow_label_stats": "FlatMapGroupsInArrow over label groups; "
+    "quantization stays JVM-side before the Arrow stage",
+    "sql_ddl_roundtrip": "CTAS + INSERT INTO are write jobs; the "
+    "read-back is a plain pruned parquet scan through the catalog",
     "nested_order_items": "one shuffle on the join key shared by the "
     "nested build and every HOF readout; sort_array neutralizes "
     "collect_list order",
