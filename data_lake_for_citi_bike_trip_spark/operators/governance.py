@@ -118,44 +118,61 @@ COGROUP_RECONCILE_SCHEMA = (
 )
 
 
-def cogroup_reconcile(events: DataFrame, orders: DataFrame) -> DataFrame:
+def cogroup_reconcile(
+    events: DataFrame, orders: DataFrame, shards: int = 256
+) -> DataFrame:
     """Two-source reconciliation through COGROUPED pandas — the API
     tier for per-key logic that needs BOTH sides' rows at once (here a
     telemetry-vs-billing audit keyed on user): Spark co-partitions the
-    two inputs on the key and hands each key's pair of frames to one
-    Arrow-batched callable. Keys present on either side appear (the
-    cogroup contract mirrors FULL OUTER), so silent one-sided keys
-    can't hide.
+    two inputs and hands each group's pair of frames to one
+    Arrow-batched callable.
 
-    The per-key work is O(group) sums in vectorized pandas; cents
-    quantize JVM-side before the UDF (the usual discipline). The oracle
-    reproduces it as a full outer join of two aggregates — hash-checked
-    semantics for the cogroup plumbing itself."""
+    Scale design: the cogroup key is a SHARD (key % shards), not the
+    raw user key — cogrouping at user grain would pay one Python call
+    per user (measured 26 s for 15k users at sf0.1); at shard grain the
+    call count is fixed at ``shards`` and the per-shard work is one
+    vectorized pandas outer merge. Each side is also pre-aggregated
+    JVM-side to one row per key first, so the Arrow transfer carries
+    key-grain summaries, never raw events. Keys present on either side
+    appear (outer-merge semantics — silent one-sided keys can't hide);
+    the oracle reproduces it as a full outer join of two aggregates.
+    """
     import pandas as pd
 
-    e = events.select(
-        F.col("user_id").alias("k"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    e = (
+        events.groupBy(F.col("user_id").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "event_cents"
+            ),
+        )
+        .withColumn("shard", F.col("k") % shards)
     )
-    o = orders.select(
-        F.col("o_custkey").alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    o = (
+        orders.groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "order_cents"
+            ),
+        )
+        .withColumn("shard", F.col("k") % shards)
     )
 
     def merge(key, epdf: "pd.DataFrame", opdf: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
-            {
-                "k": [int(key[0])],
-                "n_events": [len(epdf)],
-                "event_cents": [int(epdf["cents"].sum())],
-                "n_orders": [len(opdf)],
-                "order_cents": [int(opdf["cents"].sum())],
-                "in_both": [len(epdf) > 0 and len(opdf) > 0],
-            }
+        m = epdf.drop(columns=["shard"]).merge(
+            opdf.drop(columns=["shard"]), on="k", how="outer", indicator=True
         )
+        m["in_both"] = m["_merge"] == "both"
+        for c in ("n_events", "event_cents", "n_orders", "order_cents"):
+            m[c] = m[c].fillna(0).astype("int64")
+        return m[
+            ["k", "n_events", "event_cents", "n_orders", "order_cents", "in_both"]
+        ]
 
     return (
-        e.groupBy("k")
-        .cogroup(o.groupBy("k"))
+        e.groupBy("shard")
+        .cogroup(o.groupBy("shard"))
         .applyInPandas(merge, schema=COGROUP_RECONCILE_SCHEMA)
     )
