@@ -1005,6 +1005,17 @@ def q_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.purchase_streaks(load_table(spark, sf_dir, "events"))
 
 
+def q_points_in_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofencing: integer ray-cast point-in-polygon over the station
+    point field against three literal zones (one concave); broadcast
+    edges, parity per (point, zone), per-zone rollup."""
+    from data_lake_for_citi_bike_trip_spark.operators import geo
+
+    return geo.points_in_zones(
+        geo.station_points(load_table(spark, sf_dir, "customer"))
+    )
+
+
 def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telemetry-vs-billing reconciliation through cogrouped pandas —
     both sides' rows per key in one Arrow-batched callable; full-outer
@@ -2548,6 +2559,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_order_items": q_nested_order_items,
         "k_anonymity": q_k_anonymity,
         "cogroup_reconcile": q_cogroup_reconcile,
+        "points_in_zones": q_points_in_zones,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2799,6 +2811,7 @@ def oracle_sql() -> dict[str, str]:
         "nested_order_items": oracles.NESTED_ORDER_ITEMS,
         "k_anonymity": oracles.K_ANONYMITY,
         "cogroup_reconcile": oracles.COGROUP_RECONCILE,
+        "points_in_zones": oracles.POINTS_IN_ZONES,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

@@ -5337,3 +5337,45 @@ SELECT CAST(n_regionkey AS BIGINT) AS region,
        CAST(max(n_nationkey) AS BIGINT) AS max_key
 FROM nation GROUP BY 1
 """
+
+
+# operators/geo.py:points_in_zones — same integer ray cast; the edge
+# table regenerates from the SAME ZONES constant (no duplicated
+# geometry to drift).
+from .operators.geo import ZONES as _ZONES  # noqa: E402
+
+
+def _zone_edges_values() -> str:
+    rows = []
+    for zone, verts in _ZONES.items():
+        for i, (x1, y1) in enumerate(verts):
+            x2, y2 = verts[(i + 1) % len(verts)]
+            rows.append(f"('{zone}', {x1}, {y1}, {x2}, {y2})")
+    return ",\n         ".join(rows)
+
+
+POINTS_IN_ZONES = f"""
+WITH points AS (
+  SELECT c_custkey AS pid,
+         CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS x,
+         (c_custkey * 2654435761) % 1000000 AS y
+  FROM customer
+),
+edges(zone, x1, y1, x2, y2) AS (
+  VALUES {_zone_edges_values()}
+),
+j AS (
+  SELECT pid, zone,
+         CASE WHEN ((y1 > y) <> (y2 > y))
+                   AND (((x1 - x) * (y2 - y) - (x2 - x) * (y1 - y) > 0)
+                        = (y2 > y1))
+              THEN 1 ELSE 0 END AS c
+  FROM points, edges
+),
+par AS (SELECT pid, zone, sum(c) % 2 = 1 AS inside FROM j GROUP BY 1, 2)
+SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_inside,
+       CAST(sum(pid) AS BIGINT) AS pid_sum,
+       CAST(min(pid) AS BIGINT) AS min_pid,
+       CAST(max(pid) AS BIGINT) AS max_pid
+FROM par WHERE inside GROUP BY 1
+"""

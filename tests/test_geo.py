@@ -81,3 +81,27 @@ def test_grid_hotspots_smoothing_is_neighborhood_sum(spark, sf_dir):
         for cx, cy in counts
     )
     assert got[0].density == best
+
+
+def test_point_in_polygon_concave_and_edges(spark):
+    """Hand-placed points against the L-shape: inside the vertical arm,
+    inside the horizontal arm, inside the notch (outside the L), and
+    far outside. The notch point is the concavity test a bounding-box
+    check would get wrong."""
+    from data_lake_for_citi_bike_trip_spark.operators import geo
+
+    pts = spark.createDataFrame(
+        [
+            (1, 600_000, 200_000),   # horizontal arm of the L: inside
+            (2, 600_000, 800_000),   # vertical arm: inside
+            (3, 800_000, 800_000),   # the notch: OUTSIDE (concave)
+            (4, 10_000, 10_000),     # far outside everything
+            (5, 400_000, 400_000),   # centre of rect: inside rect only
+        ],
+        "pid bigint, x bigint, y bigint",
+    )
+    rows = geo.points_in_zones(pts).collect()
+    got = {r.zone: (r.n_inside, r.pid_sum) for r in rows}
+    assert got.get("lshape") == (2, 3)          # pids 1 and 2
+    assert got.get("rect") == (1, 5)            # pid 5
+    assert "tri" not in got or got["tri"][0] == 0
