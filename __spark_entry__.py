@@ -1005,6 +1005,13 @@ def q_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.purchase_streaks(load_table(spark, sf_dir, "events"))
 
 
+def q_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience intersection/union via bitwise AND/OR of word
+    bitmaps — set algebra without shuffling raw IDs; the precise
+    counterpart to hll_overlap."""
+    return profile.bitmap_overlap(load_table(spark, sf_dir, "events"))
+
+
 def q_points_in_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofencing: integer ray-cast point-in-polygon over the station
     point field against three literal zones (one concave); broadcast
@@ -2560,6 +2567,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "cogroup_reconcile": q_cogroup_reconcile,
         "points_in_zones": q_points_in_zones,
+        "bitmap_overlap": q_bitmap_overlap,
+        "null_safe_join": sqlsurface.null_safe_join,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2812,6 +2821,8 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": oracles.K_ANONYMITY,
         "cogroup_reconcile": oracles.COGROUP_RECONCILE,
         "points_in_zones": oracles.POINTS_IN_ZONES,
+        "bitmap_overlap": oracles.BITMAP_OVERLAP,
+        "null_safe_join": oracles.NULL_SAFE_JOIN,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

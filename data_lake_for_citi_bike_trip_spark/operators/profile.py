@@ -862,3 +862,60 @@ def ooo_audit(events: DataFrame) -> DataFrame:
     ).withColumn(
         "backward_bp", F.expr("(10000 * n_backward) div n_steps")
     )
+
+
+def bitmap_overlap(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    word_bits: int = 32,
+) -> DataFrame:
+    """EXACT audience intersection via BITWISE-AND of roaring-style
+    word bitmaps — the precise counterpart to hll_overlap's estimate:
+    build each segment's bitmap as (word -> mask) rows, join on the
+    word index, AND the masks, popcount. Set algebra on compressed
+    bitmaps is how OLAP engines answer audience combinations without
+    ever shuffling raw IDs; the data moved is ceil(|universe|/64)
+    words per segment regardless of event volume. Words are 32 bits —
+    a 1 << 63 mask overflows engines that range-check BIGINT shifts
+    (the bitmap_distinct convention).
+
+    Emits one row: exact |A|, |B|, |A and B|, |A or B| — all four from
+    the same two word tables (OR via a full-outer word join), plus the
+    inclusion-exclusion identity check the algebra must satisfy.
+    """
+    def masks(t: str):
+        return (
+            events.where(F.col("event_type") == t)
+            .select(
+                F.expr(f"user_id div {word_bits}").alias("word"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(user_id % {word_bits} AS INT))"
+                ).alias("m"),
+            )
+            .groupBy("word")
+            .agg(F.bit_or("m").alias("mask"))
+        )
+
+    a, b = masks(type_a), masks(type_b)
+    joined = a.select("word", F.col("mask").alias("ma")).join(
+        b.select("word", F.col("mask").alias("mb")), "word", "full_outer"
+    )
+    za = F.coalesce("ma", F.lit(0))
+    zb = F.coalesce("mb", F.lit(0))
+    agg = joined.agg(
+        F.sum(F.bit_count(za)).cast("long").alias("n_a"),
+        F.sum(F.bit_count(zb)).cast("long").alias("n_b"),
+        F.sum(F.bit_count(za.bitwiseAND(zb))).cast("long").alias("n_and"),
+        F.sum(F.bit_count(za.bitwiseOR(zb))).cast("long").alias("n_or"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_and",
+        "n_or",
+        (F.col("n_a") + F.col("n_b") - F.col("n_and") == F.col("n_or")).alias(
+            "inclusion_exclusion_ok"
+        ),
+    )

@@ -945,3 +945,41 @@ def recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY node
         """
     )
+
+
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality (<=>) join semantics on the surface: ordinary
+    `=` drops NULL keys silently (NULL = NULL is NULL), while <=>
+    treats NULL as a joinable value — the difference between losing
+    every unattributed row and reconciling them. Keys here: customers'
+    segment, nulled for a deterministic slice, joined both ways against
+    a distinct key list; emits per-key row counts under each semantic
+    so the NULL row's fate is visible in the data.
+
+    Catalyst plans <=> as a hash join on a null-safe key — same
+    shuffle shape as `=`, no penalty. DuckDB mirrors with IS NOT
+    DISTINCT FROM."""
+    _views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        WITH keyed AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN NULL
+                      ELSE c_mktsegment END AS seg
+          FROM customer
+        ),
+        segs AS (SELECT DISTINCT seg FROM keyed),
+        eq AS (
+          SELECT s.seg, CAST(COUNT(k.c_custkey) AS BIGINT) AS n
+          FROM segs s LEFT JOIN keyed k ON s.seg = k.seg GROUP BY s.seg
+        ),
+        ns AS (
+          SELECT s.seg, CAST(COUNT(k.c_custkey) AS BIGINT) AS n
+          FROM segs s LEFT JOIN keyed k ON s.seg <=> k.seg GROUP BY s.seg
+        )
+        SELECT s.seg, eq.n AS n_equal_join, ns.n AS n_nullsafe_join
+        FROM segs s
+        JOIN eq ON s.seg <=> eq.seg
+        JOIN ns ON s.seg <=> ns.seg
+        """
+    )

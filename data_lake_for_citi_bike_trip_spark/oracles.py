@@ -5379,3 +5379,57 @@ SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_inside,
        CAST(max(pid) AS BIGINT) AS max_pid
 FROM par WHERE inside GROUP BY 1
 """
+
+
+# operators/profile.py:bitmap_overlap — same word algebra in SQL.
+BITMAP_OVERLAP = """
+WITH am AS (
+  SELECT user_id // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS mask
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+bm AS (
+  SELECT user_id // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS mask
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(am.mask, 0) AS ma, COALESCE(bm.mask, 0) AS mb
+  FROM am FULL OUTER JOIN bm ON am.word = bm.word
+),
+agg AS (
+  SELECT CAST(sum(bit_count(ma)) AS BIGINT) AS n_a,
+         CAST(sum(bit_count(mb)) AS BIGINT) AS n_b,
+         CAST(sum(bit_count(ma & mb)) AS BIGINT) AS n_and,
+         CAST(sum(bit_count(ma | mb)) AS BIGINT) AS n_or
+  FROM j
+)
+SELECT n_a, n_b, n_and, n_or,
+       n_a + n_b - n_and = n_or AS inclusion_exclusion_ok
+FROM agg
+"""
+
+
+# operators/sqlsurface.py:null_safe_join — IS NOT DISTINCT FROM is
+# DuckDB's <=>.
+NULL_SAFE_JOIN = """
+WITH keyed AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer
+),
+segs AS (SELECT DISTINCT seg FROM keyed),
+eq AS (
+  SELECT s.seg, CAST(COUNT(k.c_custkey) AS BIGINT) AS n
+  FROM segs s LEFT JOIN keyed k ON s.seg = k.seg GROUP BY s.seg
+),
+ns AS (
+  SELECT s.seg, CAST(COUNT(k.c_custkey) AS BIGINT) AS n
+  FROM segs s LEFT JOIN keyed k ON s.seg IS NOT DISTINCT FROM k.seg
+  GROUP BY s.seg
+)
+SELECT s.seg, eq.n AS n_equal_join, ns.n AS n_nullsafe_join
+FROM segs s
+JOIN eq ON s.seg IS NOT DISTINCT FROM eq.seg
+JOIN ns ON s.seg IS NOT DISTINCT FROM ns.seg
+"""

@@ -263,3 +263,13 @@ def test_entropy_profile_uniform_and_degenerate(spark):
     assert got["events.event_type"] == (4, 2_000_000)
     assert got["documents.lang"] == (1, 0)
     assert got["orders.o_orderpriority"] == (1, 0)
+
+
+def test_bitmap_overlap_matches_set_algebra(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = [("click", 1.0, u, 1) for u in (1, 2, 3, 64, 65)]
+    rows += [("purchase", 1.0, u, 1) for u in (3, 64, 200)]
+    r = profile.bitmap_overlap(_typed_events(spark, rows)).first()
+    assert (r.n_a, r.n_b, r.n_and, r.n_or) == (5, 3, 2, 6)
+    assert r.inclusion_exclusion_ok
