@@ -1805,6 +1805,16 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, source=2, max_depth=3)
 
 
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford from customer 1 over the min-quantity-
+    weighted co-purchase graph: min cost over paths of <= 3 edges;
+    oracle replays by recursive path enumeration."""
+    edges = graph.copurchase_weighted_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return graph.sssp_weighted(edges, source=2, rounds=3)
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the part co-occurrence (market-basket)
     graph of every 4th order; degree-oriented wedge-join formulation,
@@ -2569,6 +2579,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_in_zones": q_points_in_zones,
         "bitmap_overlap": q_bitmap_overlap,
         "null_safe_join": sqlsurface.null_safe_join,
+        "sssp_weighted": q_sssp_weighted,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2823,6 +2834,7 @@ def oracle_sql() -> dict[str, str]:
         "points_in_zones": oracles.POINTS_IN_ZONES,
         "bitmap_overlap": oracles.BITMAP_OVERLAP,
         "null_safe_join": oracles.NULL_SAFE_JOIN,
+        "sssp_weighted": oracles.SSSP_WEIGHTED,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

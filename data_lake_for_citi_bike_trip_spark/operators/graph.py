@@ -352,3 +352,71 @@ def assoc_rules(lineitem: DataFrame, min_baskets: int = 3) -> DataFrame:
             ),
         )
     )
+
+
+def sssp_weighted(
+    edges: DataFrame, source: int, rounds: int = 3
+) -> DataFrame:
+    """Single-source WEIGHTED shortest paths, Bellman-Ford style,
+    bounded to ``rounds`` relaxations — bfs_levels' weighted sibling
+    (hop count becomes accumulated edge weight; min-hop becomes
+    min-cost). After k rounds the distances are exactly min-cost over
+    paths of <= k edges — the contract the oracle replays by bounded
+    path enumeration.
+
+    Each round is ONE equi-join of current distances against the edge
+    list (keyed on src, the same partitioning every round) and one
+    min-aggregate — the standard iterative-relaxation plan with
+    ``localCheckpoint`` lineage truncation. Negative edges are fine
+    (it's Bellman-Ford); negative CYCLES are not a risk because rounds
+    are bounded by contract.
+
+    ``edges``: (src, dst, w) rows. Output: (node, dist) for every node
+    reachable within ``rounds`` edges.
+    """
+    sess = edges.sparkSession
+    dist = sess.createDataFrame(
+        [(source, 0)], "node bigint, dist bigint"
+    ).localCheckpoint()
+    for _ in range(rounds):
+        relax = dist.join(
+            edges.select(F.col("src").alias("node"), "dst", "w"), "node"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).cast("bigint").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def copurchase_weighted_edges(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Weighted variant of copurchase_edges: edge weight = the MINIMUM
+    quantity ever shipped across that (customer, supplier) relation —
+    aggregated per pair, symmetric both directions. Same node-id
+    encoding (even = customer 2k, odd = supplier 2k+1)."""
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey", "l_quantity"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .agg(F.min("l_quantity").cast("long").alias("w"))
+    )
+    return pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(
+            F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w"
+        )
+    )

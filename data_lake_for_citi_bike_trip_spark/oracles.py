@@ -5433,3 +5433,28 @@ FROM segs s
 JOIN eq ON s.seg IS NOT DISTINCT FROM eq.seg
 JOIN ns ON s.seg IS NOT DISTINCT FROM ns.seg
 """
+
+
+# operators/graph.py:sssp_weighted — k bounded relaxations == min cost
+# over paths of <= k edges, replayed by recursive path enumeration on
+# the same customer-supplier bipartite graph (min-quantity weights).
+SSSP_WEIGHTED = """
+WITH RECURSIVE pairs AS (
+  SELECT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node,
+         CAST(min(l_quantity) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst, w FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst, w FROM pairs
+),
+walk AS (
+  SELECT CAST(2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist, 0 AS depth
+  UNION ALL
+  SELECT e.dst, b.dist + e.w, b.depth + 1
+  FROM walk b JOIN edges e ON e.src = b.node WHERE b.depth < 3
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY 1
+"""

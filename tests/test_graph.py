@@ -165,3 +165,21 @@ def test_assoc_rules_metrics_by_hand(spark):
         (1, 2): (7500, 7500, 10000),
         (2, 1): (7500, 10000, 10000),
     }
+
+
+def test_sssp_weighted_prefers_cheap_two_hop(spark):
+    """Diamond: 2 -> 3 (w 10) direct, 2 -> 5 -> 3 (w 1 + 1): the
+    weighted path must win where BFS hop count would pick the direct
+    edge; an unreachable-within-rounds node stays absent."""
+    from data_lake_for_citi_bike_trip_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(2, 3, 10), (2, 5, 1), (5, 3, 1), (3, 7, 1), (7, 9, 1), (9, 11, 1)],
+        "src bigint, dst bigint, w bigint",
+    )
+    got = {r.node: r.dist for r in g.sssp_weighted(edges, source=2, rounds=3).collect()}
+    assert got[3] == 2      # via 5, not the w=10 direct edge
+    assert got[5] == 1
+    assert got[7] == 3      # 2->5->3->7
+    assert got[9] == 12     # 2->3(10)->7(1)->9(1): three edges exactly
+    assert 11 not in got    # needs >= 4 edges on every path
