@@ -136,6 +136,10 @@ HEADLINE = [
     "cogroup_reconcile",
     "arrow_label_stats",
     "sql_ddl_roundtrip",
+    "points_in_zones",
+    "bitmap_overlap",
+    "null_safe_join",
+    "sssp_weighted",
 ]
 
 NOTES = {
@@ -153,6 +157,14 @@ NOTES = {
     "JSON scan",
     "ooo_audit": "one lag window per type in arrival order, then a "
     "grouped aggregate; exact epoch-microsecond integers",
+    "points_in_zones": "literal edge table broadcast; integer ray-cast "
+    "crossing flags in codegen; two keyed aggregates — linear in points",
+    "bitmap_overlap": "two word-mask aggregates + one full-outer word "
+    "join; data moved is ceil(|universe|/32) words per segment",
+    "null_safe_join": "<=> plans the same hash-join shape as = (null-"
+    "safe key); three small aggregates over the distinct key list",
+    "sssp_weighted": "three relaxation rounds, each one src-keyed join "
+    "+ min-aggregate; localCheckpoint truncates lineage per round",
     "cogroup_reconcile": "FlatMapCoGroupsInPandas co-partitions both "
     "inputs on the key — one shuffle per side, one Arrow stage",
     "arrow_label_stats": "FlatMapGroupsInArrow over label groups; "
