@@ -324,3 +324,54 @@ def test_gate_rotation_frontloads_unchecked_queries():
             assert last_unchecked < 50, "unchecked query outside gate window"
     # and every queries() entry still has an oracle
     assert set(entrymod.queries()) == set(entrymod.oracle_sql())
+
+
+def test_record_linkage_blocking_avoids_quadratic_joins(spark, sf_dir):
+    """Both blocking passes must plan as equi-joins (hash or merge) —
+    a nested-loop here would mean the blocking keys fell out of the
+    join condition and the linkage went all-pairs."""
+    f = _facts(spark, sf_dir, "record_linkage")
+    assert f["nested_loop_joins"] == 0
+    assert "CartesianProduct" not in f["plan"]
+
+
+def test_points_in_zones_broadcasts_edges_only(spark, sf_dir):
+    """The literal edge table is the only NLJ-shaped side (a broadcast
+    of a dozen rows); the containment math itself is codegen over the
+    point scan, never a point x point join."""
+    f = _facts(spark, sf_dir, "points_in_zones")
+    assert "CartesianProduct" not in f["plan"]
+    assert f["sortmerge_joins"] == 0
+
+
+def test_embedding_covariance_single_shuffle(spark, sf_dir):
+    """The outer-product explode reduces map-side into d(d+1)/2 cells:
+    exactly one aggregation exchange, no joins at all."""
+    f = _facts(spark, sf_dir, "embedding_covariance")
+    assert f["broadcast_joins"] == 0
+    assert f["sortmerge_joins"] == 0
+    assert f["nested_loop_joins"] == 0
+
+
+def test_ols_two_factor_is_aggregate_only(spark, sf_dir):
+    """Normal-equations fit: aggregates plus one bounded dim join —
+    no sort-merge, no NLJ, no window (no per-row sort at scale)."""
+    f = _facts(spark, sf_dir, "ols_two_factor")
+    assert f["sortmerge_joins"] == 0
+    assert f["nested_loop_joins"] == 0
+    assert "Window" not in f["plan"]
+
+
+def test_bigram_surprisal_count_table_not_hint_broadcast(spark, sf_dir):
+    """The (a, b) bigram count table grows with the corpus; the plan
+    must not carry a FORCED broadcast of it (AQE may still choose one
+    at this scale — the assertion is on the logical hint, so we check
+    the join condition survived as an equi-join and nothing planned a
+    cartesian)."""
+    f = _facts(spark, sf_dir, "bigram_surprisal")
+    assert "CartesianProduct" not in f["plan"]
+    # the only NLJ-shaped nodes allowed are the 1-row vsize stat attach
+    # (BroadcastNestedLoopJoin over a single-row aggregate — sanctioned);
+    # the corpus-sized counts/firsts joins must stay equi-shaped
+    assert f["nested_loop_joins"] <= 2
+    assert f["plan"].count("BroadcastNestedLoopJoin") == f["nested_loop_joins"]
