@@ -1805,6 +1805,12 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, source=2, max_depth=3)
 
 
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total time covered per user by the UNION of 5-minute activity
+    intervals — overlaps counted once via window-only island algebra."""
+    return intervals.interval_union_length(load_table(spark, sf_dir, "events"))
+
+
 def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded Bellman-Ford from customer 1 over the min-quantity-
     weighted co-purchase graph: min cost over paths of <= 3 edges;
@@ -2580,6 +2586,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_overlap": q_bitmap_overlap,
         "null_safe_join": sqlsurface.null_safe_join,
         "sssp_weighted": q_sssp_weighted,
+        "interval_union": q_interval_union,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2835,6 +2842,7 @@ def oracle_sql() -> dict[str, str]:
         "bitmap_overlap": oracles.BITMAP_OVERLAP,
         "null_safe_join": oracles.NULL_SAFE_JOIN,
         "sssp_weighted": oracles.SSSP_WEIGHTED,
+        "interval_union": oracles.INTERVAL_UNION_LENGTH,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

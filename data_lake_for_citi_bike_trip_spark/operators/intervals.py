@@ -16,7 +16,7 @@ territory; the overlap check is integer micros, engine-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: one hour in microseconds — the default grid cell.
@@ -86,4 +86,51 @@ def incident_exposure(events: DataFrame, value_floor: float = 200.0) -> DataFram
             F.col("l_id.day").alias("day"),
             "n_incidents",
         )
+    )
+
+
+def interval_union_length(events: DataFrame, dur_minutes: int = 5) -> DataFrame:
+    """Total TIME COVERED per user by the union of [ts, ts + dur)
+    activity intervals — overlapping activity counted ONCE (the
+    billing/utilization primitive; summing durations naively
+    double-counts every overlap, which peak_concurrency shows but does
+    not dedupe).
+
+    Pure window algebra, no self-join: per user in start order, an
+    interval opens a new ISLAND when its start exceeds the running max
+    of all previous ends (strictly — back-to-back intervals merge);
+    islands are numbered by a running sum of those breaks, and each
+    island contributes max(end) - min(start). Two window passes over
+    the same user partitioning, one aggregate. Exact epoch micros.
+    """
+    dur_us = dur_minutes * 60 * 1_000_000
+    base = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + dur_us).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = base.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = marked.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_s"), F.max("e").alias("is_e")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("is_e") - F.col("is_s"))
+        .cast("long")
+        .alias("covered_us"),
     )

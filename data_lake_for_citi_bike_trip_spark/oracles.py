@@ -5458,3 +5458,36 @@ walk AS (
 )
 SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY 1
 """
+
+
+# operators/intervals.py:interval_union_length — identical island
+# algebra (strict break on start > running max of previous ends).
+INTERVAL_UNION_LENGTH = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 300000000 AS e, event_id
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e, event_id,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM base
+),
+islanded AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+islands AS (
+  SELECT user_id, island, min(s) AS is_s, max(e) AS is_e
+  FROM islanded GROUP BY 1, 2
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(sum(is_e - is_s) AS BIGINT) AS covered_us
+FROM islands GROUP BY 1
+"""

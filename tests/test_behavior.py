@@ -264,3 +264,19 @@ def test_capped_running_sum_clamps_both_bounds(spark):
     assert (r.user_id, r.n_events, r.final_balance, r.n_sat_hi, r.n_sat_lo) == (
         7, 4, 30, 1, 1
     )
+
+
+def test_interval_union_merges_overlaps_once(spark):
+    """Three overlapping 5-min intervals (0, 2, 4 min) form one island
+    of 9 min; a later isolated interval adds its own 5 — naive duration
+    summing would say 20 min, the union says 14."""
+    from data_lake_for_citi_bike_trip_spark.operators import intervals
+
+    mins = [0, 2, 4, 60]
+    rows = [(i, m * 60_000_000, 5, "click", 1.0) for i, m in enumerate(mins)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, us bigint, user_id bigint, event_type string, value double"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"),
+             "user_id", "event_type", "value")
+    r = intervals.interval_union_length(df).first()
+    assert (r.n_islands, r.covered_us) == (2, (9 + 5) * 60_000_000)
