@@ -140,6 +140,7 @@ HEADLINE = [
     "bitmap_overlap",
     "null_safe_join",
     "sssp_weighted",
+    "interval_union",
 ]
 
 NOTES = {
@@ -165,6 +166,8 @@ NOTES = {
     "safe key); three small aggregates over the distinct key list",
     "sssp_weighted": "three relaxation rounds, each one src-keyed join "
     "+ min-aggregate; localCheckpoint truncates lineage per round",
+    "interval_union": "island algebra in two windows sharing the user "
+    "partitioning; no self-join, no explode",
     "cogroup_reconcile": "FlatMapCoGroupsInPandas co-partitions both "
     "inputs on the key — one shuffle per side, one Arrow stage",
     "arrow_label_stats": "FlatMapGroupsInArrow over label groups; "
