@@ -1805,6 +1805,13 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, source=2, max_depth=3)
 
 
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with quintile cut values from histogram rank
+    selection (no global sort); value-comparison buckets so boundary
+    ties are engine-stable."""
+    return behavior.rfm_scores(load_table(spark, sf_dir, "events"))
+
+
 def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total time covered per user by the UNION of 5-minute activity
     intervals — overlaps counted once via window-only island algebra."""
@@ -2587,6 +2594,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_join": sqlsurface.null_safe_join,
         "sssp_weighted": q_sssp_weighted,
         "interval_union": q_interval_union,
+        "rfm_scores": q_rfm_scores,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2843,6 +2851,7 @@ def oracle_sql() -> dict[str, str]:
         "null_safe_join": oracles.NULL_SAFE_JOIN,
         "sssp_weighted": oracles.SSSP_WEIGHTED,
         "interval_union": oracles.INTERVAL_UNION_LENGTH,
+        "rfm_scores": oracles.RFM_SCORES,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

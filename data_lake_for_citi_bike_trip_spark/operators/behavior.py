@@ -650,3 +650,91 @@ def capped_running_sum(events: DataFrame, cap: int = 100_000) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(walk, schema=CAPPED_SUM_SCHEMA)
     )
+
+
+def _quintile_cuts(base: DataFrame, col: str):
+    """1-row frame of the four quintile cut VALUES for ``col`` —
+    histogram-rank selection (value at rank ceil(k*n/5), lower-value
+    convention) over the value-domain histogram, so no global sort of
+    raw rows ever happens. The row is provably bounded: broadcast."""
+    hist = base.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.expr(f"({k} * n + 4) div 5"), F.col("v"))
+        ).alias(f"{col}_t{k}")
+        for k in (1, 2, 3, 4)
+    ]
+    return cum.agg(*aggs)
+
+
+def rfm_scores(events: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring — the
+    classic marketing segmentation, exact and scale-safe: per user,
+    days since last purchase (vs the corpus max day), purchase count,
+    total cents; each dimension scores 1-5 by comparison against its
+    QUINTILE CUT VALUES. The cuts come from histogram-rank selection
+    (winsorized_stats' discipline), NOT a global rank window — ranking
+    every user in one sort is the single-partition trap at 1e9 users;
+    comparing against four broadcast thresholds is a map-side
+    expression. Ties share a bucket (value-based semantics), so engines
+    can't disagree on boundary users.
+
+    recency is better when SMALL (score flips); frequency/monetary are
+    better when large. Emits the three scores and the concatenated
+    segment code. Plan: one user-grain aggregate, three value-domain
+    histogram passes, three 1-row broadcasts, then codegen CASE logic.
+    """
+    purchases = events.where(F.col("event_type") == "purchase")
+    per_user = purchases.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    maxd = per_user.agg(F.max("last_day").alias("corpus_max"))
+    base = per_user.crossJoin(F.broadcast(maxd)).select(
+        "user_id",
+        F.datediff("corpus_max", "last_day").cast("long").alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary_cents",
+    )
+
+    def bucket(col: str):
+        return sum(
+            (F.col(col) > F.col(f"{col}_t{k}")).cast("long")
+            for k in (1, 2, 3, 4)
+        ) + 1
+
+    out = base
+    for col in ("recency_days", "frequency", "monetary_cents"):
+        out = out.crossJoin(F.broadcast(_quintile_cuts(base, col)))
+    return out.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (6 - bucket("recency_days")).alias("r"),
+        bucket("frequency").alias("f"),
+        bucket("monetary_cents").alias("m"),
+    ).withColumn(
+        "rfm_segment",
+        F.concat_ws(
+            "",
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    )

@@ -5491,3 +5491,64 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(sum(is_e - is_s) AS BIGINT) AS covered_us
 FROM islands GROUP BY 1
 """
+
+
+# operators/behavior.py:rfm_scores — quintile cut values by histogram
+# rank selection per dimension, then value-comparison buckets.
+def _rfm_cuts_cte(col: str, tag: str) -> str:
+    return f"""{tag} AS (
+  SELECT {', '.join(
+    f"min(CASE WHEN cum >= ({k} * n + 4) // 5 THEN v END) AS {tag}{k}"
+    for k in (1, 2, 3, 4)
+  )}
+  FROM (
+    SELECT v, sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER () AS n
+    FROM (SELECT {col} AS v, COUNT(*) AS cnt FROM base GROUP BY 1)
+  )
+)"""
+
+
+RFM_SCORES = f"""
+WITH per_user AS (
+  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+maxd AS (SELECT max(last_day) AS corpus_max FROM per_user),
+base AS (
+  SELECT user_id,
+         CAST(datediff('day', last_day, corpus_max) AS BIGINT)
+           AS recency_days,
+         frequency, monetary_cents
+  FROM per_user, maxd
+),
+{_rfm_cuts_cte('recency_days', 'rc')},
+{_rfm_cuts_cte('frequency', 'fc')},
+{_rfm_cuts_cte('monetary_cents', 'mc')},
+scored AS (
+  SELECT b.user_id, b.recency_days, b.frequency, b.monetary_cents,
+         6 - (1 + CAST(b.recency_days > rc1 AS BIGINT)
+                + CAST(b.recency_days > rc2 AS BIGINT)
+                + CAST(b.recency_days > rc3 AS BIGINT)
+                + CAST(b.recency_days > rc4 AS BIGINT)) AS r,
+         1 + CAST(b.frequency > fc1 AS BIGINT)
+           + CAST(b.frequency > fc2 AS BIGINT)
+           + CAST(b.frequency > fc3 AS BIGINT)
+           + CAST(b.frequency > fc4 AS BIGINT) AS f,
+         1 + CAST(b.monetary_cents > mc1 AS BIGINT)
+           + CAST(b.monetary_cents > mc2 AS BIGINT)
+           + CAST(b.monetary_cents > mc3 AS BIGINT)
+           + CAST(b.monetary_cents > mc4 AS BIGINT) AS m
+  FROM base b, rc, fc, mc
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+       CAST(m AS BIGINT) AS m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS rfm_segment
+FROM scored
+"""

@@ -280,3 +280,28 @@ def test_interval_union_merges_overlaps_once(spark):
              "user_id", "event_type", "value")
     r = intervals.interval_union_length(df).first()
     assert (r.n_islands, r.covered_us) == (2, (9 + 5) * 60_000_000)
+
+
+def test_rfm_scores_orientation_and_ties(spark):
+    """10 users with strictly increasing frequency/monetary and
+    DECREASING recency: the best customer (freshest, most frequent,
+    biggest spend) must score 555 and the worst 111; quintile buckets
+    hold 2 users each."""
+    from data_lake_for_citi_bike_trip_spark.operators import behavior
+
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        # user u: u purchases of u dollars each, last on day u
+        for i in range(u):
+            rows.append((eid, (19723 + u - 1) * 86400_000_000 + i,
+                         u, "purchase", float(u)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, us bigint, user_id bigint, event_type string, value double"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"),
+             "user_id", "event_type", "value")
+    got = {r.user_id: r.rfm_segment for r in behavior.rfm_scores(df).collect()}
+    assert got[10] == "555"  # freshest (recency 0), most frequent, biggest
+    assert got[1] == "111"   # stalest, least frequent, smallest
+    assert got[5][1] == "3"  # middle quintile for frequency
