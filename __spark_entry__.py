@@ -1805,6 +1805,75 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, source=2, max_depth=3)
 
 
+def q_json_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read resilience: a JSONL feed where every 7th line is
+    deterministically truncated mid-record; the PERMISSIVE reader must
+    quarantine exactly those lines into the corrupt-record column (the
+    _corrupt_record rescue pattern) while parsing the rest. Emits good
+    / corrupt counts plus checksums of the surviving payload — the
+    oracle predicts all of it from the documents table, so a reader
+    that silently drops or mis-parses rows goes hash-red."""
+    import atexit
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_corrupt_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = os.path.join(scratch, "feed")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    line = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('", "n_chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    feed = docs.select(
+        F.when(
+            F.col("doc_id") % 7 == 0, F.substring(line, 1, 15)
+        ).otherwise(line).alias("value")
+    )
+    feed.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, lang string, n_chars bigint, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("doc_id").alias("n_good"),
+        F.count("_bad").alias("n_corrupt"),
+        F.sum("doc_id").cast("long").alias("good_id_sum"),
+        F.sum("n_chars").cast("long").alias("good_chars_sum"),
+    )
+
+
+def q_tz_local_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-correct daily grouping: UTC event times bucketed by
+    their America/New_York LOCAL date (the ops-dashboard semantics a
+    naive to_date(ts) silently gets wrong by up to 5 hours)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date(F.from_utc_timestamp("ts", "America/New_York")).alias(
+            "ny_date"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    ).select(
+        F.col("ny_date").cast("string").alias("ny_date"),
+        "n_events",
+        "n_users",
+    )
+
+
 def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation with quintile cut values from histogram rank
     selection (no global sort); value-comparison buckets so boundary
@@ -2595,6 +2664,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "interval_union": q_interval_union,
         "rfm_scores": q_rfm_scores,
+        "json_corrupt_audit": q_json_corrupt_audit,
+        "tz_local_daily": q_tz_local_daily,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2852,6 +2923,8 @@ def oracle_sql() -> dict[str, str]:
         "sssp_weighted": oracles.SSSP_WEIGHTED,
         "interval_union": oracles.INTERVAL_UNION_LENGTH,
         "rfm_scores": oracles.RFM_SCORES,
+        "json_corrupt_audit": oracles.JSON_CORRUPT_AUDIT,
+        "tz_local_daily": oracles.TZ_LOCAL_DAILY,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

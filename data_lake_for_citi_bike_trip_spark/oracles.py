@@ -5552,3 +5552,30 @@ SELECT user_id, recency_days, frequency, monetary_cents,
          AS rfm_segment
 FROM scored
 """
+
+
+# __spark_entry__.py:q_json_corrupt_audit — every 7th line truncated to
+# 15 chars cannot parse; everything else must survive byte-exact.
+JSON_CORRUPT_AUDIT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN doc_id END) AS BIGINT)
+         AS good_id_sum,
+       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT)
+         AS good_chars_sum
+FROM documents
+"""
+
+
+# __spark_entry__.py:q_tz_local_daily — DuckDB: naive-UTC -> instant ->
+# New York local naive, then date.
+TZ_LOCAL_DAILY = """
+SELECT CAST(CAST(timezone('America/New_York', timezone('UTC', ts))
+            AS DATE) AS VARCHAR) AS ny_date,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
