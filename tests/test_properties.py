@@ -157,3 +157,91 @@ def test_cep_sequence_matches_python_reference(spark, rows):
         if n_starts:
             expect[u] = (n_starts, n_ends)
     assert got == expect, (got, expect, data)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user
+            st.integers(min_value=0, max_value=10_000),     # start second
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_interval_union_equals_brute_force(spark, raw):
+    """Window island algebra == brute-force per-second coverage union,
+    for arbitrary per-user interval sets (dup starts included)."""
+    from data_lake_for_citi_bike_trip_spark.operators import intervals
+
+    dur = 60  # 1-minute intervals -> dur_minutes=1
+    rows = [
+        (i, s * 1_000_000, u, "click", 1.0)
+        for i, (u, s) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, us bigint, user_id bigint, event_type string, value double",
+    ).select(
+        "event_id", F.timestamp_micros("us").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    got = {
+        r.user_id: (r.n_islands, r.covered_us)
+        for r in intervals.interval_union_length(df, dur_minutes=1).collect()
+    }
+    from collections import defaultdict
+
+    per_user = defaultdict(set)
+    for u, s in raw:
+        per_user[u].update(range(s, s + dur))  # covered seconds
+    for u, secs in per_user.items():
+        islands = 0
+        prev = None
+        for x in sorted(secs):
+            if prev is None or x > prev + 1:
+                islands += 1
+            prev = x
+        assert got[u] == (islands, len(secs) * 1_000_000), (u, raw)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["click", "purchase"]),
+            st.integers(min_value=1, max_value=400),  # cents magnitude
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_capped_running_sum_matches_python_replay(spark, seq):
+    """The Arrow grouped-map walk == a direct Python replay of the
+    clamp recurrence for arbitrary credit/debit sequences."""
+    from data_lake_for_citi_bike_trip_spark.operators import behavior
+
+    cap = 500
+    rows = [
+        (i, i * 1_000_000, 1, et, c / 100.0) for i, (et, c) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, us bigint, user_id bigint, event_type string, value double",
+    ).select(
+        "event_id", F.timestamp_micros("us").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    r = behavior.capped_running_sum(df, cap=cap).first()
+    bal, hi, lo = 0, 0, 0
+    for et, c in seq:
+        d = -3 * c if et == "purchase" else c
+        b = bal + d
+        if b > cap:
+            bal, hi = cap, hi + 1
+        elif b < 0:
+            bal, lo = 0, lo + 1
+        else:
+            bal = b
+    assert (r.final_balance, r.n_sat_hi, r.n_sat_lo) == (bal, hi, lo), seq
