@@ -1805,6 +1805,18 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, source=2, max_depth=3)
 
 
+def q_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment conversion uplift (CATE table): deterministic
+    variant split, lift vs each segment's own control, exact bp."""
+    return analytics.uplift_by_segment(load_table(spark, sf_dir, "events"))
+
+
+def q_funnel_time_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-click to first-at-or-after-purchase latency quartiles,
+    value-at-rank selection over converted users."""
+    return behavior.funnel_time_quartiles(load_table(spark, sf_dir, "events"))
+
+
 def q_json_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read resilience: a JSONL feed where every 7th line is
     deterministically truncated mid-record; the PERMISSIVE reader must
@@ -2666,6 +2678,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_scores": q_rfm_scores,
         "json_corrupt_audit": q_json_corrupt_audit,
         "tz_local_daily": q_tz_local_daily,
+        "uplift_by_segment": q_uplift_by_segment,
+        "funnel_time_quartiles": q_funnel_time_quartiles,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2925,6 +2939,8 @@ def oracle_sql() -> dict[str, str]:
         "rfm_scores": oracles.RFM_SCORES,
         "json_corrupt_audit": oracles.JSON_CORRUPT_AUDIT,
         "tz_local_daily": oracles.TZ_LOCAL_DAILY,
+        "uplift_by_segment": oracles.UPLIFT_BY_SEGMENT,
+        "funnel_time_quartiles": oracles.FUNNEL_TIME_QUARTILES,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

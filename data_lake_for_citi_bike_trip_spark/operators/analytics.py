@@ -859,3 +859,53 @@ def nested_order_items(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             "aggregate(items, CAST(0 AS BIGINT), (acc, x) -> acc - x.neg_cents)"
         ).alias("total_cents"),
     )
+
+
+def uplift_by_segment(events: DataFrame, n_segments: int = 4) -> DataFrame:
+    """Heterogeneous treatment effect readout — ab_lift's per-SEGMENT
+    refinement: the same deterministic variant split, but conversion
+    lift computed within each activity segment (user bucketed by total
+    event count), because an experiment that is flat on average
+    routinely hides opposite effects in light vs heavy users (the
+    CATE-table shape every uplift analysis starts from).
+
+    Exact integers throughout: per (segment, variant) counts, conv_bp
+    by truncating division, uplift_bp = treated conv relative to that
+    SEGMENT's control (cross-multiplied, non-negative numerators).
+    Two user-grain aggregates + one segment-grain join of a
+    segment-count-bounded control table.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias(
+            "converted"
+        ),
+    )
+    seg = (F.col("n_events") % n_segments).cast("long")
+    cells = (
+        per_user.select(
+            seg.alias("segment"),
+            (F.col("user_id") % 2).cast("long").alias("variant"),
+            "converted",
+        )
+        .groupBy("segment", "variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .withColumn("conv_bp", F.expr("(10000 * n_converted) div n_users"))
+    )
+    control = cells.where(F.col("variant") == 0).select(
+        "segment", F.col("conv_bp").alias("control_bp")
+    )
+    return cells.join(F.broadcast(control), "segment").select(
+        "segment",
+        "variant",
+        "n_users",
+        "n_converted",
+        "conv_bp",
+        F.when(
+            F.col("control_bp") > 0,
+            F.expr("(10000 * conv_bp) div control_bp") - 10000,
+        ).alias("uplift_bp"),
+    )

@@ -738,3 +738,51 @@ def rfm_scores(events: DataFrame) -> DataFrame:
             F.col("m").cast("string"),
         ),
     )
+
+
+def funnel_time_quartiles(events: DataFrame) -> DataFrame:
+    """Conversion LATENCY distribution: for every user who clicked then
+    later purchased, the seconds from FIRST click to the first purchase
+    at-or-after it, summarized by exact quartiles (histogram-free rank
+    selection at user grain — funnels are user-bounded, so the sorted
+    window is corpus-bounded by |converted users|, and at larger scale
+    the same selection runs on a (latency, count) histogram exactly as
+    feature_quartiles documents).
+
+    One user-grain aggregate computes both marks (min click ts; min
+    purchase ts at-or-after it via conditional min over the SAME pass —
+    no join); non-converters drop out. Emits n plus p25/p50/p75 latency
+    seconds, lower-index convention."""
+    marks = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+        ).alias("c0")
+    )
+    joined = events.join(marks, "user_id").groupBy("user_id").agg(
+        F.max("c0").alias("c0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.unix_micros("ts") >= F.col("c0")),
+                F.unix_micros("ts"),
+            )
+        ).alias("p0"),
+    )
+    lat = joined.where(
+        F.col("c0").isNotNull() & F.col("p0").isNotNull()
+    ).select(F.expr("(p0 - c0) div 1000000").alias("s"))
+    w = Window.orderBy("s")
+    ranked = lat.select(
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    qs = {
+        q: F.max(
+            F.when(F.col("rn") == F.expr(f"(n - 1) * {q} div 100") + 1, F.col("s"))
+        ).alias(f"p{q}_seconds")
+        for q in (25, 50, 75)
+    }
+    return ranked.agg(
+        F.max("n").alias("n_converted"), qs[25], qs[50], qs[75]
+    )

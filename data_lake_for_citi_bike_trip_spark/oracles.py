@@ -5579,3 +5579,66 @@ SELECT CAST(CAST(timezone('America/New_York', timezone('UTC', ts))
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1
 """
+
+
+# operators/analytics.py:uplift_by_segment — per-segment CATE table.
+UPLIFT_BY_SEGMENT = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1
+),
+cells AS (
+  SELECT CAST(n_events % 4 AS BIGINT) AS segment,
+         CAST(user_id % 2 AS BIGINT) AS variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY 1, 2
+),
+c2 AS (
+  SELECT *, (10000 * n_converted) // n_users AS conv_bp FROM cells
+),
+control AS (SELECT segment, conv_bp AS control_bp FROM c2 WHERE variant = 0)
+SELECT c2.segment, c2.variant, c2.n_users, c2.n_converted,
+       CAST(c2.conv_bp AS BIGINT) AS conv_bp,
+       CAST(CASE WHEN control.control_bp > 0
+                 THEN (10000 * c2.conv_bp) // control.control_bp - 10000
+            END AS BIGINT) AS uplift_bp
+FROM c2 JOIN control ON c2.segment = control.segment
+"""
+
+
+# operators/behavior.py:funnel_time_quartiles — first-click ->
+# first-at-or-after purchase latency, value-at-rank quartiles.
+FUNNEL_TIME_QUARTILES = """
+WITH marks AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c0
+  FROM events GROUP BY 1
+),
+j AS (
+  SELECT e.user_id, max(m.c0) AS c0,
+         min(CASE WHEN e.event_type = 'purchase'
+                       AND epoch_us(e.ts) >= m.c0
+                  THEN epoch_us(e.ts) END) AS p0
+  FROM events e JOIN marks m ON e.user_id = m.user_id
+  GROUP BY 1
+),
+lat AS (
+  SELECT (p0 - c0) // 1000000 AS s
+  FROM j WHERE c0 IS NOT NULL AND p0 IS NOT NULL
+),
+ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s) AS rn, COUNT(*) OVER () AS n
+  FROM lat
+)
+SELECT CAST(max(n) AS BIGINT) AS n_converted,
+       CAST(max(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN s END)
+            AS BIGINT) AS p25_seconds,
+       CAST(max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN s END)
+            AS BIGINT) AS p50_seconds,
+       CAST(max(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN s END)
+            AS BIGINT) AS p75_seconds
+FROM ranked
+"""

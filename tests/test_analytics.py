@@ -295,3 +295,31 @@ def test_cogroup_reconcile_one_sided_keys(spark):
         10: (1, 100, 0, 0, False),
         20: (0, 0, 1, 200, False),
     }
+
+
+def test_uplift_segments_isolate_opposite_effects(spark):
+    """An experiment flat on average but opposite in two segments must
+    show nonzero per-segment uplift of opposite signs."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    rows, eid = [], 0
+    # segment n_events%4==1: treated users (odd) convert, control don't
+    for u in (1, 3, 2, 4):
+        rows.append((eid, eid * 1_000_000, u,
+                     "purchase" if u % 2 == 1 else "view", 1.0)); eid += 1
+    # segment n_events%4==2: control converts, treated doesn't (2 events each)
+    for u in (11, 13, 12, 14):
+        conv = u % 2 == 0
+        rows.append((eid, eid * 1_000_000, u,
+                     "purchase" if conv else "view", 1.0)); eid += 1
+        rows.append((eid, eid * 1_000_000, u, "view", 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, us bigint, user_id bigint, event_type string, value double"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"),
+             "user_id", "event_type", "value")
+    got = {(r.segment, r.variant): r.uplift_bp
+           for r in an.uplift_by_segment(df).collect()}
+    # segment 1: control conv 0 -> uplift NULL for treated; segment 2:
+    # treated conv 0 vs control 100% -> uplift -10000
+    assert got[(2, 1)] == -10000
+    assert got[(1, 1)] is None  # control_bp == 0 guard
