@@ -1805,6 +1805,12 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, source=2, max_depth=3)
 
 
+def q_extract_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all digit runs (9-digit cap, engine-stable
+    chunking) reduced per document in codegen — log-parsing tier."""
+    return text_ops.extract_numbers(load_table(spark, sf_dir, "documents"))
+
+
 def q_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment conversion uplift (CATE table): deterministic
     variant split, lift vs each segment's own control, exact bp."""
@@ -2680,6 +2686,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tz_local_daily": q_tz_local_daily,
         "uplift_by_segment": q_uplift_by_segment,
         "funnel_time_quartiles": q_funnel_time_quartiles,
+        "try_arithmetic": sqlsurface.try_arithmetic,
+        "extract_numbers": q_extract_numbers,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2941,6 +2949,8 @@ def oracle_sql() -> dict[str, str]:
         "tz_local_daily": oracles.TZ_LOCAL_DAILY,
         "uplift_by_segment": oracles.UPLIFT_BY_SEGMENT,
         "funnel_time_quartiles": oracles.FUNNEL_TIME_QUARTILES,
+        "try_arithmetic": oracles.TRY_ARITHMETIC,
+        "extract_numbers": oracles.EXTRACT_NUMBERS,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

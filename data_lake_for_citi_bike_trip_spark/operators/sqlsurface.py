@@ -983,3 +983,38 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN ns ON s.seg <=> ns.seg
         """
     )
+
+
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe expression tier: try_divide / try_cast return NULL on
+    divide-by-zero and range-overflow instead of failing the job or
+    silently wrapping — the semantics batch pipelines want for dirty
+    numeric columns. Derives a zero-divisor and an overflowing-cast
+    slice deterministically from orders and counts each NULL class.
+
+    DuckDB mirrors NULL-on-zero with NULLIF and range checks with
+    TRY_CAST; all outputs are exact counts."""
+    _views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 CAST(o_orderkey % 5 AS BIGINT) AS div5
+          FROM orders
+        ),
+        derived AS (
+          SELECT k, cents,
+                 try_divide(cents, div5) AS per_bucket,
+                 try_cast(cents * 1000000 AS INT) AS narrow
+          FROM base
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(per_bucket) AS BIGINT) AS n_divisible,
+               CAST(COUNT(*) - COUNT(per_bucket) AS BIGINT) AS n_div_null,
+               CAST(COUNT(narrow) AS BIGINT) AS n_cast_ok,
+               CAST(sum(CAST(floor(per_bucket) AS BIGINT)) AS BIGINT)
+                 AS sum_floor_per_bucket
+        FROM derived
+        """
+    )

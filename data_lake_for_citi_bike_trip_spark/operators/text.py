@@ -474,3 +474,27 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("mb").alias("surprisal_mb"),
     ).withColumn("avg_surprisal_mb", F.expr("surprisal_mb div n_bigrams"))
+
+
+def extract_numbers(docs: DataFrame) -> DataFrame:
+    """Structured extraction from free text: every digit run (capped at
+    9 digits so the cast can't overflow; both engines chunk long runs
+    greedily left-to-right, so the cap is cross-engine stable) pulled
+    with regexp_extract_all and reduced per document — the log-parsing
+    / entity-extraction primitive as one codegen expression, no UDF.
+
+    Emits per doc: run count, their BIGINT sum, and the max run."""
+    nums = F.expr(r"regexp_extract_all(text, '[0-9]{1,9}', 0)")
+    vals = F.expr(
+        r"transform(regexp_extract_all(text, '[0-9]{1,9}', 0), "
+        "x -> CAST(x AS BIGINT))"
+    )
+    return spread(docs).select(
+        "doc_id",
+        F.size(nums).cast("long").alias("n_numbers"),
+        F.expr(
+            r"aggregate(transform(regexp_extract_all(text, '[0-9]{1,9}', 0), "
+            "x -> CAST(x AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("number_sum"),
+        F.array_max(vals).alias("max_number"),
+    )

@@ -5642,3 +5642,45 @@ SELECT CAST(max(n) AS BIGINT) AS n_converted,
             AS BIGINT) AS p75_seconds
 FROM ranked
 """
+
+
+# operators/sqlsurface.py:try_arithmetic — NULLIF mirrors NULL-on-zero;
+# TRY_CAST mirrors range-checked narrowing.
+TRY_ARITHMETIC = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderkey % 5 AS BIGINT) AS div5
+  FROM orders
+),
+derived AS (
+  SELECT k, cents,
+         cents / NULLIF(div5, 0) AS per_bucket,
+         TRY_CAST(cents * 1000000 AS INT) AS narrow
+  FROM base
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(per_bucket) AS BIGINT) AS n_divisible,
+       CAST(COUNT(*) - COUNT(per_bucket) AS BIGINT) AS n_div_null,
+       CAST(COUNT(narrow) AS BIGINT) AS n_cast_ok,
+       CAST(sum(CAST(floor(per_bucket) AS BIGINT)) AS BIGINT)
+         AS sum_floor_per_bucket
+FROM derived
+"""
+
+
+# operators/text.py:extract_numbers — both engines chunk digit runs
+# greedily left-to-right, so the 9-digit cap is stable.
+EXTRACT_NUMBERS = r"""
+WITH ex AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[0-9]{1,9}'),
+                        x -> CAST(x AS BIGINT)) AS vals
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(vals) AS BIGINT) AS n_numbers,
+       CAST(coalesce(list_sum(vals), 0) AS BIGINT) AS number_sum,
+       CAST(list_max(vals) AS BIGINT) AS max_number
+FROM ex
+"""
