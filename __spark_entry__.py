@@ -1805,6 +1805,12 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, source=2, max_depth=3)
 
 
+def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming distinct via OR-mergeable bitmap words —
+    batching-invisible state, popcounted after the drain."""
+    return streaming.stream_bitmap_distinct(spark, sf_dir)
+
+
 def q_extract_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp_extract_all digit runs (9-digit cap, engine-stable
     chunking) reduced per document in codegen — log-parsing tier."""
@@ -2688,6 +2694,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_time_quartiles": q_funnel_time_quartiles,
         "try_arithmetic": sqlsurface.try_arithmetic,
         "extract_numbers": q_extract_numbers,
+        "stream_bitmap_distinct": q_stream_bitmap_distinct,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2951,6 +2958,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_time_quartiles": oracles.FUNNEL_TIME_QUARTILES,
         "try_arithmetic": oracles.TRY_ARITHMETIC,
         "extract_numbers": oracles.EXTRACT_NUMBERS,
+        "stream_bitmap_distinct": oracles.STREAM_BITMAP_DISTINCT,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

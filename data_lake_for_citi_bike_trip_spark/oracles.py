@@ -5684,3 +5684,17 @@ SELECT doc_id,
        CAST(list_max(vals) AS BIGINT) AS max_number
 FROM ex
 """
+
+
+# streaming/pipeline.py:stream_bitmap_distinct — OR-mergeable state is
+# batching-invisible; the batch bitmap is the exact mirror.
+STREAM_BITMAP_DISTINCT = """
+WITH words AS (
+  SELECT event_type, user_id // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS mask
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(sum(bit_count(mask)) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_words
+FROM words GROUP BY 1
+"""

@@ -639,3 +639,36 @@ def trending_topk(
             "cnt",
         )
     )
+
+
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users on a stream via MERGEABLE bitmap words —
+    the precise alternative to approx_count_distinct when the key space
+    is integer-addressable: streaming state is one bit_or-aggregated
+    mask per (event_type, word) cell, which is order-independent and
+    batching-invisible (OR is commutative/associative/idempotent), so
+    replay and micro-batch boundaries cannot change the result. Update
+    mode emits cumulative cells; masks only ever gain bits, so the
+    final state per cell is the OR of its emissions — re-reduced after
+    the drain, then popcounted to exact distincts per type.
+
+    At scale the state store holds |types| x |user-space|/32 words —
+    bounded by the key universe, not the stream length."""
+    stream = stream_events(scoped_session(spark, 8), sf_dir)
+    cells = stream.select(
+        "event_type",
+        F.expr("user_id div 32").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+        ).alias("m"),
+    ).groupBy("event_type", "word").agg(F.bit_or("m").alias("mask"))
+    drained = run_available_now(
+        cells, "q_stream_bitmap_distinct", "update"
+    )
+    final = drained.groupBy("event_type", "word").agg(
+        F.bit_or("mask").alias("mask")
+    )
+    return final.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).cast("long").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

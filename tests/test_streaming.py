@@ -329,3 +329,52 @@ def test_stream_erase_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert first == {
         r.c_custkey for r in current.select("c_custkey").collect()
     } - erased
+
+
+def test_stream_bitmap_distinct_across_micro_batches(spark, sf_dir):
+    """OR-mergeable bitmap state must produce the exact batch distincts
+    even when the drain runs MULTIPLE micro-batches (file re-lay +
+    maxFilesPerTrigger, the multibatch_user_totals harness)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+    from data_lake_for_citi_bike_trip_spark.streaming import pipeline as streaming
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_bmstream_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    src = os.path.join(scratch, "events")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    scoped = streaming.scoped_session(spark, 8)
+    stream = (
+        scoped.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    cells = stream.select(
+        "event_type",
+        F.expr("user_id div 32").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias("m"),
+    ).groupBy("event_type", "word").agg(F.bit_or("m").alias("mask"))
+    drained = streaming.run_available_now(cells, "t_bm_multibatch", "update")
+    got = {
+        r.event_type: r.n
+        for r in drained.groupBy("event_type", "word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("mask")).cast("long").alias("n"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact

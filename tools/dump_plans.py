@@ -141,6 +141,13 @@ HEADLINE = [
     "null_safe_join",
     "sssp_weighted",
     "interval_union",
+    "rfm_scores",
+    "json_corrupt_audit",
+    "tz_local_daily",
+    "uplift_by_segment",
+    "funnel_time_quartiles",
+    "try_arithmetic",
+    "extract_numbers",
 ]
 
 NOTES = {
@@ -168,6 +175,21 @@ NOTES = {
     "+ min-aggregate; localCheckpoint truncates lineage per round",
     "interval_union": "island algebra in two windows sharing the user "
     "partitioning; no self-join, no explode",
+    "rfm_scores": "quintile cuts from value-domain histograms (three "
+    "1-row broadcasts); scoring is map-side CASE logic — no global "
+    "user sort",
+    "json_corrupt_audit": "text write + PERMISSIVE json scan with the "
+    "rescue column; one global aggregate",
+    "tz_local_daily": "timezone conversion in codegen over the scan; "
+    "one keyed aggregate",
+    "uplift_by_segment": "two user-grain aggregates; control table is "
+    "segment-count-bounded, broadcast",
+    "funnel_time_quartiles": "marks from one conditional-min pass; the "
+    "rank window runs over converted-user-grain rows",
+    "try_arithmetic": "single scan, NULL-on-error expressions in "
+    "codegen, one aggregate",
+    "extract_numbers": "regexp + HOF reduction per row in codegen; no "
+    "shuffle",
     "cogroup_reconcile": "FlatMapCoGroupsInPandas co-partitions both "
     "inputs on the key — one shuffle per side, one Arrow stage",
     "arrow_label_stats": "FlatMapGroupsInArrow over label groups; "
