@@ -703,6 +703,9 @@ def rfm_scores(events: DataFrame) -> DataFrame:
         ),
     )
     maxd = per_user.agg(F.max("last_day").alias("corpus_max"))
+    # materialized once (localCheckpoint): the user-grain frame feeds
+    # FOUR consumers (three histogram passes + the scoring projection);
+    # without it every consumer re-derives the aggregate from raw events
     base = per_user.crossJoin(F.broadcast(maxd)).select(
         "user_id",
         F.datediff("corpus_max", "last_day").cast("long").alias(
@@ -710,7 +713,7 @@ def rfm_scores(events: DataFrame) -> DataFrame:
         ),
         "frequency",
         "monetary_cents",
-    )
+    ).localCheckpoint(eager=True)
 
     def bucket(col: str):
         return sum(
@@ -718,9 +721,12 @@ def rfm_scores(events: DataFrame) -> DataFrame:
             for k in (1, 2, 3, 4)
         ) + 1
 
-    out = base
-    for col in ("recency_days", "frequency", "monetary_cents"):
-        out = out.crossJoin(F.broadcast(_quintile_cuts(base, col)))
+    cuts = (
+        _quintile_cuts(base, "recency_days")
+        .crossJoin(_quintile_cuts(base, "frequency"))
+        .crossJoin(_quintile_cuts(base, "monetary_cents"))
+    )
+    out = base.crossJoin(F.broadcast(cuts))
     return out.select(
         "user_id",
         "recency_days",

@@ -148,6 +148,7 @@ HEADLINE = [
     "funnel_time_quartiles",
     "try_arithmetic",
     "extract_numbers",
+    "stream_bitmap_distinct",
 ]
 
 NOTES = {
@@ -190,6 +191,9 @@ NOTES = {
     "codegen, one aggregate",
     "extract_numbers": "regexp + HOF reduction per row in codegen; no "
     "shuffle",
+    "stream_bitmap_distinct": "stateful streaming agg on (type, word) "
+    "cells; OR-mergeable masks make batching invisible; post-drain "
+    "re-reduce + popcount",
     "cogroup_reconcile": "FlatMapCoGroupsInPandas co-partitions both "
     "inputs on the key — one shuffle per side, one Arrow stage",
     "arrow_label_stats": "FlatMapGroupsInArrow over label groups; "
