@@ -1805,6 +1805,12 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, source=2, max_depth=3)
 
 
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats per document ([.!?]+ split, trim,
+    drop empties) — document-structure signal in pure codegen."""
+    return text_ops.sentence_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact streaming distinct via OR-mergeable bitmap words —
     batching-invisible state, popcounted after the drain."""
@@ -2695,6 +2701,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "try_arithmetic": sqlsurface.try_arithmetic,
         "extract_numbers": q_extract_numbers,
         "stream_bitmap_distinct": q_stream_bitmap_distinct,
+        "sentence_stats": q_sentence_stats,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2959,6 +2966,7 @@ def oracle_sql() -> dict[str, str]:
         "try_arithmetic": oracles.TRY_ARITHMETIC,
         "extract_numbers": oracles.EXTRACT_NUMBERS,
         "stream_bitmap_distinct": oracles.STREAM_BITMAP_DISTINCT,
+        "sentence_stats": oracles.SENTENCE_STATS,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

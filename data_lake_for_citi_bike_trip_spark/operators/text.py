@@ -498,3 +498,40 @@ def extract_numbers(docs: DataFrame) -> DataFrame:
         ).alias("number_sum"),
         F.array_max(vals).alias("max_number"),
     )
+
+
+def sentence_stats(docs: DataFrame) -> DataFrame:
+    """Sentence segmentation stats — the document-structure signal
+    (mean sentence length separates prose from listy/boilerplate text;
+    a single "sentence" spanning the whole doc usually means missing
+    punctuation, i.e. not prose at all). Sentences split on [.!?]+
+    runs, whitespace-trimmed, empties dropped — one codegen expression
+    per row, regex semantics identical across engines.
+
+    Emits per doc: sentence count, total sentence characters, mean
+    length in e2 (truncating div over non-negative ints), and the
+    longest sentence's length."""
+    sents = F.expr(
+        r"filter(transform(split(text, '[.!?]+'), x -> trim(x)), "
+        "x -> x != '')"
+    )
+    lens = F.expr(
+        r"transform(filter(transform(split(text, '[.!?]+'), x -> trim(x)), "
+        "x -> x != ''), s -> CAST(length(s) AS BIGINT))"
+    )
+    return spread(docs).select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.expr(
+            r"aggregate(transform(filter(transform(split(text, '[.!?]+'), "
+            "x -> trim(x)), x -> x != ''), s -> CAST(length(s) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("total_chars"),
+        F.array_max(lens).alias("max_sentence_chars"),
+    ).withColumn(
+        "mean_len_e2",
+        F.when(
+            F.col("n_sentences") > 0,
+            F.expr("(100 * total_chars) div n_sentences"),
+        ).otherwise(F.lit(0).cast("long")),
+    )

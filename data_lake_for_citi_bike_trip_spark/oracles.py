@@ -5698,3 +5698,27 @@ SELECT event_type, CAST(sum(bit_count(mask)) AS BIGINT) AS n_distinct,
        CAST(COUNT(*) AS BIGINT) AS n_words
 FROM words GROUP BY 1
 """
+
+
+# operators/text.py:sentence_stats — same [.!?]+ split / trim / drop-
+# empties pipeline; DuckDB's string_split_regex mirrors Spark's split.
+SENTENCE_STATS = r"""
+WITH segs AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(
+             list_transform(string_split_regex(text, '[.!?]+'),
+                            x -> trim(x)),
+             x -> x <> ''),
+           s -> CAST(length(s) AS BIGINT)) AS lens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(lens) AS BIGINT) AS n_sentences,
+       CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS total_chars,
+       CAST(list_max(lens) AS BIGINT) AS max_sentence_chars,
+       CAST(CASE WHEN len(lens) > 0
+                 THEN (100 * coalesce(list_sum(lens), 0)) // len(lens)
+                 ELSE 0 END AS BIGINT) AS mean_len_e2
+FROM segs
+"""
