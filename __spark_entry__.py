@@ -1805,6 +1805,13 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, source=2, max_depth=3)
 
 
+def q_crosscorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation click->purchase at lags 0..7 over the
+    shared zero-filled spine; lead-lag asymmetry is the
+    direction-of-influence signal."""
+    return timeseries.crosscorr_daily(load_table(spark, sf_dir, "events"))
+
+
 def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation stats per document ([.!?]+ split, trim,
     drop empties) — document-structure signal in pure codegen."""
@@ -2702,6 +2709,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_numbers": q_extract_numbers,
         "stream_bitmap_distinct": q_stream_bitmap_distinct,
         "sentence_stats": q_sentence_stats,
+        "crosscorr_daily": q_crosscorr_daily,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2967,6 +2975,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_numbers": oracles.EXTRACT_NUMBERS,
         "stream_bitmap_distinct": oracles.STREAM_BITMAP_DISTINCT,
         "sentence_stats": oracles.SENTENCE_STATS,
+        "crosscorr_daily": oracles.CROSSCORR_DAILY,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

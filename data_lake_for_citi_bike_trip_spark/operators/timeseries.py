@@ -680,3 +680,82 @@ def seasonal_residual_anomalies(events: DataFrame) -> DataFrame:
         "mad_e4",
         (F.abs("residual_e4") > 3 * F.col("mad_e4")).alias("flagged"),
     )
+
+
+def crosscorr_daily(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    max_lag: int = 7,
+) -> DataFrame:
+    """CROSS-correlation between two event types' daily series at lags
+    0..max_lag — "does clicking today predict purchasing in k days":
+    corr(a_t, b_{t+k}) over the SHARED zero-filled calendar span
+    (autocorr_daily's machinery pointed across series; a lead-lag
+    asymmetry between lag k readouts is the direction-of-influence
+    signal).
+
+    Same exactness discipline: the two series align on one spine (span
+    = union of both types' spans), leads come from one window pass, and
+    each lag reduces to exact BIGINT moment sums with the single
+    deterministic corr_bp double expression. One shuffle total."""
+    daily = _daily_events(events).where(
+        F.col("event_type").isin(type_a, type_b)
+    )
+    span = daily.agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = span.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
+    )
+    wide = spine.join(
+        daily.groupBy("day").pivot("event_type", [type_a, type_b]).sum("y"),
+        "day",
+        "left",
+    ).select(
+        "day",
+        F.coalesce(type_a, F.lit(0)).cast("long").alias("a"),
+        F.coalesce(type_b, F.lit(0)).cast("long").alias("b"),
+    )
+    w = Window.orderBy("day")
+    led = wide.select(
+        "a",
+        *[F.lead("b", k).over(w).alias(f"b_{k}") for k in range(0, max_lag + 1)],
+    )
+    lagged = led.select(
+        "a",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"b_{k}").alias("b"),
+                    )
+                    for k in range(0, max_lag + 1)
+                ]
+            )
+        ).alias("p"),
+    ).where(F.col("p.b").isNotNull())
+    g = lagged.groupBy(F.col("p.lag").alias("lag")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("a").alias("sa"),
+        F.sum("p.b").alias("sb"),
+        F.sum(F.col("a") * F.col("p.b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("p.b") * F.col("p.b")).alias("sbb"),
+    )
+    cov = F.col("n_pairs") * F.col("sab") - F.col("sa") * F.col("sb")
+    va = F.col("n_pairs") * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = F.col("n_pairs") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return g.where((va > 0) & (vb > 0)).select(
+        "lag",
+        "n_pairs",
+        cov.alias("cov_num"),
+        F.floor(
+            F.lit(10000.0)
+            * cov.cast("double")
+            / F.sqrt(va.cast("double") * vb.cast("double"))
+        )
+        .cast("long")
+        .alias("corr_bp"),
+    )

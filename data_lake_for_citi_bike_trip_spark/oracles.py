@@ -5722,3 +5722,51 @@ SELECT doc_id,
                  ELSE 0 END AS BIGINT) AS mean_len_e2
 FROM segs
 """
+
+
+# operators/timeseries.py:crosscorr_daily — lead-lag correlation of the
+# click/purchase daily series over the shared zero-filled spine.
+_XCF_LEADS = "\nUNION ALL\n".join(
+    f"SELECT a, CAST({k} AS BIGINT) AS lag,"
+    f" lead(b, {k}) OVER (ORDER BY day) AS b2"
+    " FROM wide"
+    for k in range(0, 8)
+)
+
+CROSSCORR_DAILY = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+),
+span AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(
+    CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+    AS day
+  FROM span
+),
+wide AS (
+  SELECT s.day,
+         COALESCE(max(CASE WHEN d.event_type = 'click' THEN d.y END), 0)
+           AS a,
+         COALESCE(max(CASE WHEN d.event_type = 'purchase' THEN d.y END), 0)
+           AS b
+  FROM spine s LEFT JOIN daily d ON s.day = d.day
+  GROUP BY 1
+),
+lagged AS ({_XCF_LEADS}),
+g AS (
+  SELECT lag, COUNT(*) AS n_pairs,
+         sum(a) AS sa, sum(b2) AS sb, sum(a * b2) AS sab,
+         sum(a * a) AS saa, sum(b2 * b2) AS sbb
+  FROM lagged WHERE b2 IS NOT NULL GROUP BY 1
+)
+SELECT lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_pairs * sab - sa * sb AS BIGINT) AS cov_num,
+       CAST(floor(10000.0 * CAST(n_pairs * sab - sa * sb AS DOUBLE)
+            / sqrt(CAST(n_pairs * saa - sa * sa AS DOUBLE)
+                   * CAST(n_pairs * sbb - sb * sb AS DOUBLE))) AS BIGINT)
+         AS corr_bp
+FROM g
+WHERE n_pairs * saa - sa * sa > 0 AND n_pairs * sbb - sb * sb > 0
+"""

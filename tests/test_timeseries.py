@@ -305,3 +305,20 @@ def test_seasonal_residual_flags_the_odd_sunday(spark):
         _events_from_daily(spark, counts))
     flagged = sorted(r.day for r in out.collect() if r.flagged)
     assert flagged == ["2024-01-28"]
+
+
+def test_crosscorr_detects_shifted_series(spark):
+    """purchase = click shifted by exactly 2 days: lag-2 correlation
+    must be exactly +1 (10000 bp) and lag 0 must be below it."""
+    counts = []
+    vals = [5, 9, 2, 7, 4, 8, 3, 6, 5, 9, 2, 7]
+    for d, v in enumerate(vals, start=1):
+        counts.append((d, "click", v))
+        if d > 2:
+            counts.append((d, "purchase", vals[d - 3]))
+    out = {r.lag: r.corr_bp for r in timeseries.crosscorr_daily(
+        _events_from_daily(spark, counts)).collect()}
+    # at lag 2 every pair (a_t, b_{t+2}) is an exact value match -> +1
+    assert out[2] == 10000
+    assert max(out, key=lambda k: out[k]) == 2
+    assert out[0] < 10000
