@@ -1805,6 +1805,12 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, source=2, max_depth=3)
 
 
+def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max events in any trailing 5-minute window per user (RANGE frame
+    over epoch micros) — the rate-limit-sizing number."""
+    return behavior.burst_max(load_table(spark, sf_dir, "events"))
+
+
 def q_crosscorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead-lag cross-correlation click->purchase at lags 0..7 over the
     shared zero-filled spine; lead-lag asymmetry is the
@@ -2710,6 +2716,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_bitmap_distinct": q_stream_bitmap_distinct,
         "sentence_stats": q_sentence_stats,
         "crosscorr_daily": q_crosscorr_daily,
+        "burst_max": q_burst_max,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2976,6 +2983,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_bitmap_distinct": oracles.STREAM_BITMAP_DISTINCT,
         "sentence_stats": oracles.SENTENCE_STATS,
         "crosscorr_daily": oracles.CROSSCORR_DAILY,
+        "burst_max": oracles.BURST_MAX,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

@@ -792,3 +792,29 @@ def funnel_time_quartiles(events: DataFrame) -> DataFrame:
     return ranked.agg(
         F.max("n").alias("n_converted"), qs[25], qs[50], qs[75]
     )
+
+
+def burst_max(events: DataFrame, window_seconds: int = 300) -> DataFrame:
+    """Burstiness per user: the maximum number of events falling in ANY
+    trailing ``window_seconds`` window — the rate-limit-sizing /
+    bot-detection number (mean rates hide bursts; the max trailing
+    count is the thing a limiter actually trips on).
+
+    Exact and join-free: a RANGE frame over epoch seconds counts each
+    event's trailing window, then one max per user. The frame is
+    time-bounded (not row-bounded), so quiet gaps reset naturally. One
+    shuffle on user_id; per-user window sort.
+    """
+    s = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(s)
+        .rangeBetween(-(window_seconds * 1_000_000 - 1), Window.currentRow)
+    )
+    counted = events.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("trailing")
+    )
+    return counted.groupBy("user_id").agg(
+        F.max("trailing").cast("long").alias("max_burst"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

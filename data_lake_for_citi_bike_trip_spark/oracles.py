@@ -5770,3 +5770,17 @@ SELECT lag, CAST(n_pairs AS BIGINT) AS n_pairs,
 FROM g
 WHERE n_pairs * saa - sa * sa > 0 AND n_pairs * sbb - sb * sb > 0
 """
+
+
+# operators/behavior.py:burst_max — same RANGE frame over epoch micros.
+BURST_MAX = """
+WITH counted AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 299999999 PRECEDING AND CURRENT ROW) AS trail_n
+  FROM events
+)
+SELECT user_id, CAST(max(trail_n) AS BIGINT) AS max_burst,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM counted GROUP BY 1
+"""
