@@ -1805,6 +1805,15 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, source=2, max_depth=3)
 
 
+def q_business_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment lead time in BUSINESS days (closed-form
+    weekday walk, no calendar table), rolled up per priority."""
+    return analytics.business_lead_time(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -2717,6 +2726,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_stats": q_sentence_stats,
         "crosscorr_daily": q_crosscorr_daily,
         "burst_max": q_burst_max,
+        "business_lead_time": q_business_lead_time,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2984,6 +2994,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_stats": oracles.SENTENCE_STATS,
         "crosscorr_daily": oracles.CROSSCORR_DAILY,
         "burst_max": oracles.BURST_MAX,
+        "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

@@ -909,3 +909,44 @@ def uplift_by_segment(events: DataFrame, n_segments: int = 4) -> DataFrame:
             F.expr("(10000 * conv_bp) div control_bp") - 10000,
         ).alias("uplift_bp"),
     )
+
+
+def business_lead_time(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-first-shipment lead time in BUSINESS days — the SLA
+    metric calendars get wrong by up to 2/7th: weekends don't count.
+    Closed form, no calendar table: full weeks contribute 5 days each;
+    the remainder days walk forward from the order date's weekday with
+    a codegen filter over sequence(1, rem) (rem <= 6 elements — a
+    bounded HOF, not an explode), counting non-weekend steps.
+
+    One orderkey-keyed aggregate for the first shipment, one join, pure
+    expressions after; per-priority rollup with mean in e2 (truncating
+    div over non-negative ints)."""
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("ship_day")
+    )
+    j = orders.join(
+        first_ship, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("d1"),
+        "ship_day",
+    )
+    n = F.datediff("ship_day", "d1")
+    # 0-based weekday of d1: 0=Sunday .. 6=Saturday (Spark dayofweek-1)
+    # CASE-guard the remainder: sequence(1, 0) AUTO-DESCENDS to [1, 0]
+    # in Spark (the jaccard_prefix lesson), which would count phantom
+    # days for orders shipping an exact number of weeks later
+    bd = F.expr(
+        "(datediff(ship_day, d1) div 7) * 5 + "
+        "CASE WHEN datediff(ship_day, d1) % 7 = 0 THEN 0 ELSE "
+        "size(filter(sequence(1, datediff(ship_day, d1) % 7), "
+        "i -> ((dayofweek(d1) - 1 + i) % 7) NOT IN (0, 6))) END"
+    )
+    per = j.where(n >= 0).select(
+        "o_orderpriority", bd.cast("long").alias("bdays")
+    )
+    return per.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("bdays").cast("long").alias("total_bdays"),
+    ).withColumn("mean_bdays_e2", F.expr("(100 * total_bdays) div n_orders"))

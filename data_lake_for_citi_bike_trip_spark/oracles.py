@@ -5784,3 +5784,31 @@ SELECT user_id, CAST(max(trail_n) AS BIGINT) AS max_burst,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM counted GROUP BY 1
 """
+
+
+# operators/analytics.py:business_lead_time — same closed form; DuckDB
+# dayofweek is already 0-based Sunday=0.
+BUSINESS_LEAD_TIME = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS ship_day
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d1, ship_day
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+),
+per AS (
+  SELECT o_orderpriority,
+         (datediff('day', d1, ship_day) // 7) * 5
+         + len(list_filter(
+             CASE WHEN datediff('day', d1, ship_day) % 7 = 0
+                  THEN CAST([] AS BIGINT[])
+                  ELSE range(1, datediff('day', d1, ship_day) % 7 + 1) END,
+             i -> ((dayofweek(d1) + i) % 7) NOT IN (0, 6))) AS bdays
+  FROM j WHERE datediff('day', d1, ship_day) >= 0
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(sum(bdays) AS BIGINT) AS total_bdays,
+       (100 * CAST(sum(bdays) AS BIGINT)) // COUNT(*) AS mean_bdays_e2
+FROM per GROUP BY 1
+"""

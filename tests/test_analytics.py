@@ -323,3 +323,24 @@ def test_uplift_segments_isolate_opposite_effects(spark):
     # treated conv 0 vs control 100% -> uplift -10000
     assert got[(2, 1)] == -10000
     assert got[(1, 1)] is None  # control_bp == 0 guard
+
+
+def test_business_lead_time_weekday_walk(spark):
+    """Fri -> Mon is 1 business day; Fri -> next Fri is exactly 5;
+    same-day is 0 (the sequence(1,0) auto-descend guard)."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 1.0, "2024-01-05", "P"),   # Friday
+         (2, 1, "O", 1.0, "2024-01-05", "P"),
+         (3, 1, "O", 1.0, "2024-01-05", "P")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, "2024-01-08"), (2, "2024-01-12"), (3, "2024-01-05")],
+        "l_orderkey bigint, l_shipdate string",
+    )
+    r = an.business_lead_time(orders, li).first()
+    # bdays: Fri->Mon = 1; Fri->Fri(+7) = 5; same day = 0 -> total 6
+    assert (r.n_orders, r.total_bdays, r.mean_bdays_e2) == (3, 6, 200)

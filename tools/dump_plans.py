@@ -149,6 +149,9 @@ HEADLINE = [
     "try_arithmetic",
     "extract_numbers",
     "stream_bitmap_distinct",
+    "sentence_stats",
+    "crosscorr_daily",
+    "burst_max",
 ]
 
 NOTES = {
@@ -194,6 +197,12 @@ NOTES = {
     "stream_bitmap_distinct": "stateful streaming agg on (type, word) "
     "cells; OR-mergeable masks make batching invisible; post-drain "
     "re-reduce + popcount",
+    "sentence_stats": "regex split + HOF reduction per row in codegen; "
+    "no shuffle",
+    "crosscorr_daily": "pivot to one row per day, eight leads in one "
+    "window pass over the calendar-bounded spine, per-lag moment sums",
+    "burst_max": "time-bounded RANGE frame per user + one max; no "
+    "self-join",
     "cogroup_reconcile": "FlatMapCoGroupsInPandas co-partitions both "
     "inputs on the key — one shuffle per side, one Arrow stage",
     "arrow_label_stats": "FlatMapGroupsInArrow over label groups; "
