@@ -152,6 +152,7 @@ HEADLINE = [
     "sentence_stats",
     "crosscorr_daily",
     "burst_max",
+    "business_lead_time",
 ]
 
 NOTES = {
@@ -203,6 +204,8 @@ NOTES = {
     "window pass over the calendar-bounded spine, per-lag moment sums",
     "burst_max": "time-bounded RANGE frame per user + one max; no "
     "self-join",
+    "business_lead_time": "one orderkey aggregate + join; the weekday "
+    "walk is a bounded (<= 6 element) codegen HOF, not an explode",
     "cogroup_reconcile": "FlatMapCoGroupsInPandas co-partitions both "
     "inputs on the key — one shuffle per side, one Arrow stage",
     "arrow_label_stats": "FlatMapGroupsInArrow over label groups; "
