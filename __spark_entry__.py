@@ -1156,6 +1156,20 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between click and purchase value
+    distributions — shape test over the value histogram; exact
+    cross-multiplied BIGINT max."""
+    return profile.ks_test(load_table(spark, sf_dir, "events"))
+
+
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase-spend concentration —
+    tie-corrected rank formula on the spend histogram, exact integer
+    numerator."""
+    return profile.gini_spend(load_table(spark, sf_dir, "events"))
+
+
 def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence screen over the event_type x day-of-week
     contingency table; per-cell contributions from exact BIGINT margins
@@ -2727,6 +2741,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosscorr_daily": q_crosscorr_daily,
         "burst_max": q_burst_max,
         "business_lead_time": q_business_lead_time,
+        "ks_test": q_ks_test,
+        "gini_spend": q_gini_spend,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -2995,6 +3011,8 @@ def oracle_sql() -> dict[str, str]:
         "crosscorr_daily": oracles.CROSSCORR_DAILY,
         "burst_max": oracles.BURST_MAX,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
+        "ks_test": oracles.KS_TEST,
+        "gini_spend": oracles.GINI_SPEND,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

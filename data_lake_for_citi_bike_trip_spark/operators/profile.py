@@ -919,3 +919,102 @@ def bitmap_overlap(
             "inclusion_exclusion_ok"
         ),
     )
+
+
+def ks_test(
+    events: DataFrame, type_a: str = "click", type_b: str = "purchase"
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two event types'
+    value distributions — the SHAPE test completing the location test
+    (rank_sum_test): D = max |ECDF_a - ECDF_b|, sensitive to any
+    distributional difference, not just a median shift.
+
+    Exact: D's candidates live only at distinct values, so the whole
+    statistic reduces on the value-domain HISTOGRAM — cumulative counts
+    per side from one window, the max of |cumA*nB - cumB*nA| as exact
+    BIGINTs (cross-multiplied, no per-step division), and one final
+    d_e6 = floor(1e6 * maxdiff / (nA*nB)) double expression. The
+    single-partition window is histogram-grain (feature_quartiles'
+    justification)."""
+    base = events.where(F.col("event_type").isin(type_a, type_b)).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == type_a).cast("long").alias("is_a"),
+    )
+    hist = base.groupBy("cents").agg(
+        F.sum("is_a").alias("na"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("nb"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    cum = hist.select(
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+        F.sum("na").over(tot).alias("n1"),
+        F.sum("nb").over(tot).alias("n2"),
+    )
+    diff = F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))
+    return cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.max(diff).cast("long").alias("d_num"),
+    ).select(
+        "n1",
+        "n2",
+        "d_num",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("d_num").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        )
+        .cast("long")
+        .alias("d_e6"),
+    )
+
+
+def gini_spend(events: DataFrame) -> DataFrame:
+    """Gini coefficient of per-user purchase-spend concentration — the
+    inequality readout ("do 10% of users carry 90% of revenue"), exact
+    to the emitted unit via the tie-corrected rank formula
+
+        G = (sum(avg_rank_i * x_i) * 2 - (n+1) * S) / (n * S)
+
+    held integral with DOUBLED average ranks (rank_sum_test's trick:
+    2*avg_rank of a tied block = 2*start + len - 1 is always an
+    integer), so the numerator sum(avg2 * x) - (n+1)*S is an exact
+    BIGINT and only the final g_e6 divides — one deterministic double
+    expression. Runs on the (spend -> user count) HISTOGRAM, never a
+    global user sort."""
+    spend = events.where(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    hist = spend.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.select(
+        "cents",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("before"),
+    )
+    avg2 = 2 * F.col("before") + F.col("cnt") + 1
+    agg = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("cents")).cast("long").alias("s"),
+        F.sum(avg2 * F.col("cents") * F.col("cnt")).cast("long").alias("r2x"),
+    )
+    return agg.select(
+        "n",
+        "s",
+        (F.col("r2x") - (F.col("n") + 1) * F.col("s")).alias("gini_num"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("r2x") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n").cast("double") * F.col("s").cast("double"))
+        )
+        .cast("long")
+        .alias("gini_e6"),
+    )

@@ -5812,3 +5812,62 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
        (100 * CAST(sum(bdays) AS BIGINT)) // COUNT(*) AS mean_bdays_e2
 FROM per GROUP BY 1
 """
+
+
+# operators/profile.py:ks_test — D candidates live at distinct values;
+# cross-multiplied BIGINT max, one final double division.
+KS_TEST = """
+WITH base AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+hist AS (
+  SELECT cents, sum(is_a) AS na, sum(1 - is_a) AS nb FROM base GROUP BY 1
+),
+cum AS (
+  SELECT sum(na) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(nb) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         sum(na) OVER () AS n1, sum(nb) OVER () AS n2
+  FROM hist
+)
+SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+       CAST(max(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+       CAST(floor(1000000.0 * CAST(max(abs(ca * n2 - cb * n1)) AS DOUBLE)
+            / (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE)))
+         AS BIGINT) AS d_e6
+FROM cum
+"""
+
+
+# operators/profile.py:gini_spend — tie-corrected rank formula with
+# doubled average ranks over the spend histogram.
+GINI_SPEND = """
+WITH spend AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+hist AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM spend GROUP BY 1),
+ranked AS (
+  SELECT cents, cnt,
+         sum(cnt) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+           AS before
+  FROM hist
+),
+agg AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt * cents) AS BIGINT) AS s,
+         CAST(sum((2 * before + cnt + 1) * cents * cnt) AS BIGINT) AS r2x
+  FROM ranked
+)
+SELECT n, s,
+       CAST(r2x - (n + 1) * s AS BIGINT) AS gini_num,
+       CAST(floor(1000000.0 * CAST(r2x - (n + 1) * s AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT)
+         AS gini_e6
+FROM agg
+"""

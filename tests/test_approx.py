@@ -273,3 +273,37 @@ def test_bitmap_overlap_matches_set_algebra(spark):
     r = profile.bitmap_overlap(_typed_events(spark, rows)).first()
     assert (r.n_a, r.n_b, r.n_and, r.n_or) == (5, 3, 2, 6)
     assert r.inclusion_exclusion_ok
+
+
+def test_ks_identical_vs_disjoint_distributions(spark):
+    """Identical samples give D = 0; fully disjoint supports give
+    D = 1 (1e6 in e6 units)."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    same = [("click", v, 1, 1) for v in (1.0, 2.0, 3.0)]
+    same += [("purchase", v, 1, 1) for v in (1.0, 2.0, 3.0)]
+    r = profile.ks_test(_typed_events(spark, same)).first()
+    assert r.d_e6 == 0
+
+    disjoint = [("click", v, 1, 1) for v in (1.0, 2.0)]
+    disjoint += [("purchase", v, 1, 1) for v in (10.0, 20.0)]
+    r2 = profile.ks_test(_typed_events(spark, disjoint)).first()
+    assert r2.d_e6 == 1_000_000
+
+
+def test_gini_equal_vs_concentrated(spark):
+    """Equal spends -> G = 0; one user holding everything (others
+    spending epsilon is not possible with purchases only, so compare a
+    2-user extreme): x = [1, 999] gives G = (r2x - (n+1)S)/(nS) with
+    ranks 1,2 -> (2*1*1 + 2*2*999 ... ) — checked numerically below."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    equal = [("purchase", 2.0, u, 1) for u in (1, 2, 3, 4)]
+    r = profile.gini_spend(_typed_events(spark, equal)).first()
+    assert r.gini_e6 == 0
+
+    skew = [("purchase", 0.01, 1, 1), ("purchase", 9.99, 2, 1)]
+    r2 = profile.gini_spend(_typed_events(spark, skew)).first()
+    # n=2, S=1000, ranks 1 and 2: G = (2*(1*1 + 2*999) - 3*1000)/(2*1000)
+    expect = (2 * (1 * 1 + 2 * 999) - 3 * 1000) / (2 * 1000)
+    assert r2.gini_e6 == int(expect * 1_000_000)
