@@ -1156,6 +1156,12 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V: chi-square normalized to [0,1] for cross-table
+    comparability; integer chi2_e6 sum, one double sqrt."""
+    return profile.cramers_v(load_table(spark, sf_dir, "events"))
+
+
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D between click and purchase value
     distributions — shape test over the value histogram; exact
@@ -2743,6 +2749,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
+        "cramers_v": q_cramers_v,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -3013,6 +3020,7 @@ def oracle_sql() -> dict[str, str]:
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,
+        "cramers_v": oracles.CRAMERS_V,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

@@ -1018,3 +1018,40 @@ def gini_spend(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("gini_e6"),
     )
+
+
+def cramers_v(events: DataFrame) -> DataFrame:
+    """Cramér's V — chi-square normalized to [0, 1] so association
+    strength is comparable across tables of different shapes:
+    V = sqrt(chi2 / (N * min(r-1, c-1))). Builds on
+    chisq_independence's cells; the per-cell contributions are already
+    INTEGER e6, so their sum is exact and only the final V takes one
+    deterministic double sqrt."""
+    cells = chisq_independence(events)
+    agg = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("dow").alias("c"),
+        F.max("n_total").cast("long").alias("n_total"),
+        F.sum("contrib_e6").cast("long").alias("chi2_e6"),
+    )
+    return agg.select(
+        "n_cells",
+        "r",
+        "c",
+        "n_total",
+        "chi2_e6",
+        F.floor(
+            F.lit(1000000.0)
+            * F.sqrt(
+                F.col("chi2_e6").cast("double")
+                / 1000000.0
+                / (
+                    F.col("n_total").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                )
+            )
+        )
+        .cast("long")
+        .alias("v_e6"),
+    )

@@ -5871,3 +5871,23 @@ SELECT n, s,
          AS gini_e6
 FROM agg
 """
+
+
+# operators/profile.py:cramers_v — integer chi2_e6 sum from the same
+# cell expression, one double sqrt at the end.
+CRAMERS_V = f"""
+WITH cells AS ({CHISQ_INDEPENDENCE}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT dow) AS BIGINT) AS c,
+         CAST(max(n_total) AS BIGINT) AS n_total,
+         CAST(sum(contrib_e6) AS BIGINT) AS chi2_e6
+  FROM cells
+)
+SELECT n_cells, r, c, n_total, chi2_e6,
+       CAST(floor(1000000.0 * sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0)
+            / (CAST(n_total AS DOUBLE)
+               * CAST(least(r - 1, c - 1) AS DOUBLE)))) AS BIGINT) AS v_e6
+FROM agg
+"""
