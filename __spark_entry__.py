@@ -1156,6 +1156,13 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the window's halves per
+    event type: global decile bins by histogram rank selection,
+    Laplace-smoothed per-bin contributions as exact per-row doubles."""
+    return profile.psi_value_drift(load_table(spark, sf_dir, "events"))
+
+
 def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cramér's V: chi-square normalized to [0,1] for cross-table
     comparability; integer chi2_e6 sum, one double sqrt."""
@@ -2750,6 +2757,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
         "cramers_v": q_cramers_v,
+        "psi_value_drift": q_psi_value_drift,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -3021,6 +3029,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,
         "cramers_v": oracles.CRAMERS_V,
+        "psi_value_drift": oracles.PSI_VALUE_DRIFT,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

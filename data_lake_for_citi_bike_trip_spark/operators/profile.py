@@ -1055,3 +1055,81 @@ def cramers_v(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("v_e6"),
     )
+
+
+def psi_value_drift(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the observation window, per event type — THE production drift gate
+    for score/value distributions (PSI < 0.1 stable, > 0.25 investigate;
+    thresholds belong to the caller).
+
+    Bins are global value deciles by histogram-rank selection (the
+    winsorized_stats discipline — no raw-row sort); each (type, bin)
+    emits both periods' EXACT proportions in bp plus its PSI
+    contribution (pa - pb) * ln(pa / pb) as one per-row deterministic
+    double over exact integers, Laplace-smoothed (+1 per cell) so empty
+    bins stay finite. Per-bin rows keep the contract hash-exact —
+    consumers sum 10 rows for the scalar."""
+    mid = events.agg(
+        F.expr(
+            "CAST((min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+            " AS BIGINT)"
+        ).alias("mid_us")
+    )
+    base = events.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.unix_micros("ts") <= F.col("mid_us")).cast("long").alias("is_a"),
+    )
+    hist = base.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "cents",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    cuts = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({k} * n + {n_bins - 1}) div {n_bins}"),
+                    F.col("cents"),
+                )
+            ).alias(f"t{k}")
+            for k in range(1, n_bins)
+        ]
+    )
+    binned = base.crossJoin(F.broadcast(cuts)).select(
+        "event_type",
+        "is_a",
+        sum(
+            (F.col("cents") > F.col(f"t{k}")).cast("long")
+            for k in range(1, n_bins)
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_a").alias("na"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("nb"),
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = cells.join(F.broadcast(tots), "event_type")
+    pa = (F.col("na") + 1).cast("double") / (F.col("ta") + F.col("k")).cast(
+        "double"
+    )
+    pb = (F.col("nb") + 1).cast("double") / (F.col("tb") + F.col("k")).cast(
+        "double"
+    )
+    return j.select(
+        "event_type",
+        "bin",
+        F.col("na").cast("long").alias("n_first"),
+        F.col("nb").cast("long").alias("n_second"),
+        F.floor(F.lit(1000000.0) * (pa - pb) * F.log(pa / pb))
+        .cast("long")
+        .alias("psi_contrib_e6"),
+    )

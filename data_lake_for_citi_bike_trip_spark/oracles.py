@@ -5891,3 +5891,57 @@ SELECT n_cells, r, c, n_total, chi2_e6,
                * CAST(least(r - 1, c - 1) AS DOUBLE)))) AS BIGINT) AS v_e6
 FROM agg
 """
+
+
+# operators/profile.py:psi_value_drift — identical decile cuts, halves
+# split at the midpoint epoch, Laplace-smoothed per-bin contributions.
+_PSI_CUTS = ", ".join(
+    f"min(CASE WHEN cum >= ({k} * n + 9) // 10 THEN cents END) AS t{k}"
+    for k in range(1, 10)
+)
+_PSI_BIN = " + ".join(
+    f"CAST(cents > t{k} AS BIGINT)" for k in range(1, 10)
+)
+
+PSI_VALUE_DRIFT = f"""
+WITH mid AS (
+  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT)
+    AS mid_us
+  FROM events
+),
+base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN epoch_us(ts) <= mid_us THEN 1 ELSE 0 END AS is_a
+  FROM events, mid
+),
+hist AS (SELECT cents, COUNT(*) AS cnt FROM base GROUP BY 1),
+cum AS (
+  SELECT cents,
+         sum(cnt) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS n
+  FROM hist
+),
+cuts AS (SELECT {_PSI_CUTS} FROM cum),
+binned AS (
+  SELECT event_type, is_a, {_PSI_BIN} AS bin FROM base, cuts
+),
+cells AS (
+  SELECT event_type, bin, sum(is_a) AS na, sum(1 - is_a) AS nb
+  FROM binned GROUP BY 1, 2
+),
+tots AS (
+  SELECT event_type, sum(na) AS ta, sum(nb) AS tb, COUNT(*) AS k
+  FROM cells GROUP BY 1
+)
+SELECT c.event_type, CAST(c.bin AS BIGINT) AS bin,
+       CAST(c.na AS BIGINT) AS n_first,
+       CAST(c.nb AS BIGINT) AS n_second,
+       CAST(floor(1000000.0
+         * (CAST(c.na + 1 AS DOUBLE) / CAST(t.ta + t.k AS DOUBLE)
+            - CAST(c.nb + 1 AS DOUBLE) / CAST(t.tb + t.k AS DOUBLE))
+         * ln((CAST(c.na + 1 AS DOUBLE) / CAST(t.ta + t.k AS DOUBLE))
+              / (CAST(c.nb + 1 AS DOUBLE) / CAST(t.tb + t.k AS DOUBLE))))
+         AS BIGINT) AS psi_contrib_e6
+FROM cells c JOIN tots t ON c.event_type = t.event_type
+"""
