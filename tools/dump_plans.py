@@ -153,6 +153,10 @@ HEADLINE = [
     "crosscorr_daily",
     "burst_max",
     "business_lead_time",
+    "ks_test",
+    "gini_spend",
+    "cramers_v",
+    "psi_value_drift",
 ]
 
 NOTES = {
@@ -206,6 +210,13 @@ NOTES = {
     "self-join",
     "business_lead_time": "one orderkey aggregate + join; the weekday "
     "walk is a bounded (<= 6 element) codegen HOF, not an explode",
+    "ks_test": "value-domain histogram + one cumulative window; the "
+    "single partition is histogram-grain",
+    "gini_spend": "spend histogram + one cumulative window; no global "
+    "user sort",
+    "cramers_v": "chisq cells re-aggregated; margins enum-bounded",
+    "psi_value_drift": "decile cuts from one histogram pass (1-row "
+    "broadcast); binning is map-side CASE logic",
     "cogroup_reconcile": "FlatMapCoGroupsInPandas co-partitions both "
     "inputs on the key — one shuffle per side, one Arrow stage",
     "arrow_label_stats": "FlatMapGroupsInArrow over label groups; "
