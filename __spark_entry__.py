@@ -1841,6 +1841,13 @@ def q_business_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavior sequences (one window pass, two
+    leads, total-order top-k) — the funnel-grain above Markov
+    bigrams."""
+    return behavior.path_trigrams(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -2758,6 +2765,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_spend": q_gini_spend,
         "cramers_v": q_cramers_v,
         "psi_value_drift": q_psi_value_drift,
+        "path_trigrams": q_path_trigrams,
         "arrow_label_stats": q_arrow_label_stats,
         "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
         "forecast_backtest": q_forecast_backtest,
@@ -3030,6 +3038,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_spend": oracles.GINI_SPEND,
         "cramers_v": oracles.CRAMERS_V,
         "psi_value_drift": oracles.PSI_VALUE_DRIFT,
+        "path_trigrams": oracles.PATH_TRIGRAMS,
         "arrow_label_stats": oracles.ARROW_LABEL_STATS,
         "sql_ddl_roundtrip": oracles.SQL_DDL_ROUNDTRIP,
         "forecast_backtest": oracles.FORECAST_BACKTEST,

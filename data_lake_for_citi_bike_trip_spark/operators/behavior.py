@@ -818,3 +818,28 @@ def burst_max(events: DataFrame, window_seconds: int = 300) -> DataFrame:
         F.max("trailing").cast("long").alias("max_burst"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def path_trigrams(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k three-step behavior sequences — the order above
+    markov_transitions' bigrams, where funnels actually live
+    (view->click->purchase vs click->view->purchase are different
+    stories a 2-gram model cannot tell apart).
+
+    One user-keyed window pass carries two leads in the (ts, event_id)
+    total order; trigram counts reduce map-side into a |types|^3-
+    bounded cell table, and the top-k boundary is a TOTAL order
+    (count desc, then the lexicographic triple) — deterministic in any
+    engine. TakeOrderedAndProject handles the limit."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    led = events.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    counts = led.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.orderBy(
+        F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3")
+    ).limit(k)

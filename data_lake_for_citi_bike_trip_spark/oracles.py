@@ -5945,3 +5945,20 @@ SELECT c.event_type, CAST(c.bin AS BIGINT) AS bin,
          AS BIGINT) AS psi_contrib_e6
 FROM cells c JOIN tots t ON c.event_type = t.event_type
 """
+
+
+# operators/behavior.py:path_trigrams — same leads, same total order.
+PATH_TRIGRAMS = """
+WITH led AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM led WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 20
+"""
