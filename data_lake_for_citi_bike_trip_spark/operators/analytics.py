@@ -864,16 +864,21 @@ def nested_order_items(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 def uplift_by_segment(events: DataFrame, n_segments: int = 4) -> DataFrame:
     """Heterogeneous treatment effect readout — ab_lift's per-SEGMENT
     refinement: the same deterministic variant split, but conversion
-    lift computed within each activity segment (user bucketed by total
-    event count), because an experiment that is flat on average
-    routinely hides opposite effects in light vs heavy users (the
-    CATE-table shape every uplift analysis starts from).
+    lift computed within each ACTIVITY TIER — users binned by total
+    event count into n_segments equal-width tiers over [0, max], so
+    segment 0 is genuinely the lightest users and segment n-1 the
+    heaviest — because an experiment that is flat on average routinely
+    hides opposite effects in light vs heavy users (the CATE-table
+    shape every uplift analysis starts from).
 
-    Exact integers throughout: per (segment, variant) counts, conv_bp
-    by truncating division, uplift_bp = treated conv relative to that
-    SEGMENT's control (cross-multiplied, non-negative numerators).
-    Two user-grain aggregates + one segment-grain join of a
-    segment-count-bounded control table.
+    Exact integers throughout: tier width = ceil(max/n) from a 1-row
+    max attach (broadcast of a single-row stat — the sanctioned
+    crossJoin shape), segment = least(n_events div width, n-1);
+    per (segment, variant) counts, conv_bp by truncating division,
+    uplift_bp = treated conv relative to that SEGMENT's control
+    (cross-multiplied, non-negative numerators). Two user-grain
+    aggregates + one segment-grain join of a segment-count-bounded
+    control table.
     """
     per_user = events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -881,9 +886,15 @@ def uplift_by_segment(events: DataFrame, n_segments: int = 4) -> DataFrame:
             "converted"
         ),
     )
-    seg = (F.col("n_events") % n_segments).cast("long")
+    stats = per_user.agg(F.max("n_events").alias("max_n"))
+    seg = F.expr(
+        f"least(n_events div greatest(1, "
+        f"(max_n + {n_segments - 1}) div {n_segments}), "
+        f"{n_segments - 1})"
+    ).cast("long")
     cells = (
-        per_user.select(
+        per_user.crossJoin(F.broadcast(stats))
+        .select(
             seg.alias("segment"),
             (F.col("user_id") % 2).cast("long").alias("variant"),
             "converted",

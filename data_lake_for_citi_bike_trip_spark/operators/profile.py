@@ -639,7 +639,13 @@ def rank_sum_test(
             / (n.cast("double") * (n - 1).cast("double"))
         )
     )
-    return agg.select(
+    # degenerate-input guard (the autocorr_daily vx/vy > 0 pattern):
+    # n1 or n2 = 0 makes n*(n-1) or var4 zero; all-tied values make
+    # var4 = 0 — either way the z-score is undefined, so the row is
+    # filtered rather than emitted as NaN.
+    return agg.where(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (var4 > 0)
+    ).select(
         "n1",
         "n2",
         u2.alias("u2_a"),
@@ -845,8 +851,9 @@ def ooo_audit(events: DataFrame) -> DataFrame:
 
     One window pass per type ordered by arrival (event_id), comparing
     event time to the previous arrival's. Emits arrivals, backward
-    steps, the worst regression (microseconds), and the p100-in-bp
-    share. Exact integers throughout (epoch micros)."""
+    steps, the worst regression (microseconds; NULL for types with
+    zero backward steps — a forward gap is not a regression), and the
+    p100-in-bp share. Exact integers throughout (epoch micros)."""
     w = Window.partitionBy("event_type").orderBy("event_id")
     us = F.unix_micros("ts")
     stepped = events.select(
@@ -858,7 +865,9 @@ def ooo_audit(events: DataFrame) -> DataFrame:
         F.sum((F.col("step_us") < 0).cast("long"))
         .cast("long")
         .alias("n_backward"),
-        F.min("step_us").cast("long").alias("worst_regression_us"),
+        F.min(F.when(F.col("step_us") < 0, F.col("step_us")))
+        .cast("long")
+        .alias("worst_regression_us"),
     ).withColumn(
         "backward_bp", F.expr("(10000 * n_backward) div n_steps")
     )

@@ -607,7 +607,7 @@ def label_centroid_cosine(embeddings: DataFrame) -> DataFrame:
         "vec_id",
         F.col("label").cast("long").alias("label"),
         F.expr(
-            "transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))"
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
         ).alias("q"),
     )
     elems = q.select("label", F.posexplode("q").alias("i", "v"))
@@ -663,7 +663,7 @@ def embedding_drift(embeddings: DataFrame) -> DataFrame:
         (F.col("vec_id") % 2).alias("half"),
         F.col("label").cast("long").alias("label"),
         F.expr(
-            "transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))"
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
         ).alias("q"),
     )
     sums = (

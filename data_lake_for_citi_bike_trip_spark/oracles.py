@@ -3319,7 +3319,7 @@ LABEL_CENTROIDS = """
 WITH qv AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
          list_transform(embedding::DOUBLE[],
-                        x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
   FROM embeddings
 ),
 elems AS (
@@ -3585,7 +3585,7 @@ EMBEDDING_DRIFT = """
 WITH qv AS (
   SELECT vec_id % 2 AS half, CAST(label AS BIGINT) AS label,
          list_transform(embedding::DOUBLE[],
-                        x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
   FROM embeddings
 ),
 elems AS (
@@ -4777,6 +4777,11 @@ SELECT n1, n2,
                         * CAST(n1 + n2 - 1 AS DOUBLE)))))
          AS BIGINT) AS z_e6
 FROM agg
+WHERE n1 > 0 AND n2 > 0
+  AND CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 3.0
+      * (CAST(n1 + n2 + 1 AS DOUBLE)
+         - CAST(tie_term AS DOUBLE)
+           / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) > 0
 """
 
 
@@ -5234,7 +5239,8 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_steps,
        CAST(sum(CASE WHEN step_us < 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_backward,
-       CAST(min(step_us) AS BIGINT) AS worst_regression_us,
+       CAST(min(CASE WHEN step_us < 0 THEN step_us END) AS BIGINT)
+         AS worst_regression_us,
        (10000 * CAST(sum(CASE WHEN step_us < 0 THEN 1 ELSE 0 END) AS BIGINT))
          // COUNT(*) AS backward_bp
 FROM stepped WHERE step_us IS NOT NULL
@@ -5589,12 +5595,14 @@ WITH per_user AS (
            AS converted
   FROM events GROUP BY 1
 ),
+stats AS (SELECT max(n_events) AS max_n FROM per_user),
 cells AS (
-  SELECT CAST(n_events % 4 AS BIGINT) AS segment,
+  SELECT CAST(least(n_events // greatest(1, (max_n + 3) // 4), 3)
+              AS BIGINT) AS segment,
          CAST(user_id % 2 AS BIGINT) AS variant,
          CAST(COUNT(*) AS BIGINT) AS n_users,
          CAST(sum(converted) AS BIGINT) AS n_converted
-  FROM per_user GROUP BY 1, 2
+  FROM per_user CROSS JOIN stats GROUP BY 1, 2
 ),
 c2 AS (
   SELECT *, (10000 * n_converted) // n_users AS conv_bp FROM cells

@@ -169,13 +169,16 @@ class JsonDirDataSource(DataSource):
         return "jsondir"
 
     def writer(self, schema, overwrite: bool):
-        return JsonDirWriter(self.options, [f.name for f in schema.fields])
+        return JsonDirWriter(
+            self.options, [f.name for f in schema.fields], overwrite
+        )
 
 
 class JsonDirWriter(DataSourceWriter):
-    def __init__(self, options, field_names):
+    def __init__(self, options, field_names, overwrite=False):
         self.path = options["path"]
         self.fields = field_names
+        self.overwrite = overwrite
 
     def write(self, iterator):
         """Executor-side: stage this partition to _staging/<uuid>."""
@@ -199,11 +202,18 @@ class JsonDirWriter(DataSourceWriter):
         return JsonDirCommit(fname, n)
 
     def commit(self, messages):
-        """Driver-side publish: move every staged file into data/."""
+        """Driver-side publish: move every staged file into data/.
+
+        Overwrite semantics live HERE, not in write(): clearing the old
+        data/ only at commit time keeps the two-phase property — a
+        failed job aborts with the previous save still fully visible,
+        never a half-cleared directory."""
         import os
         import shutil
 
         data = os.path.join(self.path, "data")
+        if self.overwrite and os.path.isdir(data):
+            shutil.rmtree(data)
         os.makedirs(data, exist_ok=True)
         for i, m in enumerate(messages):
             shutil.move(

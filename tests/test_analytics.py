@@ -303,11 +303,13 @@ def test_uplift_segments_isolate_opposite_effects(spark):
     from data_lake_for_citi_bike_trip_spark.operators import analytics as an
 
     rows, eid = [], 0
-    # segment n_events%4==1: treated users (odd) convert, control don't
+    # max 2 events/user -> tier width 1: 1-event users land in tier 1,
+    # 2-event users in tier 2 (equal-width activity tiers over [0, max])
+    # tier 1 (light, 1 event): treated users (odd) convert, control don't
     for u in (1, 3, 2, 4):
         rows.append((eid, eid * 1_000_000, u,
                      "purchase" if u % 2 == 1 else "view", 1.0)); eid += 1
-    # segment n_events%4==2: control converts, treated doesn't (2 events each)
+    # tier 2 (heavy, 2 events): control converts, treated doesn't
     for u in (11, 13, 12, 14):
         conv = u % 2 == 0
         rows.append((eid, eid * 1_000_000, u,

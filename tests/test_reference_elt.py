@@ -324,3 +324,33 @@ def test_pysink_two_phase_commit_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in nation.collect()
     )
+
+
+def test_pysink_overwrite_clears_previous_save(spark, sf_dir, tmp_path):
+    """mode('overwrite') must replace the previous save's data/, not
+    silently merge with it (the stale-part-file hazard): after an
+    append of 25 nations then an overwrite with 5 regions, data/ holds
+    exactly the 5 region rows."""
+    import os
+
+    from data_lake_for_citi_bike_trip_spark.sources import pydatasource
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    pydatasource.register_sink(spark)
+    path = str(tmp_path / "sink_ow")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    nation.write.format("jsondir").option("path", path).mode("append").save()
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+    )
+    region.write.format("jsondir").option("path", path).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.schema("k bigint, name string").json(
+        os.path.join(path, "data")
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in region.collect()
+    )
