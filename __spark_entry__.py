@@ -1848,6 +1848,35 @@ def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.path_trigrams(load_table(spark, sf_dir, "events"))
 
 
+
+def q_prorate_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration of each order's header total across
+    its line items — allocations sum exactly to the total."""
+    return analytics.prorate_order_total(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: 40/20/40 credit over each
+    user's clicks before their first purchase, rolled up by click
+    day-of-week."""
+    return behavior.position_attribution(load_table(spark, sf_dir, "events"))
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for the mean order value: 32
+    md5-seeded replicates in one scan, value-at-rank p05/p50/p95."""
+    return profile.bootstrap_mean_ci(load_table(spark, sf_dir, "orders"))
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type over daily
+    revenue, tie-corrected z in e6."""
+    return timeseries.mann_kendall_trend(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -2760,6 +2789,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_stats": q_sentence_stats,
         "crosscorr_daily": q_crosscorr_daily,
         "burst_max": q_burst_max,
+        "prorate_order_total": q_prorate_order_total,
+        "position_attribution": q_position_attribution,
+        "bootstrap_ci": q_bootstrap_ci,
+        "mann_kendall": q_mann_kendall,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3033,6 +3066,10 @@ def oracle_sql() -> dict[str, str]:
         "sentence_stats": oracles.SENTENCE_STATS,
         "crosscorr_daily": oracles.CROSSCORR_DAILY,
         "burst_max": oracles.BURST_MAX,
+        "prorate_order_total": oracles.PRORATE_ORDER_TOTAL,
+        "position_attribution": oracles.POSITION_ATTRIBUTION,
+        "bootstrap_ci": oracles.BOOTSTRAP_MEAN_CI,
+        "mann_kendall": oracles.MANN_KENDALL,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -961,3 +961,54 @@ def business_lead_time(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("bdays").cast("long").alias("total_bdays"),
     ).withColumn("mean_bdays_e2", F.expr("(100 * total_bdays) div n_orders"))
+
+
+def prorate_order_total(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Largest-remainder proration: allocate each order's header total
+    across its line items proportional to extended price so the
+    per-line allocations sum EXACTLY to the order total — the invoice /
+    revenue-recognition primitive naive `total * share` gets wrong
+    (floor leaves pennies unallocated; round can overshoot). Hamilton's
+    method: every line gets floor(t*w/W); the leftover deficit (< n
+    lines) goes +1 apiece to the lines with the largest remainders,
+    ties broken by line number.
+
+    Scale: one orderkey equi-join plus two window passes partitioned by
+    l_orderkey (group size = lines per order, catalog-bounded <= 7 in
+    TPC-H shape) — no shuffle beyond the key. All arithmetic is exact
+    BIGINT cents: t*w peaks ~3e15, far inside the long range; div/%
+    over non-negative ints so Spark div == DuckDB //.
+    """
+    li = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+    )
+    tot = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("t"),
+    )
+    wp = Window.partitionBy("l_orderkey")
+    j = (
+        li.join(tot, "l_orderkey")
+        .withColumn("wsum", F.sum("w").over(wp))
+        .withColumn("base", F.expr("(t * w) div wsum"))
+        .withColumn("rem", F.expr("(t * w) % wsum"))
+        .withColumn("deficit", F.col("t") - F.sum("base").over(wp))
+    )
+    rw = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), F.col("l_linenumber")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(rw))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("w").alias("line_cents"),
+            F.col("t").alias("order_cents"),
+            (
+                F.col("base")
+                + (F.col("rn") <= F.col("deficit")).cast("long")
+            ).alias("alloc_cents"),
+        )
+    )

@@ -843,3 +843,60 @@ def path_trigrams(events: DataFrame, k: int = 20) -> DataFrame:
     return counts.orderBy(
         F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3")
     ).limit(k)
+
+
+def position_attribution(events: DataFrame) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every click
+    at or before a user's FIRST purchase shares that conversion's
+    10000 bp of credit — 40% to the first touch, 40% to the last, the
+    middle 20% split across interior touches — the marketing-mix
+    answer single-touch attribution (last_touch above) biases toward
+    closers. Exact integer contract: n=1 takes all 10000; n=2 splits
+    5000/5000; n>=3 gives first/last 4000 each and each interior touch
+    2000 div (n-2), with the integer remainder pinned to the EARLIEST
+    interior touch so per-conversion credit sums to exactly 10000.
+
+    Rolled up by the click's day-of-week (the channel proxy in this
+    schema) — bounded 7-row output. Scale: one user-keyed equi-join of
+    clicks to the 1-per-user first-purchase mark, one user-partitioned
+    window pass (groups bounded by per-user click volume), one 7-key
+    aggregate. Total order inside the window is (ts, event_id).
+    """
+    p0 = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p0"))
+    )
+    touches = (
+        events.where(F.col("event_type") == "click")
+        .join(p0, "user_id")
+        .where(F.col("ts") <= F.col("p0"))
+        .select("user_id", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = touches.select(
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("user_id")
+        ).alias("n"),
+    )
+    credit = F.expr(
+        "CASE WHEN n = 1 THEN 10000 "
+        "WHEN n = 2 THEN 5000 "
+        "WHEN rn = 1 OR rn = n THEN 4000 "
+        "ELSE 2000 div (n - 2) "
+        "     + CASE WHEN rn = 2 THEN 2000 % (n - 2) ELSE 0 END END"
+    )
+    return (
+        ranked.select(
+            F.dayofweek("ts").cast("long").alias("click_dow"),
+            credit.cast("long").alias("credit_bp"),
+        )
+        .groupBy("click_dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_bp").cast("long").alias("credit_bp_total"),
+        )
+    )

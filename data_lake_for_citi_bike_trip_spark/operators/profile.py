@@ -1142,3 +1142,114 @@ def psi_value_drift(events: DataFrame, n_bins: int = 10) -> DataFrame:
         .cast("long")
         .alias("psi_contrib_e6"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds in 2^-32 units: floor(cum * 2^32)
+# for k = 0..5; a 32-bit md5-uniform below threshold[k] draws weight k,
+# anything above the last takes 6 (P > 6 is ~1e-4 — truncation is part
+# of the contract, replayed identically by the oracle).
+_POISSON1_CUM_E32 = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+)
+
+
+def bootstrap_mean_ci(orders: DataFrame, b_reps: int = 32) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value —
+    THE resampling scheme that actually distributes: a classic
+    multinomial bootstrap needs the global row count per replicate, but
+    Poisson(1) per-row weights are independent, so all ``b_reps``
+    replicates stream through ONE scan with a map-side expand and a
+    B-row aggregate (the shape production systems use at petabyte
+    scale precisely because no coordination crosses rows).
+
+    Fully deterministic and oracle-replayable: the weight for (row,
+    replicate) is the Poisson(1) inverse CDF applied to a 32-bit
+    md5-uniform of ``orderkey:rep`` (thresholds hardcoded in 2^-32
+    units above — no engine RNG anywhere). Replicate means are exact
+    ``sum(w*cents) div sum(w)``; the CI reads value-at-rank over the
+    B sorted means (the funnel-quartile convention), so every output
+    cell is a BIGINT.
+
+    Scale: expand is x B on the scanned rows but collapses immediately
+    into a per-partition partial aggregate keyed by replicate — the
+    shuffle carries at most B rows per task. The B-row window sort is
+    bounded by b_reps.
+    """
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    point = base.agg(
+        F.expr("sum(cents) div count(1)").alias("point_cents")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("k").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    c = _POISSON1_CUM_E32
+    w_expr = (
+        F.when(u < c[0], 0)
+        .when(u < c[1], 1)
+        .when(u < c[2], 2)
+        .when(u < c[3], 3)
+        .when(u < c[4], 4)
+        .when(u < c[5], 5)
+        .otherwise(6)
+        .cast("long")
+    )
+    reps = (
+        base.select(
+            "k",
+            "cents",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(b_reps - 1))
+            ).alias("b"),
+        )
+        .select("b", F.col("cents"), w_expr.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select("b", F.expr("swc div sw").alias("mean_cents"))
+    )
+    wr = Window.orderBy("mean_cents", "b")
+    ranked = reps.select(
+        F.col("mean_cents"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    def pick(q: int) -> Column:
+        # value-at-rank convention: rn = (n-1)*q div 100 + 1, all ints
+        return F.expr(
+            f"max(CASE WHEN rn = (nb - 1) * {q} div 100 + 1 "
+            "THEN mean_cents END)"
+        ).cast("long")
+
+    return (
+        ranked.agg(
+            F.max("nb").cast("long").alias("n_reps"),
+            pick(5).alias("lo_cents"),
+            pick(50).alias("mid_cents"),
+            pick(95).alias("hi_cents"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select("n_reps", "point_cents", "lo_cents", "mid_cents", "hi_cents")
+    )

@@ -759,3 +759,93 @@ def crosscorr_daily(
         .cast("long")
         .alias("corr_bp"),
     )
+
+
+def mann_kendall_trend(events: DataFrame) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type over the DAILY
+    revenue series — the nonparametric complement to theil_sen_slope
+    (same pairwise-over-days structure; theil_sen estimates the slope,
+    Mann-Kendall decides whether a monotonic trend exists at all):
+    S = sum over day pairs i<j of sign(v_j - v_i), with the
+    tie-corrected normal approximation
+    var = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18 and the standard
+    continuity correction (S-1 or S+1 toward zero).
+
+    Exact-integer discipline: S, n, and the var numerator (var18) are
+    BIGINT; only the final z is one IEEE double expression floored to
+    e6. Degenerate series (var18 = 0: a single day, or all days tied)
+    are filtered, not emitted as NaN.
+
+    Scale: the pairwise join is keyed on event_type and quadratic only
+    in the CALENDAR-bounded per-type day count (the theil_sen max_days
+    argument made into the same contract: ~90 days -> ~4k pairs per
+    type). Daily aggregation is one keyed groupBy; tie groups are one
+    more histogram-grain aggregate. No cross join anywhere.
+    """
+    daily = (
+        events.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+        )
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("1970-01-01")).cast("long").alias("x"),
+            "v",
+        )
+    )
+    a = daily.select(
+        "event_type", F.col("x").alias("x1"), F.col("v").alias("v1")
+    )
+    b = daily.select(
+        "event_type", F.col("x").alias("x2"), F.col("v").alias("v2")
+    )
+    s_stat = (
+        a.join(b, "event_type")
+        .where(F.col("x1") < F.col("x2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("v2") - F.col("v1")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = s_stat.join(n_days, "event_type").join(ties, "event_type")
+    var18 = F.expr(
+        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"
+    )
+    # continuity correction toward zero; one double expression at the end
+    z = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+        .cast("double")
+        / F.sqrt(var18.cast("double") / F.lit(18.0))
+    )
+    return (
+        j.withColumn("var18", var18.cast("long"))
+        .where(F.col("var18") > 0)
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "var18",
+            F.floor(F.lit(1_000_000.0) * z).cast("long").alias("z_e6"),
+        )
+    )

@@ -5970,3 +5970,164 @@ GROUP BY 1, 2, 3
 ORDER BY n DESC, t1, t2, t3
 LIMIT 20
 """
+
+
+# operators/analytics.py:prorate_order_total — Hamilton largest-remainder
+# allocation replayed window-for-window; all-integer so the hash is exact.
+PRORATE_ORDER_TOTAL = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+  FROM lineitem
+),
+tot AS (
+  SELECT o_orderkey AS l_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS t
+  FROM orders
+),
+j AS (
+  SELECT li.l_orderkey, li.l_linenumber, li.w, tot.t,
+         sum(li.w) OVER (PARTITION BY li.l_orderkey) AS wsum
+  FROM li JOIN tot USING (l_orderkey)
+),
+k AS (
+  SELECT *, (t * w) // wsum AS base, (t * w) % wsum AS rem FROM j
+),
+m AS (
+  SELECT *,
+         t - sum(base) OVER (PARTITION BY l_orderkey) AS deficit,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY rem DESC, l_linenumber) AS rn
+  FROM k
+)
+SELECT l_orderkey, l_linenumber,
+       w AS line_cents, t AS order_cents,
+       CAST(base + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_cents
+FROM m
+"""
+
+
+# operators/behavior.py:position_attribution — U-shaped credit replay;
+# DuckDB dayofweek is Spark's minus one (the calendar-extract rule).
+POSITION_ATTRIBUTION = """
+WITH p0 AS (
+  SELECT user_id, min(ts) AS p0
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+touches AS (
+  SELECT e.user_id, e.ts, e.event_id
+  FROM events e JOIN p0 ON e.user_id = p0.user_id
+  WHERE e.event_type = 'click' AND e.ts <= p0.p0
+),
+ranked AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM touches
+)
+SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS click_dow,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(sum(CASE WHEN n = 1 THEN 10000
+                     WHEN n = 2 THEN 5000
+                     WHEN rn = 1 OR rn = n THEN 4000
+                     ELSE 2000 // (n - 2)
+                          + CASE WHEN rn = 2 THEN 2000 % (n - 2)
+                                 ELSE 0 END END) AS BIGINT)
+         AS credit_bp_total
+FROM ranked GROUP BY 1
+"""
+
+
+# operators/profile.py:bootstrap_mean_ci — the Poisson(1) weights are a
+# pure function of md5(orderkey:rep), so the whole resampling procedure
+# replays cell-for-cell; thresholds are the identical hardcoded 2^-32
+# integers.
+BOOTSTRAP_MEAN_CI = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+point AS (SELECT sum(cents) // COUNT(*) AS point_cents FROM base),
+reps AS (
+  SELECT b.b, base.cents,
+         CAST('0x' || substr(md5(CAST(base.k AS VARCHAR) || ':'
+                                 || CAST(b.b AS VARCHAR)), 1, 8)
+              AS BIGINT) AS u
+  FROM base CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+),
+weighted AS (
+  SELECT b, cents,
+         CASE WHEN u < 1580030168 THEN 0
+              WHEN u < 3160060337 THEN 1
+              WHEN u < 3950075421 THEN 2
+              WHEN u < 4213413783 THEN 3
+              WHEN u < 4279248373 THEN 4
+              WHEN u < 4292415291 THEN 5
+              ELSE 6 END AS w
+  FROM reps
+),
+m AS (
+  SELECT b, sum(w * cents) // sum(w) AS mean_cents
+  FROM weighted GROUP BY b HAVING sum(w) > 0
+),
+ranked AS (
+  SELECT b, mean_cents,
+         row_number() OVER (ORDER BY mean_cents, b) AS rn,
+         COUNT(*) OVER () AS nb
+  FROM m
+)
+SELECT CAST(max(nb) AS BIGINT) AS n_reps,
+       CAST(max(point_cents) AS BIGINT) AS point_cents,
+       CAST(max(CASE WHEN rn = (nb - 1) * 5 // 100 + 1
+                     THEN mean_cents END) AS BIGINT) AS lo_cents,
+       CAST(max(CASE WHEN rn = (nb - 1) * 50 // 100 + 1
+                     THEN mean_cents END) AS BIGINT) AS mid_cents,
+       CAST(max(CASE WHEN rn = (nb - 1) * 95 // 100 + 1
+                     THEN mean_cents END) AS BIGINT) AS hi_cents
+FROM ranked CROSS JOIN point
+"""
+
+
+# operators/timeseries.py:mann_kendall_trend — S, n, tie term, and the
+# var numerator are exact BIGINTs; z is the one shared IEEE expression.
+MANN_KENDALL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS x,
+         sum(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+s AS (
+  SELECT a.event_type,
+         CAST(sum(sign(b.v - a.v)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.x < b.x
+  GROUP BY 1
+),
+n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, v, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT s.event_type, n.n_days, s.s_stat,
+       CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+            AS BIGINT) AS var18,
+       CAST(floor(1000000.0
+         * (CASE WHEN s_stat > 0 THEN s_stat - 1
+                 WHEN s_stat < 0 THEN s_stat + 1
+                 ELSE 0 END
+            / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                        - tie_term AS DOUBLE) / 18.0)))
+         AS BIGINT) AS z_e6
+FROM s JOIN n USING (event_type) JOIN ties USING (event_type)
+WHERE n_days * (n_days - 1) * (2 * n_days + 5) - tie_term > 0
+"""

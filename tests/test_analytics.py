@@ -346,3 +346,26 @@ def test_business_lead_time_weekday_walk(spark):
     r = an.business_lead_time(orders, li).first()
     # bdays: Fri->Mon = 1; Fri->Fri(+7) = 5; same day = 0 -> total 6
     assert (r.n_orders, r.total_bdays, r.mean_bdays_e2) == (3, 6, 200)
+
+
+def test_prorate_largest_remainder_exact_sum(spark):
+    """1000 cents over three equal 333-cent lines: bases 333 each,
+    deficit 1 goes to the lowest line number; allocations always sum
+    to the order total."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    orders = spark.createDataFrame(
+        [(1, 10.00), (2, 7.77)], "o_orderkey long, o_totalprice double"
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 3.33), (1, 2, 3.33), (1, 3, 3.33),
+         (2, 1, 5.00), (2, 2, 2.50)],
+        "l_orderkey long, l_linenumber int, l_extendedprice double",
+    )
+    rows = {(r.l_orderkey, r.l_linenumber): r.alloc_cents
+            for r in an.prorate_order_total(orders, li).collect()}
+    assert rows[(1, 1)] == 334 and rows[(1, 2)] == 333 and rows[(1, 3)] == 333
+    # order 2: t=777, W=750; bases 518, 259 (sum 777, deficit 0)
+    assert rows[(2, 1)] == 518 and rows[(2, 2)] == 259
+    assert sum(v for (o, _), v in rows.items() if o == 1) == 1000
+    assert sum(v for (o, _), v in rows.items() if o == 2) == 777

@@ -307,3 +307,23 @@ def test_gini_equal_vs_concentrated(spark):
     # n=2, S=1000, ranks 1 and 2: G = (2*(1*1 + 2*999) - 3*1000)/(2*1000)
     expect = (2 * (1 * 1 + 2 * 999) - 3 * 1000) / (2 * 1000)
     assert r2.gini_e6 == int(expect * 1_000_000)
+
+
+def test_bootstrap_ci_deterministic_and_ordered(spark):
+    """The Poisson bootstrap is a pure function of the keys: two runs
+    hash-identical; ranks ordered lo <= mid <= hi around the point
+    estimate's neighborhood; n_reps = 32."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    orders = spark.createDataFrame(
+        [(k, 100.0 + (k % 7)) for k in range(200)],
+        "o_orderkey long, o_totalprice double",
+    )
+    a = profile.bootstrap_mean_ci(orders).collect()[0]
+    b = profile.bootstrap_mean_ci(orders).collect()[0]
+    assert a == b
+    assert a.n_reps == 32
+    assert a.lo_cents <= a.mid_cents <= a.hi_cents
+    # all order values are 10000..10600 cents: every replicate mean too
+    assert 10000 <= a.lo_cents and a.hi_cents <= 10600
+    assert 10000 <= a.point_cents <= 10600

@@ -305,3 +305,54 @@ def test_rfm_scores_orientation_and_ties(spark):
     assert got[10] == "555"  # freshest (recency 0), most frequent, biggest
     assert got[1] == "111"   # stalest, least frequent, smallest
     assert got[5][1] == "3"  # middle quintile for frequency
+
+
+def test_position_attribution_credit_shapes(spark):
+    """n=1 -> 10000; n=2 -> 5000/5000; n=5 -> 4000 + (668,666,666) +
+    4000, remainder pinned to the earliest interior touch; every
+    conversion's credit sums to exactly 10000."""
+    rows = []
+    # user 1: one click then purchase (all on a Monday)
+    rows += [(0, "2024-01-01 10:00:00", 1, "click"),
+             (1, "2024-01-01 11:00:00", 1, "purchase")]
+    # user 2: two clicks then purchase
+    rows += [(2, "2024-01-01 10:00:00", 2, "click"),
+             (3, "2024-01-01 10:30:00", 2, "click"),
+             (4, "2024-01-01 11:00:00", 2, "purchase")]
+    # user 3: five clicks then purchase; clicks after purchase ignored
+    rows += [(5 + i, f"2024-01-01 10:0{i}:00", 3, "click")
+             for i in range(5)]
+    rows += [(10, "2024-01-01 11:00:00", 3, "purchase"),
+             (11, "2024-01-01 12:00:00", 3, "click")]
+    out = behavior.position_attribution(_events(spark, rows)).collect()
+    # all clicks are Monday -> Spark dayofweek = 2 -> one output row
+    assert len(out) == 1
+    r = out[0]
+    assert r.click_dow == 2
+    assert r.n_touches == 8
+    # 10000 (u1) + 10000 (u2) + 10000 (u3); u3 = 4000+668+666+666+4000
+    assert r.credit_bp_total == 30000
+
+
+def test_position_attribution_interior_remainder(spark):
+    """The 2000-bp interior pool divides 668/666/666 for n=5 (remainder
+    2 to the earliest interior click)."""
+    rows = [(i, f"2024-01-01 10:0{i}:00", 7, "click") for i in range(5)]
+    rows.append((9, "2024-01-01 11:00:00", 7, "purchase"))
+    df = _events(spark, rows)
+    from pyspark.sql import Window
+    p0 = (df.where(F.col("event_type") == "purchase")
+            .groupBy("user_id").agg(F.min("ts").alias("p0")))
+    touches = (df.where(F.col("event_type") == "click")
+                 .join(p0, "user_id").where(F.col("ts") <= F.col("p0")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = touches.select(
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"))
+    credits = sorted(
+        (r.rn, (10000 if r.n == 1 else 5000 if r.n == 2 else
+                4000 if r.rn in (1, r.n) else
+                2000 // (r.n - 2) + (2000 % (r.n - 2) if r.rn == 2 else 0)))
+        for r in ranked.collect())
+    assert [c for _, c in credits] == [4000, 668, 666, 666, 4000]
+    assert sum(c for _, c in credits) == 10000

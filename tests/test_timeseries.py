@@ -322,3 +322,28 @@ def test_crosscorr_detects_shifted_series(spark):
     assert out[2] == 10000
     assert max(out, key=lambda k: out[k]) == 2
     assert out[0] < 10000
+
+
+def test_mann_kendall_monotonic_and_tied(spark):
+    """Strictly increasing 4-day series: S=6, var18=156, z_e6 pinned
+    from the closed form; an all-tied series is filtered (var18=0)."""
+    import math
+
+    from data_lake_for_citi_bike_trip_spark.operators import timeseries as tsm
+
+    rows = []
+    # type 'up': values 1,2,3,4 cents across 4 days
+    for d, v in enumerate([0.01, 0.02, 0.03, 0.04]):
+        rows.append((d, f"2024-01-0{d+1} 00:00:00", 1, "up", v))
+    # type 'flat': identical every day -> tie_term == n term -> filtered
+    for d in range(4):
+        rows.append((10 + d, f"2024-01-0{d+1} 00:00:00", 1, "flat", 0.05))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"),
+             "user_id", "event_type", "value")
+    out = {r.event_type: r for r in tsm.mann_kendall_trend(df).collect()}
+    assert "flat" not in out
+    r = out["up"]
+    assert r.s_stat == 6 and r.n_days == 4 and r.var18 == 156
+    assert r.z_e6 == math.floor(1_000_000.0 * (5 / math.sqrt(156 / 18.0)))
