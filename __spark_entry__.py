@@ -1877,6 +1877,39 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.mann_kendall_trend(load_table(spark, sf_dir, "events"))
 
 
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted lower median of extended price per return
+    flag — histogram + cumulative-weight construction."""
+    return profile.weighted_median_price(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits, e9) between event type and weekday —
+    per-cell floored contributions summed as integers."""
+    return profile.mutual_information(load_table(spark, sf_dir, "events"))
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: distinct market segments per QI class, the
+    homogeneity-attack screen after k-anonymity."""
+    from data_lake_for_citi_bike_trip_spark.operators import governance
+
+    return governance.l_diversity(load_table(spark, sf_dir, "customer"))
+
+
+def q_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: purchase revenue by first-seen month and
+    cohort age, with the cumulative curve."""
+    return behavior.ltv_cohort(load_table(spark, sf_dir, "events"))
+
+
+def q_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL multiset semantics over open vs
+    urgent order custkeys, re-aggregated to visible multiplicities."""
+    return sqlsurface.bag_setops(load_table(spark, sf_dir, "orders"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -2793,6 +2826,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_attribution": q_position_attribution,
         "bootstrap_ci": q_bootstrap_ci,
         "mann_kendall": q_mann_kendall,
+        "weighted_median": q_weighted_median,
+        "mutual_information": q_mutual_information,
+        "l_diversity": q_l_diversity,
+        "ltv_cohort": q_ltv_cohort,
+        "bag_setops": q_bag_setops,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3070,6 +3108,11 @@ def oracle_sql() -> dict[str, str]:
         "position_attribution": oracles.POSITION_ATTRIBUTION,
         "bootstrap_ci": oracles.BOOTSTRAP_MEAN_CI,
         "mann_kendall": oracles.MANN_KENDALL,
+        "weighted_median": oracles.WEIGHTED_MEDIAN_PRICE,
+        "mutual_information": oracles.MUTUAL_INFORMATION,
+        "l_diversity": oracles.L_DIVERSITY,
+        "ltv_cohort": oracles.LTV_COHORT,
+        "bag_setops": oracles.BAG_SETOPS,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

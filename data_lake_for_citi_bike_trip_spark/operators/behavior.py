@@ -900,3 +900,57 @@ def position_attribution(events: DataFrame) -> DataFrame:
             F.sum("credit_bp").cast("long").alias("credit_bp_total"),
         )
     )
+
+
+def ltv_cohort(events: DataFrame) -> DataFrame:
+    """Cohort lifetime-value triangle: users grouped by FIRST-SEEN
+    week, purchase revenue accumulated by cohort age in weeks — the
+    curve that says whether newer cohorts monetize faster or slower
+    than older ones (cohort_retention counts presence; this follows
+    the money). cum_rev_cents is the running total down each cohort's
+    age axis. Weekly grain because the cohort axis must be finer than
+    the corpus time span to produce a triangle (a monthly cohort over
+    a one-month corpus is a single vacuous cell — the scale-aware
+    threshold lesson applied to grain).
+
+    Scale: one user-grain first-seen aggregate joined back on user_id
+    (the only corpus-sized shuffle), then a (cohort, age) aggregate
+    and a window over ages — both calendar-bounded. Exact cents
+    throughout; week index = epoch-days div 7, plain integers on both
+    engines.
+    """
+    wk = lambda c: F.expr(  # noqa: E731 — epoch-week index
+        f"datediff({c}, DATE '1970-01-01') div 7"
+    ).cast("long")
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    ).select("user_id", wk("first_day").alias("cohort_w"))
+    weekly = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("w", wk("day"))
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_w", (F.col("w") - F.col("cohort_w")).alias("age_weeks")
+        )
+        .agg(
+            F.sum("cents").alias("rev_cents"),
+            F.count_distinct("user_id").alias("n_buyers"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_w")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.select(
+        "cohort_w",
+        "age_weeks",
+        "n_buyers",
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+    )

@@ -176,3 +176,40 @@ def cogroup_reconcile(
         .cogroup(o.groupBy("shard"))
         .applyInPandas(merge, schema=COGROUP_RECONCILE_SCHEMA)
     )
+
+
+def l_diversity(customer: DataFrame, l_min: int = 2) -> DataFrame:
+    """l-diversity audit — k_anonymity's necessary second check: a
+    class can be large (k-safe) yet still leak if every member shares
+    the SAME sensitive value (homogeneity attack). Quasi-identifiers
+    here are (nation, $100-balance-band) — finer than k_anonymity's
+    $1000 band so class sizes (and therefore l) stay distributionally
+    interesting at every scale; the sensitive attribute is market
+    segment; l = distinct sensitive values per class.
+
+    Emits one row per (class_size-band, l): how many classes and
+    people sit at that exposure, plus the failing flag (l < l_min).
+    Two keyed aggregates + one bounded histogram rollup — same
+    two-shuffle shape as k_anonymity at any scale. Balance bands use
+    the shifted non-negative floor division so both engines band
+    identically."""
+    cls = customer.groupBy(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.expr(
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 10000"
+        ).alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct("c_mktsegment").alias("l_div"),
+    )
+    return cls.groupBy("l_div").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_people"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+    ).select(
+        "l_div",
+        "n_classes",
+        "n_people",
+        "min_class_size",
+        (F.col("l_div") < l_min).alias("fails_l"),
+    )

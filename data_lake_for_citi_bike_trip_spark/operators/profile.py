@@ -1253,3 +1253,95 @@ def bootstrap_mean_ci(orders: DataFrame, b_reps: int = 32) -> DataFrame:
         .crossJoin(F.broadcast(point))
         .select("n_reps", "point_cents", "lo_cents", "mid_cents", "hi_cents")
     )
+
+
+def weighted_median_price(lineitem: DataFrame) -> DataFrame:
+    """Weighted LOWER median of extended price per return flag, with
+    quantity as the weight — "the price at which half the shipped
+    UNITS sit below" (the unweighted median answers rows, not units;
+    procurement and pricing teams want units). Histogram construction
+    all the way down: group to (flag, cents) cells with summed integer
+    weights, one cumulative window over the value domain per flag, and
+    the median is the first cell where 2*cum_weight >= total_weight
+    (lower convention, same as feature_quartiles).
+
+    Scale: the value-domain histogram is bounded by distinct prices,
+    not rows; the window partitions by flag over that bounded domain.
+    All-integer (quantities are integral in this schema; the contract
+    rounds them to BIGINT units).
+    """
+    hist = lineitem.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).agg(
+        F.sum(F.round("l_quantity").cast("long")).alias("wt")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wt").over(w).alias("cum_wt"),
+        F.sum("wt").over(tot).alias("total_wt"),
+    )
+    return (
+        cum.where(2 * F.col("cum_wt") >= F.col("total_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").cast("long").alias("wmedian_cents"),
+            F.max("total_wt").cast("long").alias("total_units"),
+        )
+    )
+
+
+def mutual_information(events: DataFrame) -> DataFrame:
+    """Mutual information between event type and day-of-week in e9
+    units — the information-theoretic complement to chisq_independence
+    (chi-square asks "is there association?"; MI measures HOW MANY
+    BITS one variable reveals about the other, the feature-selection
+    number). I(X;Y) = sum_ij p_ij * log2(p_ij / (p_i p_j)).
+
+    Exactness: every margin and cell count is exact BIGINT; each
+    cell's contribution is ONE shared IEEE double expression floored
+    to e9 BEFORE the sum, so the aggregate is an integer sum over at
+    most |types| x 7 cells — no float fold-order anywhere.
+
+    Scale: one contingency aggregate (map-side combinable), two
+    enum-bounded margin aggregates broadcast back (type enum x
+    calendar — provably bounded sides, hints allowed by the
+    broadcast rule), 35-cell final rollup.
+    """
+    base = events.select(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    )
+    cells = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    mt = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("ni"))
+    md = base.groupBy("dow").agg(F.count(F.lit(1)).alias("nj"))
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    contrib = F.floor(
+        F.lit(1_000_000_000.0)
+        * (F.col("nij").cast("double") / F.col("n"))
+        * F.log2(
+            F.col("nij").cast("double")
+            * F.col("n")
+            / (F.col("ni").cast("double") * F.col("nj"))
+        )
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(mt), "event_type")
+        .join(F.broadcast(md), "dow")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(contrib).cast("long").alias("mi_e9"),
+        )
+    )

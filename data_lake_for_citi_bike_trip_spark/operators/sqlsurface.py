@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
 
@@ -1017,4 +1018,34 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS sum_floor_per_bucket
         FROM derived
         """
+    )
+
+
+def bag_setops(orders: DataFrame) -> DataFrame:
+    """Multiset INTERSECT ALL / EXCEPT ALL — the bag-semantics half of
+    the set-operator surface (the DISTINCT forms elsewhere in this
+    module collapse duplicates; billing-style reconciliations need
+    multiplicities kept). Bag A = custkeys of open orders, bag B =
+    custkeys of urgent orders; ``intersectAll`` keeps min(multA,
+    multB) copies per key, ``exceptAll`` keeps multA - multB. Both
+    results are tagged, unioned, and re-aggregated to (op, custkey,
+    multiplicity) so the duplicate-preserving semantics are directly
+    visible in the hash.
+
+    Scale: Spark plans both as a single aggregate computing per-key
+    counts on each side then replicating rows — one shuffle per
+    operator on the key, no row explosion beyond the surviving
+    multiplicities."""
+    a = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    only_a = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    return (
+        both.unionByName(only_a)
+        .groupBy("op", "custkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
     )

@@ -6131,3 +6131,129 @@ SELECT s.event_type, n.n_days, s.s_stat,
 FROM s JOIN n USING (event_type) JOIN ties USING (event_type)
 WHERE n_days * (n_days - 1) * (2 * n_days + 5) - tie_term > 0
 """
+
+
+# operators/profile.py:weighted_median_price — histogram + cumulative
+# weight replay; lower-median convention (first cell with 2*cum >= tot).
+WEIGHTED_MEDIAN_PRICE = """
+WITH hist AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wt
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, cents,
+         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_wt,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS total_wt
+  FROM hist
+)
+SELECT l_returnflag,
+       CAST(min(cents) AS BIGINT) AS wmedian_cents,
+       CAST(max(total_wt) AS BIGINT) AS total_units
+FROM cum WHERE 2 * cum_wt >= total_wt
+GROUP BY 1
+"""
+
+
+# operators/profile.py:mutual_information — per-cell contribution is
+# floored to e9 BEFORE the integer sum; margins are exact BIGINTs.
+# DuckDB dayofweek = Spark's minus one; only relative grouping matters
+# here so the +1 shift is applied for cell identity consistency only.
+MUTUAL_INFORMATION = """
+WITH base AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow FROM events
+),
+cells AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM base GROUP BY 1, 2
+),
+mt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ni FROM base GROUP BY 1
+),
+md AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS nj FROM base GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base)
+SELECT CAST(max(n.n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(sum(CAST(floor(1000000000.0
+         * (CAST(nij AS DOUBLE) / n.n)
+         * log2(CAST(nij AS DOUBLE) * n.n
+                / (CAST(ni AS DOUBLE) * nj))) AS BIGINT)) AS BIGINT)
+         AS mi_e9
+FROM cells
+JOIN mt USING (event_type)
+JOIN md USING (dow)
+CROSS JOIN n
+"""
+
+
+# operators/governance.py:l_diversity — distinct sensitive values per
+# (nation, balance-band) class; histogram over l.
+L_DIVERSITY = """
+WITH cls AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000
+           AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+  FROM customer GROUP BY 1, 2
+)
+SELECT l_div,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_people,
+       CAST(min(class_size) AS BIGINT) AS min_class_size,
+       l_div < 2 AS fails_l
+FROM cls GROUP BY 1
+"""
+
+
+# operators/behavior.py:ltv_cohort — first-seen month cohorts, purchase
+# cents by age, running cumulative down the age axis.
+LTV_COHORT = """
+WITH first AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(min(ts) AS DATE))
+              // 7 AS BIGINT) AS cohort_w
+  FROM events GROUP BY 1
+),
+weekly AS (
+  SELECT f.cohort_w,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE))
+              // 7 AS BIGINT) - f.cohort_w AS age_weeks,
+         CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_buyers
+  FROM events e JOIN first f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT cohort_w, age_weeks, n_buyers, rev_cents,
+       CAST(sum(rev_cents) OVER (PARTITION BY cohort_w ORDER BY age_weeks
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_rev_cents
+FROM weekly
+"""
+
+
+# operators/sqlsurface.py:bag_setops — INTERSECT ALL keeps min(mult),
+# EXCEPT ALL keeps the multiplicity difference; re-aggregated so the
+# bag semantics land in the hash.
+BAG_SETOPS = """
+WITH a AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+),
+b AS (
+  SELECT o_custkey AS custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+tagged AS (
+  SELECT 'intersect_all' AS op, custkey
+  FROM (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
+  UNION ALL
+  SELECT 'except_all' AS op, custkey
+  FROM (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)
+)
+SELECT op, custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM tagged GROUP BY 1, 2
+"""

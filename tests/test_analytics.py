@@ -369,3 +369,21 @@ def test_prorate_largest_remainder_exact_sum(spark):
     assert rows[(2, 1)] == 518 and rows[(2, 2)] == 259
     assert sum(v for (o, _), v in rows.items() if o == 1) == 1000
     assert sum(v for (o, _), v in rows.items() if o == 2) == 777
+
+
+def test_bag_setops_multiplicities(spark):
+    """custkey 1: A has 3 open, B has 1 urgent -> intersect keeps 1,
+    except keeps 2; custkey 2 only in A -> except only."""
+    from data_lake_for_citi_bike_trip_spark.operators import sqlsurface
+
+    orders = spark.createDataFrame(
+        [(1, 1, "O", "5-LOW"), (2, 1, "O", "5-LOW"), (3, 1, "O", "5-LOW"),
+         (4, 1, "F", "1-URGENT"),
+         (5, 2, "O", "3-MEDIUM"),
+         (6, 3, "F", "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_orderpriority string",
+    )
+    got = {(r.op, r.custkey): r.multiplicity
+           for r in sqlsurface.bag_setops(orders).collect()}
+    assert got == {("intersect_all", 1): 1, ("except_all", 1): 2,
+                   ("except_all", 2): 1}

@@ -327,3 +327,47 @@ def test_bootstrap_ci_deterministic_and_ordered(spark):
     # all order values are 10000..10600 cents: every replicate mean too
     assert 10000 <= a.lo_cents and a.hi_cents <= 10600
     assert 10000 <= a.point_cents <= 10600
+
+
+def test_weighted_median_units_not_rows(spark):
+    """Three rows (100c x1), (200c x1), (300c x10): the ROW median is
+    200 but 12 units put the unit-weighted median at 300."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    li = spark.createDataFrame(
+        [("A", 1.00, 1.0), ("A", 2.00, 1.0), ("A", 3.00, 10.0),
+         ("B", 5.00, 2.0), ("B", 7.00, 2.0)],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    got = {r.l_returnflag: (r.wmedian_cents, r.total_units)
+           for r in profile.weighted_median_price(li).collect()}
+    assert got["A"] == (300, 12)
+    # B: cum at 500c is 2 of 4 -> 2*2 >= 4 -> lower median 500
+    assert got["B"] == (500, 4)
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    """A perfectly dependent 2x2 table has MI = 1 bit; an independent
+    uniform table has MI = 0 (cellwise floor makes tiny negatives
+    impossible at exact independence)."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    # dependent: type 'a' only on Monday(2024-01-01), 'b' only on Tuesday
+    dep = spark.createDataFrame(
+        [(i, "2024-01-01 10:00:00", 1, "a", 1.0) for i in range(4)]
+        + [(4 + i, "2024-01-02 10:00:00", 1, "b", 1.0) for i in range(4)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    r = profile.mutual_information(dep).collect()[0]
+    assert r.n_rows == 8 and r.n_cells == 2
+    assert r.mi_e9 == 1_000_000_000  # exactly one bit
+    # independent: both types equally on both days
+    ind = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 2} 10:00:00", 1, "ab"[i // 2 % 2], 1.0)
+         for i in range(8)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    r2 = profile.mutual_information(ind).collect()[0]
+    assert r2.mi_e9 == 0

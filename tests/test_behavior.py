@@ -356,3 +356,28 @@ def test_position_attribution_interior_remainder(spark):
         for r in ranked.collect())
     assert [c for _, c in credits] == [4000, 668, 666, 666, 4000]
     assert sum(c for _, c in credits) == 10000
+
+
+def test_ltv_cohort_triangle_and_cumulative(spark):
+    """Two weekly cohorts; revenue lands on the right (cohort, age)
+    cell and the cumulative runs down the age axis."""
+    rows = [
+        # user 1 first seen week of Jan 1; buys week 0 and week 1
+        (0, "2024-01-01 10:00:00", 1, "purchase", 1.00),
+        (1, "2024-01-09 10:00:00", 1, "purchase", 2.00),
+        # user 2 first seen (view) Jan 2, buys a week later
+        (2, "2024-01-02 10:00:00", 2, "view", 0.0),
+        (3, "2024-01-10 10:00:00", 2, "purchase", 4.00),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    out = {(r.cohort_w, r.age_weeks): (r.n_buyers, r.rev_cents, r.cum_rev_cents)
+           for r in behavior.ltv_cohort(df).collect()}
+    # Jan 1 2024 and Jan 2 are the same epoch week (w = 2817); Jan 9/10
+    # are the next. Both users share the cohort.
+    [(c0, a0)] = [k for k in out if k[1] == 0]
+    assert out[(c0, 0)] == (1, 100, 100)
+    assert out[(c0, 1)] == (2, 600, 700)
