@@ -1910,6 +1910,39 @@ def q_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sqlsurface.bag_setops(load_table(spark, sf_dir, "orders"))
 
 
+
+def q_readability_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIX readability per source — words/sentences + 100*long/words,
+    exact integer e2, HOF codegen per row."""
+    return text_ops.readability_lix(load_table(spark, sf_dir, "documents"))
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into first-seen vs returning."""
+    return behavior.new_vs_returning(load_table(spark, sf_dir, "events"))
+
+
+def q_inactivity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days-since-last-event histogram with cumulative share — the
+    curve churn thresholds are read from (non-vacuous at any span)."""
+    return behavior.inactivity_profile(load_table(spark, sf_dir, "events"))
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label community propagation (3 synchronous rounds) over the
+    every-4th-order co-part graph; community sizes."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 4 == 0
+    )
+    return graph.label_propagation(graph.copart_edges(li))
+
+
+def q_melt_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot melted back to long via the DataFrame unpivot API;
+    equals the direct (day, type) aggregate."""
+    return analytics.melt_event_counts(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -2831,6 +2864,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "ltv_cohort": q_ltv_cohort,
         "bag_setops": q_bag_setops,
+        "readability_lix": q_readability_lix,
+        "new_vs_returning": q_new_vs_returning,
+        "inactivity_profile": q_inactivity_profile,
+        "label_propagation": q_label_propagation,
+        "melt_event_counts": q_melt_event_counts,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3113,6 +3151,11 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": oracles.L_DIVERSITY,
         "ltv_cohort": oracles.LTV_COHORT,
         "bag_setops": oracles.BAG_SETOPS,
+        "readability_lix": oracles.READABILITY_LIX,
+        "new_vs_returning": oracles.NEW_VS_RETURNING,
+        "inactivity_profile": oracles.INACTIVITY_PROFILE,
+        "label_propagation": oracles.LABEL_PROPAGATION,
+        "melt_event_counts": oracles.MELT_EVENT_COUNTS,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1012,3 +1012,34 @@ def prorate_order_total(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             ).alias("alloc_cents"),
         )
     )
+
+
+def melt_event_counts(events: DataFrame) -> DataFrame:
+    """Wide-to-long via the DataFrame ``unpivot``/``melt`` API — the
+    programmatic complement to the SQL ``stack()`` form elsewhere in
+    the surface (unpivot_event_counts): pivot the daily type counts
+    wide, then melt them back to (day, metric, n) rows. Spark plans
+    the melt as an Expand (one output row per value column per input
+    row) — column-count-bounded multiplication over day-grain rows,
+    never corpus-grain.
+
+    Zero-count cells are dropped after the melt so the long form
+    equals the direct (day, type) aggregate — losslessness visible in
+    the hash.
+    """
+    day = F.to_date("ts").cast("string").alias("day")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"cnt_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    wide = events.groupBy(day).agg(*aggs)
+    return (
+        wide.unpivot(
+            ids=["day"],
+            values=[c for c in wide.columns if c.startswith("cnt_")],
+            variableColumnName="metric",
+            valueColumnName="n",
+        )
+        .where(F.col("n") > 0)
+        .select("day", "metric", F.col("n").cast("long").alias("n"))
+    )

@@ -954,3 +954,77 @@ def ltv_cohort(events: DataFrame) -> DataFrame:
         F.col("rev_cents").cast("long").alias("rev_cents"),
         F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
     )
+
+
+def new_vs_returning(events: DataFrame) -> DataFrame:
+    """Daily new-vs-returning split: of each day's active users, how
+    many are seen for the FIRST time — the growth-vs-retention
+    decomposition every DAU chart hides. A user is new on exactly one
+    day (their first), returning on every later active day.
+
+    Two user-keyed aggregates (first day, daily presence) and one
+    day-grain rollup — the join is on user_id only, no window needed.
+    new_share_bp is a truncating division over non-negative counts.
+    """
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    active = (
+        events.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .join(first, "user_id")
+    )
+    return (
+        active.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                (F.col("day") == F.col("first_day")).cast("long")
+            ).cast("long").alias("n_new"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+            F.expr("(10000 * n_new) div n_active").alias("new_share_bp"),
+        )
+    )
+
+
+def inactivity_profile(events: DataFrame) -> DataFrame:
+    """Inactivity histogram: every user bucketed by days since their
+    LAST event, measured against the corpus's own latest day (a 1-row
+    stat attach, the sanctioned broadcast) — the curve a churn
+    threshold is READ FROM, rather than a fixed "7 days" screen that
+    goes vacuous when the whole population is recently active (this
+    corpus's max observed inactivity is 2 days; a histogram is
+    non-vacuous at any scale or span, the scale-aware-threshold rule).
+
+    Emits per days_inactive: user count and the cumulative share in
+    bp from most-recent down — "X bp of users have been quiet <= d
+    days". One user-grain aggregate, one broadcast stat, one
+    day-domain histogram + a calendar-bounded cumulative window.
+    """
+    last = events.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day")
+    )
+    horizon = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+    hist = (
+        last.crossJoin(F.broadcast(horizon))
+        .groupBy(
+            F.datediff(F.col("max_day"), F.col("last_day"))
+            .cast("long")
+            .alias("days_inactive")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return hist.select(
+        "days_inactive",
+        "n_users",
+        F.expr(
+            "10000 * sum(n_users) OVER (ORDER BY days_inactive "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "div sum(n_users) OVER ()"
+        ).alias("cum_share_bp"),
+    )

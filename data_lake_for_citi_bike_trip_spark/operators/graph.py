@@ -420,3 +420,54 @@ def copurchase_weighted_edges(
             F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w"
         )
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Community detection by MIN-LABEL propagation, ``rounds``
+    synchronous rounds — the deterministic cousin of LPA (classic LPA
+    breaks ties randomly; min-label makes every round a pure
+    aggregate, so the oracle can replay it CTE-for-CTE, the
+    kcore_peel stance). After k rounds every vertex carries the
+    smallest vertex id within k hops; connected regions converge to
+    their component minimum, and the round bound keeps each step one
+    keyed join + one min-aggregate — the Pregel shape with a fixed
+    supersteps budget.
+
+    Emits per surviving label: member count and the label itself
+    (community sizes after round ``rounds``). Input edges are
+    canonical src < dst; propagation runs over the symmetrized list
+    plus self-loops (a vertex keeps its own label).
+    """
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .unionByName(
+            verts.select(
+                F.col("v").alias("src"), F.col("v").alias("dst")
+            )
+        )
+    )
+    labels = verts.select("v", F.col("v").alias("label"))
+    for _ in range(rounds):
+        labels = (
+            sym.join(
+                labels, F.col("src") == F.col("v")
+            )
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.min("label").alias("label"))
+            .select(F.col("v2").alias("v"), "label")
+        )
+        # lineage truncation: k joins stack otherwise (the bfs lesson)
+        labels = labels.localCheckpoint(eager=False)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

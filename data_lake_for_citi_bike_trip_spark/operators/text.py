@@ -535,3 +535,40 @@ def sentence_stats(docs: DataFrame) -> DataFrame:
             F.expr("(100 * total_chars) div n_sentences"),
         ).otherwise(F.lit(0).cast("long")),
     )
+
+
+def readability_lix(docs: DataFrame) -> DataFrame:
+    """LIX readability per source — the punctuation-and-length formula
+    (words/sentences + 100 * longwords/words) that needs no syllable
+    dictionary, which keeps it deterministic and cross-engine exact:
+    words are the [^a-z]+ split (the module's tokenizer convention),
+    long words are > 6 letters, sentences the [.!?]+ split used by
+    sentence_stats. Everything is HOF size()/filter() codegen per row
+    — no explode, no shuffle until the per-source rollup.
+
+    lix_e2 = (100*words) div sentences + (10000*long) div words, exact
+    integer per doc; docs without a word or a sentence are excluded
+    (0-denominator rows carry no readability signal). Emits per
+    source: doc count, truncating-mean lix_e2, and the max.
+    """
+    words = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+    sents = "filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> x != '')"
+    per = docs.select(
+        "source",
+        F.expr(f"size({words})").cast("long").alias("n_words"),
+        F.expr(
+            f"size(filter({words}, x -> length(x) > 6))"
+        ).cast("long").alias("n_long"),
+        F.expr(f"size({sents})").cast("long").alias("n_sentences"),
+    ).where((F.col("n_words") > 0) & (F.col("n_sentences") > 0))
+    lix = per.withColumn(
+        "lix_e2",
+        F.expr(
+            "(100 * n_words) div n_sentences + (10000 * n_long) div n_words"
+        ),
+    )
+    return lix.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(lix_e2) div count(1)").alias("mean_lix_e2"),
+        F.max("lix_e2").cast("long").alias("max_lix_e2"),
+    )

@@ -6257,3 +6257,119 @@ tagged AS (
 SELECT op, custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
 FROM tagged GROUP BY 1, 2
 """
+
+
+# operators/text.py:readability_lix — HOF word/sentence splits replayed
+# with DuckDB list functions; integer LIX per doc, truncating mean.
+READABILITY_LIX = r"""
+WITH per AS (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '' AND length(x) > 6))
+              AS BIGINT) AS n_long,
+         CAST(len(list_filter(
+               list_transform(string_split_regex(text, '[.!?]+'),
+                              x -> trim(x)), x -> x <> ''))
+              AS BIGINT) AS n_sentences
+  FROM documents
+),
+lix AS (
+  SELECT source,
+         (100 * n_words) // n_sentences + (10000 * n_long) // n_words
+           AS lix_e2
+  FROM per WHERE n_words > 0 AND n_sentences > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(sum(lix_e2) // COUNT(*) AS BIGINT) AS mean_lix_e2,
+       CAST(max(lix_e2) AS BIGINT) AS max_lix_e2
+FROM lix GROUP BY 1
+"""
+
+
+# operators/behavior.py:new_vs_returning — first-day split of daily
+# actives.
+NEW_VS_RETURNING = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day, f.first_day
+  FROM events e JOIN first f ON e.user_id = f.user_id
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(COUNT(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning,
+       (10000 * CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                     AS BIGINT)) // COUNT(*) AS new_share_bp
+FROM active GROUP BY 1
+"""
+
+
+# operators/behavior.py:inactivity_profile — days-since-last-event
+# histogram against the corpus max day, cumulative share in bp.
+INACTIVITY_PROFILE = """
+WITH last AS (
+  SELECT user_id, max(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY 1
+),
+horizon AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+hist AS (
+  SELECT CAST(date_diff('day', last_day, max_day) AS BIGINT)
+           AS days_inactive,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM last CROSS JOIN horizon GROUP BY 1
+)
+SELECT days_inactive, n_users,
+       10000 * sum(n_users) OVER (ORDER BY days_inactive
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         // sum(n_users) OVER () AS cum_share_bp
+FROM hist
+"""
+
+
+# operators/graph.py:label_propagation — three synchronous min-label
+# rounds unrolled CTE-for-CTE (the kcore_peel replay stance) over the
+# same every-4th-order co-part graph.
+LABEL_PROPAGATION = """
+WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+sym AS (
+  SELECT src, dst FROM e
+  UNION ALL SELECT dst AS src, src AS dst FROM e
+  UNION ALL SELECT v AS src, v AS dst FROM verts
+),
+l0 AS (SELECT v, v AS label FROM verts),
+l1 AS (SELECT s.dst AS v, min(l.label) AS label
+       FROM sym s JOIN l0 l ON s.src = l.v GROUP BY 1),
+l2 AS (SELECT s.dst AS v, min(l.label) AS label
+       FROM sym s JOIN l1 l ON s.src = l.v GROUP BY 1),
+l3 AS (SELECT s.dst AS v, min(l.label) AS label
+       FROM sym s JOIN l2 l ON s.src = l.v GROUP BY 1)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l3 GROUP BY 1
+"""
+
+
+# operators/analytics.py:melt_event_counts — the melted long form must
+# equal the direct (day, type) aggregate; metric carries the pivot
+# column name.
+MELT_EVENT_COUNTS = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       'cnt_' || event_type AS metric,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+GROUP BY 1, 2
+"""

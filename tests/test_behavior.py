@@ -381,3 +381,28 @@ def test_ltv_cohort_triangle_and_cumulative(spark):
     [(c0, a0)] = [k for k in out if k[1] == 0]
     assert out[(c0, 0)] == (1, 100, 100)
     assert out[(c0, 1)] == (2, 600, 700)
+
+
+def test_new_vs_returning_split(spark):
+    """User 1 active on two days: new on day 1, returning on day 2;
+    user 2 new on day 2."""
+    rows = [(0, "2024-01-01 10:00:00", 1, "view"),
+            (1, "2024-01-02 10:00:00", 1, "view"),
+            (2, "2024-01-02 11:00:00", 2, "view")]
+    out = {r.day: (r.n_active, r.n_new, r.n_returning, r.new_share_bp)
+           for r in behavior.new_vs_returning(_events(spark, rows)).collect()}
+    assert out["2024-01-01"] == (1, 1, 0, 10000)
+    assert out["2024-01-02"] == (2, 1, 1, 5000)
+
+
+def test_inactivity_profile_cumulative(spark):
+    """Last-seen gaps 0,0,2 days -> histogram rows (0,2),(2,1) with
+    cumulative 6666 then 10000 bp."""
+    rows = [(0, "2024-01-01 10:00:00", 1, "view"),
+            (1, "2024-01-03 10:00:00", 1, "view"),
+            (2, "2024-01-03 11:00:00", 2, "view"),
+            (3, "2024-01-01 09:00:00", 3, "view")]
+    out = {r.days_inactive: (r.n_users, r.cum_share_bp)
+           for r in behavior.inactivity_profile(_events(spark, rows)).collect()}
+    assert out[0] == (2, 6666)
+    assert out[2] == (1, 10000)

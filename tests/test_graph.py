@@ -183,3 +183,18 @@ def test_sssp_weighted_prefers_cheap_two_hop(spark):
     assert got[7] == 3      # 2->5->3->7
     assert got[9] == 12     # 2->3(10)->7(1)->9(1): three edges exactly
     assert 11 not in got    # needs >= 4 edges on every path
+
+
+def test_label_propagation_two_components(spark):
+    """Two disjoint chains converge to their component minima within
+    3 rounds; sizes come back per label."""
+    from data_lake_for_citi_bike_trip_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # component min 1, size 4
+         (10, 11), (11, 12)],          # component min 10, size 3
+        "src long, dst long",
+    )
+    got = {r.label: r.n_members
+           for r in graph.label_propagation(edges).collect()}
+    assert got == {1: 4, 10: 3}

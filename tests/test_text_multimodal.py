@@ -331,3 +331,21 @@ def test_image_downsample_strides_and_sums(spark):
     assert (r.out_width, r.out_height) == (3, 2)
     assert r.down_pixel_sum == expect
     assert r.down_mean_e2 == 100 * expect // (3 * 2 * 3)
+
+
+def test_readability_lix_hand_computed(spark):
+    """'The cat sat. It ran.' -> 5 words, 2 sentences, 0 long words:
+    lix_e2 = 500//2 = 250; long words push the second term."""
+    from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. It ran.", "a"),
+         (2, "Extraordinary considerations dominate. Yes.", "b")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: (r.n_docs, r.mean_lix_e2)
+           for r in text_ops.readability_lix(docs).collect()}
+    assert got["a"] == (1, 250)
+    # doc 2: words [extraordinary, considerations, dominate, yes] = 4,
+    # long (>6) = 3, sentences 2 -> 400//2 + 30000//4 = 200 + 7500
+    assert got["b"] == (1, 7700)
