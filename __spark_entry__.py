@@ -1943,6 +1943,31 @@ def q_melt_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.melt_event_counts(load_table(spark, sf_dir, "events"))
 
 
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope over the top-256 corpus terms:
+    millibit log-log points, closed-form integer OLS."""
+    return text_ops.zipf_slope(load_table(spark, sf_dir, "documents"))
+
+
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent 3-itemsets: candidates from frequent pairs
+    only (downward closure), support over order baskets."""
+    return graph.frequent_triples(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick categorical encoding with per-bucket collision
+    visibility (md5-uniform, vocabulary-free)."""
+    return corpus.feature_hash_encode(load_table(spark, sf_dir, "customer"))
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value in exact e2 cents."""
+    return corpus.target_encode_loo(load_table(spark, sf_dir, "orders"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -2869,6 +2894,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inactivity_profile": q_inactivity_profile,
         "label_propagation": q_label_propagation,
         "melt_event_counts": q_melt_event_counts,
+        "zipf_slope": q_zipf_slope,
+        "frequent_triples": q_frequent_triples,
+        "feature_hash": q_feature_hash,
+        "target_encode_loo": q_target_encode_loo,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3156,6 +3185,10 @@ def oracle_sql() -> dict[str, str]:
         "inactivity_profile": oracles.INACTIVITY_PROFILE,
         "label_propagation": oracles.LABEL_PROPAGATION,
         "melt_event_counts": oracles.MELT_EVENT_COUNTS,
+        "zipf_slope": oracles.ZIPF_SLOPE,
+        "frequent_triples": oracles.FREQUENT_TRIPLES,
+        "feature_hash": oracles.FEATURE_HASH_ENCODE,
+        "target_encode_loo": oracles.TARGET_ENCODE_LOO,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -575,3 +575,87 @@ def group_split(docs: DataFrame, folds: int = 5) -> DataFrame:
         .groupBy("fold", "source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def feature_hash_encode(customer: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """The hashing trick for categorical features — fixed-width
+    encoding with NO vocabulary pass: each (feature_name, value) pair
+    hashes straight to one of ``n_buckets`` columns, so the encoder
+    needs zero coordination, never grows with cardinality, and
+    applies identically to unseen values at serving time (the reason
+    production feature pipelines prefer it to index-fitted one-hot at
+    scale). Collisions are the accepted trade; this readout makes
+    them VISIBLE: per bucket, how many rows land there from each
+    feature and how many distinct source values collided into it.
+
+    Hash is the repo's md5-uniform convention (first 8 hex chars mod
+    buckets) over 'name:value' — deterministic, engine-identical,
+    oracle-replayable. One scan, one bounded 2x explode (two features
+    per row), one n_buckets-grain aggregate.
+    """
+    feats = customer.select(
+        F.explode(
+            F.array(
+                F.concat_ws(
+                    ":", F.lit("nation"),
+                    F.col("c_nationkey").cast("string"),
+                ),
+                F.concat_ws(":", F.lit("segment"), F.col("c_mktsegment")),
+            )
+        ).alias("fv")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("fv")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+    return (
+        feats.select(
+            bucket.alias("bucket"),
+            "fv",
+            F.split(F.col("fv"), ":").getItem(0).alias("feat"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("fv").alias("n_distinct_values"),
+            F.sum((F.col("feat") == "nation").cast("long"))
+            .cast("long")
+            .alias("n_nation"),
+            F.sum((F.col("feat") == "segment").cast("long"))
+            .cast("long")
+            .alias("n_segment"),
+        )
+    )
+
+
+def target_encode_loo(orders: DataFrame) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — the categorical-encoding workhorse for gradient models,
+    in the LOO form that prevents the row's own label from leaking
+    into its feature: encode(row i) = (sum(category) - y_i) /
+    (n_category - 1). Plain mean encoding memorizes singletons; LOO
+    is the standard correction, and it is exactly expressible.
+
+    Exact integers: y in cents, loo_e2 = (100 * (S - y)) div (n - 1)
+    with non-negative numerators (prices are positive), categories
+    with n = 1 are excluded (no leave-one-out exists). One
+    enum-bounded category aggregate broadcast back onto the rows — no
+    window, no shuffle of the fact beyond the scan.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select(
+        "o_orderkey", "o_orderpriority", cents.alias("y")
+    )
+    stats = base.groupBy("o_orderpriority").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        base.join(F.broadcast(stats), "o_orderpriority")
+        .where(F.col("n") > 1)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("y").alias("y_cents"),
+            F.expr("(100 * (s - y)) div (n - 1)").alias("loo_e2"),
+        )
+    )

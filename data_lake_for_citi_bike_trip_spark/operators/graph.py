@@ -471,3 +471,82 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def frequent_triples(
+    lineitem: DataFrame, n_cats: int = 100, k: int = 50
+) -> DataFrame:
+    """Apriori frequent 3-itemsets over order baskets at CATEGORY
+    grain (part id mod ``n_cats`` — the category rollup real basket
+    analysis runs on, and the grain whose co-occurrence density is
+    scale-stable; SKU-grain triples vanish as the catalog grows, the
+    assoc_rules sparsity lesson). Level-3 of assoc_rules' pairs with
+    the CLASSIC candidate generation that makes Apriori scale: a
+    triple {a,b,c} is counted ONLY if all three of its pairs are
+    frequent (>= 1 bp of baskets — fractional, so the prune holds at
+    any sf), so candidates come from joining the frequent-pair list
+    with itself — downward closure. With NARROW baskets (order size
+    is catalog-bounded at ~7 lines) the cheapest support count is the
+    direct three-way basket self-join (C(7,3) = 35 combinations per
+    basket, linear in orders), so the prune is applied as three
+    semi-joins on the counted triples; candidate-first generation is
+    the wide-basket variant (documents as baskets) where C(b,3)
+    explodes — same algebra, opposite join order.
+
+    Output is the TOP-``k`` triples by support (deterministic
+    tie-break on the items) rather than an absolute cutoff — top-k by
+    a count is the scale-portable contract. orderBy+limit plans as
+    TakeOrderedAndProject (per-partition partial top-k).
+    """
+    baskets = lineitem.select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_partkey") % n_cats).alias("p"),
+    ).distinct()
+    n_orders = baskets.agg(
+        F.count_distinct("ok").alias("n_orders")
+    )
+    pa = baskets.select("ok", F.col("p").alias("a"))
+    pb = baskets.select("ok", F.col("p").alias("b"))
+    pairs = (
+        pa.join(pb, "ok")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .crossJoin(F.broadcast(n_orders))
+        .where(
+            (10000 * F.col("n_ab") >= F.col("n_orders"))
+            & (F.col("n_ab") >= 2)
+        )
+        .select("a", "b")
+    )
+    # direct bounded enumeration: C(basket, 3) per order, then the
+    # Apriori downward-closure prune as three frequent-pair semi-joins
+    pc = baskets.select("ok", F.col("p").alias("c"))
+    support = (
+        pa.join(pb, "ok")
+        .where(F.col("a") < F.col("b"))
+        .join(pc, "ok")
+        .where(F.col("b") < F.col("c"))
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .join(pairs, ["a", "b"], "left_semi")
+        .join(
+            pairs.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            ["b", "c"],
+            "left_semi",
+        )
+        .join(
+            pairs.select(F.col("a").alias("a"), F.col("b").alias("c")),
+            ["a", "c"],
+            "left_semi",
+        )
+    )
+    topk = support.orderBy(
+        F.desc("n_baskets"), F.asc("a"), F.asc("b"), F.asc("c")
+    ).limit(k)
+    return topk.select(
+        F.col("a").alias("cat_a"),
+        F.col("b").alias("cat_b"),
+        F.col("c").alias("cat_c"),
+        F.col("n_baskets").cast("long").alias("n_baskets"),
+    )

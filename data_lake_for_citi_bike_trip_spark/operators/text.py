@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -571,4 +571,63 @@ def readability_lix(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.expr("sum(lix_e2) div count(1)").alias("mean_lix_e2"),
         F.max("lix_e2").cast("long").alias("max_lix_e2"),
+    )
+
+
+def zipf_slope(docs: DataFrame, top_n: int = 256) -> DataFrame:
+    """Zipf rank-frequency slope over the TOP-N corpus terms — the
+    one-number corpus-health check (natural language sits near -1;
+    templated/boilerplate corpora flatten, spam steepens). OLS of
+    log2(count) on log2(rank) in closed form from exact sums — the
+    ols_two_factor stance applied to the log-log plane.
+
+    Exactness: per-term log2 values are quantized to e3 integers
+    (MILLIBITS — the module's surprisal convention) FIRST — one shared
+    IEEE log2 per row, then BIGINT sums — so the OLS numerator and
+    denominator are exact integer arithmetic; only the final ratio is
+    one double division. e3 rather than e6 on purpose: the n*Sxy and
+    Sx*Sy cross-products must stay inside int64 even when counts reach
+    2^40 at full corpus scale (e6 would overflow at ~1e19). Rank is
+    deterministic (count desc, term asc).
+
+    Scale: term counts are one map-side-combinable aggregate; top-N
+    selection is orderBy+limit (TakeOrderedAndProject — per-partition
+    partial top-k, no global sort); the N-row OLS runs on a
+    constant-bounded frame. The rank window is over top_n rows only.
+    """
+    counts = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    pts = counts.select(
+        F.floor(
+            F.lit(1000.0)
+            * F.log2(F.row_number().over(w).cast("double"))
+        ).cast("long").alias("x"),
+        F.floor(
+            F.lit(1000.0) * F.log2(F.col("cnt").cast("double"))
+        ).cast("long").alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.where(den > 0).select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.floor(
+            F.lit(1000.0) * num.cast("double") / den.cast("double")
+        ).cast("long").alias("slope_e3"),
     )

@@ -6373,3 +6373,111 @@ FROM events
 WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
 GROUP BY 1, 2
 """
+
+
+# operators/text.py:zipf_slope — top-N term counts, millibit log2
+# points, closed-form OLS from exact integer sums.
+ZIPF_SLOPE = r"""
+WITH counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  )
+  GROUP BY 1 ORDER BY cnt DESC, term LIMIT 256
+),
+pts AS (
+  SELECT CAST(floor(1000.0 * log2(CAST(row_number() OVER
+                (ORDER BY cnt DESC, term) AS DOUBLE))) AS BIGINT) AS x,
+         CAST(floor(1000.0 * log2(CAST(cnt AS DOUBLE))) AS BIGINT) AS y
+  FROM counts
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT n AS n_terms,
+       CAST(floor(1000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+         AS slope_e3
+FROM agg WHERE n * sxx - sx * sx > 0
+"""
+
+
+# operators/graph.py:frequent_triples — triple support counted direct;
+# the three frequent-pair joins reproduce Apriori's candidate rule
+# (a triple survives only if all three pairs pass min_pair).
+FREQUENT_TRIPLES = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey % 100 AS p FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM baskets),
+pairs AS (
+  SELECT a.p AS a, b.p AS b
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING 10000 * COUNT(*) >= (SELECT n_orders FROM n)
+     AND COUNT(*) >= 2
+),
+trip AS (
+  SELECT a.p AS a, b.p AS b, c.p AS c,
+         CAST(COUNT(*) AS BIGINT) AS n_baskets
+  FROM baskets a
+  JOIN baskets b ON a.ok = b.ok AND a.p < b.p
+  JOIN baskets c ON b.ok = c.ok AND b.p < c.p
+  GROUP BY 1, 2, 3
+),
+pruned AS (
+  SELECT t.a, t.b, t.c, t.n_baskets
+  FROM trip t
+  JOIN pairs p1 ON t.a = p1.a AND t.b = p1.b
+  JOIN pairs p2 ON t.b = p2.a AND t.c = p2.b
+  JOIN pairs p3 ON t.a = p3.a AND t.c = p3.b
+)
+SELECT a AS cat_a, b AS cat_b, c AS cat_c, n_baskets
+FROM pruned
+ORDER BY n_baskets DESC, a, b, c
+LIMIT 50
+"""
+
+# operators/corpus.py:feature_hash_encode — md5-uniform bucket replay
+# over 'name:value' strings; collision visibility per bucket.
+FEATURE_HASH_ENCODE = """
+WITH feats AS (
+  SELECT 'nation:' || CAST(c_nationkey AS VARCHAR) AS fv FROM customer
+  UNION ALL
+  SELECT 'segment:' || c_mktsegment AS fv FROM customer
+)
+SELECT CAST('0x' || substr(md5(fv), 1, 8) AS BIGINT) % 64 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT fv) AS BIGINT) AS n_distinct_values,
+       CAST(sum(CASE WHEN fv LIKE 'nation:%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nation,
+       CAST(sum(CASE WHEN fv LIKE 'segment:%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_segment
+FROM feats GROUP BY 1
+"""
+
+
+# operators/corpus.py:target_encode_loo — (S - y) / (n - 1) in exact
+# e2; singleton categories excluded.
+TARGET_ENCODE_LOO = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+),
+stats AS (
+  SELECT o_orderpriority, CAST(sum(y) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1
+)
+SELECT b.o_orderkey, b.o_orderpriority, b.y AS y_cents,
+       (100 * (s.s - b.y)) // (s.n - 1) AS loo_e2
+FROM base b JOIN stats s ON b.o_orderpriority = s.o_orderpriority
+WHERE s.n > 1
+"""

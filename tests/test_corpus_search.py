@@ -151,3 +151,34 @@ def test_tfidf_similar_pairs_integer_scores(spark):
         (1, 3, s_dog),
         (2, 3, s_dog),
     ]
+
+
+def test_target_encode_loo_excludes_self(spark):
+    """Category with values 100,200,300: row 100's LOO mean is 250;
+    a singleton category is dropped."""
+    from data_lake_for_citi_bike_trip_spark.operators import corpus
+
+    orders = spark.createDataFrame(
+        [(1, "A", 1.00), (2, "A", 2.00), (3, "A", 3.00), (4, "B", 9.00)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    got = {r.o_orderkey: r.loo_e2
+           for r in corpus.target_encode_loo(orders).collect()}
+    assert got == {1: 25000, 2: 20000, 3: 15000}
+
+
+def test_feature_hash_bucket_counts_conserve_rows(spark):
+    """Every customer contributes exactly two feature rows; bucket
+    counts must conserve them and split by feature name."""
+    from data_lake_for_citi_bike_trip_spark.operators import corpus
+
+    cust = spark.createDataFrame(
+        [(1, 7, "AUTOMOBILE"), (2, 7, "BUILDING"), (3, 8, "AUTOMOBILE")],
+        "c_custkey long, c_nationkey long, c_mktsegment string",
+    )
+    rows = corpus.feature_hash_encode(cust).collect()
+    assert sum(r.n_rows for r in rows) == 6
+    assert sum(r.n_nation for r in rows) == 3
+    assert sum(r.n_segment for r in rows) == 3
+    # distinct feature values: nation 7, nation 8, two segments = 4
+    assert sum(r.n_distinct_values for r in rows) >= 4

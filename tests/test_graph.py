@@ -198,3 +198,23 @@ def test_label_propagation_two_components(spark):
     got = {r.label: r.n_members
            for r in graph.label_propagation(edges).collect()}
     assert got == {1: 4, 10: 3}
+
+
+def test_frequent_triples_prune_and_topk(spark):
+    """A triple present in 3 of 4 baskets survives; a triple whose
+    pair support falls below 1bp... (here: below 2 baskets) is pruned
+    even if the raw triple count passes."""
+    from data_lake_for_citi_bike_trip_spark.operators import graph
+
+    rows = []
+    # baskets 1-3: categories {1,2,3} via partkeys 1,2,3
+    for ok in (1, 2, 3):
+        for p in (1, 2, 3):
+            rows.append((ok, p))
+    # basket 4: {4,5,6} appears once -> every pair support 1 -> pruned
+    for p in (4, 5, 6):
+        rows.append((4, p))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {(r.cat_a, r.cat_b, r.cat_c): r.n_baskets
+           for r in graph.frequent_triples(li).collect()}
+    assert got == {(1, 2, 3): 3}

@@ -349,3 +349,19 @@ def test_readability_lix_hand_computed(spark):
     # doc 2: words [extraordinary, considerations, dominate, yes] = 4,
     # long (>6) = 3, sentences 2 -> 400//2 + 30000//4 = 200 + 7500
     assert got["b"] == (1, 7700)
+
+
+def test_zipf_slope_exact_power_law(spark):
+    """Counts 8,4,2,1 at ranks 1..4: log2 points are exactly
+    (0,3),(1,2),(1.584,1),(2,0) in millibits -> slope ~ -1.5 e3."""
+    from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
+
+    words = (["aa"] * 8) + (["bb"] * 4) + (["cc"] * 2) + ["dd"]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "s")], "doc_id long, text string, source string"
+    )
+    r = text_ops.zipf_slope(docs).collect()[0]
+    assert r.n_terms == 4
+    # perfect halving is slope -3/2 on the log-log grid of ranks 1,2,4
+    # with rank 3 off-line; regression lands near -1500
+    assert -1600 <= r.slope_e3 <= -1400
