@@ -1968,6 +1968,37 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.target_encode_loo(load_table(spark, sf_dir, "orders"))
 
 
+
+def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit values and two aggregates per
+    cell — one conditional-aggregate pass."""
+    return analytics.pivot_native(load_table(spark, sf_dir, "events"))
+
+
+def q_map_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round trip: sorted map_from_entries build, map_entries
+    explode back — relational content preserved through the map."""
+    return analytics.map_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the language-ID classifier
+    against the labeled column, exact bp."""
+    return text_ops.langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
+def q_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa in exact-rational form over the language-ID
+    confusion margins."""
+    return text_ops.langid_kappa(load_table(spark, sf_dir, "documents"))
+
+
+def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily click and purchase
+    counts — tie-averaged doubled ranks, integer sums."""
+    return profile.spearman_daily(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -2898,6 +2929,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_triples": q_frequent_triples,
         "feature_hash": q_feature_hash,
         "target_encode_loo": q_target_encode_loo,
+        "pivot_native": q_pivot_native,
+        "map_rollup": q_map_rollup,
+        "langid_confusion": q_langid_confusion,
+        "langid_kappa": q_langid_kappa,
+        "spearman_daily": q_spearman_daily,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3189,6 +3225,11 @@ def oracle_sql() -> dict[str, str]:
         "frequent_triples": oracles.FREQUENT_TRIPLES,
         "feature_hash": oracles.FEATURE_HASH_ENCODE,
         "target_encode_loo": oracles.TARGET_ENCODE_LOO,
+        "pivot_native": oracles.PIVOT_NATIVE,
+        "map_rollup": oracles.MAP_ROLLUP,
+        "langid_confusion": oracles.LANGID_CONFUSION,
+        "langid_kappa": oracles.LANGID_KAPPA,
+        "spearman_daily": oracles.SPEARMAN_DAILY,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1043,3 +1043,65 @@ def melt_event_counts(events: DataFrame) -> DataFrame:
         .where(F.col("n") > 0)
         .select("day", "metric", F.col("n").cast("long").alias("n"))
     )
+
+
+def pivot_native(events: DataFrame) -> DataFrame:
+    """The native ``groupBy().pivot()`` API with MULTIPLE aggregates
+    per cell — the programmatic pivot the CASE-WHEN form
+    (event_type_pivot) hand-rolls. Values are listed explicitly:
+    an unlisted pivot triggers an extra distinct-scan job to discover
+    them AND makes the output schema data-dependent — never do that
+    at 100 TB; the enum is part of the contract.
+
+    One pass: Spark compiles the pivot to the same conditional
+    aggregates as the manual form (count + cents sum per type), so
+    the plan is a single aggregate, no join, no extra shuffle.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.withColumn("cents", cents)
+        .groupBy(F.to_date("ts").cast("string").alias("day"))
+        .pivot(
+            "event_type", ["click", "view", "purchase", "signup", "error"]
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+
+
+def map_rollup(events: DataFrame) -> DataFrame:
+    """MapType round trip: per day build a map<event_type, count>
+    with ``map_from_entries`` over a SORTED entry list (map key order
+    is an implementation detail — sorting the entries makes the
+    construction deterministic), then explode it back with
+    ``map_entries`` and prove the relational content survived — the
+    document-store column shape (nested_order_items' array<struct>
+    sibling) exercised end to end.
+
+    The collect_list is day-grain bounded (at most one entry per
+    event type); n_keys rides along from ``map_keys``. Output is
+    relational (day, event_type, n, n_keys) so the hash gate sees
+    through the map.
+    """
+    daily = events.groupBy(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mapped = daily.groupBy("day").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "n"))
+            )
+        ).alias("m")
+    )
+    return mapped.select(
+        "day",
+        F.size(F.map_keys("m")).cast("long").alias("n_keys"),
+        F.explode(F.map_entries("m")).alias("e"),
+    ).select(
+        "day",
+        F.col("e.key").alias("event_type"),
+        F.col("e.value").cast("long").alias("n"),
+        "n_keys",
+    )

@@ -1345,3 +1345,62 @@ def mutual_information(events: DataFrame) -> DataFrame:
             F.sum(contrib).cast("long").alias("mi_e9"),
         )
     )
+
+
+def spearman_daily(events: DataFrame) -> DataFrame:
+    """Spearman rank correlation between daily click and purchase
+    counts — the monotonic-association number that Pearson
+    (corr_pairs) misses when the relationship is nonlinear and
+    mann_kendall only answers against TIME. Computed as Pearson over
+    tie-averaged ranks, with the doubled-rank trick from
+    rank_sum_test keeping every rank integral: r2(v) = 2*before(v) +
+    t(v) + 1 over each metric's value histogram.
+
+    Exactness: ranks and all six correlation sums are exact BIGINTs
+    (r2 <= 2n, so products stay far inside int64 for any calendar);
+    only the final rho is one floored-e6 double. Degenerate series
+    (either metric constant) are filtered, not NaN.
+
+    Scale: the day-grain series is calendar-bounded, so the histogram
+    windows and joins all run over bounded rows; the corpus-sized
+    work is one conditional daily aggregate.
+    """
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("p"),
+    )
+
+    def ranked(col: str) -> DataFrame:
+        hist = daily.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return hist.select(
+            col,
+            (
+                2 * (F.sum("t").over(w) - F.col("t"))
+                + F.col("t")
+                + 1
+            ).alias(f"r2_{col}"),
+        )
+
+    j = daily.join(ranked("c"), "c").join(ranked("p"), "p")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2_c").alias("sx"),
+        F.sum("r2_p").alias("sy"),
+        F.sum(F.col("r2_c") * F.col("r2_c")).alias("sxx"),
+        F.sum(F.col("r2_p") * F.col("r2_p")).alias("syy"),
+        F.sum(F.col("r2_c") * F.col("r2_p")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.where((vx > 0) & (vy > 0)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * num.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double"))
+        ).cast("long").alias("rho_e6"),
+    )

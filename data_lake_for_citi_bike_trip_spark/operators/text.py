@@ -631,3 +631,116 @@ def zipf_slope(docs: DataFrame, top_n: int = 256) -> DataFrame:
             F.lit(1000.0) * num.cast("double") / den.cast("double")
         ).cast("long").alias("slope_e3"),
     )
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Per-class evaluation of the language-ID classifier against the
+    labeled column — confusion-matrix margins with precision/recall/
+    F1 in exact bp (the ML-eval readout every classifier audit starts
+    from, here over language_id's own deterministic predictions).
+
+    tp/fp/fn come from two enum-bounded aggregates (by predicted and
+    by labeled class) full-outer-joined on the class — the margins
+    ARE the confusion matrix summaries, no |classes|^2 materialization
+    needed for per-class metrics. F1 is computed from the bp-integer
+    precision/recall by exact cross-multiplication; classes with no
+    predictions (or no labels) keep NULL for the undefined metric.
+    """
+    pred = language_id(docs).select(
+        "labeled_lang",
+        "pred_lang",
+        (F.col("labeled_lang") == F.col("pred_lang"))
+        .cast("long")
+        .alias("hit"),
+    )
+    by_pred = pred.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred"),
+        F.sum("hit").alias("tp_p"),
+    )
+    by_label = pred.groupBy(F.col("labeled_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_labeled"),
+        F.sum("hit").alias("tp_l"),
+    )
+    j = by_pred.join(by_label, "cls", "full_outer").select(
+        "cls",
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        F.coalesce("n_labeled", F.lit(0)).alias("n_labeled"),
+        F.greatest(
+            F.coalesce("tp_p", F.lit(0)), F.coalesce("tp_l", F.lit(0))
+        ).alias("tp"),
+    )
+    staged = j.select(
+        "cls",
+        F.col("n_labeled").cast("long").alias("n_labeled"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_labeled") - F.col("tp")).alias("fn"),
+        F.when(
+            F.col("n_pred") > 0, F.expr("(10000 * tp) div n_pred")
+        ).alias("prec_bp"),
+        F.when(
+            F.col("n_labeled") > 0, F.expr("(10000 * tp) div n_labeled")
+        ).alias("rec_bp"),
+    )
+    return staged.withColumn(
+        "f1_bp",
+        F.expr(
+            "CASE WHEN prec_bp IS NOT NULL AND rec_bp IS NOT NULL "
+            "AND prec_bp + rec_bp > 0 "
+            "THEN (2 * prec_bp * rec_bp) div (prec_bp + rec_bp) END"
+        ).cast("long"),
+    )
+
+
+def langid_kappa(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa for the language-ID classifier — chance-corrected
+    agreement, the one number that deflates accuracy on skewed class
+    mixes. Exact rational form: with S = sum_c n_labeled_c *
+    n_pred_c, kappa = (n * sum_tp - S) / (n^2 - S) — every term an
+    exact BIGINT; only the final ratio is one floored double in e6.
+
+    Margins are enum-bounded aggregates; the kappa row is a 1-row
+    reduction over |classes| rows.
+    """
+    pred = language_id(docs).select(
+        "labeled_lang",
+        "pred_lang",
+        (F.col("labeled_lang") == F.col("pred_lang"))
+        .cast("long")
+        .alias("hit"),
+    )
+    by_pred = pred.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    by_label = pred.groupBy(F.col("labeled_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_labeled")
+    )
+    margins = by_pred.join(by_label, "cls", "full_outer").select(
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        F.coalesce("n_labeled", F.lit(0)).alias("n_labeled"),
+    )
+    s = margins.agg(
+        F.sum(F.col("n_pred") * F.col("n_labeled")).alias("s")
+    )
+    totals = pred.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("hit").alias("sum_tp")
+    )
+    return (
+        totals.crossJoin(F.broadcast(s))
+        .where(F.col("n") * F.col("n") > F.col("s"))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("sum_tp").cast("long").alias("n_agree"),
+            F.col("s").cast("long").alias("chance_term"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * (
+                    F.col("n") * F.col("sum_tp") - F.col("s")
+                ).cast("double")
+                / (
+                    F.col("n") * F.col("n") - F.col("s")
+                ).cast("double")
+            ).cast("long").alias("kappa_e6"),
+        )
+    )

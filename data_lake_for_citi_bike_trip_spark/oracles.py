@@ -6481,3 +6481,168 @@ SELECT b.o_orderkey, b.o_orderpriority, b.y AS y_cents,
 FROM base b JOIN stats s ON b.o_orderpriority = s.o_orderpriority
 WHERE s.n > 1
 """
+
+
+# operators/analytics.py:pivot_native — the pivot compiles to the same
+# conditional aggregates; mirrored directly.
+PIVOT_NATIVE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+         AS click_n,
+       CAST(sum(CASE WHEN event_type = 'click'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS click_cents,
+       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+         AS view_n,
+       CAST(sum(CASE WHEN event_type = 'view'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS view_cents,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+         AS purchase_n,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS purchase_cents,
+       CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+         AS signup_n,
+       CAST(sum(CASE WHEN event_type = 'signup'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS signup_cents,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+         AS error_n,
+       CAST(sum(CASE WHEN event_type = 'error'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS error_cents
+FROM events GROUP BY 1
+"""
+
+
+# operators/analytics.py:map_rollup — the relational content the map
+# round trip must preserve; n_keys from a per-day window.
+MAP_ROLLUP = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n,
+       CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT) AS n_keys
+FROM daily
+"""
+
+
+# operators/text.py:langid_confusion / langid_kappa — predictions
+# replayed through the module's argmax machinery; margins, per-class
+# metrics, and the exact-rational kappa.
+_LANGID_PRED_CTE = f"""
+toks AS (SELECT doc_id, lang, list_distinct({_TOKS}) AS dw FROM documents),
+scored AS (SELECT doc_id, lang,
+  {_RAW_SCORES}
+  FROM toks),
+pred AS (SELECT lang AS labeled_lang, {_ARGMAX} AS pred_lang FROM scored)
+"""
+
+LANGID_CONFUSION = f"""
+WITH {_LANGID_PRED_CTE},
+bp AS (
+  SELECT pred_lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_pred,
+         CAST(sum(CASE WHEN labeled_lang = pred_lang THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp_p
+  FROM pred GROUP BY 1
+),
+bl AS (
+  SELECT labeled_lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_labeled,
+         CAST(sum(CASE WHEN labeled_lang = pred_lang THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp_l
+  FROM pred GROUP BY 1
+),
+j AS (
+  SELECT coalesce(bp.cls, bl.cls) AS cls,
+         coalesce(n_pred, 0) AS n_pred,
+         coalesce(n_labeled, 0) AS n_labeled,
+         greatest(coalesce(tp_p, 0), coalesce(tp_l, 0)) AS tp
+  FROM bp FULL OUTER JOIN bl ON bp.cls = bl.cls
+),
+m AS (
+  SELECT cls, n_labeled, n_pred, tp,
+         n_pred - tp AS fp, n_labeled - tp AS fn,
+         CASE WHEN n_pred > 0 THEN (10000 * tp) // n_pred END AS prec_bp,
+         CASE WHEN n_labeled > 0 THEN (10000 * tp) // n_labeled END
+           AS rec_bp
+  FROM j
+)
+SELECT cls, n_labeled, n_pred, tp, fp, fn, prec_bp, rec_bp,
+       CAST(CASE WHEN prec_bp IS NOT NULL AND rec_bp IS NOT NULL
+                      AND prec_bp + rec_bp > 0
+                 THEN (2 * prec_bp * rec_bp) // (prec_bp + rec_bp) END
+            AS BIGINT) AS f1_bp
+FROM m
+"""
+
+LANGID_KAPPA = f"""
+WITH {_LANGID_PRED_CTE},
+bp AS (SELECT pred_lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_pred
+       FROM pred GROUP BY 1),
+bl AS (SELECT labeled_lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_labeled
+       FROM pred GROUP BY 1),
+margins AS (
+  SELECT coalesce(n_pred, 0) AS n_pred, coalesce(n_labeled, 0) AS n_labeled
+  FROM bp FULL OUTER JOIN bl ON bp.cls = bl.cls
+),
+s AS (SELECT CAST(sum(n_pred * n_labeled) AS BIGINT) AS s FROM margins),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN labeled_lang = pred_lang THEN 1 ELSE 0 END)
+              AS BIGINT) AS sum_tp
+  FROM pred
+)
+SELECT n AS n_docs, sum_tp AS n_agree, s AS chance_term,
+       CAST(floor(1000000.0 * CAST(n * sum_tp - s AS DOUBLE)
+                  / CAST(n * n - s AS DOUBLE)) AS BIGINT) AS kappa_e6
+FROM totals CROSS JOIN s
+WHERE n * n > s
+"""
+
+
+# operators/profile.py:spearman_daily — doubled tie-averaged ranks via
+# per-metric value histograms; Pearson over exact integer rank sums.
+SPEARMAN_DAILY = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS c,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS p
+  FROM events GROUP BY 1
+),
+hc AS (
+  SELECT c, COUNT(*) AS t,
+         2 * (sum(COUNT(*)) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - COUNT(*)) + COUNT(*) + 1 AS r2_c
+  FROM daily GROUP BY c
+),
+hp AS (
+  SELECT p, COUNT(*) AS t,
+         2 * (sum(COUNT(*)) OVER (ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - COUNT(*)) + COUNT(*) + 1 AS r2_p
+  FROM daily GROUP BY p
+),
+j AS (
+  SELECT d.day, hc.r2_c, hp.r2_p
+  FROM daily d JOIN hc ON d.c = hc.c JOIN hp ON d.p = hp.p
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(r2_c) AS BIGINT) AS sx, CAST(sum(r2_p) AS BIGINT) AS sy,
+         CAST(sum(r2_c * r2_c) AS BIGINT) AS sxx,
+         CAST(sum(r2_p * r2_p) AS BIGINT) AS syy,
+         CAST(sum(r2_c * r2_p) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT n AS n_days,
+       CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+         AS rho_e6
+FROM agg
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""

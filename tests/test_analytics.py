@@ -387,3 +387,31 @@ def test_bag_setops_multiplicities(spark):
            for r in sqlsurface.bag_setops(orders).collect()}
     assert got == {("intersect_all", 1): 1, ("except_all", 1): 2,
                    ("except_all", 2): 1}
+
+
+def test_pivot_native_matches_manual_case_when(spark, sf_dir):
+    """The native pivot must equal the CASE-WHEN pivot cell for cell
+    on the count columns."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    native = {r.day: (r.click_n, r.purchase_n)
+              for r in an.pivot_native(events).collect()}
+    manual = {r.day: (r.cnt_click, r.cnt_purchase)
+              for r in an.event_type_pivot(events).collect()}
+    assert native == manual
+
+
+def test_map_rollup_roundtrip_lossless(spark, sf_dir):
+    """Exploded map content equals the direct (day, type) aggregate."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    got = {(r.day, r.event_type): r.n for r in an.map_rollup(events).collect()}
+    direct = {(r.day, r.event_type): r.n
+              for r in events.groupBy(
+                  F.to_date("ts").cast("string").alias("day"), "event_type"
+              ).agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == direct

@@ -371,3 +371,22 @@ def test_mutual_information_independent_and_dependent(spark):
                  "event_type", "value")
     r2 = profile.mutual_information(ind).collect()[0]
     assert r2.mi_e9 == 0
+
+
+def test_spearman_perfect_monotonic(spark):
+    """Strictly co-monotonic daily series (more clicks <-> more
+    purchases) give rho_e6 = 1e6 even though the relation is
+    nonlinear."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = []
+    eid = 0
+    # day d: d clicks, d*d purchases (nonlinear but monotonic)
+    for d in range(1, 5):
+        for _ in range(d):
+            rows.append(("click", 1.0, 1, d)); 
+        for _ in range(d * d):
+            rows.append(("purchase", 1.0, 1, d))
+    r = profile.spearman_daily(_typed_events(spark, rows)).collect()[0]
+    assert r.n_days == 4
+    assert r.rho_e6 == 1_000_000

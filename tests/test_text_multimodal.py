@@ -365,3 +365,37 @@ def test_zipf_slope_exact_power_law(spark):
     # perfect halving is slope -3/2 on the log-log grid of ranks 1,2,4
     # with rank 3 off-line; regression lands near -1500
     assert -1600 <= r.slope_e3 <= -1400
+
+
+def test_langid_confusion_margins_and_f1(spark):
+    """Hand-built predictions: labeled en,en,de with preds en,de,de ->
+    en: tp=1 fp=0 fn=1; de: tp=1 fp=1 fn=0; F1 from bp integers."""
+    from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog of a house", "en"),
+         (2, "der hund und die katze ist ein tier nicht mit", "en"),
+         (3, "der die das und ist ein nicht mit", "de")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.cls: r for r in text_ops.langid_confusion(docs).collect()}
+    en, de = got["en"], got["de"]
+    assert (en.tp, en.fp, en.fn) == (1, 0, 1)
+    assert (de.tp, de.fp, de.fn) == (1, 1, 0)
+    assert en.prec_bp == 10000 and en.rec_bp == 5000 and en.f1_bp == 6666
+    assert de.prec_bp == 5000 and de.rec_bp == 10000
+
+
+def test_langid_kappa_perfect_agreement(spark):
+    """All predictions correct across two classes -> kappa_e6 exactly
+    1e6 (n*sum_tp - S == n^2 - S)."""
+    from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog of a house is that", "en"),
+         (2, "der die das und ist ein nicht mit", "de")],
+        "doc_id long, text string, lang string",
+    )
+    r = text_ops.langid_kappa(docs).collect()[0]
+    assert r.n_docs == 2 and r.n_agree == 2
+    assert r.kappa_e6 == 1_000_000
