@@ -1999,6 +1999,22 @@ def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.spearman_daily(load_table(spark, sf_dir, "events"))
 
 
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-drawn negative parts per order with the
+    positives anti-joined away — contrastive-pair prep."""
+    return corpus.negative_samples(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vs pooled decile cut points of document length —
+    the quantile-normalization drift table."""
+    return corpus.quantile_normalize(load_table(spark, sf_dir, "documents"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -2934,6 +2950,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "langid_kappa": q_langid_kappa,
         "spearman_daily": q_spearman_daily,
+        "negative_samples": q_negative_samples,
+        "quantile_normalize": q_quantile_normalize,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3230,6 +3248,8 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": oracles.LANGID_CONFUSION,
         "langid_kappa": oracles.LANGID_KAPPA,
         "spearman_daily": oracles.SPEARMAN_DAILY,
+        "negative_samples": oracles.NEGATIVE_SAMPLES,
+        "quantile_normalize": oracles.QUANTILE_NORMALIZE,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

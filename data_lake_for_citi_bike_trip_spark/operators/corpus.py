@@ -659,3 +659,143 @@ def target_encode_loo(orders: DataFrame) -> DataFrame:
             F.expr("(100 * (s - y)) div (n - 1)").alias("loo_e2"),
         )
     )
+
+
+def negative_samples(
+    lineitem: DataFrame, part: DataFrame, k: int = 3,
+    salt: str = "negsamp-v1",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs
+    — the retrieval/recsys prep step: every observed (order, part)
+    positive gets ``k`` hash-drawn candidate parts, with candidates
+    the order ACTUALLY contains removed by an anti-join (a "negative"
+    that is secretly positive poisons the loss — the correctness step
+    naive random sampling skips). All draws are md5-uniform over
+    (salt, orderkey, slot), so reruns, retries, and the oracle
+    reproduce the identical sample — the repo's no-rand() rule.
+
+    Draws land in part-key space via modulo over the catalog max (a
+    1-row stat attach); a draw that collides with a positive is
+    DROPPED, not redrawn (bounded one-pass contract — redraw loops
+    are order-dependent; expected loss is basket/catalog, tiny).
+    Scale: the k-way expand is a bounded sequence explode; the
+    anti-join is keyed on (order, part) — one shuffle each.
+    """
+    positives = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    cat = part.agg(F.max("p_partkey").alias("max_pk"))
+    draws = (
+        positives.select("ok")
+        .distinct()
+        .crossJoin(F.broadcast(cat))
+        .select(
+            "ok",
+            "max_pk",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+        )
+        .select(
+            "ok",
+            "slot",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(salt),
+                                F.col("ok").cast("string"),
+                                F.col("slot").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("max_pk")
+                + 1
+            ).alias("neg_pk"),
+        )
+    )
+    clean = draws.join(
+        positives.select(
+            "ok", F.col("pk").alias("neg_pk")
+        ),
+        ["ok", "neg_pk"],
+        "left_anti",
+    )
+    return clean.select(
+        "ok",
+        F.col("slot").cast("long").alias("slot"),
+        F.col("neg_pk").cast("long").alias("neg_pk"),
+    )
+
+
+def quantile_normalize(docs: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Quantile normalization of document length ACROSS SOURCES — the
+    cross-dataset feature-alignment step (each source's length
+    distribution is mapped onto the POOLED distribution, so "long for
+    its source" becomes comparable across sources — the
+    batch-effect-removal move borrowed from bioinformatics). Here in
+    decile form: per source, a doc's within-source decile is looked
+    up against the pooled decile cut points.
+
+    Integer rank arithmetic end to end: within-source deciles use the
+    (n-1)*q div 100 + 1 value-at-rank convention over the per-source
+    histogram; pooled cut points use the identical convention over
+    the global histogram. Emits per (source, decile): the source cut
+    point, the pooled cut point, and their gap — the drift table.
+
+    Scale: two histogram aggregates (per-source, pooled) over the
+    value domain, windows over histogram grain only.
+    """
+    base = docs.select("source", F.col("n_chars").cast("long").alias("v"))
+
+    def cuts(df: DataFrame, keys: list[str]) -> DataFrame:
+        hist = df.groupBy(*keys, "v").agg(F.count(F.lit(1)).alias("t"))
+        part = (
+            Window.partitionBy(*keys) if keys else Window.partitionBy()
+        )
+        w = part.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ranked = hist.select(
+            *keys,
+            "v",
+            (F.sum("t").over(w) - F.col("t") + 1).alias("lo"),
+            F.sum("t").over(w).alias("hi"),
+            F.sum("t").over(part).alias("n"),
+        )
+        qs = F.explode(
+            F.sequence(F.lit(1), F.lit(n_bins - 1))
+        ).alias("decile")
+        return (
+            ranked.select(*keys, "v", "lo", "hi", "n", qs)
+            .where(
+                (
+                    F.expr(f"(n - 1) * decile * 10 div 100 + 1")
+                    >= F.col("lo")
+                )
+                & (
+                    F.expr(f"(n - 1) * decile * 10 div 100 + 1")
+                    <= F.col("hi")
+                )
+            )
+            .select(*keys, "decile", F.col("v").alias("cut"))
+        )
+    pooled = cuts(base.select("v"), []).withColumnRenamed(
+        "cut", "pooled_cut"
+    )
+    per_source = cuts(base, ["source"])
+    return (
+        per_source.join(F.broadcast(pooled), "decile")
+        .select(
+            "source",
+            F.col("decile").cast("long").alias("decile"),
+            F.col("cut").cast("long").alias("source_cut"),
+            F.col("pooled_cut").cast("long").alias("pooled_cut"),
+            (F.col("cut") - F.col("pooled_cut")).alias("gap"),
+        )
+    )

@@ -6646,3 +6646,73 @@ SELECT n AS n_days,
 FROM agg
 WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 """
+
+
+# operators/corpus.py:negative_samples — md5-uniform draws replayed,
+# positives removed by NOT EXISTS.
+NEGATIVE_SAMPLES = """
+WITH positives AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+cat AS (SELECT CAST(max(p_partkey) AS BIGINT) AS max_pk FROM part),
+draws AS (
+  SELECT o.ok, s.slot,
+         CAST('0x' || substr(md5('negsamp-v1:' || CAST(o.ok AS VARCHAR)
+              || ':' || CAST(s.slot AS VARCHAR)), 1, 8) AS BIGINT)
+           % max_pk + 1 AS neg_pk
+  FROM (SELECT DISTINCT ok FROM positives) o
+  CROSS JOIN cat
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS slot) s
+)
+SELECT d.ok, CAST(d.slot AS BIGINT) AS slot, d.neg_pk
+FROM draws d
+WHERE NOT EXISTS (
+  SELECT 1 FROM positives p WHERE p.ok = d.ok AND p.pk = d.neg_pk
+)
+"""
+
+
+# operators/corpus.py:quantile_normalize — value-at-rank decile cut
+# points per source vs pooled, identical rank conventions.
+QUANTILE_NORMALIZE = """
+WITH base AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+ph AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1),
+pr AS (
+  SELECT v,
+         sum(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1
+           AS lo,
+         sum(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+         sum(t) OVER () AS n
+  FROM ph
+),
+pooled AS (
+  SELECT d.decile, v AS pooled_cut
+  FROM pr CROSS JOIN (SELECT unnest(range(1, 10)) AS decile) d
+  WHERE (n - 1) * d.decile * 10 // 100 + 1 BETWEEN lo AND hi
+),
+sh AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS t
+       FROM base GROUP BY 1, 2),
+sr AS (
+  SELECT source, v,
+         sum(t) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1
+           AS lo,
+         sum(t) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+         sum(t) OVER (PARTITION BY source) AS n
+  FROM sh
+),
+sc AS (
+  SELECT source, d.decile, v AS source_cut
+  FROM sr CROSS JOIN (SELECT unnest(range(1, 10)) AS decile) d
+  WHERE (n - 1) * d.decile * 10 // 100 + 1 BETWEEN lo AND hi
+)
+SELECT sc.source, CAST(sc.decile AS BIGINT) AS decile,
+       sc.source_cut, pooled.pooled_cut,
+       CAST(sc.source_cut - pooled.pooled_cut AS BIGINT) AS gap
+FROM sc JOIN pooled ON sc.decile = pooled.decile
+"""

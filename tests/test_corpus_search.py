@@ -182,3 +182,37 @@ def test_feature_hash_bucket_counts_conserve_rows(spark):
     assert sum(r.n_segment for r in rows) == 3
     # distinct feature values: nation 7, nation 8, two segments = 4
     assert sum(r.n_distinct_values for r in rows) >= 4
+
+
+def test_negative_samples_exclude_positives(spark):
+    """No emitted negative may be a positive of its order; draws are
+    deterministic across invocations."""
+    from data_lake_for_citi_bike_trip_spark.operators import corpus
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], "l_orderkey long, l_partkey long"
+    )
+    part = spark.createDataFrame(
+        [(p,) for p in range(1, 31)], "p_partkey long"
+    )
+    a = corpus.negative_samples(li, part).collect()
+    b = corpus.negative_samples(li, part).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    pos = {(1, 10), (1, 20), (2, 10)}
+    for r in a:
+        assert (r.ok, r.neg_pk) not in pos
+        assert 1 <= r.neg_pk <= 30
+
+
+def test_quantile_normalize_single_source_gap_zero(spark):
+    """With one source the per-source deciles ARE the pooled deciles:
+    every gap is 0."""
+    from data_lake_for_citi_bike_trip_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "s", 100 + i) for i in range(50)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = corpus.quantile_normalize(docs).collect()
+    assert len(rows) == 9
+    assert all(r.gap == 0 for r in rows)
