@@ -2015,6 +2015,24 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quantile_normalize(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the parity split x corpus-median
+    period boundary; exact 2x2 cell table."""
+    return analytics.diff_in_diff(load_table(spark, sf_dir, "events"))
+
+
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date dimension spanning the data's own range."""
+    return analytics.date_dim(load_table(spark, sf_dir, "events"))
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase risk table with censoring;
+    survival as cumulative millibit logs."""
+    return timeseries.kaplan_meier(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -2952,6 +2970,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_daily": q_spearman_daily,
         "negative_samples": q_negative_samples,
         "quantile_normalize": q_quantile_normalize,
+        "diff_in_diff": q_diff_in_diff,
+        "date_dim": q_date_dim,
+        "kaplan_meier": q_kaplan_meier,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3250,6 +3271,9 @@ def oracle_sql() -> dict[str, str]:
         "spearman_daily": oracles.SPEARMAN_DAILY,
         "negative_samples": oracles.NEGATIVE_SAMPLES,
         "quantile_normalize": oracles.QUANTILE_NORMALIZE,
+        "diff_in_diff": oracles.DIFF_IN_DIFF,
+        "date_dim": oracles.DATE_DIM,
+        "kaplan_meier": oracles.KAPLAN_MEIER,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1105,3 +1105,91 @@ def map_rollup(events: DataFrame) -> DataFrame:
         F.col("e.value").cast("long").alias("n"),
         "n_keys",
     )
+
+
+def diff_in_diff(events: DataFrame) -> DataFrame:
+    """Difference-in-differences estimate of the deterministic A/B
+    split's effect on purchase conversion, with the corpus midpoint as
+    the "policy date" — the causal-inference workhorse when treatment
+    wasn't randomized per-exposure: DiD = (T_post - T_pre) -
+    (C_post - C_pre) cancels both the group baseline and the shared
+    time trend. Groups are the ab_lift parity split; periods split at
+    the median day (a 1-row stat attach).
+
+    Exact integers: the four cell conversion rates in bp by
+    truncating division, DiD as their integer combination — the full
+    2x2 cell table rides along so the arithmetic is auditable.
+
+    Scale: one user-grain aggregate per period membership, one 4-cell
+    rollup; the midpoint stat broadcasts.
+    """
+    mid = events.agg(
+        F.expr(
+            "min(to_date(ts)) + CAST(datediff(max(to_date(ts)), "
+            "min(to_date(ts))) div 2 AS INT)"
+        ).alias("mid_day")
+    )
+    per = (
+        events.crossJoin(F.broadcast(mid))
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).cast("long").alias("variant"),
+            (F.to_date("ts") > F.col("mid_day"))
+            .cast("long")
+            .alias("post"),
+            (F.col("event_type") == "purchase").cast("long").alias("p"),
+        )
+        .groupBy("user_id", "variant", "post")
+        .agg(F.max("p").alias("converted"))
+    )
+    cells = per.groupBy("variant", "post").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    ).withColumn("conv_bp", F.expr("(10000 * n_conv) div n_users"))
+    wide = cells.groupBy().pivot(
+        "variant", [0, 1]
+    ).agg(
+        F.max(F.when(F.col("post") == 0, F.col("conv_bp"))).alias("pre"),
+        F.max(F.when(F.col("post") == 1, F.col("conv_bp"))).alias("post"),
+    )
+    return wide.select(
+        F.col("0_pre").cast("long").alias("control_pre_bp"),
+        F.col("0_post").cast("long").alias("control_post_bp"),
+        F.col("1_pre").cast("long").alias("treated_pre_bp"),
+        F.col("1_post").cast("long").alias("treated_post_bp"),
+        (
+            (F.col("1_post") - F.col("1_pre"))
+            - (F.col("0_post") - F.col("0_pre"))
+        ).cast("long").alias("did_bp"),
+    )
+
+
+def date_dim(events: DataFrame) -> DataFrame:
+    """Date-dimension generator — the warehouse staple: one row per
+    calendar day spanning the data's own [min, max] range (derived,
+    not hardcoded, so the dim always covers the facts), with the
+    conformed attributes joins group by: epoch day index, ISO-ish
+    day-of-week, epoch week, month, weekend flag. Generated with
+    sequence + explode from a 1-row stat — no source table, no
+    driver loop, and the spine is exactly as long as the calendar,
+    never the corpus.
+    """
+    span = events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    return days.select(
+        F.col("day").cast("string").alias("day"),
+        F.datediff("day", F.lit("1970-01-01"))
+        .cast("long")
+        .alias("epoch_day"),
+        F.dayofweek("day").cast("long").alias("dow"),
+        F.expr("datediff(day, DATE '1970-01-01') div 7")
+        .cast("long")
+        .alias("epoch_week"),
+        F.month("day").cast("long").alias("month"),
+        F.dayofweek("day").isin(1, 7).alias("is_weekend"),
+    )

@@ -849,3 +849,91 @@ def mann_kendall_trend(events: DataFrame) -> DataFrame:
             F.floor(F.lit(1_000_000.0) * z).cast("long").alias("z_e6"),
         )
     )
+
+
+def kaplan_meier(events: DataFrame) -> DataFrame:
+    """Kaplan-Meier survival of time-to-first-purchase — the censored
+    time-to-event estimator (plain conversion rates throw away WHEN,
+    and naive means are biased by users the corpus stops observing):
+    each user enters at their first event; the event is their first
+    purchase; users with no purchase are right-censored at the corpus
+    max day. Emits the classic risk table per event day t (days since
+    entry): n_at_risk, n_events, plus the survival curve.
+
+    Exactness discipline: the KM product Π(1 - d/n) is replayed as an
+    integer SUM of per-step millibit logs — floor(1000 * log2((n-d)/
+    n)) per step, cumulated down the day axis (the text-surprisal
+    quantize-then-sum pattern applied to a cumulative product); the
+    at-risk count n(t) = entrants alive at t comes from exact
+    reverse-cumulative arithmetic. No float crosses a row boundary
+    unquantized.
+
+    Scale: one user-grain reduction (entry day, event/censor day),
+    one day-grain risk table, calendar-bounded windows.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("entry"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.to_date("ts")
+            )
+        ).alias("conv"),
+        F.max(F.to_date("ts")).alias("last_seen"),
+    )
+    horizon = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+    durations = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("conv").isNotNull(),
+            F.datediff("conv", "entry"),
+        )
+        .otherwise(F.datediff("max_day", "entry"))
+        .cast("long")
+        .alias("t"),
+        F.col("conv").isNotNull().cast("long").alias("observed"),
+    )
+    table = durations.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_exit"),
+        F.sum("observed").cast("long").alias("d"),
+    )
+    # n_at_risk(t) = total - all exits strictly before t
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    risk = table.select(
+        "t",
+        "d",
+        (
+            F.sum("n_exit").over(tot)
+            - (F.sum("n_exit").over(w) - F.col("n_exit"))
+        ).alias("n_at_risk"),
+    )
+    step_mb = F.when(
+        F.col("d") > 0,
+        F.floor(
+            F.lit(1000.0)
+            * F.log2(
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        risk.where(F.col("n_at_risk") > F.col("d"))
+        .select(
+            "t",
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("d").alias("n_events"),
+            step_mb.alias("step_log2_mb"),
+        )
+        .withColumn(
+            "surv_log2_mb",
+            F.sum("step_log2_mb")
+            .over(
+                Window.orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .cast("long"),
+        )
+    )

@@ -6716,3 +6716,116 @@ SELECT sc.source, CAST(sc.decile AS BIGINT) AS decile,
        CAST(sc.source_cut - pooled.pooled_cut AS BIGINT) AS gap
 FROM sc JOIN pooled ON sc.decile = pooled.decile
 """
+
+
+# operators/analytics.py:diff_in_diff — 2x2 parity-group x midpoint
+# period cells, integer DiD.
+DIFF_IN_DIFF = """
+WITH mid AS (
+  SELECT min(CAST(ts AS DATE))
+         + CAST(date_diff('day', min(CAST(ts AS DATE)),
+                          max(CAST(ts AS DATE))) // 2 AS INTEGER)
+           AS mid_day
+  FROM events
+),
+per AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+         CASE WHEN CAST(ts AS DATE) > mid_day THEN 1 ELSE 0 END AS post,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events CROSS JOIN mid GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT variant, post, COUNT(*) AS n_users,
+         sum(converted) AS n_conv
+  FROM per GROUP BY 1, 2
+),
+c2 AS (
+  SELECT variant, post, (10000 * n_conv) // n_users AS conv_bp
+  FROM cells
+)
+SELECT CAST(max(CASE WHEN variant = 0 AND post = 0 THEN conv_bp END)
+            AS BIGINT) AS control_pre_bp,
+       CAST(max(CASE WHEN variant = 0 AND post = 1 THEN conv_bp END)
+            AS BIGINT) AS control_post_bp,
+       CAST(max(CASE WHEN variant = 1 AND post = 0 THEN conv_bp END)
+            AS BIGINT) AS treated_pre_bp,
+       CAST(max(CASE WHEN variant = 1 AND post = 1 THEN conv_bp END)
+            AS BIGINT) AS treated_post_bp,
+       CAST((max(CASE WHEN variant = 1 AND post = 1 THEN conv_bp END)
+             - max(CASE WHEN variant = 1 AND post = 0 THEN conv_bp END))
+            - (max(CASE WHEN variant = 0 AND post = 1 THEN conv_bp END)
+               - max(CASE WHEN variant = 0 AND post = 0 THEN conv_bp END))
+            AS BIGINT) AS did_bp
+FROM c2
+"""
+
+
+# operators/analytics.py:date_dim — the generated spine; DuckDB
+# dayofweek is Spark's minus one, weekend is {0,6} there.
+DATE_DIM = """
+WITH span AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+days AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM span
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+         AS epoch_day,
+       CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+       CAST(date_diff('day', DATE '1970-01-01', day) // 7 AS BIGINT)
+         AS epoch_week,
+       CAST(month(day) AS BIGINT) AS month,
+       dayofweek(day) IN (0, 6) AS is_weekend
+FROM days
+"""
+
+
+# operators/timeseries.py:kaplan_meier — risk table + millibit-log
+# survival replayed step for step.
+KAPLAN_MEIER = """
+WITH per_user AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS entry,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ts AS DATE) END) AS conv
+  FROM events GROUP BY 1
+),
+horizon AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+durations AS (
+  SELECT CASE WHEN conv IS NOT NULL
+              THEN date_diff('day', entry, conv)
+              ELSE date_diff('day', entry, max_day) END AS t,
+         CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM per_user CROSS JOIN horizon
+),
+tab AS (
+  SELECT CAST(t AS BIGINT) AS t, COUNT(*) AS n_exit,
+         CAST(sum(observed) AS BIGINT) AS d
+  FROM durations GROUP BY 1
+),
+risk AS (
+  SELECT t, d,
+         sum(n_exit) OVER ()
+         - (sum(n_exit) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_exit) AS n_at_risk
+  FROM tab
+),
+steps AS (
+  SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS n_events,
+         CAST(CASE WHEN d > 0
+              THEN floor(1000.0 * log2(CAST(n_at_risk - d AS DOUBLE)
+                                       / CAST(n_at_risk AS DOUBLE)))
+              ELSE 0 END AS BIGINT) AS step_log2_mb
+  FROM risk WHERE n_at_risk > d
+)
+SELECT t, n_at_risk, n_events, step_log2_mb,
+       CAST(sum(step_log2_mb) OVER (ORDER BY t
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS surv_log2_mb
+FROM steps
+"""

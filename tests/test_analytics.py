@@ -415,3 +415,48 @@ def test_map_rollup_roundtrip_lossless(spark, sf_dir):
                   F.to_date("ts").cast("string").alias("day"), "event_type"
               ).agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == direct
+
+
+def test_diff_in_diff_cancels_shared_trend(spark):
+    """Both groups rise 50pp post; treated rises an EXTRA 25pp ->
+    DiD isolates +2500bp while raw post-pre for treated is 7500."""
+    rows, eid = [], 0
+    # pre period: day 1-2; post: day 9-10 (midpoint day ~5)
+    # control (even users 2,4,6,8): pre conv 1/4, post conv 3/4
+    # treated (odd users 1,3,5,7): pre conv 0/4, post conv 3/4
+    def add(u, day, conv):
+        nonlocal eid
+        rows.append((eid, f"2024-01-{day:02d} 10:00:00", u,
+                     "purchase" if conv else "view", 1.0)); eid += 1
+    for u, conv in [(2, True), (4, False), (6, False), (8, False)]:
+        add(u, 1, conv)
+    for u, conv in [(1, False), (3, False), (5, False), (7, False)]:
+        add(u, 2, conv)
+    for u, conv in [(2, True), (4, True), (6, True), (8, False)]:
+        add(u, 9, conv)
+    for u, conv in [(1, True), (3, True), (5, True), (7, False)]:
+        add(u, 10, conv)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+    r = an.diff_in_diff(df).collect()[0]
+    assert (r.control_pre_bp, r.control_post_bp) == (2500, 7500)
+    assert (r.treated_pre_bp, r.treated_post_bp) == (0, 7500)
+    assert r.did_bp == 2500
+
+
+def test_date_dim_spans_and_flags(spark):
+    rows = [(0, "2024-01-05 10:00:00", 1, "view", 1.0),
+            (1, "2024-01-08 10:00:00", 1, "view", 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+    out = {r.day: (r.dow, r.is_weekend) for r in an.date_dim(df).collect()}
+    assert len(out) == 4  # Jan 5..8 inclusive
+    assert out["2024-01-06"] == (7, True)   # Saturday
+    assert out["2024-01-07"] == (1, True)   # Sunday
+    assert out["2024-01-08"] == (2, False)  # Monday

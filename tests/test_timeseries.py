@@ -347,3 +347,36 @@ def test_mann_kendall_monotonic_and_tied(spark):
     r = out["up"]
     assert r.s_stat == 6 and r.n_days == 4 and r.var18 == 156
     assert r.z_e6 == math.floor(1_000_000.0 * (5 / math.sqrt(156 / 18.0)))
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """3 users enter day 0-grain: one converts at t=1, one at t=2,
+    one censored at t=2 -> risk table n=3,2 and millibit logs of
+    2/3 then 1/2."""
+    import math
+
+    from data_lake_for_citi_bike_trip_spark.operators import timeseries as tsm
+
+    rows = [
+        # user 1: first event Jan 1, purchase Jan 2 (t=1, observed)
+        (0, "2024-01-01 08:00:00", 1, "view", 0.0),
+        (1, "2024-01-02 08:00:00", 1, "purchase", 1.0),
+        # user 2: first Jan 1, purchase Jan 3 (t=2, observed)
+        (2, "2024-01-01 09:00:00", 2, "view", 0.0),
+        (3, "2024-01-03 09:00:00", 2, "purchase", 1.0),
+        # user 3: first Jan 1, never purchases; censored at max day
+        # Jan 3 (t=2)
+        (4, "2024-01-01 10:00:00", 3, "view", 0.0),
+        (5, "2024-01-03 10:00:00", 3, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    out = {r.t: r for r in tsm.kaplan_meier(df).collect()}
+    assert out[1].n_at_risk == 3 and out[1].n_events == 1
+    assert out[2].n_at_risk == 2 and out[2].n_events == 1
+    mb1 = math.floor(1000.0 * math.log2(2 / 3))
+    mb2 = math.floor(1000.0 * math.log2(1 / 2))
+    assert out[1].step_log2_mb == mb1
+    assert out[2].surv_log2_mb == mb1 + mb2

@@ -157,9 +157,58 @@ HEADLINE = [
     "gini_spend",
     "cramers_v",
     "psi_value_drift",
+    "prorate_order_total",
+    "position_attribution",
+    "bootstrap_ci",
+    "mann_kendall",
+    "weighted_median",
+    "mutual_information",
+    "ltv_cohort",
+    "bag_setops",
+    "label_propagation",
+    "frequent_triples",
+    "zipf_slope",
+    "target_encode_loo",
+    "langid_kappa",
+    "spearman_daily",
+    "negative_samples",
+    "quantile_normalize",
 ]
 
 NOTES = {
+    "prorate_order_total": "one orderkey equi-join + two windows over "
+    "per-order groups (<= 7 lines); all-BIGINT Hamilton allocation",
+    "position_attribution": "user-keyed join to the 1-per-user mark, "
+    "one user-partitioned window, 7-key rollup; integer credit",
+    "bootstrap_ci": "map-side x32 expand collapses into a 32-row "
+    "aggregate; no row ever shuffles un-aggregated; ranks over B rows",
+    "mann_kendall": "pairwise join keyed on event_type, quadratic only "
+    "in the calendar-bounded per-type day count; exact S/var18",
+    "weighted_median": "value-domain histogram + flag-partitioned "
+    "cumulative window; bounded by distinct prices, not rows",
+    "mutual_information": "one contingency aggregate; enum-bounded "
+    "margins broadcast back (provably bounded sides); 35-cell rollup",
+    "ltv_cohort": "one user-grain first-seen join (the only corpus "
+    "shuffle); (cohort, age) aggregate + calendar-bounded window",
+    "bag_setops": "Spark plans intersectAll/exceptAll as per-key "
+    "count-and-replicate aggregates — one keyed shuffle each",
+    "label_propagation": "3 rounds of edge-keyed join + min aggregate "
+    "with localCheckpoint lineage truncation (the Pregel shape)",
+    "frequent_triples": "bounded C(basket,3) enumeration (narrow "
+    "baskets) + downward-closure semi-joins; top-k via "
+    "TakeOrderedAndProject",
+    "zipf_slope": "term counts map-side combine; top-256 via "
+    "TakeOrderedAndProject; OLS over a constant-bounded frame",
+    "target_encode_loo": "enum-bounded category stats broadcast back "
+    "onto the scan; no window, no fact shuffle",
+    "langid_kappa": "enum-bounded margin aggregates; kappa from exact "
+    "BIGINT rational, one floored double",
+    "spearman_daily": "calendar-bounded day series; histogram windows "
+    "at day grain; integer doubled ranks",
+    "negative_samples": "bounded k-way sequence explode + one keyed "
+    "anti-join; draws are md5-pure, no RNG state",
+    "quantile_normalize": "two histogram aggregates (per-source, "
+    "pooled); windows over histogram grain; broadcast pooled cuts",
     "recursive_hierarchy": "engine-planned UnionLoop fixpoint (native "
     "WITH RECURSIVE); depth bounded by key width, not corpus size",
     "entropy_profile": "four keyed aggregates, each collapsing to one "
