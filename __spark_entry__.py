@@ -2033,6 +2033,27 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.kaplan_meier(load_table(spark, sf_dir, "events"))
 
 
+
+def q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers covering 80% of revenue and
+    the top-20% share, exact rank arithmetic."""
+    return analytics.pareto_8020(load_table(spark, sf_dir, "orders"))
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC part classification by cumulative revenue share (80/95
+    split), integer cross-multiplied."""
+    return analytics.abc_classification(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index between the ship-date halves with exact
+    rational per-part terms."""
+    return analytics.price_index_laspeyres(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -2973,6 +2994,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_in_diff": q_diff_in_diff,
         "date_dim": q_date_dim,
         "kaplan_meier": q_kaplan_meier,
+        "pareto_8020": q_pareto_8020,
+        "abc_classification": q_abc_classification,
+        "price_index": q_price_index,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3274,6 +3298,9 @@ def oracle_sql() -> dict[str, str]:
         "diff_in_diff": oracles.DIFF_IN_DIFF,
         "date_dim": oracles.DATE_DIM,
         "kaplan_meier": oracles.KAPLAN_MEIER,
+        "pareto_8020": oracles.PARETO_8020,
+        "abc_classification": oracles.ABC_CLASSIFICATION,
+        "price_index": oracles.PRICE_INDEX_LASPEYRES,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

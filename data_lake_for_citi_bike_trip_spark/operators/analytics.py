@@ -1193,3 +1193,162 @@ def date_dim(events: DataFrame) -> DataFrame:
         F.month("day").cast("long").alias("month"),
         F.dayofweek("day").isin(1, 7).alias("is_weekend"),
     )
+
+
+def pareto_8020(orders: DataFrame) -> DataFrame:
+    """Revenue-concentration readout — the 80/20 question asked
+    exactly: rank customers by total spend, walk the cumulative
+    revenue share, and report (a) how many customers cover 80% of
+    revenue and (b) what share the top 20% of customers hold. The
+    Lorenz-curve companion to gini_spend: the scalar Gini says HOW
+    concentrated, this says WHERE the mass sits.
+
+    Integer-exact: spend in cents, shares by cross-multiplied
+    comparisons against total cents and total customer count (no
+    division until the final bp readouts). One customer-grain
+    aggregate, one ranked window over the customer-spend histogram.
+    """
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    ranked = per.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), F.asc("o_custkey")))
+        .alias("rk"),
+        F.sum("cents").over(w).alias("cum_cents"),
+        F.sum("cents").over(tot).alias("total_cents"),
+        F.count(F.lit(1)).over(tot).alias("n_cust"),
+    )
+    return ranked.agg(
+        F.max("n_cust").cast("long").alias("n_customers"),
+        F.max("total_cents").cast("long").alias("total_cents"),
+        # smallest prefix covering >= 80% of revenue
+        F.min(
+            F.when(
+                5 * F.col("cum_cents") >= 4 * F.col("total_cents"),
+                F.col("rk"),
+            )
+        ).cast("long").alias("customers_for_80pct"),
+        # revenue share of the top 20% of customers (rank <= n/5)
+        F.expr(
+            "10000 * max(CASE WHEN 5 * rk <= n_cust THEN cum_cents END) "
+            "div max(total_cents)"
+        ).cast("long").alias("top20_share_bp"),
+    )
+
+
+def abc_classification(lineitem: DataFrame) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head up to 80% cumulative share, B to 95%, C the tail — the
+    ops-planning rollup (stock A tightly, spot-check C). Same ranked
+    cumulative-share machinery as pareto_8020, read out per class.
+
+    Integer-exact classification by cross-multiplication (20*cum vs
+    16*total, 20*cum vs 19*total); per-class part counts and revenue
+    shares in bp. One part-grain aggregate + one ranked window over
+    the part-spend histogram + a 3-row rollup.
+    """
+    per = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    ranked = per.select(
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(tot).alias("total"),
+    )
+    cls = ranked.select(
+        "cents",
+        F.when(5 * (F.col("cum") - F.col("cents")) < 4 * F.col("total"), "A")
+        .when(
+            20 * (F.col("cum") - F.col("cents")) < 19 * F.col("total"), "B"
+        )
+        .otherwise("C")
+        .alias("abc"),
+        "total",
+    )
+    return cls.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").cast("long").alias("class_cents"),
+        F.expr("10000 * sum(cents) div max(total)")
+        .cast("long")
+        .alias("share_bp"),
+    )
+
+
+def price_index_laspeyres(lineitem: DataFrame) -> DataFrame:
+    """Laspeyres price index between the corpus's first and second
+    half (split at the median ship date) — "what does the OLD basket
+    cost at NEW prices": index = sum(p1 * q0) / sum(p0 * q0) over
+    parts traded in BOTH halves, with q0 the base-period quantity and
+    p the per-unit price (extendedprice / quantity). The
+    economics-grade inflation readout a naive average-price delta
+    gets wrong by ignoring quantity weights.
+
+    Exactness: per-part unit prices stay as (cents, qty) rational
+    pairs — p = c/q is never a float; the numerator term p1*q0 =
+    c1*q0/q1 is evaluated as the TRUNCATING integer (c1*q0) div q1
+    per part (floor-per-term is the contract; at cents scale the
+    truncation is < 1 cent per part), the denominator is exactly
+    sum(c0). One floored-e4 double division at the very end. One
+    part-half aggregate, the median-date 1-row stat, a part-keyed
+    self-join of the two half tables.
+    """
+    mid = lineitem.agg(
+        F.expr(
+            "min(to_date(l_shipdate)) + CAST(datediff("
+            "max(to_date(l_shipdate)), min(to_date(l_shipdate))) "
+            "div 2 AS INT)"
+        ).alias("mid_day")
+    )
+    halves = (
+        lineitem.crossJoin(F.broadcast(mid))
+        .select(
+            "l_partkey",
+            (F.to_date("l_shipdate") > F.col("mid_day"))
+            .cast("long")
+            .alias("h"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("c"),
+            F.round("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("l_partkey", "h")
+        .agg(F.sum("c").alias("c"), F.sum("q").alias("q"))
+    )
+    h0 = halves.where(F.col("h") == 0).select(
+        "l_partkey", F.col("c").alias("c0"), F.col("q").alias("q0")
+    )
+    h1 = halves.where(F.col("h") == 1).select(
+        "l_partkey", F.col("c").alias("c1"), F.col("q").alias("q1")
+    )
+    j = h0.join(h1, "l_partkey").where(
+        (F.col("q0") > 0) & (F.col("q1") > 0)
+    )
+    # Laspeyres: sum over parts of (c1*q0) div q1, against sum(c0)
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.expr("(c1 * q0) div q1")).alias("num"),
+        F.sum("c0").alias("den"),
+    )
+    return agg.where(F.col("den") > 0).select(
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.col("num").cast("long").alias("num"),
+        F.col("den").cast("long").alias("den"),
+        F.floor(
+            F.lit(10000.0)
+            * F.col("num").cast("double")
+            / F.col("den").cast("double")
+        ).cast("long").alias("index_e4"),
+    )

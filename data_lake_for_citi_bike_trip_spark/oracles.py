@@ -6829,3 +6829,99 @@ SELECT t, n_at_risk, n_events, step_log2_mb,
          AS surv_log2_mb
 FROM steps
 """
+
+
+# operators/analytics.py:pareto_8020 — ranked cumulative revenue
+# share, cross-multiplied thresholds.
+PARETO_8020 = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+         sum(cents) OVER (ORDER BY cents DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+         sum(cents) OVER () AS total_cents,
+         COUNT(*) OVER () AS n_cust
+  FROM per
+)
+SELECT CAST(max(n_cust) AS BIGINT) AS n_customers,
+       CAST(max(total_cents) AS BIGINT) AS total_cents,
+       CAST(min(CASE WHEN 5 * cum_cents >= 4 * total_cents THEN rk END)
+            AS BIGINT) AS customers_for_80pct,
+       CAST(10000 * max(CASE WHEN 5 * rk <= n_cust THEN cum_cents END)
+            // max(total_cents) AS BIGINT) AS top20_share_bp
+FROM ranked
+"""
+
+
+# operators/analytics.py:abc_classification — A to 80%, B to 95%, C
+# tail; class decided on the PRE-row cumulative (cum - cents).
+ABC_CLASSIFICATION = """
+WITH per AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cents) OVER () AS total
+  FROM per
+),
+cls AS (
+  SELECT cents, total,
+         CASE WHEN 5 * (cum - cents) < 4 * total THEN 'A'
+              WHEN 20 * (cum - cents) < 19 * total THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS class_cents,
+       CAST(10000 * sum(cents) // max(total) AS BIGINT) AS share_bp
+FROM cls GROUP BY 1
+"""
+
+
+# operators/analytics.py:price_index_laspeyres — per-part truncated
+# rational terms, exact sums, one e4 division.
+PRICE_INDEX_LASPEYRES = """
+WITH mid AS (
+  SELECT min(CAST(l_shipdate AS DATE))
+         + CAST(date_diff('day', min(CAST(l_shipdate AS DATE)),
+                          max(CAST(l_shipdate AS DATE))) // 2 AS INTEGER)
+           AS mid_day
+  FROM lineitem
+),
+halves AS (
+  SELECT l_partkey,
+         CASE WHEN CAST(l_shipdate AS DATE) > mid_day THEN 1 ELSE 0 END
+           AS h,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS c,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem CROSS JOIN mid GROUP BY 1, 2
+),
+j AS (
+  SELECT h0.l_partkey, h0.c AS c0, h0.q AS q0, h1.c AS c1, h1.q AS q1
+  FROM (SELECT * FROM halves WHERE h = 0) h0
+  JOIN (SELECT * FROM halves WHERE h = 1) h1
+    ON h0.l_partkey = h1.l_partkey
+  WHERE h0.q > 0 AND h1.q > 0
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(sum((c1 * q0) // q1) AS BIGINT) AS num,
+         CAST(sum(c0) AS BIGINT) AS den
+  FROM j
+)
+SELECT n_parts, num, den,
+       CAST(floor(10000.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+            AS BIGINT) AS index_e4
+FROM agg WHERE den > 0
+"""

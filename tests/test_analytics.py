@@ -460,3 +460,42 @@ def test_date_dim_spans_and_flags(spark):
     assert out["2024-01-06"] == (7, True)   # Saturday
     assert out["2024-01-07"] == (1, True)   # Sunday
     assert out["2024-01-08"] == (2, False)  # Monday
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    """A+B+C must partition all parts and sum to the full revenue;
+    A's share must be at least 80% minus one part's worth."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = {r.abc: r for r in an.abc_classification(li).collect()}
+    total_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows.values()) == total_parts
+    assert rows["A"].share_bp >= 7000  # head holds the bulk
+    assert sum(r.share_bp for r in rows.values()) >= 9998  # bp rounding
+
+
+def test_pareto_8020_bounds(spark, sf_dir):
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    r = an.pareto_8020(load_table(spark, sf_dir, "orders")).collect()[0]
+    assert 0 < r.customers_for_80pct <= r.n_customers
+    assert 2000 <= r.top20_share_bp <= 10000
+
+
+def test_price_index_flat_prices_is_one(spark):
+    """Same unit price in both halves -> index exactly 10000 e4."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    rows = [
+        (1, 2.0, 10.00, "2024-01-01"), (1, 4.0, 20.00, "2024-03-01"),
+        (2, 1.0, 7.00, "2024-01-02"), (2, 3.0, 21.00, "2024-03-02"),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_quantity double, l_extendedprice double, d string"
+    ).selectExpr("l_partkey", "l_quantity", "l_extendedprice",
+                 "to_timestamp(d) AS l_shipdate")
+    r = an.price_index_laspeyres(li).collect()[0]
+    assert r.index_e4 == 10000
