@@ -2054,6 +2054,30 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_ppr_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the minimum node of the co-purchase
+    graph — integer Pregel, top-100 by seeded mass."""
+    return graph.personalized_pagerank(
+        graph.copurchase_edges(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        )
+    )
+
+
+def q_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution with exact power-of-two weights and
+    integer per-user shares."""
+    return behavior.decay_attribution(load_table(spark, sf_dir, "events"))
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document, millibit idf, BIGINT
+    ranking."""
+    return text_ops.doc_keywords(load_table(spark, sf_dir, "documents"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -2997,6 +3021,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_8020": q_pareto_8020,
         "abc_classification": q_abc_classification,
         "price_index": q_price_index,
+        "ppr_from_seed": q_ppr_from_seed,
+        "decay_attribution": q_decay_attribution,
+        "doc_keywords": q_doc_keywords,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3301,6 +3328,9 @@ def oracle_sql() -> dict[str, str]:
         "pareto_8020": oracles.PARETO_8020,
         "abc_classification": oracles.ABC_CLASSIFICATION,
         "price_index": oracles.PRICE_INDEX_LASPEYRES,
+        "ppr_from_seed": oracles.PPR_FROM_SEED,
+        "decay_attribution": oracles.DECAY_ATTRIBUTION,
+        "doc_keywords": oracles.DOC_KEYWORDS,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

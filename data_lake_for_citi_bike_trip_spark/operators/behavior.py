@@ -1028,3 +1028,54 @@ def inactivity_profile(events: DataFrame) -> DataFrame:
             "div sum(n_users) OVER ()"
         ).alias("cum_share_bp"),
     )
+
+
+def decay_attribution(events: DataFrame, half_life_days: int = 1) -> DataFrame:
+    """Time-decay multi-touch attribution — position_attribution's
+    third sibling (last_touch: recency winner-take-all; U-shaped:
+    position; decay: RECENCY-WEIGHTED): each click before the user's
+    first purchase earns weight 2^(-age / half_life), so a click the
+    day before the conversion outweighs one from a week earlier.
+
+    Exactness: powers of two are EXACT integers — weight_num =
+    shiftleft(1, CAP - min(age_units, CAP)) with CAP = 30 keeps every
+    weight a BIGINT and the per-user share an exact integer division
+    (w * 10000 div sum_w); no exp(), no floats anywhere. age_units =
+    whole days (div by half_life).
+
+    Scale: same two-aggregate + user-keyed-join shape as
+    position_attribution; the weight is pure codegen; rollup by
+    click day-of-week (bounded output).
+    """
+    p0 = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p0"))
+    )
+    touches = (
+        events.where(F.col("event_type") == "click")
+        .join(p0, "user_id")
+        .where(F.col("ts") <= F.col("p0"))
+        .select(
+            "user_id",
+            "ts",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), 30 - CAST(least("
+                f"datediff(to_date(p0), to_date(ts)) div {half_life_days},"
+                " 30) AS INT))"
+            ).alias("w"),
+        )
+    )
+    sums = touches.groupBy("user_id").agg(F.sum("w").alias("sw"))
+    return (
+        touches.join(sums, "user_id")
+        .select(
+            F.dayofweek("ts").cast("long").alias("click_dow"),
+            F.expr("(10000 * w) div sw").alias("credit_bp"),
+        )
+        .groupBy("click_dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_bp").cast("long").alias("credit_bp_total"),
+        )
+    )

@@ -550,3 +550,95 @@ def frequent_triples(
         F.col("c").alias("cat_c"),
         F.col("n_baskets").cast("long").alias("n_baskets"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    top_k: int = 100,
+) -> DataFrame:
+    """PERSONALIZED PageRank from a deterministic seed (the minimum
+    node id) — plain pagerank's teleport spreads uniformly ("globally
+    important nodes"); PPR teleports back to ONE node, so the
+    stationary mass answers "important RELATIVE TO this seed" — the
+    related-items / who-to-follow primitive. Same integer Pregel
+    shape as ``pagerank``: all mass starts at the seed, each step is
+
+        r'(n) = [n = seed] * (100-d)/100 * TOTAL
+                + d * sum contribs(n) div 100
+
+    with TOTAL = RANK_SCALE * n_nodes, entirely BIGINT; the seed and
+    node count attach as a 1-row broadcast stat. Mass never reaches
+    nodes outside the seed's <= ``iters``-hop neighborhood, which also
+    bounds the nonzero output; the emitted surface is the top-k by
+    rank (deterministic tie-break) — TakeOrderedAndProject.
+    """
+    edges = edges.select("src", "dst").cache()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    contrib_edges = edges.join(outdeg, "src").cache()
+    stats = nodes.agg(
+        F.min("id").alias("seed"), F.count(F.lit(1)).alias("n_nodes")
+    )
+    base = 100 - damping_pct
+    seeded = nodes.crossJoin(F.broadcast(stats))
+    ranks = seeded.select(
+        "id",
+        "seed",
+        "n_nodes",
+        F.when(
+            F.col("id") == F.col("seed"),
+            F.lit(RANK_SCALE).cast("long") * F.col("n_nodes"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_e6"),
+    )
+    for _ in range(iters):
+        contribs = (
+            contrib_edges.join(
+                F.broadcast(
+                    ranks.select(F.col("id").alias("src"), "rank_e6")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("rank_e6 div outdeg")).alias("contrib")
+            )
+        )
+        ranks = (
+            seeded.join(
+                contribs, F.col("id") == F.col("dst"), "left"
+            )
+            .select(
+                "id",
+                "seed",
+                "n_nodes",
+                (
+                    F.when(
+                        F.col("id") == F.col("seed"),
+                        F.expr(
+                            f"({base} * {RANK_SCALE} * n_nodes) div 100"
+                        ),
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(contrib, 0)) div 100"
+                    )
+                ).cast("long").alias("rank_e6"),
+            )
+        )
+    return (
+        ranks.where(F.col("rank_e6") > 0)
+        .orderBy(F.desc("rank_e6"), F.asc("id"))
+        .limit(top_k)
+        .select("id", "rank_e6")
+    )

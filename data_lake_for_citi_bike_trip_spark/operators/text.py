@@ -744,3 +744,66 @@ def langid_kappa(docs: DataFrame) -> DataFrame:
             ).cast("long").alias("kappa_e6"),
         )
     )
+
+
+def doc_keywords(docs: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the extractive-keyword
+    primitive (tfidf_similar ranks document PAIRS; this surfaces the
+    terms themselves). Score = tf * idf_mb with idf quantized to
+    integer millibits (floor(1000 * log2(n_docs / df)) — the module's
+    log convention), so ranking is pure BIGINT; ties break on the
+    term string.
+
+    Scale: postings explode once; the df table joins back UNHINTED
+    (vocabulary grows with the corpus — AQE decides); n_docs is a
+    1-row broadcast; the per-doc top-k window partitions by doc_id
+    (group size bounded by doc vocabulary).
+    """
+    postings = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tab = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).where(F.col("df") >= min_df)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        postings.join(df_tab, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.lit(1000.0)
+                    * F.log2(
+                        F.col("n_docs").cast("double") / F.col("df")
+                    )
+                ).cast("long")
+            ).alias("score_mb"),
+        )
+        .where(F.col("score_mb") > 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_mb"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rk"),
+            "term",
+            F.col("score_mb").cast("long").alias("score_mb"),
+        )
+    )

@@ -6925,3 +6925,109 @@ SELECT n_parts, num, den,
             AS BIGINT) AS index_e4
 FROM agg WHERE den > 0
 """
+
+
+# operators/graph.py:personalized_pagerank — three unrolled PPR steps
+# with the seed/TOTAL scalars from subqueries; top-100 readout.
+PPR_FROM_SEED = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+st AS (SELECT min(id) AS seed, COUNT(*) AS n_nodes FROM nodes),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+ce AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+r0 AS (SELECT id, CAST(CASE WHEN id = st.seed
+                       THEN 1000000 * st.n_nodes ELSE 0 END AS BIGINT)
+           AS rank_e6
+       FROM nodes CROSS JOIN st),
+c1 AS (SELECT ce.dst, SUM(r.rank_e6 // ce.outdeg) AS contrib
+       FROM ce JOIN r0 r ON r.id = ce.src GROUP BY ce.dst),
+r1 AS (SELECT n.id,
+              CAST(CASE WHEN n.id = st.seed
+                   THEN (15 * 1000000 * st.n_nodes) // 100 ELSE 0 END
+                   + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)
+                  AS rank_e6
+       FROM nodes n CROSS JOIN st LEFT JOIN c1 c ON n.id = c.dst),
+c2 AS (SELECT ce.dst, SUM(r.rank_e6 // ce.outdeg) AS contrib
+       FROM ce JOIN r1 r ON r.id = ce.src GROUP BY ce.dst),
+r2 AS (SELECT n.id,
+              CAST(CASE WHEN n.id = st.seed
+                   THEN (15 * 1000000 * st.n_nodes) // 100 ELSE 0 END
+                   + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)
+                  AS rank_e6
+       FROM nodes n CROSS JOIN st LEFT JOIN c2 c ON n.id = c.dst),
+c3 AS (SELECT ce.dst, SUM(r.rank_e6 // ce.outdeg) AS contrib
+       FROM ce JOIN r2 r ON r.id = ce.src GROUP BY ce.dst),
+r3 AS (SELECT n.id,
+              CAST(CASE WHEN n.id = st.seed
+                   THEN (15 * 1000000 * st.n_nodes) // 100 ELSE 0 END
+                   + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)
+                  AS rank_e6
+       FROM nodes n CROSS JOIN st LEFT JOIN c3 c ON n.id = c.dst)
+SELECT id, rank_e6 FROM r3 WHERE rank_e6 > 0
+ORDER BY rank_e6 DESC, id LIMIT 100
+"""
+
+
+# operators/behavior.py:decay_attribution — exact power-of-two decay
+# weights, per-user integer shares, dow rollup.
+DECAY_ATTRIBUTION = """
+WITH p0 AS (
+  SELECT user_id, min(ts) AS p0
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+touches AS (
+  SELECT e.user_id, e.ts,
+         CAST(1 AS BIGINT) << (30 - least(
+           date_diff('day', CAST(e.ts AS DATE), CAST(p0.p0 AS DATE)),
+           30)) AS w
+  FROM events e JOIN p0 ON e.user_id = p0.user_id
+  WHERE e.event_type = 'click' AND e.ts <= p0.p0
+),
+sums AS (SELECT user_id, sum(w) AS sw FROM touches GROUP BY 1)
+SELECT CAST(dayofweek(t.ts) + 1 AS BIGINT) AS click_dow,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(sum((10000 * t.w) // s.sw) AS BIGINT) AS credit_bp_total
+FROM touches t JOIN sums s ON t.user_id = s.user_id
+GROUP BY 1
+"""
+
+
+# operators/text.py:doc_keywords — millibit idf, BIGINT tf*idf
+# ranking, per-doc top-k.
+DOC_KEYWORDS = r"""
+WITH postings AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+),
+df_tab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM postings GROUP BY 1 HAVING COUNT(*) >= 2
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term,
+         p.tf * CAST(floor(1000.0 * log2(CAST(n_docs AS DOUBLE) / df))
+                     AS BIGINT) AS score_mb
+  FROM postings p JOIN df_tab d ON p.term = d.term CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, score_mb,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_mb DESC, term) AS BIGINT) AS rk
+  FROM scored WHERE score_mb > 0
+)
+SELECT doc_id, rk, term, score_mb FROM ranked WHERE rk <= 3
+"""

@@ -406,3 +406,16 @@ def test_inactivity_profile_cumulative(spark):
            for r in behavior.inactivity_profile(_events(spark, rows)).collect()}
     assert out[0] == (2, 6666)
     assert out[2] == (1, 10000)
+
+
+def test_decay_attribution_recency_weighting(spark):
+    """Two clicks, 0 and 2 days before purchase: weights 2^30 and
+    2^28 -> shares 8000/2000 bp."""
+    rows = [(0, "2024-01-01 10:00:00", 1, "click"),
+            (1, "2024-01-03 10:00:00", 1, "click"),
+            (2, "2024-01-03 11:00:00", 1, "purchase")]
+    out = {r.click_dow: r.credit_bp_total
+           for r in behavior.decay_attribution(_events(spark, rows)).collect()}
+    # Jan 1 2024 is Monday (dow 2), Jan 3 Wednesday (dow 4)
+    assert out[2] == 2000
+    assert out[4] == 8000

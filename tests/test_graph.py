@@ -218,3 +218,34 @@ def test_frequent_triples_prune_and_topk(spark):
     got = {(r.cat_a, r.cat_b, r.cat_c): r.n_baskets
            for r in graph.frequent_triples(li).collect()}
     assert got == {(1, 2, 3): 3}
+
+
+def test_ppr_mass_stays_near_seed(spark):
+    """A 2-component graph: PPR from the min node must give zero mass
+    to the other component and rank the seed first."""
+    from data_lake_for_citi_bike_trip_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2),       # seed component
+         (10, 11), (11, 10)],                   # unreachable
+        "src long, dst long",
+    )
+    rows = graph.personalized_pagerank(edges).collect()
+    ids = {r.id for r in rows}
+    assert 10 not in ids and 11 not in ids
+    assert ids == {1, 2, 3}  # exactly the seed's component
+    assert all(r.rank_e6 > 0 for r in rows)
+
+
+def test_ppr_differs_from_uniform_pagerank(spark):
+    """On a star graph the PPR-from-seed ordering concentrates mass
+    on the seed's neighborhood rather than global degree."""
+    from data_lake_for_citi_bike_trip_spark.operators import graph
+
+    # hub 5 with spokes; seed (min id = 1) is one spoke
+    e = [(5, s) for s in (1, 2, 3, 4)] + [(s, 5) for s in (1, 2, 3, 4)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    rows = {r.id: r.rank_e6
+            for r in graph.personalized_pagerank(edges).collect()}
+    # hub receives all of the seed's pushed mass -> hub > other spokes
+    assert rows[5] > rows.get(2, 0)

@@ -399,3 +399,24 @@ def test_langid_kappa_perfect_agreement(spark):
     r = text_ops.langid_kappa(docs).collect()[0]
     assert r.n_docs == 2 and r.n_agree == 2
     assert r.kappa_e6 == 1_000_000
+
+
+def test_doc_keywords_tfidf_ranking(spark):
+    """A term unique to half the docs outranks a corpus-wide term;
+    df=1 terms are excluded by min_df."""
+    from data_lake_for_citi_bike_trip_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "zebra zebra common common common rare", "s"),
+         (2, "zebra common", "s"),
+         (3, "common common", "s"),
+         (4, "common", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = text_ops.doc_keywords(docs).collect()
+    got = {(r.doc_id, r.rk): r.term for r in rows}
+    # 'rare' has df=1 -> excluded; 'common' df=4 -> idf 0 -> excluded
+    # (score_mb > 0 filter); zebra df=2 of 4 docs -> idf 1000 mb
+    assert got[(1, 1)] == "zebra"
+    assert got[(2, 1)] == "zebra"
+    assert (3, 1) not in got  # doc 3 has only zero-idf terms
