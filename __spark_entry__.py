@@ -2078,6 +2078,27 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.doc_keywords(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_days_of_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days-of-supply per part from bucketed partsupp stock vs
+    observed shipment rate; reorder list (ascending)."""
+    return sqlsurface.days_of_supply(spark, sf_dir)
+
+
+def q_session_ordinal_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session ordinal (first visit vs later
+    visits), 30-minute gap sessions."""
+    return behavior.conversion_by_session_ordinal(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-tertile migration matrix between corpus halves with
+    absent users as segment -1."""
+    return behavior.segment_migration(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3024,6 +3045,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_from_seed": q_ppr_from_seed,
         "decay_attribution": q_decay_attribution,
         "doc_keywords": q_doc_keywords,
+        "days_of_supply": q_days_of_supply,
+        "session_ordinal_conv": q_session_ordinal_conv,
+        "segment_migration": q_segment_migration,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3331,6 +3355,9 @@ def oracle_sql() -> dict[str, str]:
         "ppr_from_seed": oracles.PPR_FROM_SEED,
         "decay_attribution": oracles.DECAY_ATTRIBUTION,
         "doc_keywords": oracles.DOC_KEYWORDS,
+        "days_of_supply": oracles.DAYS_OF_SUPPLY,
+        "session_ordinal_conv": oracles.CONVERSION_BY_SESSION_ORDINAL,
+        "segment_migration": oracles.SEGMENT_MIGRATION,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

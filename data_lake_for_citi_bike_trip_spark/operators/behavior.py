@@ -1079,3 +1079,140 @@ def decay_attribution(events: DataFrame, half_life_days: int = 1) -> DataFrame:
             F.sum("credit_bp").cast("long").alias("credit_bp_total"),
         )
     )
+
+
+def conversion_by_session_ordinal(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Conversion rate by SESSION ORDINAL — do users buy in their
+    first visit or their third? — the activation-funnel readout
+    session-blind conversion rates hide. Sessions are the module's
+    standard 30-minute-gap windows; the running new-session sum IS
+    the ordinal, so no second ranking pass is needed; a session
+    converts if it contains a purchase.
+
+    One user-partitioned window chain (lag -> flag -> running sum),
+    one (user, ordinal) aggregate, one ordinal-grain rollup. Exact
+    integers; epoch-micros gap arithmetic (the sessionize
+    convention).
+    """
+    ts_us = F.unix_micros("ts")
+    base = events.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        (F.col("event_type") == "purchase").cast("long").alias("p"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = base.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "p",
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60_000_000), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "ordinal", F.sum("new_session").over(w).cast("long")
+    )
+    per = sess.groupBy("user_id", "ordinal").agg(
+        F.max("p").alias("converted")
+    )
+    return per.groupBy("ordinal").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    ).withColumn(
+        "conv_bp", F.expr("(10000 * n_converted) div n_sessions")
+    )
+
+
+def segment_migration(events: DataFrame) -> DataFrame:
+    """Spend-tertile migration matrix between the corpus halves — the
+    customer-health transition table (how many high spenders slipped,
+    how many entered): per half, users are cut into tertiles by spend
+    against that half's OWN value-at-rank cut points (so the segments
+    are relative, comparable across halves); users absent from a half
+    take segment -1. Emits the full (seg_pre, seg_post, n_users)
+    matrix — at most 4x4 rows.
+
+    All-integer: spend in cents, cuts by the (n-1)*q div 100 + 1
+    rank convention over each half's spend histogram, tertile by
+    cut-comparison. Two user-half aggregates, two histogram-grain cut
+    derivations (broadcast — 2 rows each), one full-outer user join.
+    """
+    mid = events.agg(
+        F.expr(
+            "min(to_date(ts)) + CAST(datediff(max(to_date(ts)), "
+            "min(to_date(ts))) div 2 AS INT)"
+        ).alias("mid_day")
+    )
+    spend = (
+        events.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mid))
+        .select(
+            "user_id",
+            (F.to_date("ts") > F.col("mid_day")).cast("long").alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.sum("cents").alias("spend"))
+    )
+
+    def cuts(h: int) -> DataFrame:
+        hist = (
+            spend.where(F.col("h") == h)
+            .groupBy("spend")
+            .agg(F.count(F.lit(1)).alias("t"))
+        )
+        w = Window.orderBy("spend").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ranked = hist.select(
+            "spend",
+            (F.sum("t").over(w) - F.col("t") + 1).alias("lo"),
+            F.sum("t").over(w).alias("hi"),
+            F.sum("t").over(Window.partitionBy()).alias("n"),
+        )
+        return (
+            ranked.select(
+                "spend",
+                F.explode(F.array(F.lit(33), F.lit(66))).alias("q"),
+                "lo",
+                "hi",
+                "n",
+            )
+            .where(
+                (F.expr("(n - 1) * q div 100 + 1") >= F.col("lo"))
+                & (F.expr("(n - 1) * q div 100 + 1") <= F.col("hi"))
+            )
+            .groupBy()
+            .agg(
+                F.min(F.when(F.col("q") == 33, F.col("spend"))).alias("c1"),
+                F.min(F.when(F.col("q") == 66, F.col("spend"))).alias("c2"),
+            )
+        )
+
+    def seg(h: int) -> DataFrame:
+        return (
+            spend.where(F.col("h") == h)
+            .crossJoin(F.broadcast(cuts(h)))
+            .select(
+                "user_id",
+                (
+                    (F.col("spend") > F.col("c1")).cast("long")
+                    + (F.col("spend") > F.col("c2")).cast("long")
+                ).alias(f"seg_{h}"),
+            )
+        )
+
+    j = seg(0).join(seg(1), "user_id", "full_outer")
+    return (
+        j.select(
+            F.coalesce("seg_0", F.lit(-1)).alias("seg_pre"),
+            F.coalesce("seg_1", F.lit(-1)).alias("seg_post"),
+        )
+        .groupBy("seg_pre", "seg_post")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

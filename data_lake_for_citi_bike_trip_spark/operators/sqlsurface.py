@@ -1049,3 +1049,49 @@ def bag_setops(orders: DataFrame) -> DataFrame:
         .groupBy("op", "custkey")
         .agg(F.count(F.lit(1)).alias("multiplicity"))
     )
+
+
+def days_of_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days-of-supply per part: on-hand stock (summed ps_availqty over
+    suppliers, from the bucketed materialized partsupp) against the
+    part's observed daily shipment rate — the inventory-planning
+    number ("at current demand, stock lasts N days"). Demand rate =
+    shipped quantity / observed ship-day count (corpus-derived, so
+    the metric scales with the data).
+
+    dos_e2 = floor(100 * stock * n_ship_days / demand_qty) — one
+    shared IEEE floor-division at the end, everything else exact
+    BIGINT. Two part-keyed aggregates (stock side is exchange-free on
+    the bucketed table), one 1-row ship-day stat, top-100 readout by
+    scarcity (ascending days of supply — the reorder list).
+    """
+    _views(spark, sf_dir, ["lineitem"])
+    _partsupp_view(spark, sf_dir)
+    return spark.sql(
+        _PARTSUPP_MAT_CTE
+        + """
+, stock AS (
+  SELECT ps_partkey, CAST(sum(ps_availqty) AS BIGINT) AS stock_qty
+  FROM partsupp GROUP BY ps_partkey
+),
+span AS (
+  SELECT CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)
+           AS n_ship_days
+  FROM lineitem
+),
+demand AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                         AS BIGINT) AS demand_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT s.ps_partkey AS partkey, s.stock_qty, d.demand_qty,
+       sp.n_ship_days,
+       CAST(floor(100.0 * s.stock_qty * sp.n_ship_days / d.demand_qty)
+            AS BIGINT) AS dos_e2
+FROM stock s JOIN demand d ON s.ps_partkey = d.l_partkey
+CROSS JOIN span sp
+WHERE d.demand_qty > 0
+ORDER BY dos_e2 ASC, partkey
+LIMIT 100
+"""
+    )

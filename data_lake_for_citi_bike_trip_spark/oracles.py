@@ -7031,3 +7031,138 @@ ranked AS (
 )
 SELECT doc_id, rk, term, score_mb FROM ranked WHERE rk <= 3
 """
+
+
+# operators/sqlsurface.py:days_of_supply — partsupp derived inline (the
+# oracle-side convention for the materialized table), shared floor
+# division for the final metric.
+DAYS_OF_SUPPLY = """
+WITH partsupp AS (
+    SELECT l_partkey AS ps_partkey,
+           l_suppkey AS ps_suppkey,
+           CAST((l_partkey * 7 + l_suppkey * 13) % 1000 + 1 AS BIGINT)
+               AS ps_availqty
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+),
+stock AS (
+  SELECT ps_partkey, CAST(sum(ps_availqty) AS BIGINT) AS stock_qty
+  FROM partsupp GROUP BY ps_partkey
+),
+span AS (
+  SELECT CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)
+           AS n_ship_days
+  FROM lineitem
+),
+demand AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                         AS BIGINT) AS demand_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT s.ps_partkey AS partkey, s.stock_qty, d.demand_qty,
+       sp.n_ship_days,
+       CAST(floor(100.0 * s.stock_qty * sp.n_ship_days / d.demand_qty)
+            AS BIGINT) AS dos_e2
+FROM stock s JOIN demand d ON s.ps_partkey = d.l_partkey
+CROSS JOIN span sp
+WHERE d.demand_qty > 0
+ORDER BY dos_e2 ASC, partkey
+LIMIT 100
+"""
+
+
+# operators/behavior.py:conversion_by_session_ordinal — the 30-minute
+# session walk replayed window-for-window; ordinal = running
+# new-session sum.
+CONVERSION_BY_SESSION_ORDINAL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, event_id, p,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, p,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ordinal
+  FROM flagged
+),
+per AS (
+  SELECT user_id, CAST(ordinal AS BIGINT) AS ordinal,
+         max(p) AS converted
+  FROM sess GROUP BY 1, 2
+)
+SELECT ordinal, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       (10000 * CAST(sum(converted) AS BIGINT)) // COUNT(*) AS conv_bp
+FROM per GROUP BY 1
+"""
+
+
+# operators/behavior.py:segment_migration — per-half spend tertiles by
+# value-at-rank cuts, full-outer user join, 4x4 matrix.
+SEGMENT_MIGRATION = """
+WITH mid AS (
+  SELECT min(CAST(ts AS DATE))
+         + CAST(date_diff('day', min(CAST(ts AS DATE)),
+                          max(CAST(ts AS DATE))) // 2 AS INTEGER)
+           AS mid_day
+  FROM events
+),
+spend AS (
+  SELECT user_id,
+         CASE WHEN CAST(ts AS DATE) > mid_day THEN 1 ELSE 0 END AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS spend
+  FROM events CROSS JOIN mid
+  WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+hist AS (
+  SELECT h, spend AS v, COUNT(*) AS t FROM spend GROUP BY 1, 2
+),
+ranked AS (
+  SELECT h, v,
+         sum(t) OVER (PARTITION BY h ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1
+           AS lo,
+         sum(t) OVER (PARTITION BY h ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+         sum(t) OVER (PARTITION BY h) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT h,
+         min(CASE WHEN q = 33 AND (n - 1) * q // 100 + 1 BETWEEN lo AND hi
+                  THEN v END) AS c1,
+         min(CASE WHEN q = 66 AND (n - 1) * q // 100 + 1 BETWEEN lo AND hi
+                  THEN v END) AS c2
+  FROM ranked CROSS JOIN (SELECT unnest([33, 66]) AS q)
+  GROUP BY h
+),
+seg AS (
+  SELECT s.user_id, s.h,
+         CAST(CASE WHEN s.spend > c.c1 THEN 1 ELSE 0 END
+              + CASE WHEN s.spend > c.c2 THEN 1 ELSE 0 END AS BIGINT)
+           AS seg
+  FROM spend s JOIN cuts c ON s.h = c.h
+),
+j AS (
+  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+         coalesce(a.seg, -1) AS seg_pre,
+         coalesce(b.seg, -1) AS seg_post
+  FROM (SELECT user_id, seg FROM seg WHERE h = 0) a
+  FULL OUTER JOIN (SELECT user_id, seg FROM seg WHERE h = 1) b
+    ON a.user_id = b.user_id
+)
+SELECT CAST(seg_pre AS BIGINT) AS seg_pre,
+       CAST(seg_post AS BIGINT) AS seg_post,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM j GROUP BY 1, 2
+"""

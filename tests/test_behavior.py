@@ -419,3 +419,41 @@ def test_decay_attribution_recency_weighting(spark):
     # Jan 1 2024 is Monday (dow 2), Jan 3 Wednesday (dow 4)
     assert out[2] == 2000
     assert out[4] == 8000
+
+
+def test_session_ordinal_conversion(spark):
+    """User with two sessions (gap > 30 min), purchase only in the
+    second: ordinal 1 converts 0/1, ordinal 2 converts 1/1."""
+    rows = [(0, "2024-01-01 10:00:00", 1, "view"),
+            (1, "2024-01-01 10:10:00", 1, "click"),
+            (2, "2024-01-01 12:00:00", 1, "purchase"),
+            (3, "2024-01-01 09:00:00", 2, "view")]
+    out = {r.ordinal: (r.n_sessions, r.n_converted, r.conv_bp)
+           for r in behavior.conversion_by_session_ordinal(
+               _events(spark, rows)).collect()}
+    assert out[1] == (2, 0, 0)   # user 1 session 1 + user 2 session 1
+    assert out[2] == (1, 1, 10000)
+
+
+def test_segment_migration_absent_users(spark):
+    """A user who only spends post-midpoint lands in (-1, seg) —
+    matrix rows conserve the user universe of spenders."""
+    rows = []
+    eid = 0
+    # pre-half spenders (days 1-5 of a 1..29 span): users 1,2,3
+    for u, v in [(1, 1.0), (2, 5.0), (3, 9.0)]:
+        rows.append((eid, f"2024-01-0{u} 10:00:00", u, "purchase", v)); eid += 1
+    # post-half: users 2,3,4 (user 1 churns, user 4 enters)
+    for u, v in [(2, 9.0), (3, 1.0), (4, 5.0)]:
+        rows.append((eid, f"2024-01-2{u} 10:00:00", u, "purchase", v)); eid += 1
+    # anchor the span so the midpoint splits days as intended
+    rows.append((eid, "2024-01-29 10:00:00", 9, "view", 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    out = {(r.seg_pre, r.seg_post): r.n_users
+           for r in behavior.segment_migration(df).collect()}
+    assert sum(out.values()) == 4  # the four spenders
+    assert sum(v for (pre, _), v in out.items() if pre == -1) == 1  # user 4
+    assert sum(v for (_, post), v in out.items() if post == -1) == 1  # user 1
