@@ -2099,6 +2099,25 @@ def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.segment_migration(load_table(spark, sf_dir, "events"))
 
 
+
+def q_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day via merged presence spans — exact
+    trailing-7-day distinct without a 7x explode."""
+    return behavior.stickiness_ratio(load_table(spark, sf_dir, "events"))
+
+
+def q_mode_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode of value per event type (smallest-value tie
+    break) via one histogram struct-max."""
+    return profile.mode_per_type(load_table(spark, sf_dir, "events"))
+
+
+def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two value histogram per type — constant relative
+    resolution for heavy-tailed values."""
+    return profile.log_histogram(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3048,6 +3067,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "days_of_supply": q_days_of_supply,
         "session_ordinal_conv": q_session_ordinal_conv,
         "segment_migration": q_segment_migration,
+        "stickiness_ratio": q_stickiness_ratio,
+        "mode_per_type": q_mode_per_type,
+        "log_histogram": q_log_histogram,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3358,6 +3380,9 @@ def oracle_sql() -> dict[str, str]:
         "days_of_supply": oracles.DAYS_OF_SUPPLY,
         "session_ordinal_conv": oracles.CONVERSION_BY_SESSION_ORDINAL,
         "segment_migration": oracles.SEGMENT_MIGRATION,
+        "stickiness_ratio": oracles.STICKINESS_RATIO,
+        "mode_per_type": oracles.MODE_PER_TYPE,
+        "log_histogram": oracles.LOG_HISTOGRAM,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

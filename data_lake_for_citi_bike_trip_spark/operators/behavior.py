@@ -1216,3 +1216,83 @@ def segment_migration(events: DataFrame) -> DataFrame:
         .groupBy("seg_pre", "seg_post")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def stickiness_ratio(events: DataFrame) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement-quality ratio (a
+    product whose weekly users all show up daily reads 10000 bp;
+    one that sees each user once a week reads ~1429): daily active
+    users against the TRAILING-7-day distinct users, exact via the
+    first-seen-in-window trick — a user counts toward WAU(d) once per
+    window, which equals counting (user, day) pairs whose PREVIOUS
+    active day is > 6 days back or absent.
+
+    One distinct (user, day) reduction, one user-partitioned lag, two
+    day-grain aggregates joined on the calendar — no 7x explode, no
+    window re-scan per day.
+    """
+    pairs = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    # entries: days where the user STARTS a presence-window (no
+    # activity in the prior 6 days); exits: first day beyond each
+    # presence run. WAU(d) = sum over users of [d in any 7-day window
+    # after an active day] — computed as entries minus expiries via
+    # two day-grain prefix sums.
+    flagged = pairs.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+    )
+    # spans: for each active day, the user is "recently active" on
+    # days [day, day+6]; overlapping per-user spans must be merged so
+    # a user counts once. A span STARTS when prev active day is null
+    # or > 6 days back; it ENDS 7 days after the last day of the run.
+    starts = flagged.where(
+        F.col("prev_day").isNull()
+        | (F.datediff("day", "prev_day") > 6)
+    ).select("user_id", F.col("day").alias("run_start"))
+    # run end: the last day in the run = next start's predecessor;
+    # compute via lead over starts joined back — simpler: a day ENDS a
+    # run if the NEXT active day is > 6 days ahead or absent
+    nxt = pairs.select(
+        "user_id",
+        "day",
+        F.lead("day").over(w).alias("next_day"),
+    )
+    ends = nxt.where(
+        F.col("next_day").isNull()
+        | (F.datediff("next_day", "day") > 6)
+    ).select("user_id", F.date_add(F.col("day"), 7).alias("expiry"))
+    delta = (
+        starts.groupBy(F.col("run_start").alias("day"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .unionByName(
+            ends.groupBy(F.col("expiry").alias("day")).agg(
+                (-F.count(F.lit(1))).alias("d")
+            )
+        )
+        # spine: every DAU day must appear so the running sum has a
+        # row to read even when no span starts/expires that day
+        .unionByName(dau.select("day", F.lit(0).cast("long").alias("d")))
+        .groupBy("day")
+        .agg(F.sum("d").alias("d"))
+    )
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wau = delta.select(
+        "day", F.sum("d").over(cum).cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .where(F.col("wau") > 0)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            "wau",
+            F.expr("(10000 * dau) div wau").alias("stickiness_bp"),
+        )
+    )

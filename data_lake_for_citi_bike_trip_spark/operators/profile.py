@@ -1404,3 +1404,72 @@ def spearman_daily(events: DataFrame) -> DataFrame:
             / F.sqrt(vx.cast("double") * vy.cast("double"))
         ).cast("long").alias("rho_e6"),
     )
+
+
+def mode_per_type(events: DataFrame) -> DataFrame:
+    """Deterministic MODE of the value column per event type — the
+    most common price point, with the tie broken to the SMALLEST
+    value (engines disagree on arbitrary-tie mode; a total order is
+    the only portable contract). Histogram + one max_by-style
+    selection via a struct max: max(struct(count, -cents)) picks the
+    highest count and, among ties, the smallest cents — single
+    aggregate over the histogram, no window.
+    """
+    hist = events.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hist.groupBy("event_type").agg(
+        F.max(F.struct(F.col("n"), (-F.col("cents")).alias("neg")))
+        .alias("m"),
+        F.count(F.lit(1)).alias("n_distinct_values"),
+    ).select(
+        "event_type",
+        (-F.col("m.neg")).cast("long").alias("mode_cents"),
+        F.col("m.n").cast("long").alias("mode_count"),
+        F.col("n_distinct_values").cast("long").alias("n_distinct_values"),
+    )
+
+
+def log_histogram(events: DataFrame) -> DataFrame:
+    """Power-of-two (log2) value histogram per event type — THE way
+    to histogram heavy-tailed money-like values: equal-width bins
+    put 99% of mass in one bucket; doubling bins give constant
+    relative resolution. Bin = floor(log2(cents)) — exact for any
+    BIGINT cents (< 2^53 guards the double mantissa; money is).
+    Emits per (type, bin): count, bin bounds, and share in bp.
+
+    One histogram aggregate; the per-type totals attach by an
+    enum-bounded broadcast.
+    """
+    base = events.where(F.col("value") > 0).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    binned = base.select(
+        "event_type",
+        F.floor(F.log2(F.col("cents").cast("double")))
+        .cast("long")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = binned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    return (
+        hist.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "bin",
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT)) "
+                   "AS BIGINT)").alias("lo_cents"),
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) + 1)"
+                " - 1 AS BIGINT)"
+            ).alias("hi_cents"),
+            F.col("n").cast("long").alias("n"),
+            F.expr("(10000 * n) div total").alias("share_bp"),
+        )
+    )

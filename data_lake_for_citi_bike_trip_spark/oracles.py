@@ -6327,9 +6327,9 @@ hist AS (
   FROM last CROSS JOIN horizon GROUP BY 1
 )
 SELECT days_inactive, n_users,
-       10000 * sum(n_users) OVER (ORDER BY days_inactive
+       CAST(10000 * sum(n_users) OVER (ORDER BY days_inactive
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         // sum(n_users) OVER () AS cum_share_bp
+         // sum(n_users) OVER () AS BIGINT) AS cum_share_bp
 FROM hist
 """
 
@@ -7165,4 +7165,100 @@ SELECT CAST(seg_pre AS BIGINT) AS seg_pre,
        CAST(seg_post AS BIGINT) AS seg_post,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM j GROUP BY 1, 2
+"""
+
+
+# operators/behavior.py:stickiness_ratio — WAU via merged presence
+# spans (entry/exit prefix sums); DAU/WAU in bp.
+STICKINESS_RATIO = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY 1),
+flagged AS (
+  SELECT user_id, day,
+         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM pairs
+),
+starts AS (
+  SELECT day AS d, CAST(COUNT(*) AS BIGINT) AS delta
+  FROM flagged
+  WHERE prev_day IS NULL OR date_diff('day', prev_day, day) > 6
+  GROUP BY 1
+),
+ends AS (
+  SELECT day + 7 AS d, CAST(-COUNT(*) AS BIGINT) AS delta
+  FROM flagged
+  WHERE next_day IS NULL OR date_diff('day', day, next_day) > 6
+  GROUP BY 1
+),
+delta AS (
+  SELECT d, sum(delta) AS delta FROM (
+    SELECT * FROM starts
+    UNION ALL SELECT * FROM ends
+    UNION ALL SELECT day AS d, 0 AS delta FROM dau
+  ) GROUP BY 1
+),
+wau AS (
+  SELECT d AS day,
+         CAST(sum(delta) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS wau
+  FROM delta
+)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+       (10000 * dau.dau) // wau.wau AS stickiness_bp
+FROM dau JOIN wau ON dau.day = wau.day
+WHERE wau.wau > 0
+"""
+
+
+# operators/profile.py:mode_per_type — histogram + smallest-value tie
+# break via (count, -cents) struct max.
+MODE_PER_TYPE = """
+WITH hist AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+best AS (
+  SELECT event_type, cents AS mode_cents, n AS mode_count,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, cents ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_distinct_values
+  FROM hist
+)
+SELECT event_type, mode_cents, mode_count,
+       CAST(n_distinct_values AS BIGINT) AS n_distinct_values
+FROM best WHERE rk = 1
+"""
+
+
+# operators/profile.py:log_histogram — floor(log2(cents)) bins with
+# exact power-of-two bounds and bp shares.
+LOG_HISTOGRAM = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value > 0
+),
+binned AS (
+  SELECT event_type,
+         CAST(floor(log2(CAST(cents AS DOUBLE))) AS BIGINT) AS bin
+  FROM base
+),
+hist AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM binned GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS total
+  FROM binned GROUP BY 1
+)
+SELECT h.event_type, h.bin,
+       CAST(1 AS BIGINT) << CAST(h.bin AS INTEGER) AS lo_cents,
+       (CAST(1 AS BIGINT) << (CAST(h.bin AS INTEGER) + 1)) - 1
+         AS hi_cents,
+       h.n, (10000 * h.n) // t.total AS share_bp
+FROM hist h JOIN totals t ON h.event_type = t.event_type
 """

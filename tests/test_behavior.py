@@ -457,3 +457,20 @@ def test_segment_migration_absent_users(spark):
     assert sum(out.values()) == 4  # the four spenders
     assert sum(v for (pre, _), v in out.items() if pre == -1) == 1  # user 4
     assert sum(v for (_, post), v in out.items() if post == -1) == 1  # user 1
+
+
+def test_stickiness_wau_merged_spans(spark):
+    """User active day 1 and day 3 (one merged span), another only
+    day 1: WAU stays 2 through day 7, DAU varies."""
+    rows = [(0, "2024-01-01 10:00:00", 1, "view"),
+            (1, "2024-01-03 10:00:00", 1, "view"),
+            (2, "2024-01-01 11:00:00", 2, "view"),
+            (3, "2024-01-08 11:00:00", 3, "view")]
+    out = {r.day: (r.dau, r.wau, r.stickiness_bp)
+           for r in behavior.stickiness_ratio(_events(spark, rows)).collect()}
+    assert out["2024-01-01"] == (2, 2, 10000)
+    assert out["2024-01-03"] == (1, 2, 5000)
+    # day 8: users 1/2 windows expired (1's run covers through Jan 9?
+    # run of user 1 = days 1..3 -> span [1, 3+6=9]; user 2 span [1,7];
+    # user 3 enters day 8 -> WAU(8) = user1 + user3 = 2
+    assert out["2024-01-08"] == (1, 2, 5000)
