@@ -2118,6 +2118,19 @@ def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.log_histogram(load_table(spark, sf_dir, "events"))
 
 
+
+def q_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase edge churn between ship-date halves: stable /
+    dropped / new edge counts and the edge Jaccard."""
+    return graph.edge_churn(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_cv_slope_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-trend slope refitted per disjoint user fold with the
+    cross-fold spread — trend-or-noise readout."""
+    return timeseries.cv_slope_stability(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3070,6 +3083,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness_ratio": q_stickiness_ratio,
         "mode_per_type": q_mode_per_type,
         "log_histogram": q_log_histogram,
+        "edge_churn": q_edge_churn,
+        "cv_slope_stability": q_cv_slope_stability,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3383,6 +3398,8 @@ def oracle_sql() -> dict[str, str]:
         "stickiness_ratio": oracles.STICKINESS_RATIO,
         "mode_per_type": oracles.MODE_PER_TYPE,
         "log_histogram": oracles.LOG_HISTOGRAM,
+        "edge_churn": oracles.EDGE_CHURN,
+        "cv_slope_stability": oracles.CV_SLOPE_STABILITY,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

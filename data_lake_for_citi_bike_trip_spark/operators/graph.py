@@ -642,3 +642,72 @@ def personalized_pagerank(
         .limit(top_k)
         .select("id", "rank_e6")
     )
+
+
+def edge_churn(lineitem: DataFrame) -> DataFrame:
+    """Co-purchase edge churn between the ship-date halves — graph
+    stability as data: which part pairs kept co-occurring, which
+    vanished, which are new. The one-number summary is the edge
+    Jaccard (stable / union) in bp; the class counts are the
+    reconciliation detail. A recommender retrained on a graph with
+    high churn needs a shorter half-life — this readout prices that.
+
+    Scale: per-half distinct edge sets are basket-bounded self-joins
+    (the copart shape); the reconciliation is one full-outer join on
+    the canonical (src, dst) key; output is 3 class rows + the
+    1-row summary attach.
+    """
+    mid = lineitem.agg(
+        F.expr(
+            "min(to_date(l_shipdate)) + CAST(datediff("
+            "max(to_date(l_shipdate)), min(to_date(l_shipdate))) "
+            "div 2 AS INT)"
+        ).alias("mid_day")
+    )
+    li = lineitem.crossJoin(F.broadcast(mid)).select(
+        "l_orderkey",
+        "l_partkey",
+        (F.to_date("l_shipdate") > F.col("mid_day"))
+        .cast("long")
+        .alias("h"),
+    )
+
+    def half_edges(h: int) -> DataFrame:
+        b = li.where(F.col("h") == h).select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        ).distinct()
+        return (
+            b.join(
+                b.select("ok", F.col("p").alias("q")), "ok"
+            )
+            .where(F.col("p") < F.col("q"))
+            .select(F.col("p").alias("src"), F.col("q").alias("dst"))
+            .distinct()
+        )
+
+    pre = half_edges(0).withColumn("in_pre", F.lit(1))
+    post = half_edges(1).withColumn("in_post", F.lit(1))
+    j = pre.join(post, ["src", "dst"], "full_outer").select(
+        F.coalesce("in_pre", F.lit(0)).alias("in_pre"),
+        F.coalesce("in_post", F.lit(0)).alias("in_post"),
+    )
+    return j.agg(
+        F.sum(
+            (F.col("in_pre") * F.col("in_post")).cast("long")
+        ).alias("stable_edges"),
+        F.sum(
+            (F.col("in_pre") * (1 - F.col("in_post"))).cast("long")
+        ).alias("dropped_edges"),
+        F.sum(
+            ((1 - F.col("in_pre")) * F.col("in_post")).cast("long")
+        ).alias("new_edges"),
+        F.count(F.lit(1)).alias("union_edges"),
+    ).select(
+        F.col("stable_edges").cast("long").alias("stable_edges"),
+        F.col("dropped_edges").cast("long").alias("dropped_edges"),
+        F.col("new_edges").cast("long").alias("new_edges"),
+        F.col("union_edges").cast("long").alias("union_edges"),
+        F.expr("(10000 * stable_edges) div union_edges").alias(
+            "jaccard_bp"
+        ),
+    )

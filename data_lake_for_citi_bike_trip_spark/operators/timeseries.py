@@ -937,3 +937,57 @@ def kaplan_meier(events: DataFrame) -> DataFrame:
             .cast("long"),
         )
     )
+
+
+def cv_slope_stability(events: DataFrame, folds: int = 5) -> DataFrame:
+    """Cross-validated trend stability: the click-count trend slope
+    refitted on ``folds`` disjoint USER folds (hash of user_id — the
+    GroupKFold stance: all of a user's events stay in one fold, so
+    folds are independent populations), plus the cross-fold spread —
+    the cheap answer to "is this slope real or one cohort's noise?".
+    A slope whose sign flips across folds is not a trend.
+
+    Integer OLS per fold from four exact BIGINT sums (the
+    ols_two_factor discipline, univariate); spread attaches from a
+    fold-count-bounded window. One events scan, one (fold, day)
+    aggregate, |folds| OLS rows.
+    """
+    daily = (
+        events.where(F.col("event_type") == "click")
+        .groupBy(
+            (F.col("user_id") % folds).cast("long").alias("fold"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    d0 = daily.groupBy("fold").agg(F.min("day").alias("d0"))
+    base = daily.join(F.broadcast(d0), "fold").select(
+        "fold",
+        F.datediff("day", "d0").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    g = base.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slopes = g.where(den > 0).select(
+        "fold",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(
+            F.lit(1_000_000.0) * num.cast("double") / den.cast("double")
+        ).cast("long").alias("slope_e6"),
+    )
+    w = Window.partitionBy()
+    return slopes.select(
+        "fold",
+        "n_days",
+        "slope_e6",
+        (F.max("slope_e6").over(w) - F.min("slope_e6").over(w))
+        .cast("long")
+        .alias("spread_e6"),
+    )

@@ -7262,3 +7262,82 @@ SELECT h.event_type, h.bin,
        h.n, (10000 * h.n) // t.total AS share_bp
 FROM hist h JOIN totals t ON h.event_type = t.event_type
 """
+
+
+# operators/graph.py:edge_churn — per-half distinct co-part edges,
+# full-outer reconciliation, Jaccard stability.
+EDGE_CHURN = """
+WITH mid AS (
+  SELECT min(CAST(l_shipdate AS DATE))
+         + CAST(date_diff('day', min(CAST(l_shipdate AS DATE)),
+                          max(CAST(l_shipdate AS DATE))) // 2 AS INTEGER)
+           AS mid_day
+  FROM lineitem
+),
+li AS (
+  SELECT l_orderkey AS ok, l_partkey AS p,
+         CASE WHEN CAST(l_shipdate AS DATE) > mid_day THEN 1 ELSE 0 END
+           AS h
+  FROM lineitem CROSS JOIN mid
+),
+pre AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM (SELECT DISTINCT ok, p FROM li WHERE h = 0) a
+  JOIN (SELECT DISTINCT ok, p FROM li WHERE h = 0) b
+    ON a.ok = b.ok AND a.p < b.p
+),
+post AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM (SELECT DISTINCT ok, p FROM li WHERE h = 1) a
+  JOIN (SELECT DISTINCT ok, p FROM li WHERE h = 1) b
+    ON a.ok = b.ok AND a.p < b.p
+),
+j AS (
+  SELECT CASE WHEN pre.src IS NOT NULL THEN 1 ELSE 0 END AS in_pre,
+         CASE WHEN post.src IS NOT NULL THEN 1 ELSE 0 END AS in_post
+  FROM pre FULL OUTER JOIN post
+    ON pre.src = post.src AND pre.dst = post.dst
+)
+SELECT CAST(sum(in_pre * in_post) AS BIGINT) AS stable_edges,
+       CAST(sum(in_pre * (1 - in_post)) AS BIGINT) AS dropped_edges,
+       CAST(sum((1 - in_pre) * in_post) AS BIGINT) AS new_edges,
+       CAST(COUNT(*) AS BIGINT) AS union_edges,
+       (10000 * CAST(sum(in_pre * in_post) AS BIGINT)) // COUNT(*)
+         AS jaccard_bp
+FROM j
+"""
+
+
+# operators/timeseries.py:cv_slope_stability — per-user-fold integer
+# OLS slopes + cross-fold spread.
+CV_SLOPE_STABILITY = """
+WITH daily AS (
+  SELECT CAST(user_id % 5 AS BIGINT) AS fold, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+d0 AS (SELECT fold, min(day) AS d0 FROM daily GROUP BY 1),
+base AS (
+  SELECT d.fold,
+         CAST(date_diff('day', z.d0, d.day) AS BIGINT) AS x, d.y
+  FROM daily d JOIN d0 z ON d.fold = z.fold
+),
+g AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM base GROUP BY 1
+),
+slopes AS (
+  SELECT fold, n AS n_days,
+         CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+           AS slope_e6
+  FROM g WHERE n * sxx - sx * sx > 0
+)
+SELECT fold, n_days, slope_e6,
+       CAST(max(slope_e6) OVER () - min(slope_e6) OVER () AS BIGINT)
+         AS spread_e6
+FROM slopes
+"""

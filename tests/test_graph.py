@@ -249,3 +249,24 @@ def test_ppr_differs_from_uniform_pagerank(spark):
             for r in graph.personalized_pagerank(edges).collect()}
     # hub receives all of the seed's pushed mass -> hub > other spokes
     assert rows[5] > rows.get(2, 0)
+
+
+def test_edge_churn_reconciliation(spark):
+    """Hand-built halves: edge (1,2) in both, (1,3) pre only, (2,3)
+    post only -> stable 1, dropped 1, new 1, jaccard 3333."""
+    rows = [
+        # pre-half (ship Jan): order 1 has parts 1,2,3
+        (1, 1, "2024-01-01"), (1, 2, "2024-01-01"), (1, 3, "2024-01-01"),
+        # post-half (ship Dec): order 2 has parts 1,2; order 3 has 2,3
+        (2, 1, "2024-12-01"), (2, 2, "2024-12-01"),
+        (3, 2, "2024-12-02"), (3, 3, "2024-12-02"),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, d string"
+    ).selectExpr("l_orderkey", "l_partkey", "to_timestamp(d) AS l_shipdate")
+    from data_lake_for_citi_bike_trip_spark.operators import graph
+    r = graph.edge_churn(li).collect()[0]
+    # pre edges: (1,2),(1,3),(2,3); post edges: (1,2),(2,3)
+    assert (r.stable_edges, r.dropped_edges, r.new_edges) == (2, 1, 0)
+    assert r.union_edges == 3
+    assert r.jaccard_bp == 6666
