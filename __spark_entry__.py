@@ -2131,6 +2131,14 @@ def q_cv_slope_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.cv_slope_stability(load_table(spark, sf_dir, "events"))
 
 
+
+def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression of daily mean purchase value via the
+    closed-form minimax identity — the unique PAVA solution,
+    dependency-free over calendar-bounded cells."""
+    return timeseries.isotonic_daily_fit(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3085,6 +3093,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_histogram": q_log_histogram,
         "edge_churn": q_edge_churn,
         "cv_slope_stability": q_cv_slope_stability,
+        "isotonic_fit": q_isotonic_fit,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3400,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
         "log_histogram": oracles.LOG_HISTOGRAM,
         "edge_churn": oracles.EDGE_CHURN,
         "cv_slope_stability": oracles.CV_SLOPE_STABILITY,
+        "isotonic_fit": oracles.ISOTONIC_DAILY_FIT,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

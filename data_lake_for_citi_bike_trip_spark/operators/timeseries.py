@@ -991,3 +991,95 @@ def cv_slope_stability(events: DataFrame, folds: int = 5) -> DataFrame:
         .cast("long")
         .alias("spread_e6"),
     )
+
+
+def isotonic_daily_fit(events: DataFrame) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of daily mean
+    purchase value per event type — the shape-constrained fit used
+    for calibration curves and dose-response monotonicity, computed
+    by the CLOSED-FORM minimax identity instead of the sequential
+    PAVA stack:
+
+        fit(i) = max_{j <= i} min_{k >= i} avg(y[j..k])
+
+    The identity gives the unique PAVA solution without any
+    order-dependent pooling walk, which makes it (a) embarrassingly
+    parallel — every (j, i) cell is independent — and (b) exactly
+    replayable in SQL. That trade (O(n^3) cells for a dependency-free
+    plan) is RIGHT at scale because n is the CALENDAR, not the
+    corpus: 30 days -> 27k cells per type, reduced by two keyed
+    aggregates, while the corpus-sized work remains one daily
+    aggregate.
+
+    Exactness: daily means stay (sum_cents, n) rationals until one
+    shared IEEE division per (j,k) range (prefix-sum differences);
+    min/max over doubles are order-free; the fit ships as floor(100 *
+    fit). Joins are equi-keyed on event_type with calendar-bounded
+    range residuals.
+    """
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type",
+        F.row_number().over(w).alias("i"),
+        F.col("day").cast("string").alias("day"),
+        "c",
+        "n",
+        F.sum("c").over(w).alias("pc"),
+        F.sum("n").over(w).alias("pn"),
+    )
+    # range table: avg(j..k) from prefix differences
+    a = idx.select(
+        "event_type",
+        F.col("i").alias("j"),
+        (F.col("pc") - F.col("c")).alias("pc_j"),
+        (F.col("pn") - F.col("n")).alias("pn_j"),
+    )
+    b = idx.select(
+        "event_type",
+        F.col("i").alias("k"),
+        F.col("pc").alias("pc_k"),
+        F.col("pn").alias("pn_k"),
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("j") <= F.col("k"))
+        .select(
+            "event_type",
+            "j",
+            "k",
+            (
+                (F.col("pc_k") - F.col("pc_j")).cast("double")
+                / (F.col("pn_k") - F.col("pn_j")).cast("double")
+            ).alias("avg"),
+        )
+    )
+    cells = idx.select("event_type", "i", "day")
+    inner = (
+        cells.join(pairs, "event_type")
+        .where((F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("event_type", "i", "day", "j")
+        .agg(F.min("avg").alias("mavg"))
+    )
+    fit = inner.groupBy("event_type", "i", "day").agg(
+        F.max("mavg").alias("fit")
+    )
+    return (
+        fit.join(
+            idx.select("event_type", "i", "c", "n"), ["event_type", "i"]
+        )
+        .select(
+            "event_type",
+            "day",
+            F.expr("c div n").alias("mean_cents"),
+            F.floor(F.lit(100.0) * F.col("fit"))
+            .cast("long")
+            .alias("fit_e2"),
+        )
+    )

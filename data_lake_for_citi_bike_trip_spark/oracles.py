@@ -7341,3 +7341,46 @@ SELECT fold, n_days, slope_e6,
          AS spread_e6
 FROM slopes
 """
+
+
+# operators/timeseries.py:isotonic_daily_fit — the minimax identity
+# replayed cell-for-cell; the unique PAVA solution without a stack.
+ISOTONIC_DAILY_FIT = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, c, n,
+         row_number() OVER w AS i,
+         sum(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS pc,
+         sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS pn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+pairs AS (
+  SELECT a.event_type, a.i AS j, b.i AS k,
+         CAST(b.pc - (a.pc - a.c) AS DOUBLE)
+           / CAST(b.pn - (a.pn - a.n) AS DOUBLE) AS avg
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.i <= b.i
+),
+inner_min AS (
+  SELECT c.event_type, c.i, c.day, p.j, min(p.avg) AS mavg
+  FROM idx c JOIN pairs p
+    ON c.event_type = p.event_type AND p.j <= c.i AND p.k >= c.i
+  GROUP BY 1, 2, 3, 4
+),
+fit AS (
+  SELECT event_type, i, day, max(mavg) AS fit
+  FROM inner_min GROUP BY 1, 2, 3
+)
+SELECT f.event_type, CAST(f.day AS VARCHAR) AS day,
+       CAST(x.c // x.n AS BIGINT) AS mean_cents,
+       CAST(floor(100.0 * f.fit) AS BIGINT) AS fit_e2
+FROM fit f JOIN idx x ON f.event_type = x.event_type AND f.i = x.i
+"""

@@ -380,3 +380,41 @@ def test_kaplan_meier_hand_computed(spark):
     mb2 = math.floor(1000.0 * math.log2(1 / 2))
     assert out[1].step_log2_mb == mb1
     assert out[2].surv_log2_mb == mb1 + mb2
+
+
+def test_isotonic_fit_monotone_and_pools_violations(spark):
+    """Series 3,1,2 (means) pools the first two days to 2.0 and keeps
+    day 3; the fit is non-decreasing and equals hand-PAVA."""
+    rows = []
+    eid = 0
+    # day1: one event value 3.00; day2: one 1.00; day3: one 2.00
+    for d, v in [(1, 3.00), (2, 1.00), (3, 2.00)]:
+        rows.append((eid, f"2024-01-0{d} 10:00:00", 1, "click", v)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    from data_lake_for_citi_bike_trip_spark.operators import timeseries as tsm
+    out = sorted(
+        (r.day, r.fit_e2) for r in tsm.isotonic_daily_fit(df).collect()
+    )
+    # PAVA: [300,100,200] -> pool(300,100)=200,200 -> [200,200,200]
+    assert [f for _, f in out] == [20000, 20000, 20000]
+    fits = [f for _, f in out]
+    assert fits == sorted(fits)
+
+
+def test_isotonic_fit_already_monotone_is_identity(spark):
+    rows = []
+    eid = 0
+    for d, v in [(1, 1.00), (2, 2.00), (3, 5.00)]:
+        rows.append((eid, f"2024-01-0{d} 10:00:00", 1, "click", v)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    from data_lake_for_citi_bike_trip_spark.operators import timeseries as tsm
+    out = sorted(
+        (r.day, r.fit_e2) for r in tsm.isotonic_daily_fit(df).collect()
+    )
+    assert [f for _, f in out] == [10000, 20000, 50000]
