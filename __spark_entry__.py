@@ -2139,6 +2139,36 @@ def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.isotonic_daily_fit(load_table(spark, sf_dir, "events"))
 
 
+
+def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source: hapax share and type-token
+    ratio in exact bp."""
+    return text_ops.hapax_rate(load_table(spark, sf_dir, "documents"))
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 clumping terms by collection-over-document frequency."""
+    return text_ops.term_burstiness(load_table(spark, sf_dir, "documents"))
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two HITS rounds over the directed customer->supplier graph;
+    exact integer hub/authority, top-100."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(
+            lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.hits_scores(edges)
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3094,6 +3124,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_churn": q_edge_churn,
         "cv_slope_stability": q_cv_slope_stability,
         "isotonic_fit": q_isotonic_fit,
+        "hapax_rate": q_hapax_rate,
+        "term_burstiness": q_term_burstiness,
+        "hits_scores": q_hits_scores,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3410,6 +3443,9 @@ def oracle_sql() -> dict[str, str]:
         "edge_churn": oracles.EDGE_CHURN,
         "cv_slope_stability": oracles.CV_SLOPE_STABILITY,
         "isotonic_fit": oracles.ISOTONIC_DAILY_FIT,
+        "hapax_rate": oracles.HAPAX_RATE,
+        "term_burstiness": oracles.TERM_BURSTINESS,
+        "hits_scores": oracles.HITS_SCORES,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

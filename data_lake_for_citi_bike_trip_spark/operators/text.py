@@ -807,3 +807,84 @@ def doc_keywords(docs: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
             F.col("score_mb").cast("long").alias("score_mb"),
         )
     )
+
+
+def hapax_rate(docs: DataFrame) -> DataFrame:
+    """Vocabulary richness per source: vocabulary size, hapax
+    legomena (terms seen exactly once) share, and the type-token
+    ratio — the fastest corpus-quality fingerprint (templated text
+    has few hapaxes and a tiny TTR; scraped natural prose is hapax-
+    heavy). One explode -> per-(source, term) counts -> one
+    source-grain rollup; everything integer, ratios in bp/e4.
+    """
+    counts = (
+        spread(docs)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+                )
+            ).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("tf") == 1).cast("long"))
+        .cast("long")
+        .alias("n_hapax"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+    ).select(
+        "source",
+        "vocab_size",
+        "n_hapax",
+        "n_tokens",
+        F.expr("(10000 * n_hapax) div vocab_size").alias("hapax_bp"),
+        F.expr("(10000 * vocab_size) div n_tokens").alias("ttr_bp"),
+    )
+
+
+def term_burstiness(docs: DataFrame, top_k: int = 50, min_df: int = 3) -> DataFrame:
+    """Term burstiness — collection frequency over document frequency
+    (Church & Gale's clumping signal): a term with cf/df near 1
+    sprinkles once per document (function-word behavior); a high
+    ratio means the term CLUMPS into few documents (topical/entity
+    behavior — the terms worth indexing). Emits the top-k burstiest
+    terms above ``min_df`` with exact integer evidence
+    (burst_e2 = 100*cf div df).
+
+    One explode -> (term, doc) counts -> term-grain rollup -> top-k
+    via TakeOrderedAndProject. The ranking is total (burst desc, cf
+    desc, term asc).
+    """
+    td = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+                )
+            ).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = td.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("cf"),
+        F.count(F.lit(1)).alias("df"),
+    ).where(F.col("df") >= min_df)
+    return (
+        stats.select(
+            "term",
+            "cf",
+            F.col("df").cast("long").alias("df"),
+            F.expr("(100 * cf) div df").alias("burst_e2"),
+        )
+        .orderBy(
+            F.desc("burst_e2"), F.desc("cf"), F.asc("term")
+        )
+        .limit(top_k)
+    )

@@ -7384,3 +7384,77 @@ SELECT f.event_type, CAST(f.day AS VARCHAR) AS day,
        CAST(floor(100.0 * f.fit) AS BIGINT) AS fit_e2
 FROM fit f JOIN idx x ON f.event_type = x.event_type AND f.i = x.i
 """
+
+
+# operators/text.py:hapax_rate — per-source vocab/hapax/TTR.
+HAPAX_RATE = r"""
+WITH counts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       (10000 * CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT))
+         // COUNT(*) AS hapax_bp,
+       (10000 * CAST(COUNT(*) AS BIGINT)) // CAST(sum(tf) AS BIGINT)
+         AS ttr_bp
+FROM counts GROUP BY 1
+"""
+
+
+# operators/text.py:term_burstiness — cf/df clumping, top-50.
+TERM_BURSTINESS = r"""
+WITH td AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+),
+stats AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cf,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM td GROUP BY 1 HAVING COUNT(*) >= 3
+)
+SELECT term, cf, df, (100 * cf) // df AS burst_e2
+FROM stats
+ORDER BY burst_e2 DESC, cf DESC, term
+LIMIT 50
+"""
+
+
+# operators/graph.py:hits_scores — two unrolled HITS rounds over the
+# directed customer->supplier graph; top-100 by authority.
+HITS_SCORES = """
+WITH e AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+a1 AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS auth
+       FROM e GROUP BY 1),
+h1 AS (SELECT e.src AS id, CAST(sum(a1.auth) AS BIGINT) AS hub
+       FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1),
+a2 AS (SELECT e.dst AS id, CAST(sum(h1.hub) AS BIGINT) AS auth
+       FROM e JOIN h1 ON e.src = h1.id GROUP BY 1),
+h2 AS (SELECT e.src AS id, CAST(sum(a2.auth) AS BIGINT) AS hub
+       FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1)
+SELECT n.id,
+       CAST(COALESCE(a2.auth, 0) AS BIGINT) AS auth,
+       CAST(COALESCE(h2.hub, 0) AS BIGINT) AS hub
+FROM nodes n
+LEFT JOIN a2 ON n.id = a2.id
+LEFT JOIN h2 ON n.id = h2.id
+ORDER BY auth DESC, hub DESC, n.id
+LIMIT 100
+"""

@@ -270,3 +270,20 @@ def test_edge_churn_reconciliation(spark):
     assert (r.stable_edges, r.dropped_edges, r.new_edges) == (2, 1, 0)
     assert r.union_edges == 3
     assert r.jaccard_bp == 6666
+
+
+def test_hits_round_semantics(spark):
+    """Two customers -> one popular supplier: after round 1 the
+    popular supplier's auth = its in-degree; hubs pointing at it
+    score higher than hubs pointing at a lone supplier."""
+    from data_lake_for_citi_bike_trip_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(2, 1), (4, 1), (6, 3)],  # custs 2,4 -> supp 1; cust 6 -> supp 3
+        "src long, dst long",
+    )
+    rows = {r.id: (r.auth, r.hub) for r in graph.hits_scores(edges).collect()}
+    # a1: supp1=2, supp3=1; h1: c2=2,c4=2,c6=1; a2: supp1=4, supp3=1
+    assert rows[1][0] == 4 and rows[3][0] == 1
+    # h2: c2=c4=4, c6=1
+    assert rows[2][1] == 4 and rows[6][1] == 1
