@@ -2169,6 +2169,26 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.hits_scores(edges)
 
 
+
+def q_rapid_reorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-customer order pairs within 3 days with relative amount
+    delta — the double-charge triage list."""
+    return analytics.rapid_reorders(load_table(spark, sf_dir, "orders"))
+
+
+def q_return_rate_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate share and lift per discount percent band."""
+    return analytics.return_rate_by_discount(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_basket_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-mix entropy per order (millibit terms), rolled up by
+    basket size."""
+    return analytics.basket_entropy(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3127,6 +3147,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hapax_rate": q_hapax_rate,
         "term_burstiness": q_term_burstiness,
         "hits_scores": q_hits_scores,
+        "rapid_reorders": q_rapid_reorders,
+        "return_rate_by_discount": q_return_rate_by_discount,
+        "basket_entropy": q_basket_entropy,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3446,6 +3469,9 @@ def oracle_sql() -> dict[str, str]:
         "hapax_rate": oracles.HAPAX_RATE,
         "term_burstiness": oracles.TERM_BURSTINESS,
         "hits_scores": oracles.HITS_SCORES,
+        "rapid_reorders": oracles.RAPID_REORDERS,
+        "return_rate_by_discount": oracles.RETURN_RATE_BY_DISCOUNT,
+        "basket_entropy": oracles.BASKET_ENTROPY,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1352,3 +1352,130 @@ def price_index_laspeyres(lineitem: DataFrame) -> DataFrame:
             / F.col("den").cast("double")
         ).cast("long").alias("index_e4"),
     )
+
+
+def rapid_reorders(orders: DataFrame, window_days: int = 3) -> DataFrame:
+    """Rapid-reorder audit: order pairs from the SAME customer within
+    ``window_days`` — the accounts-payable double-charge triage list
+    (a true duplicate shows up with amount_delta_bp = 0; a fat-finger
+    reorder with a small delta). The join is equi-keyed on custkey;
+    the date residual bounds candidates to each customer's local
+    window, so the pair count is per-customer-burst bounded, never
+    quadratic in the fact.
+
+    Canonical pair order (earlier orderkey first) keeps each pair
+    once. amount_delta_bp = |c1-c2| relative to the smaller amount,
+    exact cross-multiplied integers.
+    """
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.to_date("o_orderdate").alias("day"),
+    )
+    a = base.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("k1"),
+        F.col("cents").alias("c1"),
+        F.col("day").alias("d1"),
+    )
+    b = base.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("k2"),
+        F.col("cents").alias("c2"),
+        F.col("day").alias("d2"),
+    )
+    return (
+        a.join(b, "o_custkey")
+        .where(
+            (F.col("k1") < F.col("k2"))
+            & (F.abs(F.datediff("d2", "d1")) <= window_days)
+        )
+        .select(
+            "o_custkey",
+            "k1",
+            "k2",
+            F.abs(F.datediff("d2", "d1")).cast("long").alias("gap_days"),
+            F.expr(
+                "(10000 * abs(c1 - c2)) div greatest(least(c1, c2), 1)"
+            ).alias("amount_delta_bp"),
+        )
+    )
+
+
+def return_rate_by_discount(lineitem: DataFrame) -> DataFrame:
+    """Return-rate lift by discount band — does discounting correlate
+    with returns? Bands are exact integer percent points of the
+    discount column; per band: line count, returned share in bp, and
+    the lift vs the overall return rate (cross-multiplied integer
+    comparison — lift_bp > 10000 means the band returns more than
+    baseline). One scan, one band-grain aggregate, a 1-row overall
+    stat attach.
+    """
+    base = lineitem.select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    bands = base.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("ret").cast("long").alias("n_returned"),
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).alias("tn"),
+        F.sum("ret").cast("long").alias("tr"),
+    )
+    return (
+        bands.crossJoin(F.broadcast(overall))
+        .where(F.col("tr") > 0)
+        .select(
+            "disc_pct",
+            "n_lines",
+            "n_returned",
+            F.expr("(10000 * n_returned) div n_lines").alias("return_bp"),
+            F.expr(
+                "(10000 * n_returned * tn) div (n_lines * tr)"
+            ).alias("lift_bp"),
+        )
+    )
+
+
+def basket_entropy(lineitem: DataFrame, n_cats: int = 25) -> DataFrame:
+    """Basket diversity: Shannon entropy of each order's category mix
+    (part id mod ``n_cats``), rolled up by basket size — do bigger
+    baskets actually diversify, or just repeat? Per-order entropy is
+    a bounded HOF-style computation (baskets <= 7 lines): each
+    category's -p*log2(p) term quantizes to millibits BEFORE the
+    per-order sum (the module-wide float discipline), then orders
+    aggregate by line count.
+
+    Two keyed aggregates (order-category, order) + one size-grain
+    rollup; no window, no explode beyond the scan.
+    """
+    oc = lineitem.select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_partkey") % n_cats).alias("cat"),
+    ).groupBy("ok", "cat").agg(F.count(F.lit(1)).alias("c"))
+    tot = Window.partitionBy("ok")
+    terms = oc.select(
+        "ok",
+        "c",
+        F.sum("c").over(tot).alias("t"),
+    ).select(
+        "ok",
+        "t",
+        F.floor(
+            F.lit(-1000.0)
+            * (F.col("c").cast("double") / F.col("t"))
+            * F.log2(F.col("c").cast("double") / F.col("t"))
+        ).cast("long").alias("mb"),
+    )
+    per_order = terms.groupBy("ok").agg(
+        F.max("t").alias("n_items"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum("mb").alias("entropy_mb"),
+    )
+    return per_order.groupBy("n_items").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("sum(entropy_mb) div count(1)").alias("mean_entropy_mb"),
+        F.expr("sum(n_cats) * 100 div count(1)").alias("mean_cats_e2"),
+    )

@@ -7458,3 +7458,78 @@ LEFT JOIN h2 ON n.id = h2.id
 ORDER BY auth DESC, hub DESC, n.id
 LIMIT 100
 """
+
+
+# operators/analytics.py:rapid_reorders — custkey equi key, bounded
+# date residual, canonical pair order, relative amount delta.
+RAPID_REORDERS = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS day
+  FROM orders
+)
+SELECT a.o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+       CAST(abs(date_diff('day', a.day, b.day)) AS BIGINT) AS gap_days,
+       CAST((10000 * abs(a.cents - b.cents))
+            // greatest(least(a.cents, b.cents), 1) AS BIGINT)
+         AS amount_delta_bp
+FROM base a JOIN base b ON a.o_custkey = b.o_custkey
+WHERE a.o_orderkey < b.o_orderkey
+  AND abs(date_diff('day', a.day, b.day)) <= 3
+"""
+
+
+# operators/analytics.py:return_rate_by_discount — integer percent
+# bands, bp return share, cross-multiplied lift.
+RETURN_RATE_BY_DISCOUNT = """
+WITH base AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem
+),
+bands AS (
+  SELECT disc_pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(sum(ret) AS BIGINT) AS n_returned
+  FROM base GROUP BY 1
+),
+overall AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS tn, CAST(sum(ret) AS BIGINT) AS tr
+  FROM base
+)
+SELECT disc_pct, n_lines, n_returned,
+       (10000 * n_returned) // n_lines AS return_bp,
+       CAST((10000 * n_returned * tn) // (n_lines * tr) AS BIGINT)
+         AS lift_bp
+FROM bands CROSS JOIN overall
+WHERE tr > 0
+"""
+
+
+# operators/analytics.py:basket_entropy — per-order millibit entropy
+# terms summed as integers, size-grain rollup.
+BASKET_ENTROPY = """
+WITH oc AS (
+  SELECT l_orderkey AS ok, l_partkey % 25 AS cat,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+terms AS (
+  SELECT ok, sum(c) OVER (PARTITION BY ok) AS t,
+         CAST(floor(-1000.0
+           * (CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY ok))
+           * log2(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY ok)))
+           AS BIGINT) AS mb
+  FROM oc
+),
+per_order AS (
+  SELECT ok, CAST(max(t) AS BIGINT) AS n_items,
+         CAST(COUNT(*) AS BIGINT) AS n_cats,
+         CAST(sum(mb) AS BIGINT) AS entropy_mb
+  FROM terms GROUP BY 1
+)
+SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(sum(entropy_mb) // COUNT(*) AS BIGINT) AS mean_entropy_mb,
+       CAST(sum(n_cats) * 100 // COUNT(*) AS BIGINT) AS mean_cats_e2
+FROM per_order GROUP BY 1
+"""

@@ -499,3 +499,33 @@ def test_price_index_flat_prices_is_one(spark):
                  "to_timestamp(d) AS l_shipdate")
     r = an.price_index_laspeyres(li).collect()[0]
     assert r.index_e4 == 10000
+
+
+def test_rapid_reorders_window_and_delta(spark):
+    """Pairs within 3 days flagged with exact relative delta; pairs
+    outside the window or across customers are not."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    orders = spark.createDataFrame(
+        [(1, 7, 100.00, "2024-01-01"), (2, 7, 100.00, "2024-01-02"),
+         (3, 7, 110.00, "2024-01-10"),   # outside window of 1/2
+         (4, 8, 100.00, "2024-01-02")],  # other customer
+        "o_orderkey long, o_custkey long, o_totalprice double, d string",
+    ).selectExpr("o_orderkey", "o_custkey", "o_totalprice",
+                 "to_timestamp(d) AS o_orderdate")
+    rows = an.rapid_reorders(orders).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.k1, r.k2, r.gap_days, r.amount_delta_bp) == (1, 2, 1, 0)
+
+
+def test_basket_entropy_uniform_two_cats(spark):
+    """An order with two equally-weighted categories has entropy
+    exactly 1 bit (two 500-millibit terms)."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    li = spark.createDataFrame(
+        [(1, 0), (1, 1)], "l_orderkey long, l_partkey long"
+    )
+    r = an.basket_entropy(li).collect()[0]
+    assert r.n_items == 2 and r.mean_entropy_mb == 1000
