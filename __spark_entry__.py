@@ -2189,6 +2189,21 @@ def q_basket_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.basket_entropy(load_table(spark, sf_dir, "lineitem"))
 
 
+
+def q_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding separation: mean cosine to own centroid vs
+    best other centroid, exact integer construction."""
+    return similarity.label_silhouette(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def q_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust mean of order value over 32 md5 buckets
+    with the heavy-tail gap readout."""
+    return profile.median_of_means(load_table(spark, sf_dir, "orders"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3150,6 +3165,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rapid_reorders": q_rapid_reorders,
         "return_rate_by_discount": q_return_rate_by_discount,
         "basket_entropy": q_basket_entropy,
+        "label_silhouette": q_label_silhouette,
+        "median_of_means": q_median_of_means,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3472,6 +3489,8 @@ def oracle_sql() -> dict[str, str]:
         "rapid_reorders": oracles.RAPID_REORDERS,
         "return_rate_by_discount": oracles.RETURN_RATE_BY_DISCOUNT,
         "basket_entropy": oracles.BASKET_ENTROPY,
+        "label_silhouette": oracles.LABEL_SILHOUETTE,
+        "median_of_means": oracles.MEDIAN_OF_MEANS,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

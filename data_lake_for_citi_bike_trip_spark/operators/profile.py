@@ -1473,3 +1473,60 @@ def log_histogram(events: DataFrame) -> DataFrame:
             F.expr("(10000 * n) div total").alias("share_bp"),
         )
     )
+
+
+def median_of_means(orders: DataFrame, k_buckets: int = 32) -> DataFrame:
+    """Median-of-means robust mean of order value — the estimator
+    with sub-Gaussian tails under ANY finite-variance distribution:
+    hash rows into ``k_buckets`` deterministic groups, take each
+    group's exact mean, report the median of the bucket means. The
+    heavy-tail-proof companion to bootstrap_mean_ci (same md5 bucket
+    discipline; one pass, k-row state — the estimator was invented
+    for exactly this streaming/distributed shape).
+
+    Exact integers: bucket means by truncating division of exact
+    sums; the median of the <= k means is value-at-rank (lower
+    median). Emits the MoM, the plain mean, and their gap — a large
+    gap IS the heavy-tail alarm.
+    """
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("o_orderkey").cast("string")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % k_buckets
+        ).alias("b"),
+    )
+    means = base.groupBy("b").agg(
+        F.expr("sum(cents) div count(1)").alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("m", "b")
+    ranked = means.select(
+        "m",
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+        F.sum(F.col("m") * F.col("n")).over(Window.partitionBy()).alias("tw"),
+        F.sum("n").over(Window.partitionBy()).alias("tn"),
+    )
+    return ranked.where(
+        F.col("rk") == F.expr("(nb + 1) div 2")
+    ).select(
+        F.col("nb").cast("long").alias("n_buckets"),
+        F.col("m").cast("long").alias("mom_cents"),
+    ).crossJoin(
+        F.broadcast(
+            orders.agg(
+                F.expr(
+                    "sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+                    "div count(1)"
+                ).alias("mean_cents")
+            )
+        )
+    ).withColumn("gap_cents", F.col("mom_cents") - F.col("mean_cents"))

@@ -1014,3 +1014,79 @@ def arrow_label_stats(embeddings: DataFrame) -> DataFrame:
         )
 
     return q.groupBy("label").applyInArrow(stats, schema=ARROW_LABEL_SCHEMA)
+
+
+def label_silhouette(embeddings: DataFrame) -> DataFrame:
+    """Silhouette-style label separation: per label, the mean cosine
+    of members to their OWN centroid vs to the BEST OTHER centroid —
+    label_centroid_cosine measures cohesion alone; separation is what
+    says whether labels are actually distinguishable in embedding
+    space (own >> other = clean classes; own ~ other = label noise).
+
+    Same exactness construction as the centroid family: e6 integer
+    quantization (promoted to DOUBLE first — the float32 rule), exact
+    BIGINT centroid SUMS (cosine's scale-invariance makes means
+    unnecessary), every member-centroid cosine one per-row IEEE
+    expression over exact ints floored to e6, and the per-label means
+    use the shifted-numerator trick so truncating division never sees
+    a negative numerator.
+
+    Scale: centroids are label-cardinality-sized and broadcast; each
+    member scores against ALL centroids via one small cross join
+    (members x |labels| — enum-bounded multiplication), then one
+    label-grain rollup.
+    """
+    q = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("q"),
+    )
+    elems = q.select("label", F.posexplode("q").alias("i", "v"))
+    cent = (
+        elems.groupBy("label", "i")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, s))), "
+                "p -> p.s)"
+            ).alias("c")
+        )
+        .select(F.col("label").alias("clabel"), "c")
+    )
+    cos = F.expr(
+        "floor(1000000.0 * "
+        "aggregate(zip_with(q, c, (x, y) -> x * y), CAST(0 AS BIGINT), "
+        "(a, x) -> a + x) / "
+        "(sqrt(CAST(aggregate(transform(q, x -> x * x), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE)) * "
+        "sqrt(CAST(aggregate(transform(c, x -> x * x), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE))))"
+    ).cast("long")
+    scored = q.join(F.broadcast(cent), how="cross").select(
+        "vec_id", "label", "clabel", cos.alias("cos_e6")
+    )
+    own = scored.where(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("cos_e6").alias("own_e6")
+    )
+    other = (
+        scored.where(F.col("label") != F.col("clabel"))
+        .groupBy("vec_id", "label")
+        .agg(F.max("cos_e6").alias("other_e6"))
+    )
+    per = own.join(other, ["vec_id", "label"])
+    shift = 2_000_000  # cosines in [-1e6, 1e6]; shift keeps sums positive
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr(
+            f"(sum(own_e6 + {shift}) div count(1)) - {shift}"
+        ).alias("mean_own_e6"),
+        F.expr(
+            f"(sum(other_e6 + {shift}) div count(1)) - {shift}"
+        ).alias("mean_other_e6"),
+    ).withColumn(
+        "separation_e6", F.col("mean_own_e6") - F.col("mean_other_e6")
+    )

@@ -7533,3 +7533,90 @@ SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(sum(n_cats) * 100 // COUNT(*) AS BIGINT) AS mean_cats_e2
 FROM per_order GROUP BY 1
 """
+
+
+# operators/similarity.py:label_silhouette — member cosine to own vs
+# best other centroid; the LABEL_CENTROIDS machinery with a label
+# cross join.
+LABEL_SILHOUETTE = """
+WITH qv AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+elems AS (
+  SELECT label, i, q[i] AS v
+  FROM (SELECT label, q, unnest(generate_series(1, len(q))) AS i FROM qv)
+),
+cent AS (
+  SELECT label AS clabel, list(s ORDER BY i) AS c
+  FROM (SELECT label, i, CAST(sum(v) AS BIGINT) AS s
+        FROM elems GROUP BY 1, 2)
+  GROUP BY 1
+),
+scored AS (
+  SELECT q.vec_id, q.label, c.clabel,
+         CAST(floor(1000000.0 * CAST(list_sum(
+                list_transform(list_zip(q.q, c.c), z -> z[1] * z[2])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(q.q, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(c.c, x -> x * x)) AS DOUBLE))))
+          AS BIGINT) AS cos_e6
+  FROM qv q CROSS JOIN cent c
+),
+own AS (
+  SELECT vec_id, label, cos_e6 AS own_e6 FROM scored
+  WHERE label = clabel
+),
+other AS (
+  SELECT vec_id, label, max(cos_e6) AS other_e6 FROM scored
+  WHERE label <> clabel GROUP BY 1, 2
+),
+per AS (
+  SELECT o.label, o.own_e6, t.other_e6
+  FROM own o JOIN other t ON o.vec_id = t.vec_id AND o.label = t.label
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(sum(own_e6 + 2000000) // COUNT(*) - 2000000 AS BIGINT)
+         AS mean_own_e6,
+       CAST(sum(other_e6 + 2000000) // COUNT(*) - 2000000 AS BIGINT)
+         AS mean_other_e6,
+       CAST((sum(own_e6 + 2000000) // COUNT(*))
+            - (sum(other_e6 + 2000000) // COUNT(*)) AS BIGINT)
+         AS separation_e6
+FROM per GROUP BY 1
+"""
+
+
+# operators/profile.py:median_of_means — md5 buckets, exact bucket
+# means, lower-median value-at-rank, gap vs the plain mean.
+MEDIAN_OF_MEANS = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % 32 AS b
+  FROM orders
+),
+means AS (
+  SELECT b, CAST(sum(cents) // COUNT(*) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rk,
+         COUNT(*) OVER () AS nb
+  FROM means
+),
+mom AS (
+  SELECT CAST(nb AS BIGINT) AS n_buckets, m AS mom_cents
+  FROM ranked WHERE rk = (nb + 1) // 2
+),
+mean_all AS (
+  SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              // COUNT(*) AS BIGINT) AS mean_cents
+  FROM orders
+)
+SELECT n_buckets, mom_cents, mean_cents,
+       CAST(mom_cents - mean_cents AS BIGINT) AS gap_cents
+FROM mom CROSS JOIN mean_all
+"""

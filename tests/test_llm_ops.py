@@ -323,3 +323,34 @@ def test_bigram_surprisal_prefers_repeated_sequences(spark):
     assert got[4] == (1, mb_c)
     assert 5 not in got  # no bigrams in a one-token doc
     assert mb_c > mb_b
+
+
+def test_label_silhouette_separated_clusters(spark):
+    """Two orthogonal labels: own-centroid cosine 1e6, other 0 ->
+    separation exactly 1e6 per label."""
+    from data_lake_for_citi_bike_trip_spark.operators import similarity
+
+    rows = [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0]),
+            (3, 1, [0.0, 1.0]), (4, 1, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>"
+    )
+    got = {r.label: r for r in similarity.label_silhouette(df).collect()}
+    for lab in (0, 1):
+        assert got[lab].mean_own_e6 == 1_000_000
+        assert got[lab].mean_other_e6 == 0
+        assert got[lab].separation_e6 == 1_000_000
+
+
+def test_median_of_means_robust_to_outlier(spark):
+    """A single enormous order drags the plain mean far above the
+    median-of-means -> a large negative gap flags the heavy tail."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = [(k, 100.0) for k in range(500)] + [(999, 1_000_000.0)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double"
+    )
+    r = profile.median_of_means(orders).collect()[0]
+    assert r.mom_cents < r.mean_cents
+    assert r.gap_cents < -10_000  # mean dragged > $100 above MoM
