@@ -2204,6 +2204,13 @@ def q_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.median_of_means(load_table(spark, sf_dir, "orders"))
 
 
+
+def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on the parity split's conversion —
+    pooled variance, exact counts, one floored-e6 double."""
+    return profile.prop_ztest(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3167,6 +3174,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_entropy": q_basket_entropy,
         "label_silhouette": q_label_silhouette,
         "median_of_means": q_median_of_means,
+        "prop_ztest": q_prop_ztest,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3491,6 +3499,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_entropy": oracles.BASKET_ENTROPY,
         "label_silhouette": oracles.LABEL_SILHOUETTE,
         "median_of_means": oracles.MEDIAN_OF_MEANS,
+        "prop_ztest": oracles.PROP_ZTEST,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

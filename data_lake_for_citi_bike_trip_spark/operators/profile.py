@@ -1530,3 +1530,84 @@ def median_of_means(orders: DataFrame, k_buckets: int = 32) -> DataFrame:
             )
         )
     ).withColumn("gap_cents", F.col("mom_cents") - F.col("mean_cents"))
+
+
+def prop_ztest(events: DataFrame) -> DataFrame:
+    """Two-sample proportion z-test for the deterministic A/B split's
+    conversion difference — the inference layer on top of ab_lift's
+    point estimate (a 300 bp lift on 40 users is noise; on 40k users
+    it's real). Pooled-variance form: z = (p1 - p0) /
+    sqrt(p*(1-p)*(1/n0 + 1/n1)) with p the pooled conversion.
+
+    Completes the testing family (locations: rank_sum_test; shapes:
+    ks_test; association: chisq/cramers_v; proportions: this). The
+    outcome is "ABOVE-median purchase count" — every user in this
+    corpus purchases at least once, so ever-purchased saturates at
+    p = 1 and the z is undefined; a data-derived median cutoff keeps
+    the proportion interior at any scale (the non-vacuous rule). All
+    counts exact BIGINT from one user-grain aggregate, a histogram
+    lower-median (1-row attach), and a 2-row cell rollup; z is ONE
+    floored-e6 double expression over exact ints. Degenerate pools
+    (p = 0 or 1, or an empty arm) are filtered.
+    """
+    pu = events.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np")
+    )
+    hist = pu.groupBy("np").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("np").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    med = (
+        hist.select(
+            "np",
+            F.sum("t").over(w).alias("cum"),
+            F.sum("t").over(Window.partitionBy()).alias("tot"),
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .agg(F.min("np").alias("med"))
+    )
+    per = (
+        pu.crossJoin(F.broadcast(med))
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).cast("long").alias("variant"),
+            (F.col("np") > F.col("med")).cast("long").alias("converted"),
+        )
+    )
+    cells = per.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("k"),
+    )
+    wide = cells.groupBy().agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("k"))).alias("k1"),
+    )
+    kp = F.col("k0") + F.col("k1")
+    np_ = F.col("n0") + F.col("n1")
+    z = (
+        (
+            F.col("k1").cast("double") / F.col("n1")
+            - F.col("k0").cast("double") / F.col("n0")
+        )
+        / F.sqrt(
+            (kp.cast("double") / np_)
+            * (1 - kp.cast("double") / np_)
+            * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+        )
+    )
+    return wide.where(
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (kp > 0)
+        & (kp < np_)
+    ).select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("k0").cast("long").alias("k0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("k1").cast("long").alias("k1"),
+        F.expr("(10000 * k0) div n0").alias("conv0_bp"),
+        F.expr("(10000 * k1) div n1").alias("conv1_bp"),
+        F.floor(F.lit(1_000_000.0) * z).cast("long").alias("z_e6"),
+    )

@@ -7620,3 +7620,51 @@ SELECT n_buckets, mom_cents, mean_cents,
        CAST(mom_cents - mean_cents AS BIGINT) AS gap_cents
 FROM mom CROSS JOIN mean_all
 """
+
+
+# operators/profile.py:prop_ztest — pooled-variance two-proportion z,
+# one shared double expression over exact counts.
+PROP_ZTEST = """
+WITH pu AS (
+  SELECT user_id,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS np
+  FROM events GROUP BY 1
+),
+hist AS (SELECT np, COUNT(*) AS t FROM pu GROUP BY 1),
+med AS (
+  SELECT min(np) AS med FROM (
+    SELECT np,
+           sum(t) OVER (ORDER BY np
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(t) OVER () AS tot
+    FROM hist
+  ) WHERE 2 * cum >= tot
+),
+per AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+         CASE WHEN np > med THEN 1 ELSE 0 END AS converted
+  FROM pu CROSS JOIN med
+),
+cells AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS k
+  FROM per GROUP BY 1
+),
+wide AS (
+  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+         max(CASE WHEN variant = 0 THEN k END) AS k0,
+         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         max(CASE WHEN variant = 1 THEN k END) AS k1
+  FROM cells
+)
+SELECT n0, k0, n1, k1,
+       (10000 * k0) // n0 AS conv0_bp,
+       (10000 * k1) // n1 AS conv1_bp,
+       CAST(floor(1000000.0 *
+         ((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0)
+          / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                 * (1 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                 * (1.0 / n0 + 1.0 / n1)))) AS BIGINT) AS z_e6
+FROM wide
+WHERE n0 > 0 AND n1 > 0 AND k0 + k1 > 0 AND k0 + k1 < n0 + n1
+"""

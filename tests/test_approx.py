@@ -390,3 +390,27 @@ def test_spearman_perfect_monotonic(spark):
     r = profile.spearman_daily(_typed_events(spark, rows)).collect()[0]
     assert r.n_days == 4
     assert r.rho_e6 == 1_000_000
+
+
+def test_prop_ztest_known_counts(spark):
+    """Hand-built arms: treated 3/4 above-median vs control 1/4 ->
+    conv bp pinned and z positive; math checked against the closed
+    form."""
+    import math
+
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = []
+    # purchases per user: controls (even) buy 1; treated (odd) buy 3,
+    # except user 2 buys 3 (control high) and user 7 buys 1 (treated low)
+    buys = {1: 3, 3: 3, 5: 3, 7: 1, 2: 3, 4: 1, 6: 1, 8: 1}
+    for u, k in buys.items():
+        for i in range(k):
+            rows.append(("purchase", 1.0, u, 1 + i))
+    r = profile.prop_ztest(_typed_events(spark, rows)).collect()[0]
+    # median purchase count = 1 (lower median of 1,1,1,1,3,3,3,3 -> 1)
+    # above median: users with 3 -> treated 3/4, control 1/4
+    assert (r.n0, r.k0, r.n1, r.k1) == (4, 1, 4, 3)
+    p = 4 / 8
+    z = (3 / 4 - 1 / 4) / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
+    assert r.z_e6 == math.floor(1_000_000.0 * z)

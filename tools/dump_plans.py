@@ -173,9 +173,33 @@ HEADLINE = [
     "spearman_daily",
     "negative_samples",
     "quantile_normalize",
+    "isotonic_fit",
+    "edge_churn",
+    "hits_scores",
+    "label_silhouette",
+    "median_of_means",
+    "rapid_reorders",
+    "basket_entropy",
+    "hapax_rate",
 ]
 
 NOTES = {
+    "isotonic_fit": "minimax identity: every (j,i) cell independent — "
+    "calendar-cubed cells, corpus-sized work is one daily aggregate; "
+    "range residuals ride on event_type equi-joins",
+    "edge_churn": "two basket-bounded distinct edge sets, one "
+    "full-outer reconciliation on the canonical key",
+    "hits_scores": "two rounds x two keyed join+aggregate passes; "
+    "unnormalized BIGINT scores, top-k via TakeOrderedAndProject",
+    "label_silhouette": "centroids broadcast (label-enum-bounded "
+    "cross join x10); per-member cosine pure codegen",
+    "median_of_means": "one md5-bucket aggregate (k-row state), "
+    "bounded rank window; the distributed-robust-mean shape",
+    "rapid_reorders": "custkey equi-join + bounded date residual — "
+    "per-customer-burst bounded, never quadratic in the fact",
+    "basket_entropy": "order-keyed windows over <= 7-line groups; "
+    "millibit terms sum as integers",
+    "hapax_rate": "one explode, two keyed aggregates; ratios in bp",
     "prorate_order_total": "one orderkey equi-join + two windows over "
     "per-order groups (<= 7 lines); all-BIGINT Hamilton allocation",
     "position_attribution": "user-keyed join to the 1-per-user mark, "
