@@ -2211,6 +2211,25 @@ def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.prop_ztest(load_table(spark, sf_dir, "events"))
 
 
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman stratified-sample allocation across event types: N_h*S_h
+    weights, Hamilton-rounded to a 1000-row budget."""
+    return profile.neyman_allocation(load_table(spark, sf_dir, "events"))
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture population estimate from the corpus
+    halves next to the observed distinct count."""
+    return profile.capture_recapture(load_table(spark, sf_dir, "events"))
+
+
+def q_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen vocabulary mass per source (P0 = N1/N in bp)
+    with the frequency-of-frequencies head."""
+    return text_ops.unseen_mass(load_table(spark, sf_dir, "documents"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3175,6 +3194,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_silhouette": q_label_silhouette,
         "median_of_means": q_median_of_means,
         "prop_ztest": q_prop_ztest,
+        "neyman_allocation": q_neyman_allocation,
+        "capture_recapture": q_capture_recapture,
+        "unseen_mass": q_unseen_mass,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3500,6 +3522,9 @@ def oracle_sql() -> dict[str, str]:
         "label_silhouette": oracles.LABEL_SILHOUETTE,
         "median_of_means": oracles.MEDIAN_OF_MEANS,
         "prop_ztest": oracles.PROP_ZTEST,
+        "neyman_allocation": oracles.NEYMAN_ALLOCATION,
+        "capture_recapture": oracles.CAPTURE_RECAPTURE,
+        "unseen_mass": oracles.UNSEEN_MASS,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1611,3 +1611,116 @@ def prop_ztest(events: DataFrame) -> DataFrame:
         F.expr("(10000 * k1) div n1").alias("conv1_bp"),
         F.floor(F.lit(1_000_000.0) * z).cast("long").alias("z_e6"),
     )
+
+
+def neyman_allocation(events: DataFrame, budget: int = 1000) -> DataFrame:
+    """Neyman optimal sample allocation across event-type strata: the
+    survey-sampling rule n_h ∝ N_h * S_h (big AND variable strata get
+    more of the budget) — the design step before any stratified
+    estimate, and the reason stratified sampling beats uniform at
+    equal cost. S_h comes from exact integer sufficient statistics
+    (sum, sum of squares in cents); the allocation integerizes by the
+    SAME largest-remainder method as prorate_order_total, so the
+    shares sum to exactly ``budget``.
+
+    One stratum-grain aggregate (enum-bounded), weight = floor(N_h *
+    S_h) as one shared double per stratum, Hamilton rounding over the
+    |strata| rows.
+    """
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s1"),
+        F.sum(
+            F.round(F.col("value") * 100).cast("long")
+            * F.round(F.col("value") * 100).cast("long")
+        ).alias("s2"),
+    )
+    # weight = N_h * S_h = sqrt(n*s2 - s1^2); the products n*s2 and
+    # s1*s1 exceed int64 at corpus scale, so the variance term is ONE
+    # shared all-double expression (identical IEEE on both engines)
+    wgt = F.floor(
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.col("n").cast("double") * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double"),
+            )
+        )
+    ).cast("long")
+    base = g.select(
+        "event_type", "n", wgt.alias("w")
+    ).where(F.col("w") > 0)
+    tot = Window.partitionBy()
+    k = base.select(
+        "event_type",
+        "n",
+        "w",
+        F.sum("w").over(tot).alias("wsum"),
+    ).select(
+        "event_type",
+        "n",
+        "w",
+        F.expr(f"({budget} * w) div wsum").alias("base_alloc"),
+        F.expr(f"({budget} * w) % wsum").alias("rem"),
+        F.expr(
+            f"{budget} - sum(({budget} * w) div wsum) OVER ()"
+        ).alias("deficit"),
+    )
+    rw = Window.orderBy(F.col("rem").desc(), F.col("event_type"))
+    return k.withColumn("rk", F.row_number().over(rw)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("w").cast("long").alias("weight"),
+        (
+            F.col("base_alloc")
+            + (F.col("rk") <= F.col("deficit")).cast("long")
+        ).cast("long").alias("alloc"),
+    )
+
+
+def capture_recapture(events: DataFrame) -> DataFrame:
+    """Chapman capture-recapture estimate of the user population from
+    the two corpus halves as capture occasions — the coverage
+    diagnostic: if the estimate sits well above the observed distinct
+    count, the corpus is still missing users (the ecology trick that
+    also powers dedup-completeness estimates). N_hat = ((n1+1)(n2+1)
+    div (m+1)) - 1, exact integers; emitted next to the actually
+    observed distinct so the gap reads directly.
+
+    Two half-distinct aggregates + one intersection semi-count — all
+    user-keyed; the midpoint is the usual 1-row stat.
+    """
+    mid = events.agg(
+        F.expr(
+            "min(to_date(ts)) + CAST(datediff(max(to_date(ts)), "
+            "min(to_date(ts))) div 2 AS INT)"
+        ).alias("mid_day")
+    )
+    seen = (
+        events.crossJoin(F.broadcast(mid))
+        .select(
+            "user_id",
+            (F.to_date("ts") > F.col("mid_day")).cast("long").alias("h"),
+        )
+        .distinct()
+        .groupBy("user_id")
+        .agg(
+            F.max(1 - F.col("h")).alias("pre"),
+            F.max("h").alias("post"),
+        )
+    )
+    agg = seen.agg(
+        F.sum("pre").cast("long").alias("n1"),
+        F.sum("post").cast("long").alias("n2"),
+        F.sum(F.col("pre") * F.col("post")).cast("long").alias("m"),
+        F.count(F.lit(1)).alias("observed"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        F.col("observed").cast("long").alias("observed"),
+        F.expr(
+            "((n1 + 1) * (n2 + 1)) div (m + 1) - 1"
+        ).alias("estimated"),
+    )

@@ -888,3 +888,37 @@ def term_burstiness(docs: DataFrame, top_k: int = 50, min_df: int = 3) -> DataFr
         )
         .limit(top_k)
     )
+
+
+def unseen_mass(docs: DataFrame) -> DataFrame:
+    """Good-Turing unseen-probability mass per source: P0 = N1 / N
+    (singleton token count over total tokens) with the
+    frequency-of-frequencies head (N1..N3) as evidence — the LLM-
+    corpus question "how much of this domain's vocabulary have we NOT
+    crawled yet" answered from counts alone. A source with high P0
+    needs more crawling; one near zero is saturated.
+
+    One explode -> (source, term) counts -> frequency-of-frequency
+    rollup; all integers, P0 in bp.
+    """
+    counts = (
+        spread(docs)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+                )
+            ).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return counts.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum((F.col("tf") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("tf") == 2).cast("long")).cast("long").alias("f2"),
+        F.sum((F.col("tf") == 3).cast("long")).cast("long").alias("f3"),
+    ).withColumn(
+        "unseen_bp", F.expr("(10000 * f1) div n_tokens")
+    )

@@ -7668,3 +7668,93 @@ SELECT n0, k0, n1, k1,
 FROM wide
 WHERE n0 > 0 AND n1 > 0 AND k0 + k1 > 0 AND k0 + k1 < n0 + n1
 """
+
+
+# operators/profile.py:neyman_allocation — N_h*S_h weights from exact
+# sums (variance term in shared doubles — int64 overflow guard),
+# Hamilton rounding to the exact budget.
+NEYMAN_ALLOCATION = """
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT event_type, n,
+         CAST(floor(sqrt(greatest(0.0,
+           CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))) AS BIGINT) AS w
+  FROM g
+),
+k AS (
+  SELECT event_type, n, w,
+         sum(w) OVER () AS wsum
+  FROM base WHERE w > 0
+),
+m AS (
+  SELECT event_type, n, w,
+         (1000 * w) // wsum AS base_alloc,
+         (1000 * w) % wsum AS rem,
+         1000 - sum((1000 * w) // wsum) OVER () AS deficit,
+         row_number() OVER (ORDER BY (1000 * w) % wsum DESC, event_type)
+           AS rk
+  FROM k
+)
+SELECT event_type, n AS n_rows, w AS weight,
+       CAST(base_alloc + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM m
+"""
+
+
+# operators/profile.py:capture_recapture — Chapman estimator over the
+# corpus halves, exact integers.
+CAPTURE_RECAPTURE = """
+WITH mid AS (
+  SELECT min(CAST(ts AS DATE))
+         + CAST(date_diff('day', min(CAST(ts AS DATE)),
+                          max(CAST(ts AS DATE))) // 2 AS INTEGER)
+           AS mid_day
+  FROM events
+),
+seen AS (
+  SELECT user_id,
+         max(CASE WHEN CAST(ts AS DATE) <= mid_day THEN 1 ELSE 0 END)
+           AS pre,
+         max(CASE WHEN CAST(ts AS DATE) > mid_day THEN 1 ELSE 0 END)
+           AS post
+  FROM events CROSS JOIN mid GROUP BY 1
+)
+SELECT CAST(sum(pre) AS BIGINT) AS n1,
+       CAST(sum(post) AS BIGINT) AS n2,
+       CAST(sum(pre * post) AS BIGINT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS observed,
+       CAST(((sum(pre) + 1) * (sum(post) + 1)) // (sum(pre * post) + 1)
+            - 1 AS BIGINT) AS estimated
+FROM seen
+"""
+
+
+# operators/text.py:unseen_mass — Good-Turing P0 with the
+# frequency-of-frequencies head.
+UNSEEN_MASS = r"""
+WITH counts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       CAST(sum(CASE WHEN tf = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+       (10000 * CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT))
+         // CAST(sum(tf) AS BIGINT) AS unseen_bp
+FROM counts GROUP BY 1
+"""

@@ -414,3 +414,36 @@ def test_prop_ztest_known_counts(spark):
     p = 4 / 8
     z = (3 / 4 - 1 / 4) / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
     assert r.z_e6 == math.floor(1_000_000.0 * z)
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    """Allocations must sum exactly to the budget; a high-variance
+    stratum outdraws an equal-size constant... near-constant one."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = []
+    # 'wild': values alternate 1 and 99 dollars; 'calm': all 50
+    for i in range(40):
+        rows.append(("wild", 1.0 if i % 2 else 99.0, i, 1))
+        rows.append(("calm", 50.0, i, 1))
+    out = {r.event_type: r.alloc
+           for r in profile.neyman_allocation(
+               _typed_events(spark, rows)).collect()}
+    assert sum(out.values()) == 1000
+    assert out["wild"] > out.get("calm", 0)
+
+
+def test_capture_recapture_chapman(spark):
+    """n1=3, n2=3, m=2 -> Chapman ((4*4)//3)-1 = 4 with 4 observed."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = []
+    # span days 1..11, midpoint day 6; users 1,2 in both halves,
+    # user 3 pre-only, user 4 post-only
+    rows += [("view", 1.0, 1, 1), ("view", 1.0, 1, 10)]
+    rows += [("view", 1.0, 2, 2), ("view", 1.0, 2, 11)]
+    rows += [("view", 1.0, 3, 3)]
+    rows += [("view", 1.0, 4, 9)]
+    r = profile.capture_recapture(_typed_events(spark, rows)).collect()[0]
+    assert (r.n1, r.n2, r.m, r.observed) == (3, 3, 2, 4)
+    assert r.estimated == (4 * 4) // 3 - 1
