@@ -2230,6 +2230,20 @@ def q_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unseen_mass(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share revenue bridge per priority: volume, rate, and the
+    exact integer interaction residual."""
+    return analytics.mix_rate_decomposition(
+        load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of nth purchasers who reach n+1 — the loyalty curve."""
+    return analytics.repeat_purchase_curve(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3197,6 +3211,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": q_neyman_allocation,
         "capture_recapture": q_capture_recapture,
         "unseen_mass": q_unseen_mass,
+        "mix_rate_decomposition": q_mix_rate_decomposition,
+        "repeat_purchase_curve": q_repeat_purchase_curve,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3525,6 +3541,8 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation": oracles.NEYMAN_ALLOCATION,
         "capture_recapture": oracles.CAPTURE_RECAPTURE,
         "unseen_mass": oracles.UNSEEN_MASS,
+        "mix_rate_decomposition": oracles.MIX_RATE_DECOMPOSITION,
+        "repeat_purchase_curve": oracles.REPEAT_PURCHASE_CURVE,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1479,3 +1479,102 @@ def basket_entropy(lineitem: DataFrame, n_cats: int = 25) -> DataFrame:
         F.expr("sum(entropy_mb) div count(1)").alias("mean_entropy_mb"),
         F.expr("sum(n_cats) * 100 div count(1)").alias("mean_cats_e2"),
     )
+
+
+def mix_rate_decomposition(orders: DataFrame) -> DataFrame:
+    """Shift-share decomposition of revenue change between the order-
+    date halves, per priority segment: how much of each segment's
+    change came from VOLUME (more orders at the old average ticket),
+    how much from RATE (old volume at a richer average ticket), and
+    the interaction residual — the classic "why did revenue move"
+    bridge, with the books forced to balance: mix + rate +
+    interaction == delta EXACTLY, because the interaction is defined
+    as the integer residual after the two truncating-division terms
+    (the auditable-decomposition contract; no float ever enters).
+
+        mix  = ((n1 - n0) * c0) div n0          (volume at old rate)
+        rate = (c1 * n0 - c0 * n1) div n0       (rate at new volume)
+
+    One (half, priority) aggregate + a priority-grain self-join of
+    the two 5-row tables.
+    """
+    mid = orders.agg(
+        F.expr(
+            "min(to_date(o_orderdate)) + CAST(datediff("
+            "max(to_date(o_orderdate)), min(to_date(o_orderdate))) "
+            "div 2 AS INT)"
+        ).alias("mid_day")
+    )
+    halves = (
+        orders.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "o_orderpriority",
+            (F.to_date("o_orderdate") > F.col("mid_day"))
+            .cast("long")
+            .alias("h"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("c"),
+        )
+    )
+    h0 = halves.where(F.col("h") == 0).select(
+        "o_orderpriority", F.col("n").alias("n0"), F.col("c").alias("c0")
+    )
+    h1 = halves.where(F.col("h") == 1).select(
+        "o_orderpriority", F.col("n").alias("n1"), F.col("c").alias("c1")
+    )
+    j = h0.join(h1, "o_orderpriority").where(F.col("n0") > 0)
+    return j.select(
+        "o_orderpriority",
+        "n0",
+        "n1",
+        F.col("c0").cast("long").alias("c0"),
+        F.col("c1").cast("long").alias("c1"),
+        F.expr("((n1 - n0) * c0) div n0").alias("mix_cents"),
+        F.expr("(c1 * n0 - c0 * n1) div n0").alias("rate_cents"),
+        F.expr(
+            "(c1 - c0) - (((n1 - n0) * c0) div n0)"
+            " - ((c1 * n0 - c0 * n1) div n0)"
+        ).alias("interaction_cents"),
+    )
+
+
+def repeat_purchase_curve(events: DataFrame, max_n: int = 10) -> DataFrame:
+    """Repeat-purchase curve: of users who made an nth purchase, what
+    share went on to an (n+1)th — the loyalty curve whose first step
+    (1 -> 2) is where most businesses bleed. Exact integers: per-user
+    purchase counts, survivors-at-n via a bounded explode over
+    n = 1..max_n, retention bp by truncating division of adjacent
+    survivor counts (computed via a 1-step lead over the bounded
+    curve).
+
+    One user-grain aggregate + one max_n-bounded explode + a
+    max_n-row window.
+    """
+    pu = events.where(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.count(F.lit(1)).alias("np"))
+    survivors = (
+        pu.select(
+            F.explode(
+                F.expr(f"sequence(1, least(np, {max_n}))")
+            ).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("users_at_n"))
+    )
+    w = Window.orderBy("n")
+    return survivors.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("users_at_n").cast("long").alias("users_at_n"),
+        F.lead("users_at_n").over(w).cast("long").alias("users_at_next"),
+    ).withColumn(
+        "repeat_bp",
+        F.expr(
+            "CASE WHEN users_at_next IS NOT NULL "
+            "THEN (10000 * users_at_next) div users_at_n END"
+        ),
+    )

@@ -7758,3 +7758,65 @@ SELECT source,
          // CAST(sum(tf) AS BIGINT) AS unseen_bp
 FROM counts GROUP BY 1
 """
+
+
+# operators/analytics.py:mix_rate_decomposition — truncating-term
+# shift-share with the interaction as the exact residual.
+MIX_RATE_DECOMPOSITION = """
+WITH mid AS (
+  SELECT min(CAST(o_orderdate AS DATE))
+         + CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
+                          max(CAST(o_orderdate AS DATE))) // 2
+                AS INTEGER) AS mid_day
+  FROM orders
+),
+halves AS (
+  SELECT o_orderpriority,
+         CASE WHEN CAST(o_orderdate AS DATE) > mid_day THEN 1 ELSE 0 END
+           AS h,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM orders CROSS JOIN mid GROUP BY 1, 2
+),
+j AS (
+  SELECT h0.o_orderpriority, h0.n AS n0, h0.c AS c0,
+         h1.n AS n1, h1.c AS c1
+  FROM (SELECT * FROM halves WHERE h = 0) h0
+  JOIN (SELECT * FROM halves WHERE h = 1) h1
+    ON h0.o_orderpriority = h1.o_orderpriority
+  WHERE h0.n > 0
+)
+SELECT o_orderpriority, n0, n1, c0, c1,
+       ((n1 - n0) * c0) // n0 AS mix_cents,
+       (c1 * n0 - c0 * n1) // n0 AS rate_cents,
+       (c1 - c0) - (((n1 - n0) * c0) // n0)
+         - ((c1 * n0 - c0 * n1) // n0) AS interaction_cents
+FROM j
+"""
+
+
+# operators/analytics.py:repeat_purchase_curve — bounded survivor
+# explode, adjacent-ratio retention.
+REPEAT_PURCHASE_CURVE = """
+WITH pu AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS np
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+survivors AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS users_at_n
+  FROM (SELECT unnest(range(1, CAST(least(np, 10) AS INTEGER) + 1)) AS n
+        FROM pu)
+  GROUP BY 1
+),
+curve AS (
+  SELECT CAST(n AS BIGINT) AS n, users_at_n,
+         lead(users_at_n) OVER (ORDER BY n) AS users_at_next
+  FROM survivors
+)
+SELECT n, users_at_n, CAST(users_at_next AS BIGINT) AS users_at_next,
+       CAST(CASE WHEN users_at_next IS NOT NULL
+                 THEN (10000 * users_at_next) // users_at_n END
+            AS BIGINT) AS repeat_bp
+FROM curve
+"""

@@ -529,3 +529,43 @@ def test_basket_entropy_uniform_two_cats(spark):
     )
     r = an.basket_entropy(li).collect()[0]
     assert r.n_items == 2 and r.mean_entropy_mb == 1000
+
+
+def test_mix_rate_decomposition_reconciles(spark, sf_dir):
+    """mix + rate + interaction must equal c1 - c0 EXACTLY for every
+    priority segment."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    rows = an.mix_rate_decomposition(
+        load_table(spark, sf_dir, "orders")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.mix_cents + r.rate_cents + r.interaction_cents
+            == r.c1 - r.c0
+        )
+
+
+def test_repeat_purchase_curve_monotone_survivors(spark):
+    """Survivor counts never increase with n; known counts pin the
+    retention steps."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    rows = []
+    eid = 0
+    # users: 3 with 1 purchase, 2 with 2, 1 with 3
+    for u, k in [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 3)]:
+        for i in range(k):
+            rows.append((eid, f"2024-01-0{1+i} 10:00:00", u,
+                         "purchase", 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    out = {r.n: (r.users_at_n, r.repeat_bp)
+           for r in an.repeat_purchase_curve(df).collect()}
+    assert out[1] == (6, 5000)   # 3 of 6 reach a 2nd purchase
+    assert out[2] == (3, 3333)   # 1 of 3 reaches a 3rd
+    assert out[3][0] == 1 and out[3][1] is None
