@@ -2244,6 +2244,13 @@ def q_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.repeat_purchase_curve(load_table(spark, sf_dir, "events"))
 
 
+
+def q_gmroi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GMROI per part off the bucketed partsupp: margin per cent of
+    inventory, bottom-100 kill list."""
+    return sqlsurface.gmroi(spark, sf_dir)
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3213,6 +3220,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unseen_mass": q_unseen_mass,
         "mix_rate_decomposition": q_mix_rate_decomposition,
         "repeat_purchase_curve": q_repeat_purchase_curve,
+        "gmroi": q_gmroi,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3543,6 +3551,7 @@ def oracle_sql() -> dict[str, str]:
         "unseen_mass": oracles.UNSEEN_MASS,
         "mix_rate_decomposition": oracles.MIX_RATE_DECOMPOSITION,
         "repeat_purchase_curve": oracles.REPEAT_PURCHASE_CURVE,
+        "gmroi": oracles.GMROI,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

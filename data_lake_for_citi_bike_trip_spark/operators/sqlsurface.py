@@ -1095,3 +1095,52 @@ ORDER BY dos_e2 ASC, partkey
 LIMIT 100
 """
     )
+
+
+def gmroi(spark: SparkSession, sf_dir: str, top_k: int = 100) -> DataFrame:
+    """GMROI per part — gross margin return on inventory investment,
+    the merchandising yes/no for keeping a SKU: margin earned per
+    cent tied up in stock. Margin = revenue minus cost of goods
+    (supply cost x shipped quantity, from the bucketed materialized
+    partsupp's per-supplier costs joined at line grain); inventory
+    investment = stock x mean supply cost. gmroi_e2 = one shared
+    floor-division at the end; every sum is exact BIGINT cents.
+
+    Line-grain join is (partkey, suppkey)-keyed against the bucketed
+    table (exchange-free on the partsupp side); two part-grain
+    aggregates; bottom-k by GMROI is the kill list
+    (TakeOrderedAndProject).
+    """
+    _views(spark, sf_dir, ["lineitem"])
+    _partsupp_view(spark, sf_dir)
+    return spark.sql(
+        _PARTSUPP_MAT_CTE
+        + f"""
+, line_cost AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS revenue_cents,
+         CAST(sum(ps.ps_supplycost_cents
+                  * CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+           AS cogs_cents
+  FROM lineitem l
+  JOIN partsupp ps
+    ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+  GROUP BY 1
+),
+stock AS (
+  SELECT ps_partkey,
+         CAST(sum(ps_availqty * ps_supplycost_cents) AS BIGINT)
+           AS inventory_cents
+  FROM partsupp GROUP BY 1
+)
+SELECT lc.l_partkey AS partkey, lc.revenue_cents, lc.cogs_cents,
+       s.inventory_cents,
+       CAST(floor(100.0 * (lc.revenue_cents - lc.cogs_cents)
+                  / s.inventory_cents) AS BIGINT) AS gmroi_e2
+FROM line_cost lc JOIN stock s ON lc.l_partkey = s.ps_partkey
+WHERE s.inventory_cents > 0
+ORDER BY gmroi_e2 ASC, partkey
+LIMIT {top_k}
+"""
+    )

@@ -7820,3 +7820,44 @@ SELECT n, users_at_n, CAST(users_at_next AS BIGINT) AS users_at_next,
             AS BIGINT) AS repeat_bp
 FROM curve
 """
+
+
+# operators/sqlsurface.py:gmroi — partsupp derived inline; margin per
+# cent of inventory, bottom-100 kill list.
+GMROI = """
+WITH partsupp AS (
+    SELECT l_partkey AS ps_partkey,
+           l_suppkey AS ps_suppkey,
+           CAST((l_partkey * 7 + l_suppkey * 13) % 1000 + 1 AS BIGINT)
+               AS ps_availqty,
+           CAST((l_partkey * 31 + l_suppkey * 17) % 90000 + 100 AS BIGINT)
+               AS ps_supplycost_cents
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+),
+line_cost AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS revenue_cents,
+         CAST(sum(ps.ps_supplycost_cents
+                  * CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+           AS cogs_cents
+  FROM lineitem l
+  JOIN partsupp ps
+    ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+  GROUP BY 1
+),
+stock AS (
+  SELECT ps_partkey,
+         CAST(sum(ps_availqty * ps_supplycost_cents) AS BIGINT)
+           AS inventory_cents
+  FROM partsupp GROUP BY 1
+)
+SELECT lc.l_partkey AS partkey, lc.revenue_cents, lc.cogs_cents,
+       s.inventory_cents,
+       CAST(floor(100.0 * (lc.revenue_cents - lc.cogs_cents)
+                  / s.inventory_cents) AS BIGINT) AS gmroi_e2
+FROM line_cost lc JOIN stock s ON lc.l_partkey = s.ps_partkey
+WHERE s.inventory_cents > 0
+ORDER BY gmroi_e2 ASC, partkey
+LIMIT 100
+"""
