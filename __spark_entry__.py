@@ -2251,6 +2251,25 @@ def q_gmroi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sqlsurface.gmroi(spark, sf_dir)
 
 
+
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at population deciles — cumulative revenue share
+    by ascending customer spend."""
+    return analytics.lorenz_deciles(load_table(spark, sf_dir, "orders"))
+
+
+def q_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog in 90-day age bands vs the latest order
+    date."""
+    return analytics.open_order_aging(load_table(spark, sf_dir, "orders"))
+
+
+def q_style_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-class style fingerprint per source (upper/digit/punct/
+    space shares in bp)."""
+    return text_ops.style_profile(load_table(spark, sf_dir, "documents"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3221,6 +3240,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_rate_decomposition": q_mix_rate_decomposition,
         "repeat_purchase_curve": q_repeat_purchase_curve,
         "gmroi": q_gmroi,
+        "lorenz_deciles": q_lorenz_deciles,
+        "open_order_aging": q_open_order_aging,
+        "style_profile": q_style_profile,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3552,6 +3574,9 @@ def oracle_sql() -> dict[str, str]:
         "mix_rate_decomposition": oracles.MIX_RATE_DECOMPOSITION,
         "repeat_purchase_curve": oracles.REPEAT_PURCHASE_CURVE,
         "gmroi": oracles.GMROI,
+        "lorenz_deciles": oracles.LORENZ_DECILES,
+        "open_order_aging": oracles.OPEN_ORDER_AGING,
+        "style_profile": oracles.STYLE_PROFILE,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1578,3 +1578,80 @@ def repeat_purchase_curve(events: DataFrame, max_n: int = 10) -> DataFrame:
             "THEN (10000 * users_at_next) div users_at_n END"
         ),
     )
+
+
+def lorenz_deciles(orders: DataFrame) -> DataFrame:
+    """Lorenz curve in decile points: customers ranked by spend
+    ascending, cumulative revenue share at each population decile —
+    the table behind gini_spend's scalar and pareto_8020's two
+    readouts (perfect equality reads 1000, 2000, ...; the sag is the
+    inequality). Decile membership by exact rank cross-multiplication
+    (10 * rk <= d * n), share by truncating division against total
+    cents.
+
+    One customer-grain aggregate + one ranked window over the
+    customer-spend histogram + a 10-row rollup.
+    """
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy(F.asc("cents"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    ranked = per.select(
+        F.row_number()
+        .over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
+        .alias("rk"),
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(tot).alias("total"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+    )
+    deciles = ranked.select(
+        "rk",
+        "cum",
+        "total",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("d"),
+    ).where(10 * F.col("rk") <= F.col("d") * F.col("n"))
+    return deciles.groupBy("d").agg(
+        F.max("rk").cast("long").alias("n_customers"),
+        F.expr("(10000 * max(cum)) div max(total)").alias(
+            "cum_share_bp"
+        ),
+    ).select(
+        F.col("d").cast("long").alias("decile"),
+        "n_customers",
+        "cum_share_bp",
+    )
+
+
+def open_order_aging(orders: DataFrame) -> DataFrame:
+    """Open-order aging buckets: orders still in status 'O' bucketed
+    by 90-day age bands against the corpus's latest order date — the
+    AR/fulfillment backlog table ("what's been sitting for two
+    quarters?"). Data-derived horizon (1-row stat) keeps it
+    non-vacuous at any span; exact integers, value in cents.
+    """
+    horizon = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("max_day")
+    )
+    return (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr(
+                "datediff(max_day, to_date(o_orderdate)) div 90"
+            ).alias("age_band_90d"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("age_band_90d")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("open_cents"),
+        )
+    )

@@ -922,3 +922,42 @@ def unseen_mass(docs: DataFrame) -> DataFrame:
     ).withColumn(
         "unseen_bp", F.expr("(10000 * f1) div n_tokens")
     )
+
+
+def style_profile(docs: DataFrame) -> DataFrame:
+    """Character-class style fingerprint per source: shares of upper-
+    case, digit, punctuation, and whitespace characters in bp — the
+    cheapest source-provenance signal (code-heavy, shouty, tabular,
+    and prose sources separate immediately). Four regexp_replace
+    lengths per row (identical RE2-safe classes on both engines),
+    summed exactly, shares by truncating division.
+    """
+    n = F.length("text").cast("long")
+    def cls(pat: str) -> F.Column:
+        return (
+            n
+            - F.length(F.regexp_replace(F.col("text"), pat, ""))
+        ).cast("long")
+    per = docs.select(
+        "source",
+        n.alias("n_chars"),
+        cls(r"[A-Z]").alias("n_upper"),
+        cls(r"[0-9]").alias("n_digit"),
+        cls(r"[.,;:!?'\"()-]").alias("n_punct"),
+        cls(r"\s").alias("n_space"),
+    )
+    return per.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.expr("(10000 * sum(n_upper)) div sum(n_chars)").alias(
+            "upper_bp"
+        ),
+        F.expr("(10000 * sum(n_digit)) div sum(n_chars)").alias(
+            "digit_bp"
+        ),
+        F.expr("(10000 * sum(n_punct)) div sum(n_chars)").alias(
+            "punct_bp"
+        ),
+        F.expr("(10000 * sum(n_space)) div sum(n_chars)").alias(
+            "space_bp"
+        ),
+    )

@@ -7861,3 +7861,81 @@ WHERE s.inventory_cents > 0
 ORDER BY gmroi_e2 ASC, partkey
 LIMIT 100
 """
+
+
+# operators/analytics.py:lorenz_deciles — ascending-rank cumulative
+# shares at population deciles.
+LORENZ_DECILES = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS rk,
+         sum(cents) OVER (ORDER BY cents ASC, o_custkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cents) OVER () AS total,
+         COUNT(*) OVER () AS n
+  FROM per
+),
+deciles AS (
+  SELECT d.d, r.rk, r.cum, r.total
+  FROM ranked r CROSS JOIN (SELECT unnest(range(1, 11)) AS d) d
+  WHERE 10 * r.rk <= d.d * r.n
+)
+SELECT CAST(d AS BIGINT) AS decile,
+       CAST(max(rk) AS BIGINT) AS n_customers,
+       CAST((10000 * max(cum)) // max(total) AS BIGINT) AS cum_share_bp
+FROM deciles GROUP BY 1
+"""
+
+
+# operators/analytics.py:open_order_aging — 90-day bands vs the
+# corpus's latest order date.
+OPEN_ORDER_AGING = """
+WITH horizon AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders
+)
+SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), max_day) // 90
+            AS BIGINT) AS age_band_90d,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS open_cents
+FROM orders CROSS JOIN horizon
+WHERE o_orderstatus = 'O'
+GROUP BY 1
+"""
+
+
+# operators/text.py:style_profile — char-class shares via identical
+# regexp_replace lengths.
+STYLE_PROFILE = r"""
+WITH per AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text)
+              - length(regexp_replace(text, '[A-Z]', '', 'g'))
+              AS BIGINT) AS n_upper,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digit,
+         CAST(length(text)
+              - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))
+              AS BIGINT) AS n_punct,
+         CAST(length(text)
+              - length(regexp_replace(text, '\s', '', 'g'))
+              AS BIGINT) AS n_space
+  FROM documents
+)
+SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       (10000 * CAST(sum(n_upper) AS BIGINT))
+         // CAST(sum(n_chars) AS BIGINT) AS upper_bp,
+       (10000 * CAST(sum(n_digit) AS BIGINT))
+         // CAST(sum(n_chars) AS BIGINT) AS digit_bp,
+       (10000 * CAST(sum(n_punct) AS BIGINT))
+         // CAST(sum(n_chars) AS BIGINT) AS punct_bp,
+       (10000 * CAST(sum(n_space) AS BIGINT))
+         // CAST(sum(n_chars) AS BIGINT) AS space_bp
+FROM per GROUP BY 1
+"""

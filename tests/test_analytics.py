@@ -569,3 +569,17 @@ def test_repeat_purchase_curve_monotone_survivors(spark):
     assert out[1] == (6, 5000)   # 3 of 6 reach a 2nd purchase
     assert out[2] == (3, 3333)   # 1 of 3 reaches a 3rd
     assert out[3][0] == 1 and out[3][1] is None
+
+
+def test_lorenz_deciles_equality_and_monotone(spark):
+    """Equal spenders give the perfect-equality diagonal (1000,
+    2000, ..., 10000); shares are monotone by construction."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    orders = spark.createDataFrame(
+        [(k, 100.0) for k in range(20)],
+        "o_custkey long, o_totalprice double",
+    )
+    out = {r.decile: r.cum_share_bp
+           for r in an.lorenz_deciles(orders).collect()}
+    assert out == {d: d * 1000 for d in range(1, 11)}
