@@ -2270,6 +2270,17 @@ def q_style_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.style_profile(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl concentration of supplier revenue per nation with
+    the effective-supplier dual."""
+    return analytics.hhi_by_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3243,6 +3254,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lorenz_deciles": q_lorenz_deciles,
         "open_order_aging": q_open_order_aging,
         "style_profile": q_style_profile,
+        "hhi_by_nation": q_hhi_by_nation,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3577,6 +3589,7 @@ def oracle_sql() -> dict[str, str]:
         "lorenz_deciles": oracles.LORENZ_DECILES,
         "open_order_aging": oracles.OPEN_ORDER_AGING,
         "style_profile": oracles.STYLE_PROFILE,
+        "hhi_by_nation": oracles.HHI_BY_NATION,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

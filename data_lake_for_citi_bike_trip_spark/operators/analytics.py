@@ -1655,3 +1655,53 @@ def open_order_aging(orders: DataFrame) -> DataFrame:
             F.sum("cents").cast("long").alias("open_cents"),
         )
     )
+
+
+def hhi_by_nation(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation market — the antitrust scalar (HHI above ~2500 reads
+    concentrated), emitted with its dual, the EFFECTIVE number of
+    suppliers 1/sum(p^2) (a market of HHI 2500 behaves like 4 equal
+    suppliers no matter how many exist on paper).
+
+    Integer discipline: supplier shares in bp by truncating division
+    against the nation total; hhi_e4 = sum(share_bp^2) div 10000
+    (exact ints, 0..10000); effective_e2 = one floored double on the
+    exact HHI. Supplier and nation are broadcast dims; the only
+    corpus shuffle is the (nation, supplier) revenue aggregate.
+    """
+    rev = (
+        lineitem.join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    shares = rev.select(
+        "n_name",
+        F.expr(
+            "(10000 * cents) div sum(cents) OVER (PARTITION BY n_name)"
+        ).alias("share_bp"),
+    )
+    return shares.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.expr("sum(share_bp * share_bp) div 10000").alias("hhi_e4"),
+    ).where(F.col("hhi_e4") > 0).select(
+        "n_name",
+        "n_suppliers",
+        "hhi_e4",
+        F.floor(F.lit(1_000_000.0) / F.col("hhi_e4"))
+        .cast("long")
+        .alias("effective_e2"),
+    )

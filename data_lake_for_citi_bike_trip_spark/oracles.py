@@ -7939,3 +7939,32 @@ SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars,
          // CAST(sum(n_chars) AS BIGINT) AS space_bp
 FROM per GROUP BY 1
 """
+
+
+# operators/analytics.py:hhi_by_nation — bp shares, integer HHI,
+# effective supplier count.
+HHI_BY_NATION = """
+WITH rev AS (
+  SELECT n.n_name, s.s_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+shares AS (
+  SELECT n_name,
+         (10000 * cents) // sum(cents) OVER (PARTITION BY n_name)
+           AS share_bp
+  FROM rev
+),
+h AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(share_bp * share_bp) // 10000 AS BIGINT) AS hhi_e4
+  FROM shares GROUP BY 1
+)
+SELECT n_name, n_suppliers, hhi_e4,
+       CAST(floor(1000000.0 / hhi_e4) AS BIGINT) AS effective_e2
+FROM h WHERE hhi_e4 > 0
+"""
