@@ -2281,6 +2281,33 @@ def q_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_stream_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window value extremes per type (complete
+    drain == batch tumbling mirror)."""
+    stream = streaming.stream_events(
+        streaming.scoped_session(spark, 8), sf_dir
+    )
+    result = streaming.windowed_minmax(
+        stream, window="1 hour", watermark="2 hours"
+    )
+    return streaming.run_available_now(
+        result, "q_stream_minmax", "complete"
+    )
+
+
+def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion of daily arrivals per type — Poisson reads
+    1e4; above is bursty."""
+    return timeseries.fano_factor(load_table(spark, sf_dir, "events"))
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail on the parity split (chi-square
+    vs 50/50 with an integer-arithmetic flag)."""
+    return profile.srm_check(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3255,6 +3282,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "open_order_aging": q_open_order_aging,
         "style_profile": q_style_profile,
         "hhi_by_nation": q_hhi_by_nation,
+        "stream_minmax": q_stream_minmax,
+        "fano_factor": q_fano_factor,
+        "srm_check": q_srm_check,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3590,6 +3620,9 @@ def oracle_sql() -> dict[str, str]:
         "open_order_aging": oracles.OPEN_ORDER_AGING,
         "style_profile": oracles.STYLE_PROFILE,
         "hhi_by_nation": oracles.HHI_BY_NATION,
+        "stream_minmax": oracles.STREAM_MINMAX,
+        "fano_factor": oracles.FANO_FACTOR,
+        "srm_check": oracles.SRM_CHECK,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1724,3 +1724,39 @@ def capture_recapture(events: DataFrame) -> DataFrame:
             "((n1 + 1) * (n2 + 1)) div (m + 1) - 1"
         ).alias("estimated"),
     )
+
+
+def srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the parity A/B split — the
+    FIRST check any experiment readout must pass: if the observed arm
+    sizes are inconsistent with the intended 50/50 assignment, every
+    downstream metric is suspect (bucketing bug, logging loss). One
+    chi-square cell pair against the 50/50 expectation:
+    chi2 = (n0 - n1)^2 / (n0 + n1), exact integers until the one
+    floored-e6 division; srm_flag fires above the chi2 ~ 3.84 (p <
+    0.05) threshold, cross-multiplied so the flag itself is integer
+    arithmetic.
+    """
+    cells = (
+        events.select("user_id")
+        .distinct()
+        .groupBy((F.col("user_id") % 2).cast("long").alias("variant"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wide = cells.groupBy().agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+    )
+    d = F.col("n0") - F.col("n1")
+    tot = F.col("n0") + F.col("n1")
+    return wide.where(tot > 0).select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * (d * d).cast("double")
+            / tot.cast("double")
+        ).cast("long").alias("chi2_e6"),
+        # chi2 > 3.84  <=>  100 * (n0-n1)^2 > 384 * (n0+n1)
+        (100 * d * d > 384 * tot).alias("srm_flag"),
+    )

@@ -1083,3 +1083,40 @@ def isotonic_daily_fit(events: DataFrame) -> DataFrame:
             .alias("fit_e2"),
         )
     )
+
+
+def fano_factor(events: DataFrame) -> DataFrame:
+    """Index of dispersion (Fano factor) of the DAILY arrival counts
+    per event type — the burstiness scalar: a Poisson-regular arrival
+    process reads 1e4 (variance == mean); heavier reads overdispersed
+    (bursts), lighter underdispersed (rate-limited / scheduled). The
+    one-number companion to burst_max's extreme and ooo_audit's
+    ordering.
+
+    Exact integer sufficient statistics over the calendar-bounded
+    daily series (n, sum, sum of squares — population variance via
+    n*s2 - s1^2, safe in int64 because daily counts are bounded);
+    fano_e4 = one floored double ratio. Degenerate series (zero mean)
+    filtered.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    # fano = var/mean = (n*s2 - s1^2) / (n * s1)
+    return g.where(F.col("s1") > 0).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s1").cast("long").alias("n_events"),
+        F.floor(
+            F.lit(10000.0)
+            * (
+                F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+            ).cast("double")
+            / (F.col("n") * F.col("s1")).cast("double")
+        ).cast("long").alias("fano_e4"),
+    )

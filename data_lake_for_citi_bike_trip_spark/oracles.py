@@ -7968,3 +7968,56 @@ SELECT n_name, n_suppliers, hhi_e4,
        CAST(floor(1000000.0 / hhi_e4) AS BIGINT) AS effective_e2
 FROM h WHERE hhi_e4 > 0
 """
+
+
+# streaming/pipeline.py:windowed_minmax — batch tumbling mirror.
+STREAM_MINMAX = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# operators/timeseries.py:fano_factor — dispersion of daily counts.
+FANO_FACTOR = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s1,
+         CAST(sum(y * y) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n AS n_days, s1 AS n_events,
+       CAST(floor(10000.0 * CAST(n * s2 - s1 * s1 AS DOUBLE)
+                  / CAST(n * s1 AS DOUBLE)) AS BIGINT) AS fano_e4
+FROM g WHERE s1 > 0
+"""
+
+
+# operators/profile.py:srm_check — 50/50 chi-square guardrail.
+SRM_CHECK = """
+WITH cells AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1
+),
+wide AS (
+  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+         max(CASE WHEN variant = 1 THEN n END) AS n1
+  FROM cells
+)
+SELECT n0, n1,
+       CAST(floor(1000000.0 * CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                  / CAST(n0 + n1 AS DOUBLE)) AS BIGINT) AS chi2_e6,
+       100 * (n0 - n1) * (n0 - n1) > 384 * (n0 + n1) AS srm_flag
+FROM wide WHERE n0 + n1 > 0
+"""

@@ -672,3 +672,32 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("mask")).cast("long").alias("n_distinct"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+def windowed_minmax(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window value EXTREMES per type — the streaming ops
+    dashboard tile windowed_counts doesn't cover: min/max are
+    watermark-friendly (monotone state per window, no retraction
+    hazard) and, in integer cents, exactly comparable to the batch
+    mirror. State: one (window, type) row with three scalars, evicted
+    at watermark — bounded by calendar x type enum."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "event_type", cents.alias("cents"))
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "cnt",
+            "min_cents",
+            "max_cents",
+        )
+    )

@@ -378,3 +378,31 @@ def test_stream_bitmap_distinct_across_micro_batches(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_stream_minmax_matches_batch(spark, sf_dir):
+    """The streaming tumbling min/max drain equals the batch mirror
+    cell for cell."""
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark import streaming as _  # noqa
+    from data_lake_for_citi_bike_trip_spark.streaming import pipeline as sp
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    stream = sp.stream_events(sp.scoped_session(spark, 4), sf_dir)
+    got = {
+        (r.window_start_us, r.event_type): (r.cnt, r.min_cents, r.max_cents)
+        for r in sp.run_available_now(
+            sp.windowed_minmax(stream), "t_stream_minmax", "complete"
+        ).collect()
+    }
+    batch = load_table(spark, sf_dir, "events").groupBy(
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.round(F.col("value") * 100).cast("long")).alias("mn"),
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("mx"),
+    )
+    expect = {(r.w, r.event_type): (r.cnt, r.mn, r.mx)
+              for r in batch.collect()}
+    assert got == expect
