@@ -2308,6 +2308,22 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.srm_check(load_table(spark, sf_dir, "events"))
 
 
+
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail total reconciliation in relative-gap bands —
+    the cross-table DQ audit."""
+    return setops.order_total_reconciliation(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_linenumber_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order linenumber 1..n contiguity audit (duplicates / broken
+    span / ok classes)."""
+    return setops.linenumber_integrity(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3285,6 +3301,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_minmax": q_stream_minmax,
         "fano_factor": q_fano_factor,
         "srm_check": q_srm_check,
+        "order_reconciliation": q_order_reconciliation,
+        "linenumber_integrity": q_linenumber_integrity,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3623,6 +3641,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_minmax": oracles.STREAM_MINMAX,
         "fano_factor": oracles.FANO_FACTOR,
         "srm_check": oracles.SRM_CHECK,
+        "order_reconciliation": oracles.ORDER_TOTAL_RECONCILIATION,
+        "linenumber_integrity": oracles.LINENUMBER_INTEGRITY,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -112,3 +112,72 @@ def replica_diff_buckets(orders: DataFrame, n_buckets: int = 256) -> DataFrame:
     return joined.where(
         (F.col("n_a") != F.col("n_b")) | (F.col("xor_a") != F.col("xor_b"))
     )
+
+
+def order_total_reconciliation(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Header-vs-detail reconciliation: how far does each order's
+    header total sit from the sum of its line extended prices —
+    THE cross-table DQ audit (a warehouse where headers and details
+    drift is lying to someone). Orders bucket into relative-gap bands
+    by exact cross-multiplication: exact (0 bp), <= 100 bp, <= 1000
+    bp, worse, and headers with NO lines at all (left join keeps
+    them; orphan details are referential_orphans' job).
+
+    One orderkey aggregate + one keyed left join + a 5-row band
+    rollup; everything BIGINT cents.
+    """
+    line_sum = lineitem.groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("line_cents")
+    )
+    j = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("hdr"),
+    ).join(line_sum, "o_orderkey", "left")
+    gap = F.abs(F.col("hdr") - F.col("line_cents"))
+    band = (
+        F.when(F.col("line_cents").isNull(), "no_lines")
+        .when(gap == 0, "exact")
+        .when(10000 * gap <= 100 * F.col("hdr"), "within_1pct")
+        .when(10000 * gap <= 1000 * F.col("hdr"), "within_10pct")
+        .otherwise("divergent")
+    )
+    return j.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(gap).cast("long").alias("max_gap_cents"),
+    )
+
+
+def linenumber_integrity(lineitem: DataFrame) -> DataFrame:
+    """Line-number integrity audit: per order, the linenumbers must
+    be exactly 1..n with no gaps or duplicates (the detail-table
+    invariant ETL re-loads silently break). Violations classify by
+    which check failed: duplicate numbers (distinct < count), wrong
+    span (min != 1 or max != count). Emits the 1-3 row class summary
+    — a clean warehouse reads one 'ok' row covering every order.
+
+    One orderkey aggregate, pure codegen checks, bounded rollup.
+    """
+    per = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("l_linenumber").alias("nd"),
+        F.min("l_linenumber").cast("long").alias("mn"),
+        F.max("l_linenumber").cast("long").alias("mx"),
+    )
+    cls = (
+        F.when(F.col("nd") < F.col("n"), "duplicate_linenumbers")
+        .when(
+            (F.col("mn") != 1) | (F.col("mx") != F.col("n")),
+            "broken_span",
+        )
+        .otherwise("ok")
+    )
+    return per.groupBy(cls.alias("check")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n").cast("long").alias("n_lines"),
+    )

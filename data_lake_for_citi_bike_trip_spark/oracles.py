@@ -8021,3 +8021,49 @@ SELECT n0, n1,
        100 * (n0 - n1) * (n0 - n1) > 384 * (n0 + n1) AS srm_flag
 FROM wide WHERE n0 + n1 > 0
 """
+
+
+# operators/setops.py:order_total_reconciliation — header-detail gap
+# bands by cross-multiplication.
+ORDER_TOTAL_RECONCILIATION = """
+WITH line_sum AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS line_cents
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS hdr,
+         ls.line_cents
+  FROM orders o LEFT JOIN line_sum ls ON o.o_orderkey = ls.o_orderkey
+)
+SELECT CASE WHEN line_cents IS NULL THEN 'no_lines'
+            WHEN abs(hdr - line_cents) = 0 THEN 'exact'
+            WHEN 10000 * abs(hdr - line_cents) <= 100 * hdr
+              THEN 'within_1pct'
+            WHEN 10000 * abs(hdr - line_cents) <= 1000 * hdr
+              THEN 'within_10pct'
+            ELSE 'divergent' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(max(abs(hdr - line_cents)) AS BIGINT) AS max_gap_cents
+FROM j GROUP BY 1
+"""
+
+
+# operators/setops.py:linenumber_integrity — 1..n contiguity classes.
+LINENUMBER_INTEGRITY = """
+WITH per AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS nd,
+         CAST(min(l_linenumber) AS BIGINT) AS mn,
+         CAST(max(l_linenumber) AS BIGINT) AS mx
+  FROM lineitem GROUP BY 1
+)
+SELECT CASE WHEN nd < n THEN 'duplicate_linenumbers'
+            WHEN mn <> 1 OR mx <> n THEN 'broken_span'
+            ELSE 'ok' END AS "check",
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(sum(n) AS BIGINT) AS n_lines
+FROM per GROUP BY 1
+"""

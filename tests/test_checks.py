@@ -135,3 +135,42 @@ def test_gdpr_erase_audit_is_consistent(spark, sf_dir):
     assert audit["user_profiles"].rows_changed == events.where(
         F.col("user_id") % 97 == 0
     ).select("user_id").distinct().count()
+
+
+def test_linenumber_integrity_classes(spark):
+    """Clean 1..n orders read ok; a duplicated number and a gapped
+    span classify into their own buckets."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_lake_for_citi_bike_trip_spark.operators import setops
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3),      # ok
+         (2, 1), (2, 1),              # duplicate
+         (3, 2), (3, 3)],             # broken span (no 1)
+        "l_orderkey long, l_linenumber int",
+    )
+    got = {r.check: (r.n_orders, r.n_lines)
+           for r in setops.linenumber_integrity(li).collect()}
+    assert got["ok"] == (1, 3)
+    assert got["duplicate_linenumbers"] == (1, 2)
+    assert got["broken_span"] == (1, 2)
+
+
+def test_order_reconciliation_bands(spark):
+    from data_lake_for_citi_bike_trip_spark.operators import setops
+
+    orders = spark.createDataFrame(
+        [(1, 100.00), (2, 100.00), (3, 100.00), (4, 50.00)],
+        "o_orderkey long, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [(1, 100.00),          # exact
+         (2, 99.50),           # within 1%
+         (3, 80.00)],          # divergent (20%)
+        "l_orderkey long, l_extendedprice double",
+    )
+    got = {r.band: r.n_orders
+           for r in setops.order_total_reconciliation(orders, li).collect()}
+    assert got == {"exact": 1, "within_1pct": 1, "divergent": 1,
+                   "no_lines": 1}
