@@ -2324,6 +2324,20 @@ def q_linenumber_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.linenumber_integrity(load_table(spark, sf_dir, "lineitem"))
 
 
+
+def q_circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular time-of-day statistics per type: resultant length
+    (peak sharpness) and mean clock time — e6 unit vectors summed
+    exactly."""
+    return timeseries.circadian_profile(load_table(spark, sf_dir, "events"))
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type Markov chain — sequence
+    predictability in millibits."""
+    return behavior.markov_entropy_rate(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3303,6 +3317,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm_check": q_srm_check,
         "order_reconciliation": q_order_reconciliation,
         "linenumber_integrity": q_linenumber_integrity,
+        "circadian_profile": q_circadian_profile,
+        "markov_entropy_rate": q_markov_entropy_rate,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3643,6 +3659,8 @@ def oracle_sql() -> dict[str, str]:
         "srm_check": oracles.SRM_CHECK,
         "order_reconciliation": oracles.ORDER_TOTAL_RECONCILIATION,
         "linenumber_integrity": oracles.LINENUMBER_INTEGRITY,
+        "circadian_profile": oracles.CIRCADIAN_PROFILE,
+        "markov_entropy_rate": oracles.MARKOV_ENTROPY_RATE,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1296,3 +1296,40 @@ def stickiness_ratio(events: DataFrame) -> DataFrame:
             F.expr("(10000 * dau) div wau").alias("stickiness_bp"),
         )
     )
+
+
+def markov_entropy_rate(events: DataFrame) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain — the
+    predictability scalar on top of markov_transitions' matrix:
+    H = -sum_i pi_i sum_j p_ij log2 p_ij with the empirical state
+    frequencies as pi. Near 0 bits, the next action is scripted; near
+    log2(|types|), behavior is white noise — the one-number answer to
+    "is there signal in the sequences?".
+
+    Exactness: per-(i,j) conditional terms quantize to millibits via
+    ONE shared double expression over exact transition counts, then
+    the pi-weighted sum is exact integer cross-multiplication over
+    bounded (|types|^2) cells: rate_mb = sum(n_i->j * term_mb) div
+    total_transitions. One user-partitioned lead window + two
+    bounded aggregates.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    cells = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nij"))
+    rows_tot = cells.groupBy("a").agg(F.sum("nij").alias("ni"))
+    total = cells.agg(F.sum("nij").alias("t"))
+    return (
+        cells.join(F.broadcast(rows_tot), "a")
+        .crossJoin(F.broadcast(total))
+        .agg(
+            F.max("t").cast("long").alias("n_transitions"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.expr(
+                "sum(nij * CAST(floor(1000.0 * log2(CAST(ni AS DOUBLE)"
+                " / CAST(nij AS DOUBLE))) AS BIGINT)) div max(t)"
+            ).alias("entropy_rate_mb"),
+        )
+    )

@@ -1120,3 +1120,54 @@ def fano_factor(events: DataFrame) -> DataFrame:
             / (F.col("n") * F.col("s1")).cast("double")
         ).cast("long").alias("fano_e4"),
     )
+
+
+def circadian_profile(events: DataFrame) -> DataFrame:
+    """Circular (directional) statistics of event time-of-day per
+    type — the RIGHT average for clock data, where the linear mean of
+    23:00 and 01:00 is the absurd 12:00: each event maps to a unit
+    vector at angle 2*pi*seconds/86400; the resultant's angle is the
+    mean time and its length R in [0,1] the concentration (R near 1 =
+    sharp daily peak, near 0 = uniform around the clock).
+
+    Exactness: per-row cos/sin are quantized to e6 integers (one
+    shared IEEE expression each) BEFORE the sums — the millibit
+    pattern in 2-D — so the aggregate is two exact BIGINT sums; the
+    final atan2/sqrt run once per type. Mean hour ships in e2 hours,
+    shifted into [0, 24).
+    """
+    sec = (
+        F.col("ts").cast("long") % 86400
+    )  # seconds into the UTC day
+    ang = sec.cast("double") * (2.0 * 3.141592653589793 / 86400.0)
+    base = events.select(
+        "event_type",
+        F.floor(F.cos(ang) * 1_000_000).cast("long").alias("cx"),
+        F.floor(F.sin(ang) * 1_000_000).cast("long").alias("cy"),
+    )
+    g = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cx").alias("sx"),
+        F.sum("cy").alias("sy"),
+    )
+    r = (
+        F.sqrt(
+            F.col("sx").cast("double") * F.col("sx")
+            + F.col("sy").cast("double") * F.col("sy")
+        )
+        / (F.lit(1_000_000.0) * F.col("n"))
+    )
+    mean_sec = (
+        F.atan2(F.col("sy").cast("double"), F.col("sx").cast("double"))
+        * (86400.0 / (2.0 * 3.141592653589793))
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.floor(F.lit(10_000.0) * r).cast("long").alias("r_e4"),
+        (
+            (
+                F.floor(mean_sec / 36.0).cast("long") + 2400
+            ) % 2400
+        ).alias("mean_hour_e2"),
+    )

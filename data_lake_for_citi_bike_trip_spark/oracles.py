@@ -8067,3 +8067,58 @@ SELECT CASE WHEN nd < n THEN 'duplicate_linenumbers'
        CAST(sum(n) AS BIGINT) AS n_lines
 FROM per GROUP BY 1
 """
+
+
+# operators/timeseries.py:circadian_profile — e6-quantized unit
+# vectors summed exactly; atan2/sqrt once per type.
+CIRCADIAN_PROFILE = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(cos(CAST(epoch(ts) AS BIGINT) % 86400
+                        * (2.0 * 3.141592653589793 / 86400.0))
+                    * 1000000) AS BIGINT) AS cx,
+         CAST(floor(sin(CAST(epoch(ts) AS BIGINT) % 86400
+                        * (2.0 * 3.141592653589793 / 86400.0))
+                    * 1000000) AS BIGINT) AS cy
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(cx) AS BIGINT) AS sx, CAST(sum(cy) AS BIGINT) AS sy
+  FROM base GROUP BY 1
+)
+SELECT event_type, n AS n_events,
+       CAST(floor(10000.0 * sqrt(CAST(sx AS DOUBLE) * sx
+                                 + CAST(sy AS DOUBLE) * sy)
+                  / (1000000.0 * n)) AS BIGINT) AS r_e4,
+       CAST((CAST(floor(atan2(CAST(sy AS DOUBLE), CAST(sx AS DOUBLE))
+                        * (86400.0 / (2.0 * 3.141592653589793))
+                        / 36.0) AS BIGINT) + 2400) % 2400
+            AS BIGINT) AS mean_hour_e2
+FROM g
+"""
+
+
+# operators/behavior.py:markov_entropy_rate — millibit conditional
+# terms over bounded transition cells, exact pi weighting.
+MARKOV_ENTROPY_RATE = """
+WITH pairs AS (
+  SELECT a, b FROM (
+    SELECT event_type AS a,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS b
+    FROM events
+  ) WHERE b IS NOT NULL
+),
+cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij FROM pairs GROUP BY 1, 2
+),
+rows_tot AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1),
+total AS (SELECT CAST(sum(nij) AS BIGINT) AS t FROM cells)
+SELECT CAST(max(t) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(sum(nij * CAST(floor(1000.0 * log2(CAST(ni AS DOUBLE)
+                                / CAST(nij AS DOUBLE))) AS BIGINT))
+            // max(t) AS BIGINT) AS entropy_rate_mb
+FROM cells JOIN rows_tot USING (a) CROSS JOIN total
+"""

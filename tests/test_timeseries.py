@@ -418,3 +418,25 @@ def test_isotonic_fit_already_monotone_is_identity(spark):
         (r.day, r.fit_e2) for r in tsm.isotonic_daily_fit(df).collect()
     )
     assert [f for _, f in out] == [10000, 20000, 50000]
+
+
+def test_circadian_sharp_peak_vs_uniform(spark):
+    """Events all at noon -> R ~ 1 and mean hour 12; events spread
+    every 6 hours -> R ~ 0."""
+    rows = []
+    eid = 0
+    for i in range(8):
+        rows.append((eid, f"2024-01-0{1 + i % 4} 12:00:00", 1,
+                     "peak", 1.0)); eid += 1
+    for i, h in enumerate(["00", "06", "12", "18"] * 2):
+        rows.append((eid, f"2024-01-0{1 + i % 4} {h}:00:00", 1,
+                     "flat", 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    from data_lake_for_citi_bike_trip_spark.operators import timeseries as tsm
+    out = {r.event_type: r for r in tsm.circadian_profile(df).collect()}
+    assert out["peak"].r_e4 >= 9999
+    assert out["peak"].mean_hour_e2 == 1200
+    assert out["flat"].r_e4 <= 10
