@@ -2338,6 +2338,25 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.markov_entropy_rate(load_table(spark, sf_dir, "events"))
 
 
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue move signs per type —
+    momentum vs mean-reversion vs random."""
+    return timeseries.runs_test(load_table(spark, sf_dir, "events"))
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation dial on mean-detrended daily
+    counts (integral scaled residuals)."""
+    return timeseries.durbin_watson(load_table(spark, sf_dir, "events"))
+
+
+def q_dow_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANOVA share of daily-count variance explained by day-of-week —
+    the weekly-seasonality strength."""
+    return timeseries.dow_eta_squared(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3319,6 +3338,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linenumber_integrity": q_linenumber_integrity,
         "circadian_profile": q_circadian_profile,
         "markov_entropy_rate": q_markov_entropy_rate,
+        "runs_test": q_runs_test,
+        "durbin_watson": q_durbin_watson,
+        "dow_eta_squared": q_dow_eta_squared,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3661,6 +3683,9 @@ def oracle_sql() -> dict[str, str]:
         "linenumber_integrity": oracles.LINENUMBER_INTEGRITY,
         "circadian_profile": oracles.CIRCADIAN_PROFILE,
         "markov_entropy_rate": oracles.MARKOV_ENTROPY_RATE,
+        "runs_test": oracles.RUNS_TEST,
+        "durbin_watson": oracles.DURBIN_WATSON,
+        "dow_eta_squared": oracles.DOW_ETA_SQUARED,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1171,3 +1171,177 @@ def circadian_profile(events: DataFrame) -> DataFrame:
             ) % 2400
         ).alias("mean_hour_e2"),
     )
+
+
+def runs_test(events: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test on the SIGN of day-over-day revenue
+    moves per event type — "is the up/down sequence random, or does
+    it trend/oscillate?": too few runs = momentum, too many =
+    mean-reversion. R = 1 + sign changes over the calendar-ordered
+    walk; expectation and variance from the exact up/down counts
+    (ties on zero moves are dropped, the standard treatment).
+
+    One day-grain aggregate, one calendar-bounded lag window for the
+    moves, one more for the sign changes; z_e6 is the single shared
+    double. Degenerate series (n+ = 0 or n- = 0) are filtered.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    moves = (
+        daily.select(
+            "event_type",
+            "day",
+            F.signum(
+                (F.col("v") - F.lag("v").over(w)).cast("double")
+            ).cast("long").alias("s"),
+        )
+        .where(F.col("s").isNotNull() & (F.col("s") != 0))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("day")
+    runs = moves.select(
+        "event_type",
+        "s",
+        (F.col("s") != F.lag("s").over(w2))
+        .cast("long")
+        .alias("chg"),
+    )
+    g = runs.groupBy("event_type").agg(
+        F.sum((F.col("s") > 0).cast("long")).alias("n_up"),
+        F.sum((F.col("s") < 0).cast("long")).alias("n_down"),
+        (F.sum(F.coalesce("chg", F.lit(0))) + 1).alias("r_runs"),
+    )
+    n1 = F.col("n_up").cast("double")
+    n2 = F.col("n_down").cast("double")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return g.where(
+        (F.col("n_up") > 0) & (F.col("n_down") > 0)
+    ).select(
+        "event_type",
+        F.col("n_up").cast("long").alias("n_up"),
+        F.col("n_down").cast("long").alias("n_down"),
+        F.col("r_runs").cast("long").alias("r_runs"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.col("r_runs").cast("double") - mu)
+            / F.sqrt(var)
+        ).cast("long").alias("z_e6"),
+    )
+
+
+def durbin_watson(events: DataFrame) -> DataFrame:
+    """Durbin-Watson statistic of mean-detrended daily counts per
+    type — the residual-autocorrelation dial (2 = none, toward 0 =
+    positive serial correlation, toward 4 = alternation) every
+    forecasting-readiness check starts with.
+
+    Residuals stay integral by scaling: e_t = n*y_t - sum(y) (the
+    mean times n, never divided), so both the numerator sum of
+    squared LAG DIFFERENCES and the denominator sum of squares are
+    exact BIGINTs; dw_e4 is one double ratio. Calendar-bounded
+    windows only.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    e = daily.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("y") - F.col("sy")).alias("e"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    terms = e.select(
+        "event_type",
+        (F.col("e") * F.col("e")).alias("e2"),
+        F.when(
+            F.lag("e").over(w).isNotNull(),
+            (F.col("e") - F.lag("e").over(w))
+            * (F.col("e") - F.lag("e").over(w)),
+        ).alias("d2"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("e2").alias("den"),
+        F.sum("d2").alias("num"),
+    )
+    return agg.where(F.col("den") > 0).select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.floor(
+            F.lit(10_000.0)
+            * F.col("num").cast("double")
+            / F.col("den").cast("double")
+        ).cast("long").alias("dw_e4"),
+    )
+
+
+def dow_eta_squared(events: DataFrame) -> DataFrame:
+    """Eta-squared of day-of-week on daily counts per type — the
+    ANOVA share of variance explained by weekly seasonality (near 1:
+    schedule-driven; near 0: the weekday means are noise). Scaled-
+    residual trick keeps every sum of squares integral: between-SS
+    and total-SS are computed over n*y - sum(y) style terms with
+    exact group counts, so eta2_e4 is one double ratio of exact
+    BIGINTs.
+
+    A daily aggregate, a (type, dow) aggregate, a type-grain rollup —
+    all calendar/enum-bounded beyond the first scan.
+    """
+    daily = events.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y")).select(
+        "event_type", "day", F.dayofweek("day").alias("dow"), "y"
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    grp = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("y").alias("sg"),
+    )
+    # SS_total * n = n*syy - sy^2 ; SS_between * n = n*sum(sg^2/ng) - sy^2
+    # keep integral: between term uses exact rational sg^2/ng via
+    # cross-multiplication inside one double at the end
+    j = grp.join(F.broadcast(tot), "event_type")
+    # per-dow term floored to e6 BEFORE the sum (a float fold over
+    # even 7 rows is order-dependent at the last ulp — quantize first)
+    agg = j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("sy").alias("sy"),
+        F.max("syy").alias("syy"),
+        F.sum(
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("sg").cast("double")
+                * F.col("sg")
+                / F.col("ng")
+            ).cast("long")
+        ).alias("sb_e6"),
+    )
+    sst = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    ssb = (
+        F.col("n").cast("double") * F.col("sb_e6") / F.lit(1_000_000.0)
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return agg.where(sst > 0).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(F.lit(10_000.0) * ssb / sst).cast("long").alias(
+            "eta2_e4"
+        ),
+    )

@@ -8122,3 +8122,123 @@ SELECT CAST(max(t) AS BIGINT) AS n_transitions,
             // max(t) AS BIGINT) AS entropy_rate_mb
 FROM cells JOIN rows_tot USING (a) CROSS JOIN total
 """
+
+
+# operators/timeseries.py:runs_test — sign-change walk over the daily
+# move sequence, exact run counts, one shared z.
+RUNS_TEST = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+moves AS (
+  SELECT event_type, day, s FROM (
+    SELECT event_type, day,
+           CAST(sign(v - lag(v) OVER (PARTITION BY event_type
+                                      ORDER BY day)) AS BIGINT) AS s
+    FROM daily
+  ) WHERE s IS NOT NULL AND s <> 0
+),
+runs AS (
+  SELECT event_type, s,
+         CASE WHEN s <> lag(s) OVER (PARTITION BY event_type
+                                     ORDER BY day)
+              THEN 1 ELSE 0 END AS chg
+  FROM moves
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_down,
+         CAST(sum(coalesce(chg, 0)) + 1 AS BIGINT) AS r_runs
+  FROM runs GROUP BY 1
+)
+SELECT event_type, n_up, n_down, r_runs,
+       CAST(floor(1000000.0
+         * (CAST(r_runs AS DOUBLE)
+            - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+         / sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down
+                                       - n_up - n_down)
+                / ((n_up + n_down) * (n_up + n_down)
+                   * (n_up + n_down - 1.0)))) AS BIGINT) AS z_e6
+FROM g WHERE n_up > 0 AND n_down > 0
+"""
+
+
+# operators/timeseries.py:durbin_watson — scaled integral residuals,
+# exact BIGINT sums, one double ratio.
+DURBIN_WATSON = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM daily GROUP BY 1
+),
+e AS (
+  SELECT d.event_type, d.day, g.n * d.y - g.sy AS e
+  FROM daily d JOIN g ON d.event_type = g.event_type
+),
+terms AS (
+  SELECT event_type, e * e AS e2,
+         CASE WHEN lag(e) OVER w IS NOT NULL
+              THEN (e - lag(e) OVER w) * (e - lag(e) OVER w) END AS d2
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(sum(e2) AS BIGINT) AS den, CAST(sum(d2) AS BIGINT) AS num
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n_days,
+       CAST(floor(10000.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+            AS BIGINT) AS dw_e4
+FROM agg WHERE den > 0
+"""
+
+
+# operators/timeseries.py:dow_eta_squared — e6-quantized between
+# terms, exact totals, one double ratio.
+DOW_ETA_SQUARED = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT)
+           AS y
+  FROM events GROUP BY 1, 2
+),
+d2 AS (
+  SELECT event_type, day, dayofweek(day) + 1 AS dow, y FROM daily
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM d2 GROUP BY 1
+),
+grp AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(sum(y) AS BIGINT) AS sg
+  FROM d2 GROUP BY 1, 2
+),
+agg AS (
+  SELECT g.event_type, max(t.n) AS n, max(t.sy) AS sy,
+         max(t.syy) AS syy,
+         CAST(sum(CAST(floor(1000000.0 * CAST(g.sg AS DOUBLE) * g.sg
+                             / g.ng) AS BIGINT)) AS BIGINT) AS sb_e6
+  FROM grp g JOIN tot t ON g.event_type = t.event_type
+  GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(floor(10000.0
+         * (CAST(n AS DOUBLE) * sb_e6 / 1000000.0
+            - CAST(sy AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         AS BIGINT) AS eta2_e4
+FROM agg
+WHERE CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+"""

@@ -440,3 +440,42 @@ def test_circadian_sharp_peak_vs_uniform(spark):
     assert out["peak"].r_e4 >= 9999
     assert out["peak"].mean_hour_e2 == 1200
     assert out["flat"].r_e4 <= 10
+
+
+def test_runs_test_alternating_vs_trending(spark):
+    """Perfect alternation maximizes runs (z > 0); a monotone walk
+    has exactly... strictly increasing moves -> all ups -> filtered;
+    up/down alternation over 9 days pins R = 8."""
+    rows = []
+    eid = 0
+    # values alternate 1.00, 2.00 daily -> moves alternate +,- (8 moves)
+    for d in range(1, 10):
+        rows.append((eid, f"2024-01-0{d}" if d < 10 else f"2024-01-{d}",
+                     1.0 if d % 2 else 2.0)); eid += 1
+    df = spark.createDataFrame(
+        [(i, f"{day} 10:00:00", 1, "click", v)
+         for i, (day, v) in enumerate(
+             (f"2024-01-0{d}", 1.0 if d % 2 else 2.0)
+             for d in range(1, 10))],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    from data_lake_for_citi_bike_trip_spark.operators import timeseries as tsm
+    r = {x.event_type: x for x in tsm.runs_test(df).collect()}["click"]
+    assert (r.n_up, r.n_down, r.r_runs) == (4, 4, 8)
+    assert r.z_e6 > 0
+
+
+def test_durbin_watson_alternation_reads_high(spark):
+    """Alternating residuals push DW toward 4; a flat series is
+    filtered (den = 0)."""
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{d} 10:00:00", 1, "click", 1.0)
+         for i, d in enumerate([1, 1, 2, 3, 3, 4, 5, 5, 6, 7, 7, 8])],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    # daily counts: 2,1,2,1,2,1,2,1 -> residuals alternate -> DW ~ 4ish
+    from data_lake_for_citi_bike_trip_spark.operators import timeseries as tsm
+    r = tsm.durbin_watson(df).collect()[0]
+    assert r.dw_e4 > 20000  # beyond 2.0: negative serial correlation
