@@ -181,9 +181,51 @@ HEADLINE = [
     "rapid_reorders",
     "basket_entropy",
     "hapax_rate",
+    "mix_rate_decomposition",
+    "gmroi",
+    "lorenz_deciles",
+    "hhi_by_nation",
+    "stream_minmax",
+    "srm_check",
+    "order_reconciliation",
+    "circadian_profile",
+    "markov_entropy_rate",
+    "runs_test",
+    "dow_eta_squared",
+    "neyman_allocation",
+    "capture_recapture",
+    "prop_ztest",
 ]
 
 NOTES = {
+    "mix_rate_decomposition": "one (half, priority) aggregate + a "
+    "5-row self-join; the bridge reconciles exactly by construction",
+    "gmroi": "(partkey, suppkey) join exchange-free on the bucketed "
+    "partsupp side; two part-grain aggregates; bottom-k TakeOrdered",
+    "lorenz_deciles": "customer-grain aggregate + one ranked window "
+    "over the spend histogram + bounded 10x decile explode",
+    "hhi_by_nation": "broadcast dims; one corpus aggregate; bp-share "
+    "window over nation-bounded supplier groups",
+    "stream_minmax": "monotone per-window min/max state, watermark "
+    "evicted; complete drain equals the batch tumbling mirror",
+    "srm_check": "one distinct + 2-cell aggregate; the flag is pure "
+    "integer cross-multiplication",
+    "order_reconciliation": "orderkey aggregate + keyed left join + "
+    "5-band rollup; all BIGINT cents",
+    "circadian_profile": "per-row e6 cos/sin quantization -> two "
+    "exact integer sums; atan2/sqrt once per type",
+    "markov_entropy_rate": "one user-partitioned lead window + "
+    "enum^2-bounded cells; millibit terms, exact pi weighting",
+    "runs_test": "calendar-bounded lag windows; exact run counts; "
+    "one shared z expression",
+    "dow_eta_squared": "daily + (type,dow) aggregates; between-terms "
+    "floored to e6 before summing (float fold-order guard)",
+    "neyman_allocation": "enum-bounded stratum aggregate; variance "
+    "term in shared doubles (int64 overflow guard); Hamilton rounding",
+    "capture_recapture": "two half-distinct flags per user, one "
+    "4-number reduction; Chapman in exact integers",
+    "prop_ztest": "user-grain aggregate + histogram median attach + "
+    "2-cell rollup; z is one floored-e6 double",
     "isotonic_fit": "minimax identity: every (j,i) cell independent — "
     "calendar-cubed cells, corpus-sized work is one daily aggregate; "
     "range residuals ride on event_type equi-joins",
