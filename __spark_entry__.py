@@ -2357,6 +2357,19 @@ def q_dow_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.dow_eta_squared(load_table(spark, sf_dir, "events"))
 
 
+
+def q_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle label-centroid cosine matrix — which labels a
+    classifier will confuse."""
+    return similarity.centroid_matrix(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-count histogram with revenue exposure — the
+    single-source procurement risk register."""
+    return sqlsurface.single_source_parts(spark, sf_dir)
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3341,6 +3354,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "durbin_watson": q_durbin_watson,
         "dow_eta_squared": q_dow_eta_squared,
+        "centroid_matrix": q_centroid_matrix,
+        "single_source_parts": q_single_source_parts,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3686,6 +3701,8 @@ def oracle_sql() -> dict[str, str]:
         "runs_test": oracles.RUNS_TEST,
         "durbin_watson": oracles.DURBIN_WATSON,
         "dow_eta_squared": oracles.DOW_ETA_SQUARED,
+        "centroid_matrix": oracles.CENTROID_MATRIX,
+        "single_source_parts": oracles.SINGLE_SOURCE_PARTS,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

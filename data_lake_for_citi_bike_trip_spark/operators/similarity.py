@@ -1090,3 +1090,51 @@ def label_silhouette(embeddings: DataFrame) -> DataFrame:
     ).withColumn(
         "separation_e6", F.col("mean_own_e6") - F.col("mean_other_e6")
     )
+
+
+def centroid_matrix(embeddings: DataFrame) -> DataFrame:
+    """Full label-centroid cosine matrix — the confusion STRUCTURE
+    label_silhouette's scalar summarizes: which label pairs sit close
+    in embedding space (the pairs a classifier will mix up, and the
+    merge candidates in taxonomy cleanup). Upper triangle only
+    (cosine is symmetric), |labels|^2/2 rows — enum-bounded output.
+
+    Same exact construction as the centroid family: e6-quantized
+    components (float32 promoted first), exact BIGINT centroid sums,
+    one IEEE cosine per pair floored to e6.
+    """
+    q = embeddings.select(
+        F.col("label").cast("long").alias("label"),
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("q"),
+    )
+    elems = q.select("label", F.posexplode("q").alias("i", "v"))
+    cent = (
+        elems.groupBy("label", "i")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, s))), "
+                "p -> p.s)"
+            ).alias("c")
+        )
+    )
+    a = cent.select(F.col("label").alias("la"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), F.col("c").alias("cb"))
+    cos = F.expr(
+        "floor(1000000.0 * "
+        "aggregate(zip_with(ca, cb, (x, y) -> x * y), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x) / "
+        "(sqrt(CAST(aggregate(transform(ca, x -> x * x), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)) * "
+        "sqrt(CAST(aggregate(transform(cb, x -> x * x), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE))))"
+    ).cast("long")
+    return (
+        a.crossJoin(b)
+        .where(F.col("la") < F.col("lb"))
+        .select("la", "lb", cos.alias("cos_e6"))
+    )

@@ -1144,3 +1144,38 @@ ORDER BY gmroi_e2 ASC, partkey
 LIMIT {top_k}
 """
     )
+
+
+def single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply risk: parts bucketed by how many distinct
+    suppliers actually stock them (from the materialized partsupp) —
+    the procurement risk register's first column (a one-supplier part
+    is a production stoppage waiting for a strike). Emits the
+    supplier-count histogram with revenue exposure (the single-source
+    bucket's revenue is the number that makes the meeting).
+
+    Exchange-free scan of the bucketed partsupp + one revenue join.
+    """
+    _views(spark, sf_dir, ["lineitem"])
+    _partsupp_view(spark, sf_dir)
+    return spark.sql(
+        _PARTSUPP_MAT_CTE
+        + """
+, srcs AS (
+  SELECT ps_partkey, CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT)
+           AS n_suppliers
+  FROM partsupp GROUP BY ps_partkey
+),
+rev AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100)
+                                  AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT s.n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(sum(coalesce(r.cents, 0)) AS BIGINT) AS revenue_cents,
+       s.n_suppliers = 1 AS single_source
+FROM srcs s LEFT JOIN rev r ON s.ps_partkey = r.l_partkey
+GROUP BY s.n_suppliers
+"""
+    )

@@ -8242,3 +8242,60 @@ SELECT event_type, CAST(n AS BIGINT) AS n_days,
 FROM agg
 WHERE CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
 """
+
+
+# operators/similarity.py:centroid_matrix — upper-triangle label
+# centroid cosines, the silhouette family's full structure.
+CENTROID_MATRIX = """
+WITH qv AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+elems AS (
+  SELECT label, i, q[i] AS v
+  FROM (SELECT label, q, unnest(generate_series(1, len(q))) AS i FROM qv)
+),
+cent AS (
+  SELECT label, list(s ORDER BY i) AS c
+  FROM (SELECT label, i, CAST(sum(v) AS BIGINT) AS s
+        FROM elems GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT a.label AS la, b.label AS lb,
+       CAST(floor(1000000.0 * CAST(list_sum(
+              list_transform(list_zip(a.c, b.c), z -> z[1] * z[2]))
+              AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(a.c, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(b.c, x -> x * x)) AS DOUBLE))))
+        AS BIGINT) AS cos_e6
+FROM cent a CROSS JOIN cent b
+WHERE a.label < b.label
+"""
+
+
+# operators/sqlsurface.py:single_source_parts — supplier-count
+# histogram with revenue exposure off the derived partsupp.
+SINGLE_SOURCE_PARTS = """
+WITH partsupp AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+),
+srcs AS (
+  SELECT ps_partkey, CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT)
+           AS n_suppliers
+  FROM partsupp GROUP BY ps_partkey
+),
+rev AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100)
+                                  AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT s.n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(sum(coalesce(r.cents, 0)) AS BIGINT) AS revenue_cents,
+       s.n_suppliers = 1 AS single_source
+FROM srcs s LEFT JOIN rev r ON s.ps_partkey = r.l_partkey
+GROUP BY s.n_suppliers
+"""
