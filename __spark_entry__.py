@@ -2370,6 +2370,21 @@ def q_single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sqlsurface.single_source_parts(spark, sf_dir)
 
 
+
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-exponent estimate over the co-part graph's top-100
+    degrees — the is-skew-handling-needed number."""
+    return graph.degree_powerlaw(
+        graph.copart_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+def q_alsobought_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out replay of the also-bought recommender: first-half
+    top-3 vs second-half co-purchases, hit-rate in bp."""
+    return analytics.alsobought_hitrate(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3356,6 +3371,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_eta_squared": q_dow_eta_squared,
         "centroid_matrix": q_centroid_matrix,
         "single_source_parts": q_single_source_parts,
+        "degree_powerlaw": q_degree_powerlaw,
+        "alsobought_hitrate": q_alsobought_hitrate,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3703,6 +3720,8 @@ def oracle_sql() -> dict[str, str]:
         "dow_eta_squared": oracles.DOW_ETA_SQUARED,
         "centroid_matrix": oracles.CENTROID_MATRIX,
         "single_source_parts": oracles.SINGLE_SOURCE_PARTS,
+        "degree_powerlaw": oracles.DEGREE_POWERLAW,
+        "alsobought_hitrate": oracles.ALSOBOUGHT_HITRATE,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1705,3 +1705,71 @@ def hhi_by_nation(
         .cast("long")
         .alias("effective_e2"),
     )
+
+
+def alsobought_hitrate(lineitem: DataFrame, k: int = 3) -> DataFrame:
+    """Offline recommender evaluation: train the also-bought top-k on
+    the FIRST ship-date half, score hit-rate@k against the SECOND
+    half's actual co-purchases — the held-out replay every
+    recommendation change ships behind. A hit: a test-half basket
+    pair (a, b) where b is in a's trained top-k.
+
+    All-deterministic: the top-k uses the also_bought total order
+    (votes desc, partner asc); halves split at the median ship date
+    (1-row stat). Emits one row: trained parts, test pairs, hits,
+    hitrate_bp. Joins are part-keyed; the test pair set is the usual
+    basket-bounded self-join.
+    """
+    mid = lineitem.agg(
+        F.expr(
+            "min(to_date(l_shipdate)) + CAST(datediff("
+            "max(to_date(l_shipdate)), min(to_date(l_shipdate))) "
+            "div 2 AS INT)"
+        ).alias("mid_day")
+    )
+    li = lineitem.crossJoin(F.broadcast(mid)).select(
+        "l_orderkey",
+        "l_partkey",
+        (F.to_date("l_shipdate") > F.col("mid_day"))
+        .cast("long")
+        .alias("h"),
+    )
+
+    def pairs(h: int) -> DataFrame:
+        b = li.where(F.col("h") == h).select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        ).distinct()
+        return (
+            b.join(b.select("ok", F.col("p").alias("q")), "ok")
+            .where(F.col("p") != F.col("q"))
+            .select("p", "q")
+        )
+
+    train = (
+        pairs(0)
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("p").orderBy(
+        F.desc("votes"), F.asc("q")
+    )
+    top = (
+        train.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("p", "q")
+    )
+    test = pairs(1).distinct()
+    hits = test.join(top, ["p", "q"], "left_semi")
+    counts = test.agg(F.count(F.lit(1)).alias("n_test")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    ).crossJoin(
+        top.select("p").distinct().agg(
+            F.count(F.lit(1)).alias("n_trained_parts")
+        )
+    )
+    return counts.where(F.col("n_test") > 0).select(
+        F.col("n_trained_parts").cast("long").alias("n_trained_parts"),
+        F.col("n_test").cast("long").alias("n_test_pairs"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.expr("(10000 * n_hits) div n_test").alias("hitrate_bp"),
+    )

@@ -766,3 +766,43 @@ def hits_scores(edges: DataFrame, rounds: int = 2, top_k: int = 100) -> DataFram
         .limit(top_k)
         .select("id", "auth", "hub")
     )
+
+
+def degree_powerlaw(edges: DataFrame, top_k: int = 100) -> DataFrame:
+    """Degree distribution tail exponent via the Hill estimator over
+    the top-k degrees — "is this graph scale-free, and how heavy is
+    the hub tail?" (alpha near 2: extreme hubs dominate; above 3:
+    tail thin enough for uniform partitioning; the number that
+    decides whether skew handling is needed AT ALL). Hill: alpha =
+    1 + k / sum(ln(d_i / d_k)) over the k largest degrees.
+
+    Exactness: per-node degrees are exact; the top-k selection is
+    TakeOrderedAndProject; each log term quantizes to e3 millibits
+    (natural log via log2 * ln2 folded into ONE shared expression)
+    before the integer sum — the zipf_slope discipline. Emits k, the
+    cutoff degree, and alpha_e3.
+    """
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    topk = deg.orderBy(F.desc("d"), F.asc("v")).limit(top_k)
+    dk = topk.agg(F.min("d").alias("dk"), F.count(F.lit(1)).alias("k"))
+    terms = topk.crossJoin(F.broadcast(dk)).select(
+        "k",
+        F.floor(
+            F.lit(1000.0)
+            * F.log2(F.col("d").cast("double") / F.col("dk"))
+            * F.lit(0.6931471805599453)
+        ).cast("long").alias("t_mb"),
+    )
+    agg = terms.groupBy("k").agg(F.sum("t_mb").alias("s_mb"))
+    return agg.where(F.col("s_mb") > 0).select(
+        F.col("k").cast("long").alias("k"),
+        F.floor(
+            F.lit(1000.0)
+            * (1.0 + F.col("k").cast("double") * 1000.0 / F.col("s_mb"))
+        ).cast("long").alias("alpha_e3"),
+    )

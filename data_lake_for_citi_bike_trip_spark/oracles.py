@@ -8299,3 +8299,84 @@ SELECT s.n_suppliers,
 FROM srcs s LEFT JOIN rev r ON s.ps_partkey = r.l_partkey
 GROUP BY s.n_suppliers
 """
+
+
+# operators/graph.py:degree_powerlaw — Hill estimator over top-k
+# degrees of the co-part graph, millibit log terms.
+DEGREE_POWERLAW = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e
+  ) GROUP BY 1
+),
+topk AS (
+  SELECT v, d FROM deg ORDER BY d DESC, v LIMIT 100
+),
+dk AS (SELECT min(d) AS dk, CAST(COUNT(*) AS BIGINT) AS k FROM topk),
+terms AS (
+  SELECT dk.k,
+         CAST(floor(1000.0 * log2(CAST(t.d AS DOUBLE) / dk.dk)
+                    * 0.6931471805599453) AS BIGINT) AS t_mb
+  FROM topk t CROSS JOIN dk
+),
+agg AS (SELECT k, CAST(sum(t_mb) AS BIGINT) AS s_mb FROM terms GROUP BY 1)
+SELECT k,
+       CAST(floor(1000.0 * (1.0 + CAST(k AS DOUBLE) * 1000.0 / s_mb))
+            AS BIGINT) AS alpha_e3
+FROM agg WHERE s_mb > 0
+"""
+
+
+# operators/analytics.py:alsobought_hitrate — first-half top-k
+# training, second-half replay, deterministic ranking.
+ALSOBOUGHT_HITRATE = """
+WITH mid AS (
+  SELECT min(CAST(l_shipdate AS DATE))
+         + CAST(date_diff('day', min(CAST(l_shipdate AS DATE)),
+                          max(CAST(l_shipdate AS DATE))) // 2
+                AS INTEGER) AS mid_day
+  FROM lineitem
+),
+li AS (
+  SELECT l_orderkey AS ok, l_partkey AS p,
+         CASE WHEN CAST(l_shipdate AS DATE) > mid_day THEN 1 ELSE 0 END
+           AS h
+  FROM lineitem CROSS JOIN mid
+),
+train_pairs AS (
+  SELECT a.p, b.p AS q, COUNT(*) AS votes
+  FROM (SELECT DISTINCT ok, p FROM li WHERE h = 0) a
+  JOIN (SELECT DISTINCT ok, p FROM li WHERE h = 0) b
+    ON a.ok = b.ok AND a.p <> b.p
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT p, q FROM (
+    SELECT p, q, row_number() OVER (PARTITION BY p
+                                    ORDER BY votes DESC, q) AS rk
+    FROM train_pairs
+  ) WHERE rk <= 3
+),
+test AS (
+  SELECT DISTINCT a.p, b.p AS q
+  FROM (SELECT DISTINCT ok, p FROM li WHERE h = 1) a
+  JOIN (SELECT DISTINCT ok, p FROM li WHERE h = 1) b
+    ON a.ok = b.ok AND a.p <> b.p
+),
+counts AS (
+  SELECT (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM top)
+           AS n_trained_parts,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM test) AS n_test_pairs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM test t
+          WHERE EXISTS (SELECT 1 FROM top
+                        WHERE top.p = t.p AND top.q = t.q)) AS n_hits
+)
+SELECT n_trained_parts, n_test_pairs, n_hits,
+       (10000 * n_hits) // n_test_pairs AS hitrate_bp
+FROM counts WHERE n_test_pairs > 0
+"""

@@ -287,3 +287,21 @@ def test_hits_round_semantics(spark):
     assert rows[1][0] == 4 and rows[3][0] == 1
     # h2: c2=c4=4, c6=1
     assert rows[2][1] == 4 and rows[6][1] == 1
+
+
+def test_degree_powerlaw_flat_degrees_filtered(spark):
+    """All-equal degrees make every Hill term zero -> filtered; a
+    genuine spread yields a positive alpha."""
+    from data_lake_for_citi_bike_trip_spark.operators import graph
+
+    # star: hub 1 with 8 spokes -> degrees hub=8, spokes=1
+    edges = spark.createDataFrame(
+        [(1, s) for s in range(2, 10)], "src long, dst long"
+    )
+    rows = graph.degree_powerlaw(edges, top_k=5).collect()
+    assert len(rows) == 1
+    assert rows[0].alpha_e3 > 1000  # alpha > 1 by construction
+
+    # 2-cycle: both degrees equal -> s_mb = 0 -> filtered
+    flat = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert graph.degree_powerlaw(flat).collect() == []
