@@ -2385,6 +2385,19 @@ def q_alsobought_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.alsobought_hitrate(load_table(spark, sf_dir, "lineitem"))
 
 
+
+def q_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median dwell seconds per event-type transition — the funnel's
+    speed matrix next to markov_transitions' probabilities."""
+    return behavior.transition_latency(load_table(spark, sf_dir, "events"))
+
+
+def q_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cents-ending distribution per type: whole-dollar and .99
+    shares plus the modal ending."""
+    return profile.price_endings(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3373,6 +3386,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_source_parts": q_single_source_parts,
         "degree_powerlaw": q_degree_powerlaw,
         "alsobought_hitrate": q_alsobought_hitrate,
+        "transition_latency": q_transition_latency,
+        "price_endings": q_price_endings,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3722,6 +3737,8 @@ def oracle_sql() -> dict[str, str]:
         "single_source_parts": oracles.SINGLE_SOURCE_PARTS,
         "degree_powerlaw": oracles.DEGREE_POWERLAW,
         "alsobought_hitrate": oracles.ALSOBOUGHT_HITRATE,
+        "transition_latency": oracles.TRANSITION_LATENCY,
+        "price_endings": oracles.PRICE_ENDINGS,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1333,3 +1333,49 @@ def markov_entropy_rate(events: DataFrame) -> DataFrame:
             ).alias("entropy_rate_mb"),
         )
     )
+
+
+def transition_latency(events: DataFrame) -> DataFrame:
+    """Median dwell time per event-type TRANSITION — how long users
+    sit between a click and the purchase it becomes, per (from, to)
+    pair: markov_transitions says WHERE users go, this says HOW FAST
+    (the slow transitions are the funnel's real bottlenecks). Lower
+    median via the value-domain histogram per transition cell
+    (enum^2-bounded partitions), gaps in exact whole seconds.
+
+    One user-partitioned lead window + a (a, b, gap) histogram + the
+    standard 2*cum >= tot median selection.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+            / F.lit(1_000_000)
+        ).cast("long").alias("gap_s"),
+    ).where(F.col("b").isNotNull())
+    hist = gaps.groupBy("a", "b", "gap_s").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    cw = (
+        Window.partitionBy("a", "b")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("a", "b")
+    ranked = hist.select(
+        "a",
+        "b",
+        "gap_s",
+        F.sum("t").over(cw).alias("cum"),
+        F.sum("t").over(tot).alias("n"),
+    )
+    return (
+        ranked.where(2 * F.col("cum") >= F.col("n"))
+        .groupBy("a", "b")
+        .agg(
+            F.min("gap_s").cast("long").alias("median_gap_s"),
+            F.max("n").cast("long").alias("n_transitions"),
+        )
+    )

@@ -1760,3 +1760,37 @@ def srm_check(events: DataFrame) -> DataFrame:
         # chi2 > 3.84  <=>  100 * (n0-n1)^2 > 384 * (n0+n1)
         (100 * d * d > 384 * tot).alias("srm_flag"),
     )
+
+
+def price_endings(events: DataFrame) -> DataFrame:
+    """Price-ending psychology audit: the cents-digit distribution of
+    transaction values per type — whole-dollar (.00) and
+    charm-pricing (.99) shares in bp, plus the most common ending —
+    the pricing-ops readout that catches rogue price feeds (a
+    currency-conversion bug shows up as uniform endings overnight).
+    One histogram over cents % 100 (bounded 100 cells per type),
+    shares by truncating division, deterministic argmax via struct
+    max.
+    """
+    base = events.select(
+        "event_type",
+        (F.round(F.col("value") * 100).cast("long") % 100).alias("e"),
+    )
+    hist = base.groupBy("event_type", "e").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return hist.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_values"),
+        F.expr(
+            "(10000 * sum(CASE WHEN e = 0 THEN n ELSE 0 END)) div sum(n)"
+        ).alias("whole_dollar_bp"),
+        F.expr(
+            "(10000 * sum(CASE WHEN e = 99 THEN n ELSE 0 END)) div sum(n)"
+        ).alias("charm_99_bp"),
+        F.expr("max(named_struct('n', n, 'neg', -e)).n")
+        .cast("long")
+        .alias("top_count"),
+        (-F.expr("max(named_struct('n', n, 'neg', -e)).neg"))
+        .cast("long")
+        .alias("top_ending"),
+    )

@@ -8380,3 +8380,71 @@ SELECT n_trained_parts, n_test_pairs, n_hits,
        (10000 * n_hits) // n_test_pairs AS hitrate_bp
 FROM counts WHERE n_test_pairs > 0
 """
+
+
+# operators/behavior.py:transition_latency — per-transition gap
+# histogram, lower median.
+TRANSITION_LATENCY = """
+WITH gaps AS (
+  SELECT a, b, gap_s FROM (
+    SELECT event_type AS a,
+           lead(event_type) OVER w AS b,
+           (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000
+             AS gap_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE b IS NOT NULL
+),
+hist AS (
+  SELECT a, b, CAST(gap_s AS BIGINT) AS gap_s,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM gaps GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT a, b, gap_s,
+         sum(t) OVER (PARTITION BY a, b ORDER BY gap_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(t) OVER (PARTITION BY a, b) AS n
+  FROM hist
+)
+SELECT a, b, CAST(min(gap_s) AS BIGINT) AS median_gap_s,
+       CAST(max(n) AS BIGINT) AS n_transitions
+FROM ranked WHERE 2 * cum >= n
+GROUP BY 1, 2
+"""
+
+
+# operators/profile.py:price_endings — cents-digit distribution with
+# deterministic argmax.
+PRICE_ENDINGS = """
+WITH base AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) % 100 AS e
+  FROM events
+),
+hist AS (
+  SELECT event_type, e, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+),
+best AS (
+  SELECT event_type, e, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, e ASC) AS rk
+  FROM hist
+)
+SELECT h.event_type,
+       CAST(sum(h.n) AS BIGINT) AS n_values,
+       (10000 * CAST(sum(CASE WHEN h.e = 0 THEN h.n ELSE 0 END)
+                     AS BIGINT)) // CAST(sum(h.n) AS BIGINT)
+         AS whole_dollar_bp,
+       (10000 * CAST(sum(CASE WHEN h.e = 99 THEN h.n ELSE 0 END)
+                     AS BIGINT)) // CAST(sum(h.n) AS BIGINT)
+         AS charm_99_bp,
+       CAST(max(CASE WHEN b.rk = 1 THEN b.n END) AS BIGINT)
+         AS top_count,
+       CAST(max(CASE WHEN b.rk = 1 THEN b.e END) AS BIGINT)
+         AS top_ending
+FROM hist h JOIN best b
+  ON h.event_type = b.event_type AND h.e = b.e
+GROUP BY 1
+"""

@@ -474,3 +474,17 @@ def test_stickiness_wau_merged_spans(spark):
     # run of user 1 = days 1..3 -> span [1, 3+6=9]; user 2 span [1,7];
     # user 3 enters day 8 -> WAU(8) = user1 + user3 = 2
     assert out["2024-01-08"] == (1, 2, 5000)
+
+
+def test_transition_latency_median(spark):
+    """Gaps 10s, 20s, 1000s for click->view: lower median 20s."""
+    rows = [(0, "2024-01-01 10:00:00", 1, "click"),
+            (1, "2024-01-01 10:00:10", 1, "view"),
+            (2, "2024-01-01 11:00:00", 2, "click"),
+            (3, "2024-01-01 11:00:20", 2, "view"),
+            (4, "2024-01-01 12:00:00", 3, "click"),
+            (5, "2024-01-01 12:16:40", 3, "view")]
+    out = {(r.a, r.b): (r.median_gap_s, r.n_transitions)
+           for r in behavior.transition_latency(
+               _events(spark, rows)).collect()}
+    assert out[("click", "view")] == (20, 3)
