@@ -2398,6 +2398,23 @@ def q_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.price_endings(load_table(spark, sf_dir, "events"))
 
 
+
+def q_coldstart_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-half parts (and revenue) unseen in the training half —
+    the recommender's cold-start ceiling."""
+    return analytics.coldstart_share(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_nation_assortment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nation pairs by purchased-assortment Jaccard."""
+    return analytics.nation_assortment_overlap(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3388,6 +3405,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alsobought_hitrate": q_alsobought_hitrate,
         "transition_latency": q_transition_latency,
         "price_endings": q_price_endings,
+        "coldstart_share": q_coldstart_share,
+        "nation_assortment": q_nation_assortment,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3739,6 +3758,8 @@ def oracle_sql() -> dict[str, str]:
         "alsobought_hitrate": oracles.ALSOBOUGHT_HITRATE,
         "transition_latency": oracles.TRANSITION_LATENCY,
         "price_endings": oracles.PRICE_ENDINGS,
+        "coldstart_share": oracles.COLDSTART_SHARE,
+        "nation_assortment": oracles.NATION_ASSORTMENT_OVERLAP,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

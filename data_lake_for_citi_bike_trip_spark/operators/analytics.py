@@ -1773,3 +1773,118 @@ def alsobought_hitrate(lineitem: DataFrame, k: int = 3) -> DataFrame:
         F.col("n_hits").cast("long").alias("n_hits"),
         F.expr("(10000 * n_hits) div n_test").alias("hitrate_bp"),
     )
+
+
+def coldstart_share(lineitem: DataFrame) -> DataFrame:
+    """Cold-start exposure for the also-bought replay: how much of
+    the SECOND half's activity lands on parts the FIRST half never
+    saw — the recommender's blind spot (hit-rate can only be earned
+    on warm parts; this is the ceiling's other side). Emits one row:
+    warm/cold part counts in the test half, cold share of parts and
+    of revenue in bp.
+
+    Two half-distinct part sets, one anti-join, one revenue rollup —
+    all part-keyed.
+    """
+    mid = lineitem.agg(
+        F.expr(
+            "min(to_date(l_shipdate)) + CAST(datediff("
+            "max(to_date(l_shipdate)), min(to_date(l_shipdate))) "
+            "div 2 AS INT)"
+        ).alias("mid_day")
+    )
+    li = lineitem.crossJoin(F.broadcast(mid)).select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        (F.to_date("l_shipdate") > F.col("mid_day"))
+        .cast("long")
+        .alias("h"),
+    )
+    train_parts = li.where(F.col("h") == 0).select("l_partkey").distinct()
+    test = li.where(F.col("h") == 1).groupBy("l_partkey").agg(
+        F.sum("c").alias("cents")
+    )
+    flagged = test.join(
+        train_parts.withColumn("warm", F.lit(1)), "l_partkey", "left"
+    ).select(
+        F.coalesce("warm", F.lit(0)).alias("warm"), "cents"
+    )
+    return flagged.agg(
+        F.sum("warm").cast("long").alias("n_warm_parts"),
+        F.sum(1 - F.col("warm")).cast("long").alias("n_cold_parts"),
+        F.expr(
+            "(10000 * sum(1 - warm)) div count(1)"
+        ).alias("cold_part_bp"),
+        F.expr(
+            "(10000 * sum(CASE WHEN warm = 0 THEN cents ELSE 0 END)) "
+            "div sum(cents)"
+        ).alias("cold_revenue_bp"),
+    )
+
+
+def nation_assortment_overlap(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    top_k: int = 20,
+) -> DataFrame:
+    """Assortment similarity between nation markets: Jaccard of the
+    part sets customers of each nation actually bought — which
+    markets shop alike (the localization/planning signal: high
+    overlap = shared catalog strategy works). Nation-pair output is
+    enum-bounded (<= 300 pairs); the intersection comes from one
+    part-keyed self-join of the (nation, part) distinct table, never
+    a part-catalog cross product.
+
+    Top-k pairs by Jaccard bp with a deterministic total order.
+    """
+    np_ = (
+        lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nat"), "l_partkey")
+        .distinct()
+    )
+    sizes = np_.groupBy("nat").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        np_.join(
+            np_.select(
+                F.col("nat").alias("nat2"), "l_partkey"
+            ),
+            "l_partkey",
+        )
+        .where(F.col("nat") < F.col("nat2"))
+        .groupBy("nat", "nat2")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    j = (
+        inter.join(F.broadcast(sizes), "nat")
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("nat").alias("nat2"), F.col("sz").alias("sz2")
+                )
+            ),
+            "nat2",
+        )
+        .select(
+            "nat",
+            "nat2",
+            F.col("both").cast("long").alias("n_shared"),
+            F.expr(
+                "(10000 * both) div (sz + sz2 - both)"
+            ).alias("jaccard_bp"),
+        )
+    )
+    return j.orderBy(
+        F.desc("jaccard_bp"), F.asc("nat"), F.asc("nat2")
+    ).limit(top_k)

@@ -8448,3 +8448,67 @@ FROM hist h JOIN best b
   ON h.event_type = b.event_type AND h.e = b.e
 GROUP BY 1
 """
+
+
+# operators/analytics.py:coldstart_share — test-half parts unseen in
+# training, part and revenue shares.
+COLDSTART_SHARE = """
+WITH mid AS (
+  SELECT min(CAST(l_shipdate AS DATE))
+         + CAST(date_diff('day', min(CAST(l_shipdate AS DATE)),
+                          max(CAST(l_shipdate AS DATE))) // 2
+                AS INTEGER) AS mid_day
+  FROM lineitem
+),
+li AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CASE WHEN CAST(l_shipdate AS DATE) > mid_day THEN 1 ELSE 0 END
+           AS h
+  FROM lineitem CROSS JOIN mid
+),
+train_parts AS (SELECT DISTINCT l_partkey FROM li WHERE h = 0),
+test AS (
+  SELECT l_partkey, CAST(sum(c) AS BIGINT) AS cents
+  FROM li WHERE h = 1 GROUP BY 1
+),
+flagged AS (
+  SELECT CASE WHEN tp.l_partkey IS NOT NULL THEN 1 ELSE 0 END AS warm,
+         t.cents
+  FROM test t LEFT JOIN train_parts tp ON t.l_partkey = tp.l_partkey
+)
+SELECT CAST(sum(warm) AS BIGINT) AS n_warm_parts,
+       CAST(sum(1 - warm) AS BIGINT) AS n_cold_parts,
+       (10000 * CAST(sum(1 - warm) AS BIGINT)) // COUNT(*)
+         AS cold_part_bp,
+       CAST((10000 * sum(CASE WHEN warm = 0 THEN cents ELSE 0 END))
+            // sum(cents) AS BIGINT) AS cold_revenue_bp
+FROM flagged
+"""
+
+
+# operators/analytics.py:nation_assortment_overlap — Jaccard of
+# purchased part sets per nation pair, top-20.
+NATION_ASSORTMENT_OVERLAP = """
+WITH np AS (
+  SELECT DISTINCT n.n_name AS nat, l.l_partkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+sizes AS (SELECT nat, CAST(COUNT(*) AS BIGINT) AS sz FROM np GROUP BY 1),
+inter AS (
+  SELECT a.nat, b.nat AS nat2, CAST(COUNT(*) AS BIGINT) AS both
+  FROM np a JOIN np b
+    ON a.l_partkey = b.l_partkey AND a.nat < b.nat
+  GROUP BY 1, 2
+)
+SELECT i.nat, i.nat2, i.both AS n_shared,
+       (10000 * i.both) // (s1.sz + s2.sz - i.both) AS jaccard_bp
+FROM inter i
+JOIN sizes s1 ON i.nat = s1.nat
+JOIN sizes s2 ON i.nat2 = s2.nat
+ORDER BY jaccard_bp DESC, i.nat, i.nat2
+LIMIT 20
+"""
