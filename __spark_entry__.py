@@ -2415,6 +2415,23 @@ def q_nation_assortment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily single-event-session share — the landing-page health
+    metric off the standard session walk."""
+    return behavior.bounce_rate(load_table(spark, sf_dir, "events"))
+
+
+def q_nation_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation revenue league table with rank shifts between the
+    order-date halves."""
+    return analytics.nation_rank_shift(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3407,6 +3424,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_endings": q_price_endings,
         "coldstart_share": q_coldstart_share,
         "nation_assortment": q_nation_assortment,
+        "bounce_rate": q_bounce_rate,
+        "nation_rank_shift": q_nation_rank_shift,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3760,6 +3779,8 @@ def oracle_sql() -> dict[str, str]:
         "price_endings": oracles.PRICE_ENDINGS,
         "coldstart_share": oracles.COLDSTART_SHARE,
         "nation_assortment": oracles.NATION_ASSORTMENT_OVERLAP,
+        "bounce_rate": oracles.BOUNCE_RATE,
+        "nation_rank_shift": oracles.NATION_RANK_SHIFT,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

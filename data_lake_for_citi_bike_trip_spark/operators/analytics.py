@@ -1888,3 +1888,84 @@ def nation_assortment_overlap(
     return j.orderBy(
         F.desc("jaccard_bp"), F.asc("nat"), F.asc("nat2")
     ).limit(top_k)
+
+
+def nation_rank_shift(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Nation revenue league table with the rank SHIFT between the
+    order-date halves — which markets are climbing and which are
+    sliding (the rank delta is the readout executives actually read;
+    absolute revenue moves with seasonality, ranks mostly don't).
+    Per-half revenue ranks are deterministic (cents desc, name asc);
+    nations absent from a half rank last by convention of the
+    full-outer coalesce to zero revenue.
+
+    Enum-bounded output (25 rows); one fact aggregate per half over
+    broadcast dims, two bounded rank windows.
+    """
+    mid = orders.agg(
+        F.expr(
+            "min(to_date(o_orderdate)) + CAST(datediff("
+            "max(to_date(o_orderdate)), min(to_date(o_orderdate))) "
+            "div 2 AS INT)"
+        ).alias("mid_day")
+    )
+    rev = (
+        orders.crossJoin(F.broadcast(mid))
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            (F.to_date("o_orderdate") > F.col("mid_day"))
+            .cast("long")
+            .alias("h"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    names = rev.select("n_name").distinct()
+    full = (
+        names.crossJoin(
+            names.sparkSession.createDataFrame(
+                [(0,), (1,)], "h long"
+            )
+        )
+        .join(rev, ["n_name", "h"], "left")
+        .select(
+            "n_name", "h", F.coalesce("cents", F.lit(0)).alias("cents")
+        )
+    )
+    w = Window.partitionBy("h").orderBy(
+        F.desc("cents"), F.asc("n_name")
+    )
+    ranked = full.withColumn("rk", F.row_number().over(w))
+    pre = ranked.where(F.col("h") == 0).select(
+        "n_name",
+        F.col("rk").alias("rank_pre"),
+        F.col("cents").alias("cents_pre"),
+    )
+    post = ranked.where(F.col("h") == 1).select(
+        "n_name",
+        F.col("rk").alias("rank_post"),
+        F.col("cents").alias("cents_post"),
+    )
+    return pre.join(post, "n_name").select(
+        "n_name",
+        F.col("rank_pre").cast("long").alias("rank_pre"),
+        F.col("rank_post").cast("long").alias("rank_post"),
+        (F.col("rank_pre") - F.col("rank_post"))
+        .cast("long")
+        .alias("rank_gain"),
+        F.col("cents_pre").cast("long").alias("cents_pre"),
+        F.col("cents_post").cast("long").alias("cents_post"),
+    )

@@ -1379,3 +1379,50 @@ def transition_latency(events: DataFrame) -> DataFrame:
             F.max("n").cast("long").alias("n_transitions"),
         )
     )
+
+
+def bounce_rate(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Daily bounce rate: the share of sessions that contain exactly
+    ONE event — the landing-page health metric (a rising bounce with
+    flat traffic is a funnel entrance problem). Sessions are the
+    module's standard 30-minute-gap windows; a session is dated by
+    its first event's day.
+
+    The usual lag -> flag -> running-sum session walk, one (user,
+    session) reduction, one day-grain rollup; bp by truncating
+    division.
+    """
+    ts_us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = events.select(
+        "user_id", "event_id", ts_us.alias("ts_us")
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    sess = base.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60_000_000), 1
+        ).otherwise(0).alias("ns"),
+    ).withColumn("sid", F.sum("ns").over(w))
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+    )
+    return (
+        per.groupBy(
+            F.to_date(F.timestamp_micros(F.col("start_us")))
+            .cast("string")
+            .alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long"))
+            .cast("long")
+            .alias("n_bounced"),
+        )
+        .withColumn(
+            "bounce_bp", F.expr("(10000 * n_bounced) div n_sessions")
+        )
+    )

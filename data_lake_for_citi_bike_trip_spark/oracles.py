@@ -8512,3 +8512,84 @@ JOIN sizes s2 ON i.nat2 = s2.nat
 ORDER BY jaccard_bp DESC, i.nat, i.nat2
 LIMIT 20
 """
+
+
+# operators/behavior.py:bounce_rate — single-event-session share per
+# day, sessions dated by first event.
+BOUNCE_RATE = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+per AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+         min(ts_us) AS start_us
+  FROM sess GROUP BY 1, 2
+)
+SELECT CAST(CAST(make_timestamp(start_us) AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounced,
+       (10000 * CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT)) // COUNT(*) AS bounce_bp
+FROM per GROUP BY 1
+"""
+
+
+# operators/analytics.py:nation_rank_shift — per-half revenue league
+# table with deterministic ranks and the shift.
+NATION_RANK_SHIFT = """
+WITH mid AS (
+  SELECT min(CAST(o_orderdate AS DATE))
+         + CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
+                          max(CAST(o_orderdate AS DATE))) // 2
+                AS INTEGER) AS mid_day
+  FROM orders
+),
+rev AS (
+  SELECT n.n_name,
+         CASE WHEN CAST(o.o_orderdate AS DATE) > mid_day THEN 1
+              ELSE 0 END AS h,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o
+  CROSS JOIN mid
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+names AS (SELECT DISTINCT n_name FROM rev),
+filled AS (
+  SELECT nm.n_name, hs.h, coalesce(r.cents, 0) AS cents
+  FROM names nm
+  CROSS JOIN (SELECT unnest([0, 1]) AS h) hs
+  LEFT JOIN rev r ON nm.n_name = r.n_name AND hs.h = r.h
+),
+ranked AS (
+  SELECT n_name, h, cents,
+         row_number() OVER (PARTITION BY h
+                            ORDER BY cents DESC, n_name) AS rk
+  FROM filled
+)
+SELECT a.n_name,
+       CAST(a.rk AS BIGINT) AS rank_pre,
+       CAST(b.rk AS BIGINT) AS rank_post,
+       CAST(a.rk - b.rk AS BIGINT) AS rank_gain,
+       CAST(a.cents AS BIGINT) AS cents_pre,
+       CAST(b.cents AS BIGINT) AS cents_post
+FROM (SELECT * FROM ranked WHERE h = 0) a
+JOIN (SELECT * FROM ranked WHERE h = 1) b ON a.n_name = b.n_name
+"""
