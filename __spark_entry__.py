@@ -2432,6 +2432,19 @@ def q_nation_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate pass rate per labeled language — corpus-mix
+    governance off the quality_score features."""
+    return text_ops.quality_by_lang(load_table(spark, sf_dir, "documents"))
+
+
+def q_revenue_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 day-over-day revenue down-move per type — historical
+    value-at-risk in exact cents."""
+    return timeseries.revenue_var(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3426,6 +3439,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_assortment": q_nation_assortment,
         "bounce_rate": q_bounce_rate,
         "nation_rank_shift": q_nation_rank_shift,
+        "quality_by_lang": q_quality_by_lang,
+        "revenue_var": q_revenue_var,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3781,6 +3796,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_assortment": oracles.NATION_ASSORTMENT_OVERLAP,
         "bounce_rate": oracles.BOUNCE_RATE,
         "nation_rank_shift": oracles.NATION_RANK_SHIFT,
+        "quality_by_lang": oracles.QUALITY_BY_LANG,
+        "revenue_var": oracles.REVENUE_VAR,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

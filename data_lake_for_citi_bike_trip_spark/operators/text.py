@@ -961,3 +961,28 @@ def style_profile(docs: DataFrame) -> DataFrame:
             "space_bp"
         ),
     )
+
+
+def quality_by_lang(docs: DataFrame, pass_e2: int = 75) -> DataFrame:
+    """Quality-gate pass rates per labeled language — the corpus-mix
+    governance readout (a language whose pass rate collapses is a
+    crawler or boilerplate problem localized to that pipeline): the
+    module's quality_score rolled up by the label, with the e2 score
+    kept integral (0.25 steps -> exact 25s) so means and pass flags
+    are pure integers.
+
+    One pass over quality_score's codegen features + an enum-bounded
+    rollup.
+    """
+    scored = quality_score(docs).select(
+        "doc_id",
+        F.round(F.col("quality") * 100).cast("long").alias("q_e2"),
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(q_e2) div count(1)").alias("mean_quality_e2"),
+        F.expr(
+            f"(10000 * sum(CASE WHEN q_e2 >= {pass_e2} THEN 1 ELSE 0 "
+            "END)) div count(1)"
+        ).alias("pass_bp"),
+    )

@@ -1345,3 +1345,52 @@ def dow_eta_squared(events: DataFrame) -> DataFrame:
             "eta2_e4"
         ),
     )
+
+
+def revenue_var(events: DataFrame, q: int = 95) -> DataFrame:
+    """Historical value-at-risk of the daily revenue stream per type:
+    the p95 day-over-day DOWN-move in cents — "on a bad day, how much
+    revenue disappears versus yesterday" (the planning number; means
+    hide it, the tail pays for it). Moves from one calendar-bounded
+    lag window; the quantile of LOSSES (negative moves flipped
+    positive) by the value-at-rank convention over the loss
+    histogram. Types with no down days are filtered.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    losses = (
+        daily.select(
+            "event_type",
+            (F.lag("v").over(w) - F.col("v")).alias("loss"),
+        )
+        .where(F.col("loss").isNotNull() & (F.col("loss") > 0))
+    )
+    hist = losses.groupBy("event_type", "loss").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    cw = (
+        Window.partitionBy("event_type")
+        .orderBy("loss")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    ranked = hist.select(
+        "event_type",
+        "loss",
+        (F.sum("t").over(cw) - F.col("t") + 1).alias("lo"),
+        F.sum("t").over(cw).alias("hi"),
+        F.sum("t").over(tot).alias("n"),
+    )
+    target = F.expr(f"(n - 1) * {q} div 100 + 1")
+    return (
+        ranked.where((target >= F.col("lo")) & (target <= F.col("hi")))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_down_days"),
+            F.col("loss").cast("long").alias(f"var{q}_cents"),
+        )
+    )

@@ -8593,3 +8593,78 @@ SELECT a.n_name,
 FROM (SELECT * FROM ranked WHERE h = 0) a
 JOIN (SELECT * FROM ranked WHERE h = 1) b ON a.n_name = b.n_name
 """
+
+
+# operators/text.py:quality_by_lang — quality_score rolled up by the
+# label with integral e2 scores.
+QUALITY_BY_LANG = f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {_TOKS} AS w, list_distinct({_TOKS}) AS dw
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang,
+    CAST(len(w) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS DOUBLE)
+      / CAST(greatest(len(w), 1) AS DOUBLE) AS mean_word_len,
+    {_hit_ratio(_LANG_STOPWORDS["en"])} AS stopword_ratio,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio
+  FROM base
+),
+scored AS (
+  SELECT lang,
+    CAST(round(100 * (
+      (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+            THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 12.0
+              THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)))
+      AS BIGINT) AS q_e2
+  FROM feats
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(sum(q_e2) // COUNT(*) AS BIGINT) AS mean_quality_e2,
+       (10000 * CAST(sum(CASE WHEN q_e2 >= 75 THEN 1 ELSE 0 END)
+                     AS BIGINT)) // COUNT(*) AS pass_bp
+FROM scored GROUP BY 1
+"""
+
+
+# operators/timeseries.py:revenue_var — p95 of day-over-day losses by
+# value-at-rank over the loss histogram.
+REVENUE_VAR = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+losses AS (
+  SELECT event_type, loss FROM (
+    SELECT event_type,
+           lag(v) OVER (PARTITION BY event_type ORDER BY day) - v
+             AS loss
+    FROM daily
+  ) WHERE loss IS NOT NULL AND loss > 0
+),
+hist AS (
+  SELECT event_type, CAST(loss AS BIGINT) AS loss,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM losses GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, loss,
+         sum(t) OVER (PARTITION BY event_type ORDER BY loss
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1
+           AS lo,
+         sum(t) OVER (PARTITION BY event_type ORDER BY loss
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+         sum(t) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_down_days,
+       loss AS var95_cents
+FROM ranked
+WHERE (n - 1) * 95 // 100 + 1 BETWEEN lo AND hi
+"""
