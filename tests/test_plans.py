@@ -375,3 +375,60 @@ def test_bigram_surprisal_count_table_not_hint_broadcast(spark, sf_dir):
     # the corpus-sized counts/firsts joins must stay equi-shaped
     assert f["nested_loop_joins"] <= 2
     assert f["plan"].count("BroadcastNestedLoopJoin") == f["nested_loop_joins"]
+
+
+def test_bootstrap_expand_collapses_before_shuffle(spark, sf_dir):
+    """bootstrap_ci's x32 explode must feed a partial aggregate before
+    any exchange — the shuffle carries at most B rows per task, never
+    the expanded rows."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["bootstrap_ci"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # a partial HashAggregate must appear below the exchange: Spark
+    # prints partial_ aggregates in the functions list
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prorate_windows_share_one_exchange(spark, sf_dir):
+    """prorate_order_total's two window passes partition identically
+    (l_orderkey), so the plan needs exactly one hash exchange for
+    them (plus the join's)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["prorate_order_total"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both windows keyed on l_orderkey: no second repartitioning
+    # between Window nodes (a Window directly above a Window/Sort)
+    assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_target_encode_broadcasts_category_stats(spark, sf_dir):
+    """target_encode_loo's category stats are enum-bounded and must
+    come back as a broadcast join, leaving the fact un-shuffled."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["target_encode_loo"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_frequent_triples_no_nested_loop_on_data_sides(spark, sf_dir):
+    """frequent_triples' basket enumeration and semi-join prunes are
+    all equi-keyed; the only nested-loop allowed is the 1-row
+    n_orders stat attach."""
+    import __spark_entry__ as entrymod
+
+    import re
+
+    df = entrymod.queries()["frequent_triples"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the 1-row n_orders stat attach is the only BNLJ shape allowed;
+    # it appears once per semi-join branch because the pairs subplan
+    # is re-derived (cheap: the broadcast side is a single row)
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "n_orders" in m.group(0), m.group(0)
