@@ -2445,6 +2445,13 @@ def q_revenue_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.revenue_var(load_table(spark, sf_dir, "events"))
 
 
+
+def q_brand_type_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand x type chi-square with Cramér's V over the part catalog
+    (zero cells added analytically)."""
+    return profile.brand_type_association(load_table(spark, sf_dir, "part"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3441,6 +3448,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_rank_shift": q_nation_rank_shift,
         "quality_by_lang": q_quality_by_lang,
         "revenue_var": q_revenue_var,
+        "brand_type_assoc": q_brand_type_assoc,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3798,6 +3806,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_rank_shift": oracles.NATION_RANK_SHIFT,
         "quality_by_lang": oracles.QUALITY_BY_LANG,
         "revenue_var": oracles.REVENUE_VAR,
+        "brand_type_assoc": oracles.BRAND_TYPE_ASSOCIATION,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1794,3 +1794,81 @@ def price_endings(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("top_ending"),
     )
+
+
+def brand_type_association(part: DataFrame) -> DataFrame:
+    """Catalog-structure association: chi-square of brand x type over
+    the part catalog with Cramér's V — do brands specialize in types,
+    or is the catalog a uniform grid? (A synthetic catalog reads
+    independent; a real vendor mix never does — the readout that
+    catches generator drift AND real assortment strategy.) Same
+    exact-margin construction as chisq_independence: every count a
+    BIGINT, each cell's contribution ONE shared double floored to e6
+    before the integer sum; V from the exact chi2. Sparse-grid
+    correction: UNOBSERVED cells contribute their full expectation
+    ((0-E)^2/E = E), summed analytically as n - sum(E over observed
+    cells) — skipping them (the dense-table shortcut) understates
+    chi2 exactly when the association is strongest.
+
+    Margins are catalog-enum-bounded; one contingency aggregate.
+    """
+    base = part.select("p_brand", "p_type")
+    cells = base.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    mb = base.groupBy("p_brand").agg(F.count(F.lit(1)).alias("ni"))
+    mt = base.groupBy("p_type").agg(F.count(F.lit(1)).alias("nj"))
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    contrib = F.floor(
+        F.lit(1_000_000.0)
+        * (
+            F.col("nij").cast("double")
+            - F.col("ni").cast("double") * F.col("nj") / F.col("n")
+        )
+        * (
+            F.col("nij").cast("double")
+            - F.col("ni").cast("double") * F.col("nj") / F.col("n")
+        )
+        / (F.col("ni").cast("double") * F.col("nj") / F.col("n"))
+    ).cast("long")
+    e_cell_e6 = F.floor(
+        F.lit(1_000_000.0)
+        * F.col("ni").cast("double")
+        * F.col("nj")
+        / F.col("n")
+    ).cast("long")
+    agg = (
+        cells.join(F.broadcast(mb), "p_brand")
+        .join(F.broadcast(mt), "p_type")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.max("n").cast("long").alias("n_parts"),
+            F.count_distinct("p_brand").alias("n_brands"),
+            F.count_distinct("p_type").alias("n_types"),
+            (
+                F.sum(contrib)
+                + F.max("n") * F.lit(1_000_000)
+                - F.sum(e_cell_e6)
+            ).cast("long").alias("chi2_e6"),
+        )
+    )
+    # V = sqrt(chi2 / (n * min(r-1, c-1)))
+    return agg.select(
+        "n_parts",
+        F.col("n_brands").cast("long").alias("n_brands"),
+        F.col("n_types").cast("long").alias("n_types"),
+        "chi2_e6",
+        F.floor(
+            F.lit(10_000.0)
+            * F.sqrt(
+                F.col("chi2_e6").cast("double")
+                / 1_000_000.0
+                / (
+                    F.col("n_parts").cast("double")
+                    * F.least(
+                        F.col("n_brands") - 1, F.col("n_types") - 1
+                    )
+                )
+            )
+        ).cast("long").alias("cramers_v_e4"),
+    )

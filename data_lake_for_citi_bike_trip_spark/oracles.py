@@ -8668,3 +8668,43 @@ SELECT event_type, CAST(n AS BIGINT) AS n_down_days,
 FROM ranked
 WHERE (n - 1) * 95 // 100 + 1 BETWEEN lo AND hi
 """
+
+
+# operators/profile.py:brand_type_association — chi-square + Cramér's
+# V over the catalog grid, zero cells added analytically.
+BRAND_TYPE_ASSOCIATION = """
+WITH base AS (SELECT p_brand, p_type FROM part),
+cells AS (
+  SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM base GROUP BY 1, 2
+),
+mb AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS ni
+       FROM base GROUP BY 1),
+mt AS (SELECT p_type, CAST(COUNT(*) AS BIGINT) AS nj
+       FROM base GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+agg AS (
+  SELECT max(n.n) AS n_parts,
+         CAST(COUNT(DISTINCT c.p_brand) AS BIGINT) AS n_brands,
+         CAST(COUNT(DISTINCT c.p_type) AS BIGINT) AS n_types,
+         CAST(sum(CAST(floor(1000000.0
+             * (CAST(nij AS DOUBLE)
+                - CAST(ni AS DOUBLE) * nj / n.n)
+             * (CAST(nij AS DOUBLE)
+                - CAST(ni AS DOUBLE) * nj / n.n)
+             / (CAST(ni AS DOUBLE) * nj / n.n)) AS BIGINT))
+           + max(n.n) * 1000000
+           - sum(CAST(floor(1000000.0 * CAST(ni AS DOUBLE) * nj / n.n)
+                      AS BIGINT)) AS BIGINT) AS chi2_e6
+  FROM cells c
+  JOIN mb ON c.p_brand = mb.p_brand
+  JOIN mt ON c.p_type = mt.p_type
+  CROSS JOIN n
+)
+SELECT CAST(n_parts AS BIGINT) AS n_parts, n_brands, n_types, chi2_e6,
+       CAST(floor(10000.0 * sqrt(CAST(chi2_e6 AS DOUBLE) / 1000000.0
+            / (CAST(n_parts AS DOUBLE)
+               * least(n_brands - 1, n_types - 1)))) AS BIGINT)
+         AS cramers_v_e4
+FROM agg
+"""

@@ -447,3 +447,23 @@ def test_capture_recapture_chapman(spark):
     r = profile.capture_recapture(_typed_events(spark, rows)).collect()[0]
     assert (r.n1, r.n2, r.m, r.observed) == (3, 3, 2, 4)
     assert r.estimated == (4 * 4) // 3 - 1
+
+
+def test_brand_type_association_perfect_and_independent(spark):
+    """A diagonal catalog (each brand one type) maxes V at 1; a full
+    uniform grid reads V ~ 0 (zero cells contribute exactly)."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    diag = spark.createDataFrame(
+        [(f"B{i}", f"T{i}") for i in range(4) for _ in range(5)],
+        "p_brand string, p_type string",
+    )
+    r = profile.brand_type_association(diag).collect()[0]
+    assert r.cramers_v_e4 >= 9999  # perfect association
+    grid = spark.createDataFrame(
+        [(f"B{i}", f"T{j}") for i in range(4) for j in range(4)
+         for _ in range(3)],
+        "p_brand string, p_type string",
+    )
+    r2 = profile.brand_type_association(grid).collect()[0]
+    assert r2.cramers_v_e4 <= 100  # independence
