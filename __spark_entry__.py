@@ -2452,6 +2452,25 @@ def q_brand_type_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.brand_type_association(load_table(spark, sf_dir, "part"))
 
 
+
+def q_customer_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer OLS slope signs rolled to portfolio shares —
+    thousands of micro-models in one aggregate."""
+    return analytics.customer_momentum(load_table(spark, sf_dir, "orders"))
+
+
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL surface parity (both engines plan the identical
+    aggregate)."""
+    return sqlsurface.group_by_all_surface(spark, sf_dir)
+
+
+def q_cost_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 parts by supplier cost dispersion — the negotiation
+    list off the bucketed partsupp."""
+    return sqlsurface.cost_spread(spark, sf_dir)
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3449,6 +3468,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_lang": q_quality_by_lang,
         "revenue_var": q_revenue_var,
         "brand_type_assoc": q_brand_type_assoc,
+        "customer_momentum": q_customer_momentum,
+        "group_by_all": q_group_by_all,
+        "cost_spread": q_cost_spread,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3807,6 +3829,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_by_lang": oracles.QUALITY_BY_LANG,
         "revenue_var": oracles.REVENUE_VAR,
         "brand_type_assoc": oracles.BRAND_TYPE_ASSOCIATION,
+        "customer_momentum": oracles.CUSTOMER_MOMENTUM,
+        "group_by_all": oracles.GROUP_BY_ALL_SURFACE,
+        "cost_spread": oracles.COST_SPREAD,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

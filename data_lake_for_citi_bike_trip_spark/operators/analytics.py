@@ -1969,3 +1969,53 @@ def nation_rank_shift(
         F.col("cents_pre").cast("long").alias("cents_pre"),
         F.col("cents_post").cast("long").alias("cents_post"),
     )
+
+
+def customer_momentum(orders: DataFrame) -> DataFrame:
+    """Fleet micro-regression: an OLS value-vs-time slope fitted PER
+    CUSTOMER (thousands of tiny models in one aggregate — the
+    sufficient-statistics pattern at its best: no iteration, no
+    per-model job, one shuffle keyed by customer), rolled up to the
+    portfolio readout: what share of fittable customers trend up vs
+    down. Slope sign is decided by the EXACT integer numerator
+    n*Sxy - Sx*Sy (no division, no float) — only the shares divide.
+
+    x = days since the customer's first order, y = order cents;
+    customers need >= 3 orders and x-variance > 0 to fit.
+    """
+    base = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    d0 = base.groupBy("o_custkey").agg(F.min("day").alias("d0"))
+    xy = base.join(d0, "o_custkey").select(
+        "o_custkey",
+        F.datediff("day", "d0").cast("long").alias("x"),
+        "y",
+    )
+    g = xy.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = g.where((F.col("n") >= 3) & (den > 0)).select(
+        F.signum(num.cast("double")).cast("long").alias("s")
+    )
+    return fit.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.sum((F.col("s") > 0).cast("long")).cast("long").alias("n_up"),
+        F.sum((F.col("s") < 0).cast("long"))
+        .cast("long")
+        .alias("n_down"),
+    ).select(
+        "n_fit",
+        "n_up",
+        "n_down",
+        F.expr("(10000 * n_up) div n_fit").alias("rising_bp"),
+        F.expr("(10000 * n_down) div n_fit").alias("falling_bp"),
+    )

@@ -1179,3 +1179,50 @@ FROM srcs s LEFT JOIN rev r ON s.ps_partkey = r.l_partkey
 GROUP BY s.n_suppliers
 """
     )
+
+
+def group_by_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the modern SQL ergonomic both engines support:
+    every non-aggregate select item becomes a grouping key, so the
+    query can't silently drift when a column is added to the
+    projection (the classic copy-paste GROUP BY bug). Semantically
+    identical to listing the keys; Catalyst plans the same
+    aggregate."""
+    _views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
+def cost_spread(spark: SparkSession, sf_dir: str, top_k: int = 50) -> DataFrame:
+    """Supplier cost dispersion per part off the bucketed partsupp:
+    max/min supply-cost ratio in e2 — the negotiation-opportunity
+    list (a part whose suppliers quote 5x apart has a procurement
+    problem or an arbitrage). Exchange-free scan; top-k by spread
+    with a total order."""
+    _partsupp_view(spark, sf_dir)
+    return spark.sql(
+        _PARTSUPP_MAT_CTE
+        + f"""
+, s AS (
+  SELECT ps_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(min(ps_supplycost_cents) AS BIGINT) AS min_cost,
+         CAST(max(ps_supplycost_cents) AS BIGINT) AS max_cost
+  FROM partsupp GROUP BY ps_partkey
+  HAVING COUNT(*) >= 2
+)
+SELECT ps_partkey AS partkey, n_suppliers, min_cost, max_cost,
+       (100 * max_cost) div min_cost AS spread_e2
+FROM s
+ORDER BY spread_e2 DESC, partkey
+LIMIT {top_k}
+"""
+    )

@@ -8708,3 +8708,77 @@ SELECT CAST(n_parts AS BIGINT) AS n_parts, n_brands, n_types, chi2_e6,
          AS cramers_v_e4
 FROM agg
 """
+
+
+# operators/analytics.py:customer_momentum — per-customer integer OLS
+# slope signs, portfolio shares.
+CUSTOMER_MOMENTUM = """
+WITH base AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+),
+d0 AS (SELECT o_custkey, min(day) AS d0 FROM base GROUP BY 1),
+xy AS (
+  SELECT b.o_custkey,
+         CAST(date_diff('day', z.d0, b.day) AS BIGINT) AS x, b.y
+  FROM base b JOIN d0 z ON b.o_custkey = z.o_custkey
+),
+g AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM xy GROUP BY 1
+),
+fit AS (
+  SELECT CAST(sign(n * sxy - sx * sy) AS BIGINT) AS s
+  FROM g WHERE n >= 3 AND n * sxx - sx * sx > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_fit,
+       CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_down,
+       (10000 * CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT))
+         // COUNT(*) AS rising_bp,
+       (10000 * CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT))
+         // COUNT(*) AS falling_bp
+FROM fit
+"""
+
+
+# operators/sqlsurface.py:group_by_all_surface — identical GROUP BY
+# ALL on both engines.
+GROUP_BY_ALL_SURFACE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY ALL
+"""
+
+
+# operators/sqlsurface.py:cost_spread — partsupp derived inline,
+# max/min supplier cost ratio.
+COST_SPREAD = """
+WITH partsupp AS (
+    SELECT l_partkey AS ps_partkey,
+           CAST((l_partkey * 31 + l_suppkey * 17) % 90000 + 100
+                AS BIGINT) AS ps_supplycost_cents
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+),
+s AS (
+  SELECT ps_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(min(ps_supplycost_cents) AS BIGINT) AS min_cost,
+         CAST(max(ps_supplycost_cents) AS BIGINT) AS max_cost
+  FROM partsupp GROUP BY ps_partkey
+  HAVING COUNT(*) >= 2
+)
+SELECT ps_partkey AS partkey, n_suppliers, min_cost, max_cost,
+       (100 * max_cost) // min_cost AS spread_e2
+FROM s
+ORDER BY spread_e2 DESC, partkey
+LIMIT 50
+"""
