@@ -2471,6 +2471,21 @@ def q_cost_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sqlsurface.cost_spread(spark, sf_dir)
 
 
+
+def q_retention_by_acq_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-1 retention by acquisition weekday — the channel-timing
+    lever."""
+    return behavior.retention_by_acquisition_dow(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content duplicate groups spanning sources — the
+    train/eval leakage shape per source pair."""
+    return dedup.cross_source_dups(load_table(spark, sf_dir, "documents"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3471,6 +3486,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_momentum": q_customer_momentum,
         "group_by_all": q_group_by_all,
         "cost_spread": q_cost_spread,
+        "retention_by_acq_dow": q_retention_by_acq_dow,
+        "cross_source_dups": q_cross_source_dups,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3832,6 +3849,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_momentum": oracles.CUSTOMER_MOMENTUM,
         "group_by_all": oracles.GROUP_BY_ALL_SURFACE,
         "cost_spread": oracles.COST_SPREAD,
+        "retention_by_acq_dow": oracles.RETENTION_BY_ACQ_DOW,
+        "cross_source_dups": oracles.CROSS_SOURCE_DUPS,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

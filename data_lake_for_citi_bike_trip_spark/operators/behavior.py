@@ -1426,3 +1426,40 @@ def bounce_rate(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "bounce_bp", F.expr("(10000 * n_bounced) div n_sessions")
         )
     )
+
+
+def retention_by_acquisition_dow(events: DataFrame) -> DataFrame:
+    """Week-1 retention by ACQUISITION day-of-week — does the weekday
+    a user first shows up predict whether they come back within 7
+    days? (The growth team's channel-timing lever: weekend-acquired
+    cohorts often retain differently.) A user retains if they have
+    any event on days [first+1, first+7].
+
+    Two user-grain reductions (first day, any-return flag via one
+    conditional aggregate over the same scan), one 7-row rollup —
+    all exact integers.
+    """
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    flagged = (
+        events.select("user_id", F.to_date("ts").alias("day"))
+        .join(first, "user_id")
+        .groupBy("user_id", "d0")
+        .agg(
+            F.max(
+                (
+                    (F.datediff("day", "d0") >= 1)
+                    & (F.datediff("day", "d0") <= 7)
+                ).cast("long")
+            ).alias("retained")
+        )
+    )
+    return flagged.groupBy(
+        F.dayofweek("d0").cast("long").alias("acq_dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("retained").cast("long").alias("n_retained"),
+    ).withColumn(
+        "retention_bp", F.expr("(10000 * n_retained) div n_users")
+    )

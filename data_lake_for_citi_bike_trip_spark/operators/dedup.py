@@ -671,3 +671,51 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
         )
         .where(F.col("jaccard_e4") >= threshold_e1 * 1000)
     )
+
+
+def cross_source_dups(docs: DataFrame, prefix_chars: int = 64) -> DataFrame:
+    """Cross-source duplicate leakage at OPENING-PREFIX grain: hash
+    groups of the first ``prefix_chars`` characters that SPAN more
+    than one source — the contamination shape within-source dedup
+    misses (shared boilerplate openings, syndicated ledes, template
+    headers; if sources later split into train and eval, this is the
+    leak's leading edge). Prefix grain rather than full text because
+    real cross-source duplication is rarely byte-exact end to end —
+    the opening is what survives syndication. Per source pair:
+    group count and document count — the dedup-policy evidence.
+
+    One prefix-hash aggregate (collect the bounded DISTINCT source
+    set per hash), filter to spanning groups, explode the source-pair
+    combinations (set sizes are source-enum-bounded).
+    """
+    groups = (
+        docs.groupBy(
+            F.md5(F.substring("text", 1, prefix_chars)).alias("h")
+        )
+        .agg(
+            F.array_sort(F.collect_set("source")).alias("srcs"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.size("srcs") > 1)
+    )
+    pairs = groups.select(
+        "h",
+        "n_docs",
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "b -> struct(a AS sa, b AS sb))))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.sa").alias("source_a"),
+            F.col("p.sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_docs").cast("long").alias("n_docs_involved"),
+        )
+    )

@@ -8782,3 +8782,50 @@ FROM s
 ORDER BY spread_e2 DESC, partkey
 LIMIT 50
 """
+
+
+# operators/behavior.py:retention_by_acquisition_dow — week-1 return
+# flag by first-day weekday.
+RETENTION_BY_ACQ_DOW = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+),
+flagged AS (
+  SELECT e.user_id, f.d0,
+         max(CASE WHEN date_diff('day', f.d0, CAST(e.ts AS DATE))
+                       BETWEEN 1 AND 7
+                  THEN 1 ELSE 0 END) AS retained
+  FROM events e JOIN first f ON e.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT CAST(dayofweek(d0) + 1 AS BIGINT) AS acq_dow,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(sum(retained) AS BIGINT) AS n_retained,
+       (10000 * CAST(sum(retained) AS BIGINT)) // COUNT(*)
+         AS retention_bp
+FROM flagged GROUP BY 1
+"""
+
+
+# operators/dedup.py:cross_source_dups — hash groups spanning
+# sources, per source pair.
+CROSS_SOURCE_DUPS = """
+WITH groups AS (
+  SELECT md5(substr(text, 1, 64)) AS h,
+         list_sort(list_distinct(list(source))) AS srcs,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY md5(substr(text, 1, 64))
+  HAVING len(list_distinct(list(source))) > 1
+),
+pairs AS (
+  SELECT g.h, g.n_docs, a.sa, b.sb
+  FROM groups g,
+       LATERAL (SELECT unnest(g.srcs) AS sa) a,
+       LATERAL (SELECT unnest(g.srcs) AS sb) b
+  WHERE a.sa < b.sb
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs_involved
+FROM pairs GROUP BY 1, 2
+"""
