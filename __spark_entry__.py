@@ -2486,6 +2486,19 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_source_dups(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_weekly_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-days-per-user-week histogram — the engagement depth
+    between DAU and WAU."""
+    return behavior.weekly_intensity(load_table(spark, sf_dir, "events"))
+
+
+def q_reorder_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-to-second-order gap quartiles — the remarketing
+    window."""
+    return behavior.reorder_latency(load_table(spark, sf_dir, "orders"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3488,6 +3501,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_spread": q_cost_spread,
         "retention_by_acq_dow": q_retention_by_acq_dow,
         "cross_source_dups": q_cross_source_dups,
+        "weekly_intensity": q_weekly_intensity,
+        "reorder_latency": q_reorder_latency,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3851,6 +3866,8 @@ def oracle_sql() -> dict[str, str]:
         "cost_spread": oracles.COST_SPREAD,
         "retention_by_acq_dow": oracles.RETENTION_BY_ACQ_DOW,
         "cross_source_dups": oracles.CROSS_SOURCE_DUPS,
+        "weekly_intensity": oracles.WEEKLY_INTENSITY,
+        "reorder_latency": oracles.REORDER_LATENCY,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1463,3 +1463,96 @@ def retention_by_acquisition_dow(events: DataFrame) -> DataFrame:
     ).withColumn(
         "retention_bp", F.expr("(10000 * n_retained) div n_users")
     )
+
+
+def weekly_intensity(events: DataFrame) -> DataFrame:
+    """Engagement-depth histogram: for each (user, epoch-week), how
+    many distinct days were active — the 1..7 intensity distribution
+    that separates daily-habit products from once-a-week ones (DAU
+    and WAU alone can't tell those apart; this is the shape between
+    them). Emits per n_active_days: user-week count and share in bp.
+
+    One distinct (user, day) reduction, one (user, week) aggregate,
+    one 7-row rollup.
+    """
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    per_week = days.groupBy(
+        "user_id",
+        F.expr("datediff(day, DATE '1970-01-01') div 7").alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("n_active_days"))
+    hist = per_week.groupBy("n_active_days").agg(
+        F.count(F.lit(1)).alias("n_user_weeks")
+    )
+    tot = Window.partitionBy()
+    return hist.select(
+        F.col("n_active_days").cast("long").alias("n_active_days"),
+        F.col("n_user_weeks").cast("long").alias("n_user_weeks"),
+        F.expr(
+            "(10000 * n_user_weeks) div sum(n_user_weeks) OVER ()"
+        ).alias("share_bp"),
+    )
+
+
+def reorder_latency(orders: DataFrame) -> DataFrame:
+    """First-to-second-order latency quartiles in days — the
+    repeat-purchase clock (repeat_purchase_curve says HOW MANY come
+    back; this says HOW LONG the business waits for them, which sets
+    the remarketing window). Per customer: the gap between their
+    first and second order dates; quartiles by the value-at-rank
+    convention over the gap histogram. Customers with fewer than two
+    orders contribute nothing (they have no gap).
+
+    One customer-partitioned rank window to find the first two
+    orders, one gap histogram, the standard rank-selection readout.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    ranked = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.row_number().over(w).alias("rk"),
+    ).where(F.col("rk") <= 2)
+    gaps = (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.datediff(F.max("day"), F.min("day")).alias("gap_days"),
+        )
+        .where(F.col("n") == 2)
+        .select(F.col("gap_days").cast("long").alias("g"))
+    )
+    hist = gaps.groupBy("g").agg(F.count(F.lit(1)).alias("t"))
+    cw = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked2 = hist.select(
+        "g",
+        (F.sum("t").over(cw) - F.col("t") + 1).alias("lo"),
+        F.sum("t").over(cw).alias("hi"),
+        F.sum("t").over(Window.partitionBy()).alias("n"),
+    )
+    qs = ranked2.select(
+        "g",
+        "lo",
+        "hi",
+        "n",
+        F.explode(F.array(F.lit(25), F.lit(50), F.lit(75))).alias("q"),
+    ).where(
+        (F.expr("(n - 1) * q div 100 + 1") >= F.col("lo"))
+        & (F.expr("(n - 1) * q div 100 + 1") <= F.col("hi"))
+    )
+    return qs.groupBy().agg(
+        F.max("n").cast("long").alias("n_repeat_customers"),
+        F.min(F.when(F.col("q") == 25, F.col("g")))
+        .cast("long")
+        .alias("p25_days"),
+        F.min(F.when(F.col("q") == 50, F.col("g")))
+        .cast("long")
+        .alias("p50_days"),
+        F.min(F.when(F.col("q") == 75, F.col("g")))
+        .cast("long")
+        .alias("p75_days"),
+    )

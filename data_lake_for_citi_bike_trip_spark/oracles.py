@@ -8829,3 +8829,64 @@ SELECT sa AS source_a, sb AS source_b,
        CAST(sum(n_docs) AS BIGINT) AS n_docs_involved
 FROM pairs GROUP BY 1, 2
 """
+
+
+# operators/behavior.py:weekly_intensity — active-days-per-user-week
+# histogram with shares.
+WEEKLY_INTENSITY = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+per_week AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', day) // 7 AS wk,
+         CAST(COUNT(*) AS BIGINT) AS n_active_days
+  FROM days GROUP BY 1, 2
+),
+hist AS (
+  SELECT n_active_days, CAST(COUNT(*) AS BIGINT) AS n_user_weeks
+  FROM per_week GROUP BY 1
+)
+SELECT n_active_days, n_user_weeks,
+       CAST((10000 * n_user_weeks) // sum(n_user_weeks) OVER ()
+            AS BIGINT) AS share_bp
+FROM hist
+"""
+
+
+# operators/behavior.py:reorder_latency — first-to-second order gap
+# quartiles by value-at-rank.
+REORDER_LATENCY = """
+WITH ranked AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rk
+  FROM orders
+),
+gaps AS (
+  SELECT CAST(date_diff('day', min(day), max(day)) AS BIGINT) AS g
+  FROM ranked WHERE rk <= 2
+  GROUP BY o_custkey HAVING COUNT(*) = 2
+),
+hist AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS t FROM gaps GROUP BY 1),
+r2 AS (
+  SELECT g,
+         sum(t) OVER (ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1
+           AS lo,
+         sum(t) OVER (ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+         sum(t) OVER () AS n
+  FROM hist
+),
+qs AS (
+  SELECT g, q.q, n FROM r2
+  CROSS JOIN (SELECT unnest([25, 50, 75]) AS q) q
+  WHERE (n - 1) * q.q // 100 + 1 BETWEEN lo AND hi
+)
+SELECT CAST(max(n) AS BIGINT) AS n_repeat_customers,
+       CAST(min(CASE WHEN q = 25 THEN g END) AS BIGINT) AS p25_days,
+       CAST(min(CASE WHEN q = 50 THEN g END) AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN q = 75 THEN g END) AS BIGINT) AS p75_days
+FROM qs
+"""
