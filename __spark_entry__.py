@@ -2499,6 +2499,19 @@ def q_reorder_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.reorder_latency(load_table(spark, sf_dir, "orders"))
 
 
+
+def q_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue growth over the multi-year order
+    axis with sign-guarded integer deltas."""
+    return analytics.quarterly_growth(load_table(spark, sf_dir, "orders"))
+
+
+def q_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year revenue index vs uniform 1/12 over ~7 order
+    years — the demand-planning curve."""
+    return analytics.month_seasonality(load_table(spark, sf_dir, "orders"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3503,6 +3516,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "weekly_intensity": q_weekly_intensity,
         "reorder_latency": q_reorder_latency,
+        "quarterly_growth": q_quarterly_growth,
+        "month_seasonality": q_month_seasonality,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3868,6 +3883,8 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_dups": oracles.CROSS_SOURCE_DUPS,
         "weekly_intensity": oracles.WEEKLY_INTENSITY,
         "reorder_latency": oracles.REORDER_LATENCY,
+        "quarterly_growth": oracles.QUARTERLY_GROWTH,
+        "month_seasonality": oracles.MONTH_SEASONALITY,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

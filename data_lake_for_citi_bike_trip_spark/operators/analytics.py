@@ -2019,3 +2019,69 @@ def customer_momentum(orders: DataFrame) -> DataFrame:
         F.expr("(10000 * n_up) div n_fit").alias("rising_bp"),
         F.expr("(10000 * n_down) div n_fit").alias("falling_bp"),
     )
+
+
+def quarterly_growth(orders: DataFrame) -> DataFrame:
+    """Quarter-over-quarter revenue growth over the multi-year order
+    axis: revenue per (year, quarter) with the QoQ delta in bp from a
+    lag over the calendar-bounded quarter series — the board-deck
+    table. Growth uses the non-negative-numerator percent form
+    guarded for sign (cross-multiplied against the prior quarter) so
+    the integer division is engine-identical.
+    """
+    q = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents"),
+    )
+    w = Window.orderBy("y", "q")
+    return q.select(
+        "y",
+        "q",
+        "n_orders",
+        F.col("cents").cast("long").alias("cents"),
+        F.lag("cents").over(w).alias("prev_cents"),
+    ).withColumn(
+        "qoq_bp",
+        F.expr(
+            "CASE WHEN prev_cents > 0 THEN "
+            "CASE WHEN cents >= prev_cents "
+            "THEN (10000 * (cents - prev_cents)) div prev_cents "
+            "ELSE -((10000 * (prev_cents - cents)) div prev_cents) "
+            "END END"
+        ),
+    ).withColumn("prev_cents", F.col("prev_cents").cast("long"))
+
+
+def month_seasonality(orders: DataFrame) -> DataFrame:
+    """Month-of-year revenue seasonality index over the multi-year
+    order history: each calendar month's share of annual-pattern
+    revenue against the uniform 1/12 — the demand-planning curve
+    (index above 10000 bp x 12 = a high month). Multi-year averaging
+    is what separates seasonality from one-off events; this corpus
+    spans ~7 order years, so every month aggregates many instances.
+
+    One (month) aggregate + a 1-row total attach; index by exact
+    cross-multiplication: idx_e4 = 12 * 10000 * month / total.
+    """
+    m = orders.groupBy(
+        F.month("o_orderdate").cast("long").alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents"),
+    )
+    tot = Window.partitionBy()
+    return m.select(
+        "m",
+        "n_orders",
+        F.col("cents").cast("long").alias("cents"),
+        F.expr(
+            "(120000 * cents) div sum(cents) OVER ()"
+        ).alias("index_bp"),
+    )

@@ -8890,3 +8890,47 @@ SELECT CAST(max(n) AS BIGINT) AS n_repeat_customers,
        CAST(min(CASE WHEN q = 75 THEN g END) AS BIGINT) AS p75_days
 FROM qs
 """
+
+
+# operators/analytics.py:quarterly_growth — QoQ deltas with the
+# sign-guarded truncating percent form.
+QUARTERLY_GROWTH = """
+WITH q AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(quarter(o_orderdate) AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+),
+l AS (
+  SELECT y, q, n_orders, cents,
+         lag(cents) OVER (ORDER BY y, q) AS prev_cents
+  FROM q
+)
+SELECT y, q, n_orders, cents,
+       CAST(prev_cents AS BIGINT) AS prev_cents,
+       CAST(CASE WHEN prev_cents > 0 THEN
+            CASE WHEN cents >= prev_cents
+                 THEN (10000 * (cents - prev_cents)) // prev_cents
+                 ELSE -((10000 * (prev_cents - cents)) // prev_cents)
+            END END AS BIGINT) AS qoq_bp
+FROM l
+"""
+
+
+# operators/analytics.py:month_seasonality — month index against the
+# uniform 1/12, exact cross-multiplication.
+MONTH_SEASONALITY = """
+WITH m AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+)
+SELECT m, n_orders, cents,
+       CAST((120000 * cents) // sum(cents) OVER () AS BIGINT)
+         AS index_bp
+FROM m
+"""
