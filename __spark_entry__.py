@@ -2512,6 +2512,19 @@ def q_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.month_seasonality(load_table(spark, sf_dir, "orders"))
 
 
+
+def q_yoy_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-month year-over-year revenue growth — the seasonality-
+    proof growth table."""
+    return analytics.yoy_monthly_growth(load_table(spark, sf_dir, "orders"))
+
+
+def q_customer_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-lifespan (whole years) histogram per customer — the LTV
+    horizon evidence."""
+    return analytics.customer_lifespan(load_table(spark, sf_dir, "orders"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3518,6 +3531,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reorder_latency": q_reorder_latency,
         "quarterly_growth": q_quarterly_growth,
         "month_seasonality": q_month_seasonality,
+        "yoy_monthly": q_yoy_monthly,
+        "customer_lifespan": q_customer_lifespan,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3885,6 +3900,8 @@ def oracle_sql() -> dict[str, str]:
         "reorder_latency": oracles.REORDER_LATENCY,
         "quarterly_growth": oracles.QUARTERLY_GROWTH,
         "month_seasonality": oracles.MONTH_SEASONALITY,
+        "yoy_monthly": oracles.YOY_MONTHLY_GROWTH,
+        "customer_lifespan": oracles.CUSTOMER_LIFESPAN,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -2085,3 +2085,70 @@ def month_seasonality(orders: DataFrame) -> DataFrame:
             "(120000 * cents) div sum(cents) OVER ()"
         ).alias("index_bp"),
     )
+
+
+def yoy_monthly_growth(orders: DataFrame) -> DataFrame:
+    """Year-over-year growth at MONTH grain — the seasonality-proof
+    growth readout (QoQ confounds season with trajectory; comparing
+    January to last January cancels the seasonal term exactly).
+    Self-join of the (year, month) revenue table on month with year
+    shifted by one; sign-guarded truncating bp deltas.
+    """
+    m = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    prev = m.select(
+        (F.col("y") + 1).alias("y"),
+        "m",
+        F.col("cents").alias("prev_cents"),
+    )
+    return (
+        m.join(prev, ["y", "m"])
+        .where(F.col("prev_cents") > 0)
+        .select(
+            "y",
+            "m",
+            F.col("cents").cast("long").alias("cents"),
+            F.col("prev_cents").cast("long").alias("prev_cents"),
+            F.expr(
+                "CASE WHEN cents >= prev_cents "
+                "THEN (10000 * (cents - prev_cents)) div prev_cents "
+                "ELSE -((10000 * (prev_cents - cents)) div prev_cents) "
+                "END"
+            ).alias("yoy_bp"),
+        )
+    )
+
+
+def customer_lifespan(orders: DataFrame) -> DataFrame:
+    """Customer active-lifespan histogram: whole years between first
+    and last order, with order-count evidence — the relationship-
+    length distribution behind every LTV model's horizon assumption
+    (a book of 5-year customers amortizes acquisition very
+    differently from one of one-shots). One customer-grain reduction,
+    one bounded histogram.
+    """
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "datediff(max(to_date(o_orderdate)), "
+            "min(to_date(o_orderdate))) div 365"
+        ).alias("span_years"),
+    )
+    tot = Window.partitionBy()
+    return per.groupBy("span_years").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+    ).select(
+        F.col("span_years").cast("long").alias("span_years"),
+        "n_customers",
+        "n_orders",
+        F.expr(
+            "(10000 * n_customers) div sum(n_customers) OVER ()"
+        ).alias("share_bp"),
+    )

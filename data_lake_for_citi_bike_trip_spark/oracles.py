@@ -8934,3 +8934,45 @@ SELECT m, n_orders, cents,
          AS index_bp
 FROM m
 """
+
+
+# operators/analytics.py:yoy_monthly_growth — same-month YoY via a
+# year-shifted self-join.
+YOY_MONTHLY_GROWTH = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT a.y, a.m, a.cents, b.cents AS prev_cents,
+       CAST(CASE WHEN a.cents >= b.cents
+            THEN (10000 * (a.cents - b.cents)) // b.cents
+            ELSE -((10000 * (b.cents - a.cents)) // b.cents)
+            END AS BIGINT) AS yoy_bp
+FROM m a JOIN m b ON a.m = b.m AND a.y = b.y + 1
+WHERE b.cents > 0
+"""
+
+
+# operators/analytics.py:customer_lifespan — whole-year active spans
+# with shares.
+CUSTOMER_LIFESPAN = """
+WITH per AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
+                        max(CAST(o_orderdate AS DATE))) // 365
+              AS BIGINT) AS span_years
+  FROM orders GROUP BY 1
+),
+hist AS (
+  SELECT span_years, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(sum(n_orders) AS BIGINT) AS n_orders
+  FROM per GROUP BY 1
+)
+SELECT span_years, n_customers, n_orders,
+       CAST((10000 * n_customers) // sum(n_customers) OVER ()
+            AS BIGINT) AS share_bp
+FROM hist
+"""
