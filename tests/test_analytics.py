@@ -583,3 +583,80 @@ def test_lorenz_deciles_equality_and_monotone(spark):
     out = {r.decile: r.cum_share_bp
            for r in an.lorenz_deciles(orders).collect()}
     assert out == {d: d * 1000 for d in range(1, 11)}
+
+
+def test_quarterly_growth_sign_guarded(spark):
+    """Revenue 100 -> 150 -> 75: QoQ +5000 bp then -5000 bp."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    rows = [(1, 100.0, "1995-01-15"), (2, 150.0, "1995-04-15"),
+            (3, 75.0, "1995-07-15")]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, d string"
+    ).selectExpr("o_orderkey", "o_totalprice",
+                 "to_timestamp(d) AS o_orderdate")
+    out = {(r.y, r.q): r.qoq_bp
+           for r in an.quarterly_growth(orders).collect()}
+    assert out[(1995, 1)] is None
+    assert out[(1995, 2)] == 5000
+    assert out[(1995, 3)] == -5000
+
+
+def test_yoy_monthly_cancels_seasonality(spark):
+    """Jan 1996 vs Jan 1995 compares like months: +10000 bp on a
+    doubling."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    rows = [(1, 100.0, "1995-01-10"), (2, 200.0, "1996-01-10"),
+            (3, 500.0, "1995-06-10")]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, d string"
+    ).selectExpr("o_orderkey", "o_totalprice",
+                 "to_timestamp(d) AS o_orderdate")
+    out = [(r.y, r.m, r.yoy_bp)
+           for r in an.yoy_monthly_growth(orders).collect()]
+    assert out == [(1996, 1, 10000)]
+
+
+def test_customer_momentum_signs(spark):
+    """One rising, one falling, one flat-ineligible customer."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    rows = []
+    # customer 1 rising: 100, 200, 300 across months
+    for i, v in enumerate([100.0, 200.0, 300.0]):
+        rows.append((len(rows), 1, v, f"1995-0{i+1}-10"))
+    # customer 2 falling
+    for i, v in enumerate([300.0, 200.0, 100.0]):
+        rows.append((len(rows), 2, v, f"1995-0{i+1}-10"))
+    # customer 3: only two orders -> not fittable (n >= 3)
+    for i, v in enumerate([100.0, 100.0]):
+        rows.append((len(rows), 3, v, f"1995-0{i+1}-10"))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, d string"
+    ).selectExpr("o_orderkey", "o_custkey", "o_totalprice",
+                 "to_timestamp(d) AS o_orderdate")
+    r = an.customer_momentum(orders).collect()[0]
+    assert (r.n_fit, r.n_up, r.n_down) == (2, 1, 1)
+    assert r.rising_bp == 5000 and r.falling_bp == 5000
+
+
+def test_hhi_single_supplier_maxes(spark):
+    """One supplier per nation -> HHI exactly 1e4 and effective
+    count 1.00."""
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    li = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 7.0)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double",
+    )
+    supp = spark.createDataFrame(
+        [(10, 0), (20, 1)], "s_suppkey long, s_nationkey long"
+    )
+    nat = spark.createDataFrame(
+        [(0, "A"), (1, "B")], "n_nationkey long, n_name string"
+    )
+    out = {r.n_name: (r.hhi_e4, r.effective_e2)
+           for r in an.hhi_by_nation(li, supp, nat).collect()}
+    assert out["A"] == (10000, 100)
+    assert out["B"] == (10000, 100)

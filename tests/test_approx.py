@@ -467,3 +467,57 @@ def test_brand_type_association_perfect_and_independent(spark):
     )
     r2 = profile.brand_type_association(grid).collect()[0]
     assert r2.cramers_v_e4 <= 100  # independence
+
+
+def test_log_histogram_bins_and_bounds(spark):
+    """Cents 1,2,3,4 land in bins 0,1,1,2 with exact power-of-two
+    bounds."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = [("a", v, 1, 1) for v in (0.01, 0.02, 0.03, 0.04)]
+    out = {r.bin: (r.lo_cents, r.hi_cents, r.n)
+           for r in profile.log_histogram(_typed_events(spark, rows))
+           .collect()}
+    assert out[0] == (1, 1, 1)
+    assert out[1] == (2, 3, 2)
+    assert out[2] == (4, 7, 1)
+
+
+def test_mode_per_type_smallest_tie(spark):
+    """Counts tie between 100c and 200c -> the smaller value wins."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = [("a", 1.0, 1, 1), ("a", 1.0, 2, 1),
+            ("a", 2.0, 3, 1), ("a", 2.0, 4, 1), ("a", 3.0, 5, 1)]
+    r = profile.mode_per_type(_typed_events(spark, rows)).collect()[0]
+    assert (r.mode_cents, r.mode_count, r.n_distinct_values) == (100, 2, 3)
+
+
+def test_srm_check_balanced_and_skewed(spark):
+    """A balanced split does not flag; a heavily skewed one does."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    bal = _typed_events(
+        spark, [("view", 1.0, u, 1) for u in range(100)]
+    )
+    r = profile.srm_check(bal).collect()[0]
+    assert r.srm_flag is False
+    skew = _typed_events(
+        spark,
+        [("view", 1.0, 2 * u, 1) for u in range(90)]  # all even
+        + [("view", 1.0, 1, 1)],
+    )
+    r2 = profile.srm_check(skew).collect()[0]
+    assert r2.srm_flag is True
+
+
+def test_median_of_means_plain_case(spark):
+    """All-equal values: MoM == mean, gap 0."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    orders = spark.createDataFrame(
+        [(k, 50.0) for k in range(100)],
+        "o_orderkey long, o_totalprice double",
+    )
+    r = profile.median_of_means(orders).collect()[0]
+    assert r.mom_cents == r.mean_cents == 5000 and r.gap_cents == 0

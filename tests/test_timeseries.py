@@ -479,3 +479,47 @@ def test_durbin_watson_alternation_reads_high(spark):
     from data_lake_for_citi_bike_trip_spark.operators import timeseries as tsm
     r = tsm.durbin_watson(df).collect()[0]
     assert r.dw_e4 > 20000  # beyond 2.0: negative serial correlation
+
+
+def test_fano_factor_poisson_vs_bursty(spark):
+    """Constant daily counts -> Fano 0; a bursty series reads far
+    above 1e4."""
+    rows = []
+    eid = 0
+    # 'flat': 2 events per day for 4 days
+    for d in range(1, 5):
+        for _ in range(2):
+            rows.append((eid, f"2024-01-0{d} 10:00:00", 1, "flat", 1.0))
+            eid += 1
+    # 'bursty': 8 events day 1, none after (single active day -> n=1
+    # filtered? n=1 gives var 0) — use 7,1 across two days
+    for d, k in [(1, 7), (2, 1)]:
+        for _ in range(k):
+            rows.append((eid, f"2024-01-0{d} 10:00:00", 1, "bursty", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    from data_lake_for_citi_bike_trip_spark.operators import timeseries as tsm
+    out = {r.event_type: r.fano_e4 for r in tsm.fano_factor(df).collect()}
+    assert out["flat"] == 0
+    # bursty: n=2, s1=8, s2=50 -> var*n = 2*50-64 = 36; mean*n = 16
+    # fano = 36/16 = 2.25 -> 22500
+    assert out["bursty"] == 22500
+
+
+def test_revenue_var_pinned(spark):
+    """Daily revenue 300,100,250,50: losses 200,200 -> p95 = 200."""
+    rows = []
+    eid = 0
+    for d, v in [(1, 3.0), (2, 1.0), (3, 2.5), (4, 0.5)]:
+        rows.append((eid, f"2024-01-0{d} 10:00:00", 1, "click", v))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "to_timestamp(ts) AS ts", "user_id",
+                 "event_type", "value")
+    from data_lake_for_citi_bike_trip_spark.operators import timeseries as tsm
+    r = {x.event_type: x for x in tsm.revenue_var(df).collect()}["click"]
+    assert r.n_down_days == 2 and r.var95_cents == 200
