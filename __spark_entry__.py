@@ -2525,6 +2525,19 @@ def q_customer_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.customer_lifespan(load_table(spark, sf_dir, "orders"))
 
 
+
+def q_activation_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion by first-session depth band — the onboarding
+    investment signal."""
+    return behavior.activation_depth(load_table(spark, sf_dir, "events"))
+
+
+def q_spend_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers banded by order-value coefficient of variation —
+    steady vs spiky spend."""
+    return profile.spend_consistency(load_table(spark, sf_dir, "orders"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3533,6 +3546,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "month_seasonality": q_month_seasonality,
         "yoy_monthly": q_yoy_monthly,
         "customer_lifespan": q_customer_lifespan,
+        "activation_depth": q_activation_depth,
+        "spend_consistency": q_spend_consistency,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3902,6 +3917,8 @@ def oracle_sql() -> dict[str, str]:
         "month_seasonality": oracles.MONTH_SEASONALITY,
         "yoy_monthly": oracles.YOY_MONTHLY_GROWTH,
         "customer_lifespan": oracles.CUSTOMER_LIFESPAN,
+        "activation_depth": oracles.ACTIVATION_DEPTH,
+        "spend_consistency": oracles.SPEND_CONSISTENCY,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

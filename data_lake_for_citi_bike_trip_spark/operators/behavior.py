@@ -1556,3 +1556,52 @@ def reorder_latency(orders: DataFrame) -> DataFrame:
         .cast("long")
         .alias("p75_days"),
     )
+
+
+def activation_depth(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Activation signal: conversion rate by FIRST-session depth —
+    do users whose very first visit runs deep end up purchasing more?
+    (The onboarding metric that decides whether to invest in the
+    first-run experience.) First session = ordinal 1 of the standard
+    30-minute walk; depth = its event count, banded 1/2-3/4-7/8+;
+    a user converts if they EVER purchase.
+
+    One session walk, one user-grain reduction carrying both the
+    first-session depth and the global conversion flag, one 4-row
+    band rollup.
+    """
+    ts_us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = events.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        (F.col("event_type") == "purchase").cast("long").alias("p"),
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    sess = base.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "p",
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60_000_000), 1
+        ).otherwise(0).alias("ns"),
+    ).withColumn("sid", F.sum("ns").over(w))
+    per_user = sess.groupBy("user_id").agg(
+        F.sum(F.when(F.col("sid") == 1, 1).otherwise(0))
+        .alias("first_depth"),
+        F.max("p").alias("converted"),
+    )
+    band = (
+        F.when(F.col("first_depth") <= 1, "1")
+        .when(F.col("first_depth") <= 3, "2-3")
+        .when(F.col("first_depth") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return per_user.groupBy(band.alias("depth_band")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    ).withColumn(
+        "conv_bp", F.expr("(10000 * n_converted) div n_users")
+    )

@@ -1872,3 +1872,58 @@ def brand_type_association(part: DataFrame) -> DataFrame:
             )
         ).cast("long").alias("cramers_v_e4"),
     )
+
+
+def spend_consistency(orders: DataFrame) -> DataFrame:
+    """Spend-consistency bands: customers bucketed by the coefficient
+    of variation of their order values — steady subscribers (CV near
+    0) vs spiky opportunists (CV above 1), the segmentation axis RFM
+    misses entirely. CV per customer from exact integer sufficient
+    statistics (population form: sqrt(n*s2 - s1^2)/s1 — one shared
+    double per customer); bands at 0.25/0.5/1.0. Customers need >= 2
+    orders.
+
+    One customer-grain aggregate + a 4-row band rollup; the s1^2 and
+    n*s2 products are computed in shared doubles (the int64-overflow
+    guard for corpus-scale spend sums).
+    """
+    g = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("s1"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            * F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("s2"),
+    ).where((F.col("n") >= 2) & (F.col("s1") > 0))
+    cv_e2 = F.floor(
+        F.lit(100.0)
+        * F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.col("n").cast("double") * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double"),
+            )
+        )
+        / F.col("s1").cast("double")
+    ).cast("long")
+    banded = g.select(
+        cv_e2.alias("cv_e2"),
+    ).select(
+        F.when(F.col("cv_e2") < 25, "steady")
+        .when(F.col("cv_e2") < 50, "moderate")
+        .when(F.col("cv_e2") < 100, "variable")
+        .otherwise("spiky")
+        .alias("band")
+    )
+    tot = Window.partitionBy()
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    ).select(
+        "band",
+        "n_customers",
+        F.expr(
+            "(10000 * n_customers) div sum(n_customers) OVER ()"
+        ).alias("share_bp"),
+    )

@@ -8976,3 +8976,77 @@ SELECT span_years, n_customers, n_orders,
             AS BIGINT) AS share_bp
 FROM hist
 """
+
+
+# operators/behavior.py:activation_depth — first-session depth bands
+# vs global conversion.
+ACTIVATION_DEPTH = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, event_id, p,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, p,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN sid = 1 THEN 1 ELSE 0 END) AS first_depth,
+         max(p) AS converted
+  FROM sess GROUP BY 1
+)
+SELECT CASE WHEN first_depth <= 1 THEN '1'
+            WHEN first_depth <= 3 THEN '2-3'
+            WHEN first_depth <= 7 THEN '4-7'
+            ELSE '8+' END AS depth_band,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       (10000 * CAST(sum(converted) AS BIGINT)) // COUNT(*) AS conv_bp
+FROM per_user GROUP BY 1
+"""
+
+
+# operators/profile.py:spend_consistency — per-customer CV bands from
+# exact sums (double products — overflow guard).
+SPEND_CONSISTENCY = """
+WITH g AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS s1,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                  * CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS s2
+  FROM orders GROUP BY 1
+  HAVING COUNT(*) >= 2
+     AND sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 0
+),
+cv AS (
+  SELECT CAST(floor(100.0 * sqrt(greatest(0.0,
+           CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+           / CAST(s1 AS DOUBLE)) AS BIGINT) AS cv_e2
+  FROM g
+),
+banded AS (
+  SELECT CASE WHEN cv_e2 < 25 THEN 'steady'
+              WHEN cv_e2 < 50 THEN 'moderate'
+              WHEN cv_e2 < 100 THEN 'variable'
+              ELSE 'spiky' END AS band
+  FROM cv
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST((10000 * COUNT(*)) // sum(COUNT(*)) OVER () AS BIGINT)
+         AS share_bp
+FROM banded GROUP BY 1
+"""
