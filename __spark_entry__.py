@@ -2538,6 +2538,24 @@ def q_spend_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.spend_consistency(load_table(spark, sf_dir, "orders"))
 
 
+
+def q_discount_by_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean discount depth per basket-size band — the promo-
+    efficiency cross-tab."""
+    return analytics.discount_by_basket_size(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_size_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipped units per SKU by part size — the assortment-bloat
+    curve."""
+    return analytics.size_demand(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3548,6 +3566,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_lifespan": q_customer_lifespan,
         "activation_depth": q_activation_depth,
         "spend_consistency": q_spend_consistency,
+        "discount_by_basket": q_discount_by_basket,
+        "size_demand": q_size_demand,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3919,6 +3939,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_lifespan": oracles.CUSTOMER_LIFESPAN,
         "activation_depth": oracles.ACTIVATION_DEPTH,
         "spend_consistency": oracles.SPEND_CONSISTENCY,
+        "discount_by_basket": oracles.DISCOUNT_BY_BASKET_SIZE,
+        "size_demand": oracles.SIZE_DEMAND,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -2152,3 +2152,63 @@ def customer_lifespan(orders: DataFrame) -> DataFrame:
             "(10000 * n_customers) div sum(n_customers) OVER ()"
         ).alias("share_bp"),
     )
+
+
+def discount_by_basket_size(lineitem: DataFrame) -> DataFrame:
+    """Discount-depth vs basket-size interaction: mean discount in bp
+    per order-line-count band — is discounting driving bigger baskets
+    or subsidizing small ones? (The promo-efficiency cross-tab;
+    uniform discounts across bands mean the promo engine ignores
+    basket economics.) Exact integers: discounts are whole percent
+    points in this schema, so the mean in bp is a truncating
+    division over exact sums.
+
+    One orderkey aggregate for basket size, joined back line-grain,
+    a 4-band rollup.
+    """
+    size = lineitem.groupBy(
+        F.col("l_orderkey").alias("ok")
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+    band = (
+        F.when(F.col("n_lines") <= 2, "1-2")
+        .when(F.col("n_lines") <= 4, "3-4")
+        .when(F.col("n_lines") <= 6, "5-6")
+        .otherwise("7+")
+    )
+    j = lineitem.select(
+        F.col("l_orderkey").alias("ok"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("d_bp"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).join(size, "ok")
+    return j.groupBy(band.alias("basket_band")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr("sum(d_bp) div count(1)").alias("mean_discount_bp"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+def size_demand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Size-demand curve: shipped quantity per part size — which
+    physical sizes actually move (the catalog-planning curve; a size
+    with many SKUs but thin demand is assortment bloat). Per p_size:
+    SKU count, shipped units, units per SKU in e2 — exact integers,
+    broadcast part dim, one fact aggregate.
+    """
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_size = j.groupBy(F.col("p_size").cast("long").alias("p_size")).agg(
+        F.count_distinct("l_partkey").alias("n_skus"),
+        F.sum(F.round("l_quantity").cast("long"))
+        .cast("long")
+        .alias("units"),
+    )
+    return per_size.select(
+        "p_size",
+        F.col("n_skus").cast("long").alias("n_skus"),
+        "units",
+        F.expr("(100 * units) div n_skus").alias("units_per_sku_e2"),
+    )

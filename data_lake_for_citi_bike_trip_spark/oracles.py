@@ -9050,3 +9050,42 @@ SELECT band, CAST(COUNT(*) AS BIGINT) AS n_customers,
          AS share_bp
 FROM banded GROUP BY 1
 """
+
+
+# operators/analytics.py:discount_by_basket_size — promo depth per
+# basket band.
+DISCOUNT_BY_BASKET_SIZE = """
+WITH size_t AS (
+  SELECT l_orderkey AS ok, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT l.l_orderkey AS ok,
+         CAST(round(l.l_discount * 10000) AS BIGINT) AS d_bp,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+         s.n_lines
+  FROM lineitem l JOIN size_t s ON l.l_orderkey = s.ok
+)
+SELECT CASE WHEN n_lines <= 2 THEN '1-2'
+            WHEN n_lines <= 4 THEN '3-4'
+            WHEN n_lines <= 6 THEN '5-6'
+            ELSE '7+' END AS basket_band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(sum(d_bp) // COUNT(*) AS BIGINT) AS mean_discount_bp,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM j GROUP BY 1
+"""
+
+
+# operators/analytics.py:size_demand — units per SKU by part size.
+SIZE_DEMAND = """
+SELECT CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_skus,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+         AS units,
+       CAST((100 * sum(CAST(round(l.l_quantity) AS BIGINT)))
+            // COUNT(DISTINCT l.l_partkey) AS BIGINT)
+         AS units_per_sku_e2
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
