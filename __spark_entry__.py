@@ -2556,6 +2556,20 @@ def q_size_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_open_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status burn-down per vintage year — fulfillment debt."""
+    return analytics.open_share_by_year(load_table(spark, sf_dir, "orders"))
+
+
+def q_reorder_gap_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median first-to-second-order gap per first-order-year cohort —
+    the reorder-velocity trend."""
+    return analytics.reorder_gap_by_cohort(
+        load_table(spark, sf_dir, "orders")
+    )
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3568,6 +3582,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spend_consistency": q_spend_consistency,
         "discount_by_basket": q_discount_by_basket,
         "size_demand": q_size_demand,
+        "open_share_by_year": q_open_share_by_year,
+        "reorder_gap_by_cohort": q_reorder_gap_by_cohort,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3941,6 +3957,8 @@ def oracle_sql() -> dict[str, str]:
         "spend_consistency": oracles.SPEND_CONSISTENCY,
         "discount_by_basket": oracles.DISCOUNT_BY_BASKET_SIZE,
         "size_demand": oracles.SIZE_DEMAND,
+        "open_share_by_year": oracles.OPEN_SHARE_BY_YEAR,
+        "reorder_gap_by_cohort": oracles.REORDER_GAP_BY_COHORT,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -2212,3 +2212,78 @@ def size_demand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         "units",
         F.expr("(100 * units) div n_skus").alias("units_per_sku_e2"),
     )
+
+
+def open_share_by_year(orders: DataFrame) -> DataFrame:
+    """Order-status burn-down by vintage year: what share of each
+    year's orders is still open — the fulfillment-debt curve (old
+    vintages should be closed; an old year with open share is stuck
+    inventory or a status pipeline that stopped updating). Per order
+    year: counts by status and the open share in bp — one enum-
+    bounded aggregate.
+    """
+    return orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("o_orderstatus") == "O").cast("long"))
+        .cast("long")
+        .alias("n_open"),
+        F.sum((F.col("o_orderstatus") == "F").cast("long"))
+        .cast("long")
+        .alias("n_filled"),
+    ).withColumn(
+        "open_bp", F.expr("(10000 * n_open) div n_orders")
+    )
+
+
+def reorder_gap_by_cohort(orders: DataFrame) -> DataFrame:
+    """Reorder-velocity trend: the lower-median first-to-second-order
+    gap per FIRST-ORDER-YEAR cohort — are newer customers reordering
+    faster than older vintages did? (The compounding question behind
+    every retention investment; a shrinking median gap is the
+    earliest LTV improvement signal.) Same rank-window + gap
+    histogram machinery as reorder_latency, partitioned by cohort
+    year; the median selection is the standard 2*cum >= tot.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    ranked = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.row_number().over(w).alias("rk"),
+    ).where(F.col("rk") <= 2)
+    gaps = (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.year(F.min("day")).cast("long").alias("cohort_y"),
+            F.datediff(F.max("day"), F.min("day")).alias("gap_days"),
+        )
+        .where(F.col("n") == 2)
+        .select("cohort_y", F.col("gap_days").cast("long").alias("g"))
+    )
+    hist = gaps.groupBy("cohort_y", "g").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    cw = (
+        Window.partitionBy("cohort_y")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("cohort_y")
+    r = hist.select(
+        "cohort_y",
+        "g",
+        F.sum("t").over(cw).alias("cum"),
+        F.sum("t").over(tot).alias("n"),
+    )
+    return (
+        r.where(2 * F.col("cum") >= F.col("n"))
+        .groupBy("cohort_y")
+        .agg(
+            F.min("g").cast("long").alias("median_gap_days"),
+            F.max("n").cast("long").alias("n_repeat_customers"),
+        )
+    )

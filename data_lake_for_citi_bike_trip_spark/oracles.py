@@ -9089,3 +9089,51 @@ SELECT CAST(p.p_size AS BIGINT) AS p_size,
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY 1
 """
+
+
+# operators/analytics.py:open_share_by_year — status burn-down per
+# vintage.
+OPEN_SHARE_BY_YEAR = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_filled,
+       (10000 * CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0
+                         END) AS BIGINT)) // COUNT(*) AS open_bp
+FROM orders GROUP BY 1
+"""
+
+
+# operators/analytics.py:reorder_gap_by_cohort — per-cohort lower-
+# median first-to-second gap.
+REORDER_GAP_BY_COHORT = """
+WITH ranked AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rk
+  FROM orders
+),
+gaps AS (
+  SELECT CAST(year(min(day)) AS BIGINT) AS cohort_y,
+         CAST(date_diff('day', min(day), max(day)) AS BIGINT) AS g
+  FROM ranked WHERE rk <= 2
+  GROUP BY o_custkey HAVING COUNT(*) = 2
+),
+hist AS (
+  SELECT cohort_y, g, CAST(COUNT(*) AS BIGINT) AS t
+  FROM gaps GROUP BY 1, 2
+),
+r AS (
+  SELECT cohort_y, g,
+         sum(t) OVER (PARTITION BY cohort_y ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(t) OVER (PARTITION BY cohort_y) AS n
+  FROM hist
+)
+SELECT cohort_y, CAST(min(g) AS BIGINT) AS median_gap_days,
+       CAST(max(n) AS BIGINT) AS n_repeat_customers
+FROM r WHERE 2 * cum >= n
+GROUP BY 1
+"""
