@@ -2570,6 +2570,19 @@ def q_reorder_gap_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error per-mille with a 2x-median data-derived breach
+    flag — the SLO tile."""
+    return profile.error_rate_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_segment_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-mix drift between halves at event-type grain — the
+    between-type companion to PSI."""
+    return profile.segment_mix_drift(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3584,6 +3597,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_demand": q_size_demand,
         "open_share_by_year": q_open_share_by_year,
         "reorder_gap_by_cohort": q_reorder_gap_by_cohort,
+        "error_rate_daily": q_error_rate_daily,
+        "segment_mix_drift": q_segment_mix_drift,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3959,6 +3974,8 @@ def oracle_sql() -> dict[str, str]:
         "size_demand": oracles.SIZE_DEMAND,
         "open_share_by_year": oracles.OPEN_SHARE_BY_YEAR,
         "reorder_gap_by_cohort": oracles.REORDER_GAP_BY_COHORT,
+        "error_rate_daily": oracles.ERROR_RATE_DAILY,
+        "segment_mix_drift": oracles.SEGMENT_MIX_DRIFT,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -1927,3 +1927,99 @@ def spend_consistency(orders: DataFrame) -> DataFrame:
             "(10000 * n_customers) div sum(n_customers) OVER ()"
         ).alias("share_bp"),
     )
+
+
+def error_rate_daily(events: DataFrame) -> DataFrame:
+    """Daily error-rate SLO readout: errors per mille of all events,
+    with a breach flag against a DATA-DERIVED threshold (twice the
+    median daily rate — a fixed '1%' goes vacuous or always-on
+    depending on the corpus; the scale-aware-threshold rule). The
+    ops dashboard's top-left tile.
+
+    One day-grain conditional aggregate; the median rate comes from
+    the standard histogram rank selection over the bounded daily
+    series (1-row attach); breach by integer cross-multiplication.
+    """
+    daily = events.groupBy(
+        F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_errors"),
+    ).withColumn(
+        "rate_pm", F.expr("(1000 * n_errors) div n_events")
+    )
+    hist = daily.groupBy("rate_pm").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("rate_pm").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    med = (
+        hist.select(
+            "rate_pm",
+            F.sum("t").over(w).alias("cum"),
+            F.sum("t").over(Window.partitionBy()).alias("tot"),
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .agg(F.min("rate_pm").alias("med_pm"))
+    )
+    return daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        "n_events",
+        "n_errors",
+        "rate_pm",
+        (F.col("rate_pm") > 2 * F.col("med_pm")).alias("breach"),
+    )
+
+
+def segment_mix_drift(events: DataFrame) -> DataFrame:
+    """Revenue-mix drift at event-type grain between the corpus
+    halves: each type's share of revenue pre and post, with the
+    share delta in bp — the mix-shift companion to psi_value_drift
+    (PSI scores VALUE drift inside a type; this watches the mix
+    BETWEEN types). Enum-bounded output; one (type, half) aggregate
+    + per-half total attaches.
+    """
+    mid = events.agg(
+        F.expr(
+            "min(to_date(ts)) + CAST(datediff(max(to_date(ts)), "
+            "min(to_date(ts))) div 2 AS INT)"
+        ).alias("mid_day")
+    )
+    rev = (
+        events.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "event_type",
+            (F.to_date("ts") > F.col("mid_day"))
+            .cast("long")
+            .alias("h"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    tot = Window.partitionBy("h")
+    shares = rev.select(
+        "event_type",
+        "h",
+        F.expr(
+            "(10000 * cents) div sum(cents) OVER (PARTITION BY h)"
+        ).alias("share_bp"),
+    )
+    pre = shares.where(F.col("h") == 0).select(
+        "event_type", F.col("share_bp").alias("share_pre_bp")
+    )
+    post = shares.where(F.col("h") == 1).select(
+        "event_type", F.col("share_bp").alias("share_post_bp")
+    )
+    return pre.join(post, "event_type", "full_outer").select(
+        "event_type",
+        F.coalesce("share_pre_bp", F.lit(0)).alias("share_pre_bp"),
+        F.coalesce("share_post_bp", F.lit(0)).alias("share_post_bp"),
+        (
+            F.coalesce("share_post_bp", F.lit(0))
+            - F.coalesce("share_pre_bp", F.lit(0))
+        ).alias("drift_bp"),
+    )

@@ -9137,3 +9137,67 @@ SELECT cohort_y, CAST(min(g) AS BIGINT) AS median_gap_days,
 FROM r WHERE 2 * cum >= n
 GROUP BY 1
 """
+
+
+# operators/profile.py:error_rate_daily — per-mille rate with a
+# 2x-median data-derived breach flag.
+ERROR_RATE_DAILY = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+),
+d2 AS (
+  SELECT *, (1000 * n_errors) // n_events AS rate_pm FROM daily
+),
+hist AS (SELECT rate_pm, COUNT(*) AS t FROM d2 GROUP BY 1),
+med AS (
+  SELECT min(rate_pm) AS med_pm FROM (
+    SELECT rate_pm,
+           sum(t) OVER (ORDER BY rate_pm
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(t) OVER () AS tot
+    FROM hist
+  ) WHERE 2 * cum >= tot
+)
+SELECT day, n_events, n_errors, CAST(rate_pm AS BIGINT) AS rate_pm,
+       rate_pm > 2 * med_pm AS breach
+FROM d2 CROSS JOIN med
+"""
+
+
+# operators/profile.py:segment_mix_drift — per-type revenue shares
+# pre/post with the delta.
+SEGMENT_MIX_DRIFT = """
+WITH mid AS (
+  SELECT min(CAST(ts AS DATE))
+         + CAST(date_diff('day', min(CAST(ts AS DATE)),
+                          max(CAST(ts AS DATE))) // 2 AS INTEGER)
+           AS mid_day
+  FROM events
+),
+rev AS (
+  SELECT event_type,
+         CASE WHEN CAST(ts AS DATE) > mid_day THEN 1 ELSE 0 END AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events CROSS JOIN mid GROUP BY 1, 2
+),
+shares AS (
+  SELECT event_type, h,
+         CAST((10000 * cents)
+              // sum(cents) OVER (PARTITION BY h) AS BIGINT)
+           AS share_bp
+  FROM rev
+)
+SELECT coalesce(a.event_type, b.event_type) AS event_type,
+       CAST(coalesce(a.share_bp, 0) AS BIGINT) AS share_pre_bp,
+       CAST(coalesce(b.share_bp, 0) AS BIGINT) AS share_post_bp,
+       CAST(coalesce(b.share_bp, 0) - coalesce(a.share_bp, 0)
+            AS BIGINT) AS drift_bp
+FROM (SELECT * FROM shares WHERE h = 0) a
+FULL OUTER JOIN (SELECT * FROM shares WHERE h = 1) b
+  ON a.event_type = b.event_type
+"""
