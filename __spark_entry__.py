@@ -2583,6 +2583,18 @@ def q_segment_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.segment_mix_drift(load_table(spark, sf_dir, "events"))
 
 
+
+def q_lineposition_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line value and quantity by order-entry position — the
+    cross-sell placement signal."""
+    return analytics.lineposition_value(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language x source coverage matrix with within-source shares."""
+    return text_ops.lang_source_matrix(load_table(spark, sf_dir, "documents"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3599,6 +3611,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reorder_gap_by_cohort": q_reorder_gap_by_cohort,
         "error_rate_daily": q_error_rate_daily,
         "segment_mix_drift": q_segment_mix_drift,
+        "lineposition_value": q_lineposition_value,
+        "lang_source_matrix": q_lang_source_matrix,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3976,6 +3990,8 @@ def oracle_sql() -> dict[str, str]:
         "reorder_gap_by_cohort": oracles.REORDER_GAP_BY_COHORT,
         "error_rate_daily": oracles.ERROR_RATE_DAILY,
         "segment_mix_drift": oracles.SEGMENT_MIX_DRIFT,
+        "lineposition_value": oracles.LINEPOSITION_VALUE,
+        "lang_source_matrix": oracles.LANG_SOURCE_MATRIX,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -2287,3 +2287,26 @@ def reorder_gap_by_cohort(orders: DataFrame) -> DataFrame:
             F.max("n").cast("long").alias("n_repeat_customers"),
         )
     )
+
+
+def lineposition_value(lineitem: DataFrame) -> DataFrame:
+    """Order-entry position economics: line value and quantity by
+    line NUMBER — do first lines carry the anchor item while later
+    lines are add-ons? (The cross-sell placement signal; flat curves
+    mean position carries no intent information.) Per l_linenumber:
+    line count, mean value in cents, mean quantity in e2 — exact
+    truncating means over an enum-bounded key.
+    """
+    return lineitem.groupBy(
+        F.col("l_linenumber").cast("long").alias("line_no")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr(
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "div count(1)"
+        ).alias("mean_cents"),
+        F.expr(
+            "(100 * sum(CAST(round(l_quantity) AS BIGINT))) "
+            "div count(1)"
+        ).alias("mean_qty_e2"),
+    )

@@ -986,3 +986,24 @@ def quality_by_lang(docs: DataFrame, pass_e2: int = 75) -> DataFrame:
             "END)) div count(1)"
         ).alias("pass_bp"),
     )
+
+
+def lang_source_matrix(docs: DataFrame) -> DataFrame:
+    """Language x source coverage matrix: document counts per cell
+    with the within-source share — the corpus-mix table every
+    multilingual data plan starts from (a source whose language mix
+    shifts is a crawler routing change). Enum-bounded output; one
+    contingency aggregate + a source-partitioned share window.
+    """
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return cells.select(
+        "source",
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr(
+            "(10000 * n_docs) div sum(n_docs) OVER "
+            "(PARTITION BY source)"
+        ).alias("share_bp"),
+    )

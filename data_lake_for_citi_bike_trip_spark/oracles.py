@@ -9201,3 +9201,30 @@ FROM (SELECT * FROM shares WHERE h = 0) a
 FULL OUTER JOIN (SELECT * FROM shares WHERE h = 1) b
   ON a.event_type = b.event_type
 """
+
+
+# operators/analytics.py:lineposition_value — per-line-number means.
+LINEPOSITION_VALUE = """
+SELECT CAST(l_linenumber AS BIGINT) AS line_no,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS mean_cents,
+       CAST((100 * sum(CAST(round(l_quantity) AS BIGINT)))
+            // COUNT(*) AS BIGINT) AS mean_qty_e2
+FROM lineitem GROUP BY 1
+"""
+
+
+# operators/text.py:lang_source_matrix — contingency with within-
+# source shares.
+LANG_SOURCE_MATRIX = """
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs,
+       CAST((10000 * n_docs)
+            // sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+         AS share_bp
+FROM cells
+"""
