@@ -2595,6 +2595,19 @@ def q_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.lang_source_matrix(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_dom_billing_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-month order index against its calendar occurrence share
+    — the billing-cycle fingerprint."""
+    return analytics.dom_billing_cycle(load_table(spark, sf_dir, "orders"))
+
+
+def q_chars_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared n_chars vs measured text length, banded — the
+    metadata-drift audit."""
+    return setops.chars_integrity(load_table(spark, sf_dir, "documents"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3613,6 +3626,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_mix_drift": q_segment_mix_drift,
         "lineposition_value": q_lineposition_value,
         "lang_source_matrix": q_lang_source_matrix,
+        "dom_billing_cycle": q_dom_billing_cycle,
+        "chars_integrity": q_chars_integrity,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -3992,6 +4007,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_mix_drift": oracles.SEGMENT_MIX_DRIFT,
         "lineposition_value": oracles.LINEPOSITION_VALUE,
         "lang_source_matrix": oracles.LANG_SOURCE_MATRIX,
+        "dom_billing_cycle": oracles.DOM_BILLING_CYCLE,
+        "chars_integrity": oracles.CHARS_INTEGRITY,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

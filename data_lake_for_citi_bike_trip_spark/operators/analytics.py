@@ -2310,3 +2310,48 @@ def lineposition_value(lineitem: DataFrame) -> DataFrame:
             "div count(1)"
         ).alias("mean_qty_e2"),
     )
+
+
+def dom_billing_cycle(orders: DataFrame) -> DataFrame:
+    """Day-of-month ordering cycle: each calendar day-of-month's
+    order-count index against the uniform expectation — the
+    billing-cycle fingerprint (procurement that batches at month end
+    shows a tail spike; consumer flows are flat). Uniform expectation
+    accounts for day-of-month frequency differences (the 31st exists
+    in only 7 of 12 months) by indexing against the day's actual
+    occurrence share across the order-date span — both sides from
+    the same aggregate, exact cross-multiplication.
+    """
+    per_day = orders.groupBy(
+        F.dayofmonth("o_orderdate").cast("long").alias("dom")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    spine = (
+        orders.agg(
+            F.min(F.to_date("o_orderdate")).alias("d0"),
+            F.max(F.to_date("o_orderdate")).alias("d1"),
+        )
+        .select(
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("day")
+        )
+        .groupBy(F.dayofmonth("day").cast("long").alias("dom"))
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+    tot = Window.partitionBy()
+    j = per_day.join(spine, "dom").select(
+        "dom",
+        "n_orders",
+        "n_days",
+        F.sum("n_orders").over(tot).alias("tot_orders"),
+        F.sum("n_days").over(tot).alias("tot_days"),
+    )
+    # index = (n_orders / tot_orders) / (n_days / tot_days) in bp
+    return j.select(
+        "dom",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.expr(
+            "(10000 * n_orders * tot_days) div (tot_orders * n_days)"
+        ).alias("index_bp"),
+    )

@@ -181,3 +181,29 @@ def linenumber_integrity(lineitem: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("n").cast("long").alias("n_lines"),
     )
+
+
+def chars_integrity(docs: DataFrame) -> DataFrame:
+    """Declared-vs-measured length audit on the documents table: the
+    n_chars column against length(text), banded by relative gap —
+    the metadata-drift check (a pipeline that re-encodes or truncates
+    text without updating its metadata shows up here first; trusting
+    a stale n_chars poisons every length-based filter downstream).
+    Same band construction as order_total_reconciliation, document
+    grain: exact / within 1% / within 10% / divergent.
+    """
+    j = docs.select(
+        F.col("n_chars").cast("long").alias("decl"),
+        F.length("text").cast("long").alias("meas"),
+    )
+    gap = F.abs(F.col("decl") - F.col("meas"))
+    band = (
+        F.when(gap == 0, "exact")
+        .when(100 * gap <= F.col("meas"), "within_1pct")
+        .when(10 * gap <= F.col("meas"), "within_10pct")
+        .otherwise("divergent")
+    )
+    return j.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(gap).cast("long").alias("max_gap_chars"),
+    )

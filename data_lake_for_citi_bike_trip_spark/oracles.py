@@ -9228,3 +9228,49 @@ SELECT source, lang, n_docs,
          AS share_bp
 FROM cells
 """
+
+
+# operators/analytics.py:dom_billing_cycle — day-of-month index
+# against its calendar occurrence share.
+DOM_BILLING_CYCLE = """
+WITH per_day AS (
+  SELECT CAST(day(o_orderdate) AS BIGINT) AS dom,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+span AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+         max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+),
+spine AS (
+  SELECT CAST(day(CAST(d AS DATE)) AS BIGINT) AS dom,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+        FROM span)
+  GROUP BY 1
+)
+SELECT p.dom, p.n_orders, s.n_days,
+       CAST((10000 * p.n_orders * (SELECT sum(n_days) FROM spine))
+            // ((SELECT sum(n_orders) FROM per_day) * s.n_days)
+            AS BIGINT) AS index_bp
+FROM per_day p JOIN spine s ON p.dom = s.dom
+"""
+
+
+# operators/setops.py:chars_integrity — declared-vs-measured doc
+# length bands.
+CHARS_INTEGRITY = """
+WITH j AS (
+  SELECT CAST(n_chars AS BIGINT) AS decl,
+         CAST(length(text) AS BIGINT) AS meas
+  FROM documents
+)
+SELECT CASE WHEN abs(decl - meas) = 0 THEN 'exact'
+            WHEN 100 * abs(decl - meas) <= meas THEN 'within_1pct'
+            WHEN 10 * abs(decl - meas) <= meas THEN 'within_10pct'
+            ELSE 'divergent' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(max(abs(decl - meas)) AS BIGINT) AS max_gap_chars
+FROM j GROUP BY 1
+"""
