@@ -2608,6 +2608,19 @@ def q_chars_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.chars_integrity(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_token_p90_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count P50/P90 per labeled language — the context-window
+    planning table."""
+    return text_ops.token_p90_by_lang(load_table(spark, sf_dir, "documents"))
+
+
+def q_weekend_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend vs weekday mean transaction value per type,
+    cross-multiplied integer uplift."""
+    return analytics.weekend_uplift(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3628,6 +3641,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_matrix": q_lang_source_matrix,
         "dom_billing_cycle": q_dom_billing_cycle,
         "chars_integrity": q_chars_integrity,
+        "token_p90_by_lang": q_token_p90_by_lang,
+        "weekend_uplift": q_weekend_uplift,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -4009,6 +4024,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_matrix": oracles.LANG_SOURCE_MATRIX,
         "dom_billing_cycle": oracles.DOM_BILLING_CYCLE,
         "chars_integrity": oracles.CHARS_INTEGRITY,
+        "token_p90_by_lang": oracles.TOKEN_P90_BY_LANG,
+        "weekend_uplift": oracles.WEEKEND_UPLIFT,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -2355,3 +2355,37 @@ def dom_billing_cycle(orders: DataFrame) -> DataFrame:
             "(10000 * n_orders * tot_days) div (tot_orders * n_days)"
         ).alias("index_bp"),
     )
+
+
+def weekend_uplift(events: DataFrame) -> DataFrame:
+    """Weekend value uplift per event type: mean transaction value on
+    weekend days against weekdays, cross-multiplied to an integer
+    uplift in bp — the staffing/pricing weekly rhythm at VALUE grain
+    (dow_seasonality counts events; this weighs them). One
+    conditional aggregate per type; uplift = 10000 * (we_sum *
+    wd_cnt) div (wd_sum * we_cnt) - 10000, exact integers, guarded
+    for empty sides.
+    """
+    base = events.select(
+        "event_type",
+        F.dayofweek(F.to_date("ts")).isin(1, 7).cast("long").alias("we"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = base.groupBy("event_type").agg(
+        F.sum(F.when(F.col("we") == 1, F.col("cents"))).alias("we_sum"),
+        F.count(F.when(F.col("we") == 1, 1)).alias("we_cnt"),
+        F.sum(F.when(F.col("we") == 0, F.col("cents"))).alias("wd_sum"),
+        F.count(F.when(F.col("we") == 0, 1)).alias("wd_cnt"),
+    )
+    return g.where(
+        (F.col("we_cnt") > 0) & (F.col("wd_cnt") > 0) & (F.col("wd_sum") > 0)
+    ).select(
+        "event_type",
+        F.col("we_cnt").cast("long").alias("weekend_n"),
+        F.col("wd_cnt").cast("long").alias("weekday_n"),
+        F.expr("we_sum div we_cnt").alias("weekend_mean_cents"),
+        F.expr("wd_sum div wd_cnt").alias("weekday_mean_cents"),
+        F.expr(
+            "(10000 * we_sum * wd_cnt) div (wd_sum * we_cnt) - 10000"
+        ).alias("uplift_bp"),
+    )

@@ -1007,3 +1007,55 @@ def lang_source_matrix(docs: DataFrame) -> DataFrame:
             "(PARTITION BY source)"
         ).alias("share_bp"),
     )
+
+
+def token_p90_by_lang(docs: DataFrame) -> DataFrame:
+    """Token-count P50/P90 per labeled language — the context-window
+    planning table at language grain (tokenizers inflate some
+    languages; packing budgets set on the corpus average overflow on
+    the long-tail language). Whitespace-token counts per doc, then
+    value-at-rank quantiles over each language's count histogram —
+    exact integers throughout.
+    """
+    counts = docs.select(
+        "lang",
+        F.size(
+            F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+        ).cast("long").alias("n_tok"),
+    )
+    hist = counts.groupBy("lang", "n_tok").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    cw = (
+        Window.partitionBy("lang")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("lang")
+    r = hist.select(
+        "lang",
+        "n_tok",
+        (F.sum("t").over(cw) - F.col("t") + 1).alias("lo"),
+        F.sum("t").over(cw).alias("hi"),
+        F.sum("t").over(tot).alias("n"),
+    )
+    qs = r.select(
+        "lang",
+        "n_tok",
+        "lo",
+        "hi",
+        "n",
+        F.explode(F.array(F.lit(50), F.lit(90))).alias("q"),
+    ).where(
+        (F.expr("(n - 1) * q div 100 + 1") >= F.col("lo"))
+        & (F.expr("(n - 1) * q div 100 + 1") <= F.col("hi"))
+    )
+    return qs.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.min(F.when(F.col("q") == 50, F.col("n_tok")))
+        .cast("long")
+        .alias("p50_tokens"),
+        F.min(F.when(F.col("q") == 90, F.col("n_tok")))
+        .cast("long")
+        .alias("p90_tokens"),
+    )

@@ -9274,3 +9274,67 @@ SELECT CASE WHEN abs(decl - meas) = 0 THEN 'exact'
        CAST(max(abs(decl - meas)) AS BIGINT) AS max_gap_chars
 FROM j GROUP BY 1
 """
+
+
+# operators/text.py:token_p90_by_lang — per-language token-count
+# quantiles by value-at-rank.
+TOKEN_P90_BY_LANG = r"""
+WITH counts AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+hist AS (
+  SELECT lang, n_tok, CAST(COUNT(*) AS BIGINT) AS t
+  FROM counts GROUP BY 1, 2
+),
+r AS (
+  SELECT lang, n_tok,
+         sum(t) OVER (PARTITION BY lang ORDER BY n_tok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1
+           AS lo,
+         sum(t) OVER (PARTITION BY lang ORDER BY n_tok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+         sum(t) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+qs AS (
+  SELECT lang, n_tok, q.q, n FROM r
+  CROSS JOIN (SELECT unnest([50, 90]) AS q) q
+  WHERE (n - 1) * q.q // 100 + 1 BETWEEN lo AND hi
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN q = 50 THEN n_tok END) AS BIGINT)
+         AS p50_tokens,
+       CAST(min(CASE WHEN q = 90 THEN n_tok END) AS BIGINT)
+         AS p90_tokens
+FROM qs GROUP BY 1
+"""
+
+
+# operators/analytics.py:weekend_uplift — value-weighted weekly
+# rhythm, cross-multiplied uplift.
+WEEKEND_UPLIFT = """
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1
+              ELSE 0 END AS we,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN we = 1 THEN cents END) AS BIGINT) AS we_sum,
+         CAST(COUNT(CASE WHEN we = 1 THEN 1 END) AS BIGINT) AS we_cnt,
+         CAST(sum(CASE WHEN we = 0 THEN cents END) AS BIGINT) AS wd_sum,
+         CAST(COUNT(CASE WHEN we = 0 THEN 1 END) AS BIGINT) AS wd_cnt
+  FROM base GROUP BY 1
+)
+SELECT event_type, we_cnt AS weekend_n, wd_cnt AS weekday_n,
+       we_sum // we_cnt AS weekend_mean_cents,
+       wd_sum // wd_cnt AS weekday_mean_cents,
+       CAST((10000 * we_sum * wd_cnt) // (wd_sum * we_cnt) - 10000
+            AS BIGINT) AS uplift_bp
+FROM g WHERE we_cnt > 0 AND wd_cnt > 0 AND wd_sum > 0
+"""
