@@ -2621,6 +2621,35 @@ def q_weekend_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.weekend_uplift(load_table(spark, sf_dir, "events"))
 
 
+
+def q_supplier_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-supplier revenue share per nation — key-man risk next to
+    HHI's whole-distribution scalar."""
+    return analytics.supplier_dependency(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_hour_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day entropy per type in millibits — total clock
+    concentration next to circadian R."""
+    return analytics.hour_entropy(load_table(spark, sf_dir, "events"))
+
+
+def q_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retail-price CV per brand with span evidence — catalog pricing
+    discipline."""
+    return profile.brand_price_dispersion(load_table(spark, sf_dir, "part"))
+
+
+def q_visit_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-user median inter-session gaps in hours —
+    the return rhythm."""
+    return behavior.visit_cadence(load_table(spark, sf_dir, "events"))
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3643,6 +3672,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chars_integrity": q_chars_integrity,
         "token_p90_by_lang": q_token_p90_by_lang,
         "weekend_uplift": q_weekend_uplift,
+        "supplier_dependency": q_supplier_dependency,
+        "hour_entropy": q_hour_entropy,
+        "brand_price_dispersion": q_brand_price_dispersion,
+        "visit_cadence": q_visit_cadence,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -4026,6 +4059,10 @@ def oracle_sql() -> dict[str, str]:
         "chars_integrity": oracles.CHARS_INTEGRITY,
         "token_p90_by_lang": oracles.TOKEN_P90_BY_LANG,
         "weekend_uplift": oracles.WEEKEND_UPLIFT,
+        "supplier_dependency": oracles.SUPPLIER_DEPENDENCY,
+        "hour_entropy": oracles.HOUR_ENTROPY,
+        "brand_price_dispersion": oracles.BRAND_PRICE_DISPERSION,
+        "visit_cadence": oracles.VISIT_CADENCE,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

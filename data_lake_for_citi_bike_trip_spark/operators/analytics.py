@@ -2389,3 +2389,80 @@ def weekend_uplift(events: DataFrame) -> DataFrame:
             "(10000 * we_sum * wd_cnt) div (wd_sum * we_cnt) - 10000"
         ).alias("uplift_bp"),
     )
+
+
+def supplier_dependency(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Top-supplier dependency per nation market: the single largest
+    supplier's revenue share — the key-man risk HHI's whole-
+    distribution scalar can smooth over (a market can have a moderate
+    HHI yet still hinge on one 40% supplier). Per nation: supplier
+    count, top share in bp, and the top supplier's identity —
+    deterministic argmax via (share, -suppkey) struct max.
+
+    Broadcast dims, one corpus aggregate, nation-bounded windows.
+    """
+    rev = (
+        lineitem.join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    tot = Window.partitionBy("n_name")
+    shares = rev.select(
+        "n_name",
+        "s_suppkey",
+        F.expr(
+            "(10000 * cents) div sum(cents) OVER (PARTITION BY n_name)"
+        ).alias("share_bp"),
+    )
+    return shares.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.expr(
+            "max(named_struct('s', share_bp, 'k', -s_suppkey)).s"
+        ).cast("long").alias("top_share_bp"),
+        (-F.expr(
+            "max(named_struct('s', share_bp, 'k', -s_suppkey)).k"
+        )).cast("long").alias("top_suppkey"),
+    )
+
+
+def hour_entropy(events: DataFrame) -> DataFrame:
+    """Hour-of-day entropy per event type in millibits — how spread
+    each activity is around the clock (log2(24) ~ 4.585 bits =
+    uniform; low entropy = a scheduled job or a single-timezone
+    audience). The circadian_profile's information-theoretic
+    companion: R measures ONE peak's sharpness, entropy measures
+    total concentration. Per-cell millibit terms over the bounded
+    24 x |types| histogram, exact integer weighting (the
+    markov_entropy_rate construction).
+    """
+    cells = events.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).alias("nh"))
+    totals = cells.groupBy("event_type").agg(
+        F.sum("nh").alias("nt")
+    )
+    return (
+        cells.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("nt").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.expr(
+                "sum(nh * CAST(floor(1000.0 * log2(CAST(nt AS DOUBLE)"
+                " / CAST(nh AS DOUBLE))) AS BIGINT)) div max(nt)"
+            ).alias("entropy_mb"),
+        )
+    )

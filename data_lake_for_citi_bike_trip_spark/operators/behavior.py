@@ -1605,3 +1605,65 @@ def activation_depth(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     ).withColumn(
         "conv_bp", F.expr("(10000 * n_converted) div n_users")
     )
+
+
+def visit_cadence(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Visit cadence: the lower-median gap BETWEEN a user's session
+    starts, rolled into an hours-histogram — how often users come
+    back when they do come back (stickiness says how many days; this
+    says the rhythm within them). Session starts from the standard
+    walk; inter-start gaps per user; the corpus-level histogram of
+    per-user median gaps in whole hours.
+
+    One session walk, one user-partitioned lag over session starts,
+    per-user histogram median, bounded hour-band rollup.
+    """
+    ts_us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = events.select("user_id", "event_id", ts_us.alias("ts_us"))
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    starts = base.select(
+        "user_id",
+        "ts_us",
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60_000_000), 1
+        ).otherwise(0).alias("ns"),
+    ).where(F.col("ns") == 1)
+    sw = Window.partitionBy("user_id").orderBy("ts_us")
+    igaps = starts.select(
+        "user_id",
+        (
+            (F.col("ts_us") - F.lag("ts_us").over(sw))
+            / F.lit(3_600_000_000)
+        ).cast("long").alias("gap_h"),
+    ).where(F.col("gap_h").isNotNull())
+    hist = igaps.groupBy("user_id", "gap_h").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    cw = (
+        Window.partitionBy("user_id")
+        .orderBy("gap_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("user_id")
+    med = (
+        hist.select(
+            "user_id",
+            "gap_h",
+            F.sum("t").over(cw).alias("cum"),
+            F.sum("t").over(tot).alias("n"),
+        )
+        .where(2 * F.col("cum") >= F.col("n"))
+        .groupBy("user_id")
+        .agg(F.min("gap_h").alias("med_h"))
+    )
+    allw = Window.partitionBy()
+    return med.groupBy("med_h").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.col("med_h").cast("long").alias("median_gap_hours"),
+        "n_users",
+        F.expr(
+            "(10000 * n_users) div sum(n_users) OVER ()"
+        ).alias("share_bp"),
+    )

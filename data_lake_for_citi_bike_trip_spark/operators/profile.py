@@ -2023,3 +2023,49 @@ def segment_mix_drift(events: DataFrame) -> DataFrame:
             - F.coalesce("share_pre_bp", F.lit(0))
         ).alias("drift_bp"),
     )
+
+
+def brand_price_dispersion(part: DataFrame) -> DataFrame:
+    """Catalog pricing discipline per brand: the coefficient of
+    variation of retail prices — a brand whose CV explodes has either
+    a broad range strategy or a price-entry problem; either way the
+    merchandiser wants the list. Exact sufficient statistics per
+    brand (enum-bounded), variance term in shared doubles (the
+    corpus-scale overflow guard), CV in e2 with the brand's price
+    span as evidence.
+    """
+    g = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("p_retailprice") * 100).cast("long")
+        ).alias("s1"),
+        F.sum(
+            F.round(F.col("p_retailprice") * 100).cast("long")
+            * F.round(F.col("p_retailprice") * 100).cast("long")
+        ).alias("s2"),
+        F.min(
+            F.round(F.col("p_retailprice") * 100).cast("long")
+        ).alias("min_cents"),
+        F.max(
+            F.round(F.col("p_retailprice") * 100).cast("long")
+        ).alias("max_cents"),
+    ).where((F.col("n") >= 2) & (F.col("s1") > 0))
+    return g.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_parts"),
+        F.col("min_cents").cast("long").alias("min_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+        F.floor(
+            F.lit(100.0)
+            * F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("n").cast("double")
+                    * F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double"),
+                )
+            )
+            / F.col("s1").cast("double")
+        ).cast("long").alias("cv_e2"),
+    )

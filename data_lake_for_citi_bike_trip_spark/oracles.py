@@ -9338,3 +9338,131 @@ SELECT event_type, we_cnt AS weekend_n, wd_cnt AS weekday_n,
             AS BIGINT) AS uplift_bp
 FROM g WHERE we_cnt > 0 AND wd_cnt > 0 AND wd_sum > 0
 """
+
+
+# operators/analytics.py:supplier_dependency — top supplier share per
+# nation with deterministic argmax.
+SUPPLIER_DEPENDENCY = """
+WITH rev AS (
+  SELECT n.n_name, s.s_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+shares AS (
+  SELECT n_name, s_suppkey,
+         CAST((10000 * cents)
+              // sum(cents) OVER (PARTITION BY n_name) AS BIGINT)
+           AS share_bp
+  FROM rev
+),
+best AS (
+  SELECT n_name, s_suppkey, share_bp,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY share_bp DESC, s_suppkey ASC)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY n_name) AS n_suppliers
+  FROM shares
+)
+SELECT n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       share_bp AS top_share_bp,
+       CAST(s_suppkey AS BIGINT) AS top_suppkey
+FROM best WHERE rk = 1
+"""
+
+
+# operators/analytics.py:hour_entropy — 24-cell millibit entropy per
+# type.
+HOUR_ENTROPY = """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS nh
+  FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, CAST(sum(nh) AS BIGINT) AS nt
+  FROM cells GROUP BY 1
+)
+SELECT c.event_type, CAST(max(t.nt) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(sum(c.nh * CAST(floor(1000.0 * log2(CAST(t.nt AS DOUBLE)
+                            / CAST(c.nh AS DOUBLE))) AS BIGINT))
+            // max(t.nt) AS BIGINT) AS entropy_mb
+FROM cells c JOIN totals t ON c.event_type = t.event_type
+GROUP BY 1
+"""
+
+
+# operators/profile.py:brand_price_dispersion — per-brand price CV
+# with double-product overflow guard.
+BRAND_PRICE_DISPERSION = """
+WITH g AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+              AS BIGINT) AS s1,
+         CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)
+                  * CAST(round(p_retailprice * 100) AS BIGINT))
+              AS BIGINT) AS s2,
+         CAST(min(CAST(round(p_retailprice * 100) AS BIGINT))
+              AS BIGINT) AS min_cents,
+         CAST(max(CAST(round(p_retailprice * 100) AS BIGINT))
+              AS BIGINT) AS max_cents
+  FROM part GROUP BY 1
+  HAVING COUNT(*) >= 2
+     AND sum(CAST(round(p_retailprice * 100) AS BIGINT)) > 0
+)
+SELECT p_brand, n AS n_parts, min_cents, max_cents,
+       CAST(floor(100.0 * sqrt(greatest(0.0,
+            CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+            / CAST(s1 AS DOUBLE)) AS BIGINT) AS cv_e2
+FROM g
+"""
+
+
+# operators/behavior.py:visit_cadence — per-user median inter-session
+# gap, corpus histogram.
+VISIT_CADENCE = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+starts AS (SELECT user_id, ts_us FROM flagged WHERE ns = 1),
+igaps AS (
+  SELECT user_id,
+         (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us)) // 3600000000
+           AS gap_h
+  FROM starts
+),
+hist AS (
+  SELECT user_id, CAST(gap_h AS BIGINT) AS gap_h,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM igaps WHERE gap_h IS NOT NULL GROUP BY 1, 2
+),
+med AS (
+  SELECT user_id, min(gap_h) AS med_h FROM (
+    SELECT user_id, gap_h,
+           sum(t) OVER (PARTITION BY user_id ORDER BY gap_h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(t) OVER (PARTITION BY user_id) AS n
+    FROM hist
+  ) WHERE 2 * cum >= n
+  GROUP BY 1
+)
+SELECT CAST(med_h AS BIGINT) AS median_gap_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST((10000 * COUNT(*)) // sum(COUNT(*)) OVER () AS BIGINT)
+         AS share_bp
+FROM med GROUP BY 1
+"""
