@@ -2650,6 +2650,15 @@ def q_visit_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.visit_cadence(load_table(spark, sf_dir, "events"))
 
 
+
+def q_priority_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value mean and median per priority class — urgency vs
+    ticket size."""
+    return analytics.priority_value_profile(
+        load_table(spark, sf_dir, "orders")
+    )
+
+
 def q_burst_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max events in any trailing 5-minute window per user (RANGE frame
     over epoch micros) — the rate-limit-sizing number."""
@@ -3676,6 +3685,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hour_entropy": q_hour_entropy,
         "brand_price_dispersion": q_brand_price_dispersion,
         "visit_cadence": q_visit_cadence,
+        "priority_value_profile": q_priority_value_profile,
         "business_lead_time": q_business_lead_time,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
@@ -4063,6 +4073,7 @@ def oracle_sql() -> dict[str, str]:
         "hour_entropy": oracles.HOUR_ENTROPY,
         "brand_price_dispersion": oracles.BRAND_PRICE_DISPERSION,
         "visit_cadence": oracles.VISIT_CADENCE,
+        "priority_value_profile": oracles.PRIORITY_VALUE_PROFILE,
         "business_lead_time": oracles.BUSINESS_LEAD_TIME,
         "ks_test": oracles.KS_TEST,
         "gini_spend": oracles.GINI_SPEND,

@@ -2466,3 +2466,42 @@ def hour_entropy(events: DataFrame) -> DataFrame:
             ).alias("entropy_mb"),
         )
     )
+
+
+def priority_value_profile(orders: DataFrame) -> DataFrame:
+    """Order-value profile per priority class: count, mean, and the
+    lower-median by value-at-rank — does urgency correlate with
+    ticket size? (If urgent orders are small, expedite costs are
+    subsidizing trinkets.) Enum-bounded key; exact integer mean and
+    histogram median.
+    """
+    base = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    hist = base.groupBy("o_orderpriority", "cents").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    cw = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("o_orderpriority")
+    r = hist.select(
+        "o_orderpriority",
+        "cents",
+        "t",
+        F.sum("t").over(cw).alias("cum"),
+        F.sum("t").over(tot).alias("n"),
+        F.sum(F.col("cents") * F.col("t")).over(tot).alias("s"),
+    )
+    return (
+        r.where(2 * F.col("cum") >= F.col("n"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.expr("max(s) div max(n)").alias("mean_cents"),
+            F.min("cents").cast("long").alias("median_cents"),
+        )
+    )

@@ -9466,3 +9466,31 @@ SELECT CAST(med_h AS BIGINT) AS median_gap_hours,
          AS share_bp
 FROM med GROUP BY 1
 """
+
+
+# operators/analytics.py:priority_value_profile — per-priority mean
+# and histogram lower-median.
+PRIORITY_VALUE_PROFILE = """
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+hist AS (
+  SELECT o_orderpriority, cents, CAST(COUNT(*) AS BIGINT) AS t
+  FROM base GROUP BY 1, 2
+),
+r AS (
+  SELECT o_orderpriority, cents, t,
+         sum(t) OVER (PARTITION BY o_orderpriority ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(t) OVER (PARTITION BY o_orderpriority) AS n,
+         sum(cents * t) OVER (PARTITION BY o_orderpriority) AS s
+  FROM hist
+)
+SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(max(s) // max(n) AS BIGINT) AS mean_cents,
+       CAST(min(cents) AS BIGINT) AS median_cents
+FROM r WHERE 2 * cum >= n
+GROUP BY 1
+"""
