@@ -3442,18 +3442,67 @@ def _driver_green_rounds() -> dict[str, int]:
     return latest
 
 
+def _driver_unresolved_reds() -> set[str]:
+    """Queries with a recorded driver FAIL (any non-green row) and no
+    green row in the SAME or a LATER round — the worst bookkeeping
+    state: an uncontradicted driver red. These must sort before merely
+    never-checked queries so the gate re-certifies them first
+    (VERDICT r07 item 1)."""
+    import glob
+    import json
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    red_latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if not green:
+                red_latest[name] = max(red_latest.get(name, 0), rnd)
+    green_latest = _driver_green_rounds()
+    return {
+        n for n, r in red_latest.items() if r > green_latest.get(n, 0)
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """fact_trips first (flagship), then queries with NO green driver row
-    in any CORRECTNESS_r*.json (new work + past reds), then the already-
-    green rest ordered by how long ago their latest green row landed
-    (least-recently-checked first). The driver's gate samples only the
-    first 50 entries, so this ordering guarantees every query earns a
-    fresh row within ceil(n/50) rounds."""
+    """fact_trips first (flagship), then queries whose LATEST driver row
+    is a FAIL (uncontradicted reds — re-certify these before anything
+    else), then queries with NO driver row at all (new work), then the
+    already-green rest ordered by how long ago their latest green row
+    landed (least-recently-checked first). The driver's gate samples
+    only the first 50 entries, so this ordering guarantees every query
+    earns a fresh row within ceil(n/50) rounds and past reds never wait
+    behind never-checked ones."""
     allq = _all_queries()
     green = _driver_green_rounds()
+    reds = _driver_unresolved_reds()
     names = sorted(
         allq,
-        key=lambda n: (n != "fact_trips", green.get(n, 0), list(allq).index(n)),
+        key=lambda n: (
+            n != "fact_trips",
+            n not in reds,
+            green.get(n, 0),
+            list(allq).index(n),
+        ),
     )
     return {n: allq[n] for n in names}
 

@@ -301,20 +301,33 @@ def test_corpus_sized_sides_not_hint_forced_broadcast(spark, sf_dir):
 
 def test_gate_rotation_frontloads_unchecked_queries():
     """The driver's correctness gate samples the FIRST 50 entries of
-    queries(): every query with no green CORRECTNESS_r* row must sort
-    before every already-green one (after the flagship), so new work
-    always earns a driver row within one round while there are <50
-    unchecked entries."""
+    queries(): queries whose latest driver row is a FAIL (uncontradicted
+    reds) must sort before never-checked ones, and both before every
+    already-green one (after the flagship), so past reds re-certify
+    first and new work earns a driver row within one round while there
+    are <50 unchecked entries."""
     import __spark_entry__ as entrymod
 
     q = list(entrymod.queries())
     green = entrymod._driver_green_rounds()
+    reds = entrymod._driver_unresolved_reds()
     assert q[0] == "fact_trips"
+    # ever-red (no subsequent pass) sorts before every other non-flagship
+    for n in reds:
+        if n not in q:
+            continue
+        others = [
+            m for m in q if m not in reds and m != "fact_trips"
+        ]
+        if others:
+            assert q.index(n) < min(q.index(m) for m in others), n
     unchecked = [n for n in q if n not in green and n != "fact_trips"]
     if unchecked:
         last_unchecked = max(q.index(n) for n in unchecked)
         first_checked = min(
-            q.index(n) for n in q if n in green and n != "fact_trips"
+            q.index(n)
+            for n in q
+            if n in green and n != "fact_trips" and n not in reds
         )
         assert last_unchecked < first_checked, (
             q[first_checked],

@@ -63,10 +63,20 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = ONLY - set(qs)
+    if unknown:
+        print(
+            f"ERROR: {len(unknown)} requested name(s) match no queries() "
+            f"entry: {sorted(unknown)}\n(registry keys have no 'q_' prefix; "
+            f"see list(queries()))"
+        )
+        return 2
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        checked += 1
         t0 = time.time()
         sdf = fn(spark, SF_DIR)
         scols = sdf.columns
@@ -102,6 +112,9 @@ def main() -> int:
         for p in problems:
             print(f"      {p}")
             failures.append((name, p))
+    if checked == 0:
+        print("\nERROR: zero queries checked")
+        return 2
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     return 1 if failures else 0
 
