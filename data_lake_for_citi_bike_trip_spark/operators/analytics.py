@@ -1195,6 +1195,90 @@ def date_dim(events: DataFrame) -> DataFrame:
     )
 
 
+def ranked_cumsum(
+    per: DataFrame,
+    value_col: str,
+    key_col: str,
+    descending: bool = True,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Exact global (rank, running sum) over ENTITY-grain rows with
+    bounded window state — the range-partitioned two-pass cumulative
+    sum. A naive ``Window.orderBy(value)`` moves every row to ONE
+    partition; per-customer / per-part grain grows with the corpus, so
+    at 100 TB that single partition is the job. Instead:
+
+    1. Driver-collected min/max scalars (the one legitimate collect:
+       2 numbers) derive a value-range bucket id as a LITERAL
+       expression — monotone in the value, so bucket order == global
+       order and ties (same value) land in the same bucket; clamping
+       into [0, n_buckets) keeps the id bounded even if the bounds
+       were stale.
+    2. Bucket-grain rollup (≤ n_buckets rows, value-domain-bounded)
+       gets EXCLUSIVE prefix offsets (sum, count) plus grand totals via
+       a tiny single-partition window — legitimate per the histogram-
+       grain rule since its input is bounded.
+    3. Offsets join back on bucket id (AQE broadcasts the ≤4k-row
+       side; deliberately un-hinted so callers keep their one-hint
+       budget) and the per-row window partitions BY BUCKET, so window
+       state is ~n/n_buckets rows instead of n.
+
+    Rank ties break ascending on key_col in both passes, making the
+    global order total and the result byte-identical to the naive
+    single-partition form. Returns per + (rk, cum, total, n).
+    """
+    vdir = F.desc(value_col) if descending else F.asc(value_col)
+    bounds = per.agg(
+        F.min(value_col).alias("_vmin"), F.max(value_col).alias("_vmax")
+    ).first()
+    vmin = 0 if bounds["_vmin"] is None else bounds["_vmin"]
+    vmax = vmin if bounds["_vmax"] is None else bounds["_vmax"]
+    width = max(1, (int(vmax) - int(vmin)) // n_buckets + 1)
+    bucketed = per.withColumn(
+        "_bkt",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                ((F.col(value_col) - F.lit(vmin)) / F.lit(width)).cast(
+                    "long"
+                ),
+            ),
+        ),
+    )
+    bdir = F.desc("_bkt") if descending else F.asc("_bkt")
+    prefix = Window.orderBy(bdir).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("_bkt")
+        .agg(
+            F.sum(value_col).alias("_bsum"),
+            F.count(F.lit(1)).alias("_bcnt"),
+        )
+        .select(
+            "_bkt",
+            F.coalesce(F.sum("_bsum").over(prefix), F.lit(0)).alias(
+                "_off_sum"
+            ),
+            F.coalesce(F.sum("_bcnt").over(prefix), F.lit(0)).alias(
+                "_off_cnt"
+            ),
+            F.sum("_bsum").over(Window.partitionBy()).alias("total"),
+            F.sum("_bcnt").over(Window.partitionBy()).alias("n"),
+        )
+    )
+    inbkt = Window.partitionBy("_bkt").orderBy(vdir, F.asc(key_col))
+    run = inbkt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return bucketed.join(offsets, "_bkt").select(
+        *[F.col(c) for c in per.columns],
+        (F.col("_off_cnt") + F.row_number().over(inbkt)).alias("rk"),
+        (F.col("_off_sum") + F.sum(value_col).over(run)).alias("cum"),
+        "total",
+        "n",
+    )
+
+
 def pareto_8020(orders: DataFrame) -> DataFrame:
     """Revenue-concentration readout — the 80/20 question asked
     exactly: rank customers by total spend, walk the cumulative
@@ -1206,24 +1290,21 @@ def pareto_8020(orders: DataFrame) -> DataFrame:
     Integer-exact: spend in cents, shares by cross-multiplied
     comparisons against total cents and total customer count (no
     division until the final bp readouts). One customer-grain
-    aggregate, one ranked window over the customer-spend histogram.
+    aggregate, then the ranked cumulative walk via ranked_cumsum —
+    range-bucketed two-pass, so no window ever sees more than
+    ~n_customers/4096 rows (the naive global window is the 100 TB
+    anti-pattern this replaces).
     """
     per = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "cents"
         )
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tot = Window.partitionBy()
-    ranked = per.select(
-        F.row_number()
-        .over(Window.orderBy(F.desc("cents"), F.asc("o_custkey")))
-        .alias("rk"),
-        F.sum("cents").over(w).alias("cum_cents"),
-        F.sum("cents").over(tot).alias("total_cents"),
-        F.count(F.lit(1)).over(tot).alias("n_cust"),
+    ranked = ranked_cumsum(per, "cents", "o_custkey", descending=True).select(
+        "rk",
+        F.col("cum").alias("cum_cents"),
+        F.col("total").alias("total_cents"),
+        F.col("n").alias("n_cust"),
     )
     return ranked.agg(
         F.max("n_cust").cast("long").alias("n_customers"),
@@ -1251,23 +1332,19 @@ def abc_classification(lineitem: DataFrame) -> DataFrame:
 
     Integer-exact classification by cross-multiplication (20*cum vs
     16*total, 20*cum vs 19*total); per-class part counts and revenue
-    shares in bp. One part-grain aggregate + one ranked window over
-    the part-spend histogram + a 3-row rollup.
+    shares in bp. One part-grain aggregate, then the ranked cumulative
+    walk via ranked_cumsum (range-bucketed two-pass — part grain grows
+    with the catalog, so no global single-partition window) + a 3-row
+    rollup.
     """
     per = lineitem.groupBy("l_partkey").agg(
         F.sum(
             F.round(F.col("l_extendedprice") * 100).cast("long")
         ).alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tot = Window.partitionBy()
-    ranked = per.select(
-        "cents",
-        F.sum("cents").over(w).alias("cum"),
-        F.sum("cents").over(tot).alias("total"),
-    )
+    ranked = ranked_cumsum(
+        per, "cents", "l_partkey", descending=True
+    ).select("cents", "cum", "total")
     cls = ranked.select(
         "cents",
         F.when(5 * (F.col("cum") - F.col("cents")) < 4 * F.col("total"), "A")
@@ -1589,26 +1666,19 @@ def lorenz_deciles(orders: DataFrame) -> DataFrame:
     (10 * rk <= d * n), share by truncating division against total
     cents.
 
-    One customer-grain aggregate + one ranked window over the
-    customer-spend histogram + a 10-row rollup.
+    One customer-grain aggregate, then the ranked cumulative walk via
+    ranked_cumsum (range-bucketed two-pass, ascending — customer grain
+    grows with the corpus, so no global single-partition window) + a
+    10-row rollup.
     """
     per = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "cents"
         )
     )
-    w = Window.orderBy(F.asc("cents"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tot = Window.partitionBy()
-    ranked = per.select(
-        F.row_number()
-        .over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
-        .alias("rk"),
-        F.sum("cents").over(w).alias("cum"),
-        F.sum("cents").over(tot).alias("total"),
-        F.count(F.lit(1)).over(tot).alias("n"),
-    )
+    ranked = ranked_cumsum(
+        per, "cents", "o_custkey", descending=False
+    ).select("rk", "cum", "total", "n")
     deciles = ranked.select(
         "rk",
         "cum",

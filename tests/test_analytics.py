@@ -660,3 +660,46 @@ def test_hhi_single_supplier_maxes(spark):
            for r in an.hhi_by_nation(li, supp, nat).collect()}
     assert out["A"] == (10000, 100)
     assert out["B"] == (10000, 100)
+
+
+def test_ranked_cumsum_matches_naive_global_window(spark):
+    """The range-bucketed two-pass cumulative sum must be byte-identical
+    to the naive single-partition window, including cross-bucket rank
+    continuity and key tie-breaks, in both directions — and its per-row
+    window must partition by bucket (bounded state at 100 TB)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    # duplicate values across the bucket boundary + a constant run
+    rows = [(k, v) for k, v in enumerate([5, 5, 5, 1, 9, 9, 2, 7, 3, 3])]
+    per = spark.createDataFrame(rows, "k long, v long")
+    for descending in (True, False):
+        got = {
+            r.k: (r.rk, r.cum, r.total, r.n)
+            for r in an.ranked_cumsum(
+                per, "v", "k", descending=descending, n_buckets=4
+            ).collect()
+        }
+        vdir = F.desc("v") if descending else F.asc("v")
+        w = Window.orderBy(vdir, F.asc("k"))
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tot = Window.partitionBy()
+        want = {
+            r.k: (r.rk, r.cum, r.total, r.n)
+            for r in per.select(
+                "k",
+                F.row_number().over(w).alias("rk"),
+                F.sum("v").over(run).alias("cum"),
+                F.sum("v").over(tot).alias("total"),
+                F.count(F.lit(1)).over(tot).alias("n"),
+            ).collect()
+        }
+        assert got == want, descending
+    # the per-row window is partitioned (by _bkt), never global
+    df = an.ranked_cumsum(per, "v", "k", n_buckets=4)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    for line in phys.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(_bkt" in line, line
