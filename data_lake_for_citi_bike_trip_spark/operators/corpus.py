@@ -472,11 +472,12 @@ def sliding_chunks(docs: DataFrame, width: int = 5, stride: int = 3) -> DataFram
 
     Parallelism guard: the chunker is CPU-bound per row, so it must fan
     out across cores. At 100 TB the parquet scan already yields many
-    splits; on a corpus smaller than one split (one file <
-    maxPartitionBytes → ONE task, the round-7 bench regression) we
-    round-robin repartition up to defaultParallelism first — the
-    shuffle moves only (doc_id, text) and is strictly cheaper than
-    serializing the whole UDTF behind a single core.
+    splits (session.spread is then a metadata-check no-op); on a corpus
+    smaller than one split (one file < maxPartitionBytes → ONE task,
+    the round-7 bench regression) spread() round-robin repartitions to
+    defaultParallelism first — the shuffle moves only (doc_id, text)
+    and is strictly cheaper than serializing the whole UDTF behind a
+    single core.
     """
     from pyspark.sql.functions import udtf
 
@@ -504,11 +505,11 @@ def sliding_chunks(docs: DataFrame, width: int = 5, stride: int = 3) -> DataFram
 
     spark = docs.sparkSession
     spark.udtf.register("chunk_windows", ChunkWindows)
-    src = docs.select("doc_id", "text")
-    want = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < want:
-        src = src.repartition(want)
-    src.createOrReplaceTempView("_chunk_src")
+    from ..session import spread
+
+    spread(docs.select("doc_id", "text")).createOrReplaceTempView(
+        "_chunk_src"
+    )
     return spark.sql(
         "SELECT c.* FROM _chunk_src, LATERAL chunk_windows(doc_id, text) c"
     )

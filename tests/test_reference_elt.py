@@ -354,3 +354,46 @@ def test_pysink_overwrite_clears_previous_save(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in region.collect()
     )
+
+
+def test_pysink_failed_overwrite_keeps_previous_save(spark, sf_dir, tmp_path):
+    """The two-phase property behind overwrite (pydatasource.py:215):
+    the old data/ is cleared only at COMMIT time, so a job that dies
+    mid-write aborts with the previous save fully visible — never a
+    half-cleared directory."""
+    import os
+
+    import pytest
+
+    from data_lake_for_citi_bike_trip_spark.sources import pydatasource
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    pydatasource.register_sink(spark)
+    path = str(tmp_path / "sink_fail")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    nation.write.format("jsondir").option("path", path).mode("append").save()
+    before = sorted(
+        tuple(r)
+        for r in spark.read.schema("k bigint, name string")
+        .json(os.path.join(path, "data"))
+        .collect()
+    )
+
+    @F.udf("bigint")
+    def boom(k):
+        raise RuntimeError("mid-write failure")
+
+    doomed = nation.select(boom(F.col("k")).alias("k"), "name")
+    with pytest.raises(Exception):
+        doomed.write.format("jsondir").option("path", path).mode(
+            "overwrite"
+        ).save()
+    after = sorted(
+        tuple(r)
+        for r in spark.read.schema("k bigint, name string")
+        .json(os.path.join(path, "data"))
+        .collect()
+    )
+    assert after == before
