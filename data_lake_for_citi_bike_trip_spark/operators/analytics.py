@@ -339,22 +339,29 @@ def merge_daily_counts(current: DataFrame, batch_events: DataFrame) -> DataFrame
 
 def feature_deciles(orders: DataFrame) -> DataFrame:
     """Quantile-bucketed feature summary: ntile(10) deciles of order
-    value under a total order (price, key — deterministic under price
+    value under a total order (cents, key — deterministic under price
     ties), aggregated to per-decile count / bounds in exact cents.
 
-    The ntile window is a single global sort — fine for a feature table
-    of scalars; at 100 TB swap in approx_percentile cut points and a
-    broadcast range join, trading exactness for no global sort (the
-    aggregate shape downstream is identical)."""
+    No global ntile sort: the exact global rank comes from
+    ranked_cumsum (range-bucketed two-pass — order grain grows with
+    the corpus), and the decile is then SQL ntile's exact arithmetic
+    on (rank, n): the first n % 10 buckets take ceil(n/10) rows, the
+    rest floor(n/10). Byte-identical to the window form at any scale,
+    with window state bounded at ~n/4096 rows. Ordering by integer
+    cents is equivalent to ordering by the 2-decimal price; equal-cents
+    rows are interchangeable for per-decile count/min/max."""
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per = orders.select(cents.alias("cents"), "o_orderkey")
+    ranked = ranked_cumsum(per, "cents", "o_orderkey", descending=False)
+    # ntile(10): q = n div 10, r = n mod 10; buckets 1..r hold q+1 rows
+    decile = F.expr(
+        "CASE WHEN rk <= (n % 10) * (n div 10 + 1) "
+        "THEN (rk - 1) div (n div 10 + 1) + 1 "
+        "ELSE (n % 10) + (rk - (n % 10) * (n div 10 + 1) - 1) "
+        "div (n div 10) + 1 END"
+    ).cast("bigint")
     return (
-        orders.select(
-            cents.alias("cents"),
-            "o_orderkey",
-            F.ntile(10).over(
-                Window.orderBy("o_totalprice", "o_orderkey")
-            ).cast("bigint").alias("decile"),
-        )
+        ranked.select("cents", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

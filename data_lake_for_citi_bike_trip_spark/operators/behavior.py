@@ -293,10 +293,16 @@ def peak_concurrency(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     Exactness at the boundary: a session ending at instant t and one
     starting at t do NOT overlap (half-open [start, end)), so ends sort
     BEFORE starts at equal timestamps via the delta as a secondary sort
-    key (-1 < +1). The whole sweep is one global-ordered cumulative
-    window over 2x#sessions marks — tiny next to the event table; at
-    100 TB you'd partition the sweep by calendar shard and carry the
-    boundary offset (associative), same as any prefix-sum split.
+    key (-1 < +1).
+
+    The sweep is the prefix-sum split it always promised: marks bucket
+    by calendar DAY (bounded), a tiny single-partition window over the
+    day-grain net-delta table computes each day's carried-in offset
+    (sessions still open at midnight), and the per-mark running sum
+    partitions BY DAY — no window ever holds more than one day of
+    marks, instead of the whole corpus's 2x#sessions. Equal-us ties
+    never straddle a day boundary (same us ⇒ same day), so the split
+    is exact.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
@@ -329,20 +335,32 @@ def peak_concurrency(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         # event so single-instant sessions still count as open
         sess.select((F.col("end_us") + 1).alias("us"), F.lit(-1).alias("delta"))
     )
-    sweep = marks.withColumn(
-        "open_now",
-        F.sum("delta").over(
-            Window.orderBy("us", "delta").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ),
+    marks = marks.withColumn(
+        "day", F.date_format(F.timestamp_micros(F.col("us")), "yyyy-MM-dd")
     )
-    return (
-        sweep.withColumn(
-            "day", F.date_format(F.timestamp_micros(F.col("us")), "yyyy-MM-dd")
+    carry = (
+        marks.groupBy("day")
+        .agg(F.sum("delta").alias("net"))
+        .select(
+            "day",
+            F.coalesce(
+                F.sum("net").over(
+                    Window.orderBy("day").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("carried_in"),
         )
-        .groupBy("day")
-        .agg(F.max("open_now").cast("long").alias("peak_open_sessions"))
+    )
+    in_day = Window.partitionBy("day").orderBy("us", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = marks.join(carry, "day").withColumn(
+        "open_now", F.col("carried_in") + F.sum("delta").over(in_day)
+    )
+    return sweep.groupBy("day").agg(
+        F.max("open_now").cast("long").alias("peak_open_sessions")
     )
 
 
@@ -777,15 +795,25 @@ def funnel_time_quartiles(events: DataFrame) -> DataFrame:
     lat = joined.where(
         F.col("c0").isNotNull() & F.col("p0").isNotNull()
     ).select(F.expr("(p0 - c0) div 1000000").alias("s"))
-    w = Window.orderBy("s")
-    ranked = lat.select(
+    # histogram rank-selection (the reorder_latency idiom): the window
+    # walks DISTINCT latency values (time-domain-bounded), never the
+    # user-grain rows — value at rank (n-1)*q div 100 + 1 is the
+    # smallest s whose cumulative count reaches that rank
+    hist = lat.groupBy("s").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.select(
         "s",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("t").over(w).alias("cum"),
+        F.sum("t").over(Window.partitionBy()).alias("n"),
     )
     qs = {
-        q: F.max(
-            F.when(F.col("rn") == F.expr(f"(n - 1) * {q} div 100") + 1, F.col("s"))
+        q: F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n - 1) * {q} div 100") + 1,
+                F.col("s"),
+            )
         ).alias(f"p{q}_seconds")
         for q in (25, 50, 75)
     }
