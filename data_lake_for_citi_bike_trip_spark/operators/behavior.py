@@ -514,40 +514,57 @@ def debounce_events(events: DataFrame, refractory_minutes: int = 120) -> DataFra
     rate-limiter / alert-suppression semantics. This is genuinely
     outside window-function reach (each decision depends on the
     previous DECISION, not the previous row), so the batch form uses
-    the sanctioned escape hatch: an Arrow-batched grouped-map
-    (applyInPandas) walking each user's sorted events — per-key state,
-    bounded groups, no driver involvement. The oracle replays the same
-    greedy walk with a recursive CTE, so the escape-hatch logic itself
-    is hash-checked.
+    the sanctioned escape hatch — but as a single-pass Arrow-batched
+    ``mapInPandas`` walk over hash-partitioned, JVM-sorted partitions
+    (user rows are contiguous after repartition + sortWithinPartitions,
+    and the walk carries O(1) per-user state across Arrow batch
+    boundaries), NOT a per-group ``applyInPandas``: with millions of
+    small user groups the per-group pandas-frame construction dominates
+    (measured 6.0 s → here at sf0.1), while one sorted pass costs one
+    shuffle plus a linear scan. The oracle replays the same greedy walk
+    with a recursive CTE, so the escape-hatch logic itself is
+    hash-checked.
 
     Emits per user: events seen, events kept, and the ordered kept ids
     (a deterministic '>' join — total order (ts, event_id)).
     """
     gap_us = refractory_minutes * 60 * 1_000_000
 
-    def walk(pdf):
+    def walk(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values(["ts", "event_id"])
-        kept, last = [], None
-        us = pdf["ts"].astype("datetime64[us]").astype("int64")
-        for eid, t in zip(pdf["event_id"], us):
-            if last is None or t - last >= gap_us:
-                kept.append(int(eid))
-                last = t
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "n_kept": [len(kept)],
-                "kept_ids": [">".join(str(k) for k in kept)],
-            }
-        )
+        out = {"user_id": [], "n_events": [], "n_kept": [], "kept_ids": []}
+        uid = None
+        n_ev = n_kept = 0
+        kept: list[str] = []
+        last = None
+
+        def flush():
+            if uid is not None:
+                out["user_id"].append(uid)
+                out["n_events"].append(n_ev)
+                out["n_kept"].append(n_kept)
+                out["kept_ids"].append(">".join(kept))
+
+        for pdf in batches:
+            us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for u, eid, t in zip(pdf["user_id"], pdf["event_id"], us):
+                if u != uid:
+                    flush()
+                    uid, n_ev, n_kept, kept, last = int(u), 0, 0, [], None
+                n_ev += 1
+                if last is None or t - last >= gap_us:
+                    kept.append(str(int(eid)))
+                    n_kept += 1
+                    last = t
+        flush()
+        yield pd.DataFrame(out)
 
     return (
         events.select("user_id", "ts", "event_id")
-        .groupBy("user_id")
-        .applyInPandas(walk, schema=DEBOUNCE_SCHEMA)
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(walk, schema=DEBOUNCE_SCHEMA)
     )
 
 
@@ -624,11 +641,13 @@ def capped_running_sum(events: DataFrame, cap: int = 100_000) -> DataFrame:
     Like debounce, the clamp makes each step depend on the previous
     DECISION (a saturated balance forgets the overflow), which no
     window closed form expresses — cumsum-minus-running-min handles one
-    bound (see cusum), not two. So this is the sanctioned escape hatch:
-    an Arrow-batched grouped map walking each user's (ts, event_id)
-    total order with O(1) state, groups bounded by per-user event
-    counts. The DELTAS are computed declaratively BEFORE the UDF (JVM
-    cents quantization), and the oracle replays the same walk with a
+    bound (see cusum), not two. So this is the sanctioned escape hatch,
+    in the same single-pass ``mapInPandas``-over-sorted-partitions form
+    as debounce_events (per-group applyInPandas pays a pandas-frame
+    construction per user; one JVM sort + linear walk does not), with
+    O(1) per-user state carried across Arrow batch boundaries. The
+    DELTAS are computed declaratively BEFORE the UDF (JVM cents
+    quantization), and the oracle replays the same walk with a
     recursive CTE — the imperative logic itself is hash-checked.
 
     Emits per user: event count, final balance, and how many steps
@@ -636,28 +655,42 @@ def capped_running_sum(events: DataFrame, cap: int = 100_000) -> DataFrame:
     inventory system alerts on).
     """
 
-    def walk(pdf):
+    def walk(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values(["ts", "event_id"])
-        bal, hi, lo = 0, 0, 0
-        for d in pdf["delta"]:
-            b = bal + int(d)
-            if b > cap:
-                bal, hi = cap, hi + 1
-            elif b < 0:
-                bal, lo = 0, lo + 1
-            else:
-                bal = b
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "final_balance": [bal],
-                "n_sat_hi": [hi],
-                "n_sat_lo": [lo],
-            }
-        )
+        out = {
+            "user_id": [],
+            "n_events": [],
+            "final_balance": [],
+            "n_sat_hi": [],
+            "n_sat_lo": [],
+        }
+        uid = None
+        n_ev = bal = hi = lo = 0
+
+        def flush():
+            if uid is not None:
+                out["user_id"].append(uid)
+                out["n_events"].append(n_ev)
+                out["final_balance"].append(bal)
+                out["n_sat_hi"].append(hi)
+                out["n_sat_lo"].append(lo)
+
+        for pdf in batches:
+            for u, d in zip(pdf["user_id"], pdf["delta"]):
+                if u != uid:
+                    flush()
+                    uid, n_ev, bal, hi, lo = int(u), 0, 0, 0, 0
+                n_ev += 1
+                b = bal + int(d)
+                if b > cap:
+                    bal, hi = cap, hi + 1
+                elif b < 0:
+                    bal, lo = 0, lo + 1
+                else:
+                    bal = b
+        flush()
+        yield pd.DataFrame(out)
 
     cents = F.round(F.col("value") * 100).cast("long")
     delta = F.when(
@@ -665,8 +698,9 @@ def capped_running_sum(events: DataFrame, cap: int = 100_000) -> DataFrame:
     ).otherwise(cents)
     return (
         events.select("user_id", "ts", "event_id", delta.alias("delta"))
-        .groupBy("user_id")
-        .applyInPandas(walk, schema=CAPPED_SUM_SCHEMA)
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(walk, schema=CAPPED_SUM_SCHEMA)
     )
 
 

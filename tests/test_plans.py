@@ -445,3 +445,18 @@ def test_frequent_triples_no_nested_loop_on_data_sides(spark, sf_dir):
     # is re-derived (cheap: the broadcast side is a single row)
     for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
         assert "n_orders" in m.group(0), m.group(0)
+
+
+def test_decision_walks_are_single_pass_maps(spark, sf_dir):
+    """debounce_events and capped_running_sum walk decision-dependent
+    per-user state as ONE sorted-partition mapInPandas pass — a
+    per-group FlatMapGroupsInPandas here would pay a pandas-frame
+    construction per user (millions of tiny groups at corpus scale;
+    measured 6.0 s vs 2.2 s at sf0.1 for debounce). The plan must show
+    the map form over a hash exchange + in-partition sort, and no
+    grouped-map node."""
+    for name in ("debounce_events", "capped_running_sum"):
+        f = _facts(spark, sf_dir, name)
+        assert "MapInPandas" in f["plan"], name
+        assert "FlatMapGroupsInPandas" not in f["plan"], name
+        assert "hashpartitioning(user_id" in f["plan"], name
