@@ -101,7 +101,11 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderstatus")
         .orc(path)
     )
-    back = spark.read.orc(path)
+    # Read back under the writer's schema: inference would re-scan
+    # footers (wasted IO at scale) and cannot work at all on an empty
+    # table (zero data files — a legitimate state for a filtered
+    # backfill); the declared partition column binds to the dir values.
+    back = spark.read.schema(orders.schema).orc(path)
     return (
         back.where(F.col("o_orderstatus") == "F")
         .groupBy(F.col("o_orderpriority").alias("priority"))
@@ -159,7 +163,10 @@ def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_lake_tmp_root(tag), "fact")
     write_table(fact, path, partition_by=["year", "month"],
                 mode="overwrite_partitions")
-    lake = spark.read.parquet(path)
+    # schema pinned to the writer's: no footer-inference scan, and an
+    # empty fact (all rows filtered upstream) still reads as a typed
+    # empty table instead of UNABLE_TO_INFER_SCHEMA
+    lake = spark.read.schema(fact.schema).parquet(path)
     return (
         lake.where((F.col("year") == 2024) & (F.col("month") == 1))
         .groupBy("usertype")

@@ -381,8 +381,11 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
 
 
 def _subvectors(df: DataFrame, id_col: str, m: int) -> DataFrame:
-    """(id, m, sv): split each vector into m contiguous subspaces."""
-    dim = df.select(F.size("v")).first()[0]
+    """(id, m, sv): split each vector into m contiguous subspaces.
+    An empty corpus has no observable dim — any split of nothing is
+    nothing, so pretend dim == m and fall through to the empty frame."""
+    row = df.select(F.size("v")).first()
+    dim = m if row is None else row[0]
     sub = dim // m
     assert sub * m == dim, f"dim {dim} not divisible by m={m}"
     return df.select(
@@ -469,7 +472,8 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
     """(vec_id, m, code) — the compressed representation (m small ints
     per vector; this table IS the PQ 'index' and is what a deployment
     persists instead of raw vectors)."""
-    m = codebooks.select(F.max("m")).first()[0] + 1
+    row = codebooks.select(F.max("m")).first()
+    m = 1 if row is None or row[0] is None else row[0] + 1
     subs = _subvectors(_prepared(embeddings), "vec_id", m)
     return _pq_assign(subs, codebooks, "vec_id")
 
@@ -493,7 +497,8 @@ def pq_search(
     table + a grouped ordered fold — no raw corpus vectors are touched
     at search time (the PQ property). Returns (q_id, vec_id,
     cos_pq_r6, rank)."""
-    mcount = codebooks.select(F.max("m")).first()[0] + 1
+    row = codebooks.select(F.max("m")).first()
+    mcount = 1 if row is None or row[0] is None else row[0] + 1
     q = _prepared(queries)
     qsubs = _subvectors(q, "q_id", mcount)
     # per-(query, subspace, codeword) partial dot + codeword sub-norm

@@ -260,23 +260,14 @@ class TxnTable:
             r[0] for r in bucketed.select(_BUCKET).distinct().collect()
         )
         new_txn = txn_id if txn_id is not None else m.get("last_txn_id", -1)
-        if not affected:
-            # empty change batch: commit a no-op version referencing the
-            # parent's files unchanged (keeps the log linear)
-            self._commit(
-                version=version,
-                parent=parent,
-                key=key,
-                n_buckets=n_buckets,
-                schema=T.StructType.fromJson(json.loads(m["schema"])),
-                buckets=dict(m["buckets"]),
-                last_txn_id=new_txn,
-                dvs={b: list(p) for b, p in m.get("dvs", {}).items()},
-            )
-            return version
 
         # schema reconciliation: the batch payload must cover the table
-        # schema; extra columns widen it under evolve_schema
+        # schema; extra columns widen it under evolve_schema. This runs
+        # BEFORE the empty-batch fast path — the batch's DECLARED schema
+        # is the evolution contract (Delta semantics: a merge with
+        # schema evolution widens the table from the source schema even
+        # when zero rows match), and a malformed batch is an error no
+        # matter how many rows it carries.
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         payload_fields = [
             f for f in changes.schema.fields if f.name not in (seq_col, op_col)
@@ -297,6 +288,24 @@ class TxnTable:
             )
         if extra:
             schema = T.StructType(list(schema.fields) + extra)
+
+        if not affected:
+            # empty change batch: commit a no-op version referencing the
+            # parent's files unchanged (keeps the log linear). The
+            # schema still widens if the batch declared new columns —
+            # carried-by-reference files read the new columns as NULL
+            # via schema-on-read, same as any unrewritten bucket.
+            self._commit(
+                version=version,
+                parent=parent,
+                key=key,
+                n_buckets=n_buckets,
+                schema=schema,
+                buckets=dict(m["buckets"]),
+                last_txn_id=new_txn,
+                dvs={b: list(p) for b, p in m.get("dvs", {}).items()},
+            )
+            return version
 
         # read ONLY the affected slice of the current snapshot
         slice_paths = [

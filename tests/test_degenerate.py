@@ -1,0 +1,113 @@
+"""Degenerate-input robustness: empty tables must degrade, not raise.
+
+At 100 TB any predicate can legitimately yield an empty intermediate (a
+new partition, a quiet tenant, a filtered backfill), so "crashes on
+zero rows" is a scale bug even when every sf sweep passes. The full
+382-query sweep lives in ``tools/robustness_sweep.py`` (run per-round);
+these tests pin the classes that actually failed it once:
+
+- PQ codebook training / encode / search dereferenced ``first()[0]`` on
+  an empty corpus (similarity.py).
+- The parquet/ORC roundtrips inferred schema from written files — an
+  empty write produces no files at all (UNABLE_TO_INFER_SCHEMA).
+- A zero-row CDC batch skipped schema reconciliation entirely, so a
+  widening merge (evolve_schema=True) silently failed to widen and the
+  downstream projection died on the missing column (txn.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("emptydata")
+    for t in TABLES:
+        sch = pq.read_schema(os.path.join(SRC, f"{t}.parquet"))
+        pq.write_table(sch.empty_table(), str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "txn_schema_evolution",
+        "ann_pq_recall",
+        "ann_pq_topk",
+        "lake_roundtrip",
+        "orc_roundtrip",
+        # structurally adjacent: driver-collected scalars / trained indexes
+        "ann_ivf_topk",
+        "debounce_events",
+        "capped_running_sum",
+        "pareto_8020",
+        "jsonl_roundtrip",
+    ],
+)
+def test_contract_query_survives_empty_corpus(spark, empty_sf_dir, name):
+    df = entrymod.queries()[name](spark, empty_sf_dir)
+    df.count()  # must evaluate without raising
+    assert df.schema.simpleString()  # schema stays constructible
+
+
+def test_empty_merge_batch_still_evolves_schema(spark, tmp_path):
+    """Delta semantics: a widening MERGE evolves the table from the
+    batch's DECLARED schema even when the batch carries zero rows —
+    carried-by-reference files read the new column as NULL."""
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.sources.txn import TxnTable
+
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t"), base, key="k")
+    empty_widening = (
+        spark.range(0)
+        .select(
+            F.col("id").alias("k"),
+            F.lit(1).cast("bigint").alias("seq"),
+            F.lit("U").alias("op"),
+            F.col("id").alias("v"),
+            F.lit("x").alias("tag"),
+        )
+    )
+    t.merge(spark, empty_widening, "seq", "op", evolve_schema=True)
+    latest = t.read(spark)
+    assert "tag" in latest.columns
+    assert latest.count() == 10
+    assert latest.where(F.col("tag").isNull()).count() == 10
+
+
+def test_empty_merge_batch_with_missing_columns_errors(spark, tmp_path):
+    """The CDC contract (batch must carry the full row) binds no matter
+    how many rows the batch has — an empty malformed batch is an error,
+    not a silent no-op commit."""
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.sources.txn import TxnTable
+
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t"), base, key="k")
+    bad = spark.range(0).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("bigint").alias("seq"),
+        F.lit("U").alias("op"),
+        # lacks "v"
+    )
+    with pytest.raises(ValueError, match="lacks table columns"):
+        t.merge(spark, bad, "seq", "op")
