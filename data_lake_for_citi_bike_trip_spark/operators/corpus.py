@@ -727,7 +727,10 @@ def negative_samples(
                     16,
                     10,
                 ).cast("long")
-                % F.col("max_pk")
+                # greatest(.,1): any real catalog has max_pk >= 1; a
+                # degenerate one-part catalog (max_pk 0) must not turn
+                # the draw into a remainder-by-zero
+                % F.greatest(F.col("max_pk"), F.lit(1))
                 + 1
             ).alias("neg_pk"),
         )

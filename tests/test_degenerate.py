@@ -111,3 +111,18 @@ def test_empty_merge_batch_with_missing_columns_errors(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="lacks table columns"):
         t.merge(spark, bad, "seq", "op")
+
+
+def test_negative_samples_one_part_catalog(spark):
+    """A one-part catalog whose only key is 0 makes max_pk == 0 — the
+    draw modulo must stay defined (greatest guard), not REMAINDER_BY_ZERO."""
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import corpus
+
+    lineitem = spark.range(1).select(
+        F.lit(7).alias("l_orderkey"), F.lit(0).alias("l_partkey")
+    )
+    part = spark.range(1).select(F.lit(0).alias("p_partkey"))
+    out = corpus.negative_samples(lineitem, part).collect()
+    assert all(r["neg_pk"] == 1 for r in out)  # % 1 + 1 == 1, never crashes
