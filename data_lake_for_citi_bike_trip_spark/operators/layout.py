@@ -80,6 +80,10 @@ def zorder_write(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    if lo_a is None or lo_b is None:
+        # empty input: no value space to quantize — zero bounds give a
+        # constant z, and the write below emits a typed empty table
+        lo_a = hi_a = lo_b = hi_b = 0.0
     z = zvalue(
         quantize(F.col(col_a), float(lo_a), float(hi_a), bits),
         quantize(F.col(col_b), float(lo_b), float(hi_b), bits),
