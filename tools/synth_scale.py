@@ -15,7 +15,15 @@ replicas deliberately stress the dedup/ANN candidate-pruning guards
 
 Usage::
 
-    python tools/synth_scale.py /tmp/sf1_synth 10   # 10x sf0.1
+    python tools/synth_scale.py /tmp/sf1_synth 10         # 10x sf0.1
+    python tools/synth_scale.py /tmp/sf1_skew 10 skew     # + hot keys
+
+``skew`` additionally collapses the entity keys of the first third of
+replicas onto key 0 — one "bot" user owns ~30% of all events and one
+whale customer ~30% of orders. This deliberately violates the
+bounded-per-user assumption the behavior operators document, to
+measure what a hot key actually costs (AQE skew handling, per-key
+walks, window partitions).
 """
 
 from __future__ import annotations
@@ -48,6 +56,8 @@ def main() -> int:
         return 2
     dst = sys.argv[1]
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    skew = len(sys.argv) > 3 and sys.argv[3] == "skew"
+    hot = {"events": "user_id", "orders": "o_custkey"}
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for table, keys in KEYS.items():
@@ -71,10 +81,16 @@ def main() -> int:
             ).fetchone()[0]
             for key in keys
         }
-        proj = ", ".join(
-            f"{c} + i * {strides[c]} AS {c}" if c in strides else c
-            for c in cols
-        )
+        def shift(c: str) -> str:
+            if c not in strides:
+                return c
+            expr = f"{c} + i * {strides[c]}"
+            if skew and hot.get(table) == c:
+                # first third of replicas: collapse onto key 0
+                expr = f"CASE WHEN i < {max(k // 3, 1)} THEN 0 ELSE {expr} END"
+            return f"{expr} AS {c}"
+
+        proj = ", ".join(shift(c) for c in cols)
         con.execute(
             f"COPY (SELECT {proj} FROM '{src}', range({k}) r(i) "
             f"ORDER BY i) TO '{out}' (FORMAT parquet)"
