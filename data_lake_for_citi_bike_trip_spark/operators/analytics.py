@@ -1095,6 +1095,9 @@ def map_rollup(events: DataFrame) -> DataFrame:
     daily = events.groupBy(
         F.to_date("ts").cast("string").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
+    # a NULL event_type cannot be a map key (NULL_MAP_KEY); untyped
+    # rows fall out of the map shape by definition
+    daily = daily.where(F.col("event_type").isNotNull())
     mapped = daily.groupBy("day").agg(
         F.map_from_entries(
             F.array_sort(

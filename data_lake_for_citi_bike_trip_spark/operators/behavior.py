@@ -682,6 +682,8 @@ def capped_running_sum(events: DataFrame, cap: int = 100_000) -> DataFrame:
                     flush()
                     uid, n_ev, bal, hi, lo = int(u), 0, 0, 0, 0
                 n_ev += 1
+                if d != d or d is None:  # NULL value -> NaN delta:
+                    continue  # a valueless event moves no balance
                 b = bal + int(d)
                 if b > cap:
                     bal, hi = cap, hi + 1

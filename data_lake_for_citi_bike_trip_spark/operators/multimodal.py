@@ -191,8 +191,12 @@ def decode_images(media: DataFrame, decoder: str = "real") -> DataFrame:
                 out, columns=[f.name for f in IMAGE_META_SCHEMA.fields]
             )
 
-    return media.select("media_id", "payload").mapInPandas(
-        batches, schema=IMAGE_META_SCHEMA
+    return (
+        media.select("media_id", "payload")
+        # a NULL payload (missing/corrupt blob) has nothing to decode;
+        # dropping it JVM-side keeps bytes(None) out of the batch loop
+        .where(F.col("payload").isNotNull())
+        .mapInPandas(batches, schema=IMAGE_META_SCHEMA)
     )
 
 
@@ -300,8 +304,12 @@ def resize_images(
                 out, columns=[f.name for f in RESIZED_SCHEMA.fields]
             )
 
-    return media.select("media_id", "payload").mapInPandas(
-        batches, schema=RESIZED_SCHEMA
+    return (
+        media.select("media_id", "payload")
+        # a NULL payload (missing/corrupt blob) has nothing to decode;
+        # dropping it JVM-side keeps bytes(None) out of the batch loop
+        .where(F.col("payload").isNotNull())
+        .mapInPandas(batches, schema=RESIZED_SCHEMA)
     )
 
 
@@ -328,8 +336,12 @@ def sample_frames(
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields]
             )
 
-    return media.select("media_id", "payload").mapInPandas(
-        batches, schema=FRAME_SCHEMA
+    return (
+        media.select("media_id", "payload")
+        # a NULL payload (missing/corrupt blob) has nothing to decode;
+        # dropping it JVM-side keeps bytes(None) out of the batch loop
+        .where(F.col("payload").isNotNull())
+        .mapInPandas(batches, schema=FRAME_SCHEMA)
     )
 
 
@@ -538,7 +550,12 @@ def synthetic_png_table(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "n_chars").mapInPandas(batches, schema=META)
+    return (
+        docs.select("doc_id", "n_chars")
+        # geometry derives from n_chars; a NULL there generates nothing
+        .where(F.col("n_chars").isNotNull())
+        .mapInPandas(batches, schema=META)
+    )
 
 
 #: Output schema of the PNG pixel-stats stage.
@@ -569,8 +586,12 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in PNG_STATS_SCHEMA.fields]
             )
 
-    return media.select("media_id", "payload").mapInPandas(
-        batches, schema=PNG_STATS_SCHEMA
+    return (
+        media.select("media_id", "payload")
+        # a NULL payload (missing/corrupt blob) has nothing to decode;
+        # dropping it JVM-side keeps bytes(None) out of the batch loop
+        .where(F.col("payload").isNotNull())
+        .mapInPandas(batches, schema=PNG_STATS_SCHEMA)
     )
 
 
@@ -668,7 +689,12 @@ def synthetic_wav_table(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "n_chars").mapInPandas(batches, schema=META)
+    return (
+        docs.select("doc_id", "n_chars")
+        # geometry derives from n_chars; a NULL there generates nothing
+        .where(F.col("n_chars").isNotNull())
+        .mapInPandas(batches, schema=META)
+    )
 
 
 #: Output schema of the WAV feature-extraction stage.
@@ -701,8 +727,12 @@ def wav_stats(media: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in WAV_STATS_SCHEMA.fields]
             )
 
-    return media.select("media_id", "payload").mapInPandas(
-        batches, schema=WAV_STATS_SCHEMA
+    return (
+        media.select("media_id", "payload")
+        # a NULL payload (missing/corrupt blob) has nothing to decode;
+        # dropping it JVM-side keeps bytes(None) out of the batch loop
+        .where(F.col("payload").isNotNull())
+        .mapInPandas(batches, schema=WAV_STATS_SCHEMA)
     )
 
 
@@ -795,8 +825,12 @@ def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
                     out["pixel_sum"].append(sum(frame))
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "payload").mapInPandas(
-        batches, schema=VIDEO_FRAME_SCHEMA
+    return (
+        media.select("media_id", "payload")
+        # a NULL payload (missing/corrupt blob) has nothing to decode;
+        # dropping it JVM-side keeps bytes(None) out of the batch loop
+        .where(F.col("payload").isNotNull())
+        .mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
     )
 
 
@@ -841,8 +875,12 @@ def image_features(media: DataFrame) -> DataFrame:
                     out[f"hist_q{q + 1}"].append(int(hist[q]))
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "payload").mapInPandas(
-        batches, schema=IMAGE_FEATURE_SCHEMA
+    return (
+        media.select("media_id", "payload")
+        # a NULL payload (missing/corrupt blob) has nothing to decode;
+        # dropping it JVM-side keeps bytes(None) out of the batch loop
+        .where(F.col("payload").isNotNull())
+        .mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)
     )
 
 
@@ -889,8 +927,12 @@ def audio_frame_features(media: DataFrame, frame_size: int = 16) -> DataFrame:
                     out["zero_crossings"].append(zc)
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "payload").mapInPandas(
-        batches, schema=AUDIO_FRAME_SCHEMA
+    return (
+        media.select("media_id", "payload")
+        # a NULL payload (missing/corrupt blob) has nothing to decode;
+        # dropping it JVM-side keeps bytes(None) out of the batch loop
+        .where(F.col("payload").isNotNull())
+        .mapInPandas(batches, schema=AUDIO_FRAME_SCHEMA)
     )
 
 
@@ -936,6 +978,10 @@ def image_downsample(media: DataFrame, stride: int = 2) -> DataFrame:
                 out["down_mean_e2"].append(100 * s // small.size)
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "payload").mapInPandas(
-        batches, schema=IMAGE_DOWNSAMPLE_SCHEMA
+    return (
+        media.select("media_id", "payload")
+        # a NULL payload (missing/corrupt blob) has nothing to decode;
+        # dropping it JVM-side keeps bytes(None) out of the batch loop
+        .where(F.col("payload").isNotNull())
+        .mapInPandas(batches, schema=IMAGE_DOWNSAMPLE_SCHEMA)
     )

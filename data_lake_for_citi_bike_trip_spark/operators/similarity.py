@@ -385,7 +385,7 @@ def _subvectors(df: DataFrame, id_col: str, m: int) -> DataFrame:
     An empty corpus has no observable dim — any split of nothing is
     nothing, so pretend dim == m and fall through to the empty frame."""
     row = df.select(F.size("v")).first()
-    dim = m if row is None else row[0]
+    dim = m if row is None or row[0] is None or row[0] < 0 else row[0]
     sub = dim // m
     assert sub * m == dim, f"dim {dim} not divisible by m={m}"
     return df.select(
@@ -734,6 +734,8 @@ def arrow_vector_stats(embeddings: DataFrame) -> DataFrame:
             tbl = pa.Table.from_batches([batch])
             vec_ids = tbl["vec_id"].to_numpy()
             embs = tbl["embedding"].to_pylist()
+            if len(embs) == 0:  # empty Arrow batch: nothing to emit
+                continue
             mat = np.asarray(embs, dtype=np.float64)
             q = np.rint(mat * 1_000_000).astype(np.int64)
             yield pa.RecordBatch.from_pydict(
@@ -745,8 +747,15 @@ def arrow_vector_stats(embeddings: DataFrame) -> DataFrame:
                 }
             )
 
-    return embeddings.select("vec_id", "embedding").mapInArrow(
-        batches, "vec_id bigint, dims bigint, l1_e6 bigint, linf_e6 bigint"
+    return (
+        embeddings.select("vec_id", "embedding")
+        # NULL payloads drop JVM-side before the Arrow hop — a missing
+        # vector has no stats, and np.asarray on a ragged None-bearing
+        # batch would poison the whole batch
+        .where(F.col("embedding").isNotNull())
+        .mapInArrow(
+            batches, "vec_id bigint, dims bigint, l1_e6 bigint, linf_e6 bigint"
+        )
     )
 
 

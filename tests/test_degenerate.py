@@ -126,3 +126,51 @@ def test_negative_samples_one_part_catalog(spark):
     part = spark.range(1).select(F.lit(0).alias("p_partkey"))
     out = corpus.negative_samples(lineitem, part).collect()
     assert all(r["neg_pk"] == 1 for r in out)  # % 1 + 1 == 1, never crashes
+
+
+def test_null_payload_classes(spark):
+    """NULL-payload tolerance: NULL blobs drop out of decode stages,
+    NULL embeddings out of vector stats, NULL event_type out of map
+    keys, NULL value out of the balance walk — none may raise. Pins the
+    classes the all-NULL sweep (make_degenerate nulls) found."""
+    import pyspark.sql.functions as F
+
+    from data_lake_for_citi_bike_trip_spark.operators import (
+        analytics,
+        behavior,
+        multimodal,
+        similarity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 20)], "doc_id bigint, n_chars bigint"
+    )
+    media = multimodal.synthetic_bmp_table(docs).select(
+        "media_id",
+        F.when(F.col("media_id") == 1, F.lit(None))
+        .otherwise(F.col("payload"))
+        .cast("binary")
+        .alias("payload"),
+    )
+    decoded = multimodal.decode_images(media).collect()
+    assert [r["media_id"] for r in decoded] == [2]
+
+    emb = spark.range(2).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") == 0, F.array(F.lit(1.0), F.lit(2.0))).alias(
+            "embedding"
+        ),
+    )
+    rows = similarity.arrow_vector_stats(emb).collect()
+    assert [r["vec_id"] for r in rows] == [0]
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, None, None),
+         (1, "2024-01-01 01:00:00", 2, "purchase", 5.0)],
+        "user_id bigint, ts string, event_id bigint, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = behavior.capped_running_sum(events).first()
+    assert r["n_events"] == 2 and r["final_balance"] == 0  # purchase debits clamp at 0
+
+    m = analytics.map_rollup(events).collect()
+    assert all(row["event_type"] is not None for row in m)
