@@ -633,25 +633,44 @@ def main() -> None:
     qs = entrymod.queries()
 
     lines = [
-        "# PLANS — physical-plan review of headline queries",
+        "# PLANS — physical-plan review of the full contract surface",
         "",
-        f"Generated by `python tools/dump_plans.py {sf_dir}`. The scale",
-        "properties asserted in CI live in `tests/test_plans.py`; this file",
-        "records the current plan shapes plus the first annotated plan.",
+        f"Generated by `python tools/dump_plans.py {sf_dir}` — one row per",
+        "`queries()` entry. The scale properties asserted in CI live in",
+        "`tests/test_plans.py`; this file records the current plan shapes,",
+        "annotated notes for the headline queries, and one annotated plan.",
+        "`cartesian` counts CartesianProduct nodes (expected 0 everywhere;",
+        "`tests/test_plans.py` fails the build if a contract query plans one).",
         "",
-        "| query | broadcast | sort-merge | nested-loop | exchanges | codegen spans | pushdown |",
-        "|---|---|---|---|---|---|---|",
+        "| query | broadcast | sort-merge | nested-loop | cartesian | exchanges | codegen spans | pushdown |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     details = []
-    for name in HEADLINE:
-        f = plan_facts(qs[name](spark, sf_dir))
+    cartesian = []
+    for name in qs:
+        try:
+            f = plan_facts(qs[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — record, don't abort the dump
+            lines.append(f"| {name} | plan error: {type(exc).__name__} | | | | | | |")
+            continue
+        ncart = f["plan"].count("CartesianProduct")
+        if ncart:
+            cartesian.append(name)
         lines.append(
             f"| {name} | {f['broadcast_joins']} | {f['sortmerge_joins']} | "
-            f"{f['nested_loop_joins']} | {f['exchanges']} | "
+            f"{f['nested_loop_joins']} | {ncart} | {f['exchanges']} | "
             f"{f['codegen_stages']} | {'yes' if f['pushed_filters'] else 'n/a'} |"
         )
-        details.append(f"- **{name}** — {NOTES[name]}")
-    lines += ["", "## Notes", ""] + details
+        if name in NOTES:
+            details.append(f"- **{name}** — {NOTES[name]}")
+    lines += [
+        "",
+        f"Surface: {len(qs)} queries; CartesianProduct plans: "
+        f"{cartesian if cartesian else 'none'}.",
+        "",
+        "## Notes (headline queries)",
+        "",
+    ] + details
     f = plan_facts(qs["pricing_summary"](spark, sf_dir))
     lines += [
         "",
