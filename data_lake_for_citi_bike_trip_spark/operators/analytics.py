@@ -2015,9 +2015,12 @@ def nation_rank_shift(
     )
     names = rev.select("n_name").distinct()
     full = (
+        # broadcast the 2-row literal: un-hinted, the planner may pick a
+        # CartesianProduct for this cross (harmless at 25x2 but violates
+        # the repo-wide zero-CartesianProduct invariant)
         names.crossJoin(
-            names.sparkSession.createDataFrame(
-                [(0,), (1,)], "h long"
+            F.broadcast(
+                names.sparkSession.createDataFrame([(0,), (1,)], "h long")
             )
         )
         .join(rev, ["n_name", "h"], "left")
