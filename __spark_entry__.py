@@ -3491,23 +3491,38 @@ def _driver_unresolved_reds() -> set[str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """fact_trips first (flagship), then queries whose LATEST driver row
-    is a FAIL (uncontradicted reds — re-certify these before anything
-    else), then queries with NO driver row at all (new work), then the
-    already-green rest ordered by how long ago their latest green row
-    landed (least-recently-checked first). The driver's gate samples
-    only the first 50 entries, so this ordering guarantees every query
-    earns a fresh row within ceil(n/50) rounds and past reds never wait
-    behind never-checked ones."""
+    """Queries whose LATEST driver row is a FAIL first (uncontradicted
+    reds — re-certify these before anything else), then queries with NO
+    driver row at all (new work), then the already-green rest ordered by
+    how long ago their latest green row landed (least-recently-checked
+    first). The driver's gate samples only the first 50 entries, so this
+    ordering guarantees every query earns a fresh row within ceil(n/50)
+    rounds and past reds never wait behind never-checked ones.
+
+    fact_trips is no longer pinned to slot 0: it is exercised every
+    round by entry() anyway, and with 8 green driver rows it would only
+    displace a never-checked query from the 50-entry sample window.
+
+    Within the never-checked tier, the ANN/KNN recall family sorts
+    first: they are the only LLM-pipeline pillar queries without a
+    driver row (VERDICT r08 item 5), so they must not be the ones that
+    fall outside the 50-entry window when the pool exceeds it."""
     allq = _all_queries()
     green = _driver_green_rounds()
     reds = _driver_unresolved_reds()
+    pillar = {
+        "knn_blocked_pairs",
+        "knn_blocked_recall",
+        "knn_multiprobe_pairs",
+        "knn_multiprobe_recall",
+        "ann_pq_recall",
+    }
     names = sorted(
         allq,
         key=lambda n: (
-            n != "fact_trips",
             n not in reds,
             green.get(n, 0),
+            n not in pillar,
             list(allq).index(n),
         ),
     )

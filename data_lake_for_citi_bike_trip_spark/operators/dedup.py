@@ -595,6 +595,22 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     The oracle generates candidates from ALL shared tokens (brute
     force) — so a prefix too short to be lossless goes red, proving
     completeness, not just precision.
+
+    EXACT-DUPLICATE COLLAPSE (enforced in code, not just documented —
+    VERDICT r08 item 2): on duplicate-heavy corpora the all-pairs
+    contract is the cost driver — a cluster of n identical docs emits
+    C(n,2) pairs and each pair pays exact Σ|A∩B| verification (the r8
+    10× soak measured 28× time purely from this). Docs with identical
+    normalized token arrays have identical shingle SETS, so their
+    Jaccard with every third doc is identical and with each other is
+    exactly 1.0. The join therefore (1) collapses each identical-token
+    group to its min-doc_id representative, (2) runs the ppjoin over
+    representatives only — verification cost drops from O(pairs) to
+    O(unique-pairs), (3) re-expands representative pairs to the full
+    member cross product and emits the intra-group C(n,2) pairs
+    directly with inter = uni = |shingle set| and jaccard_e4 = 10000.
+    Output-identical to the naive form by construction; the brute-force
+    oracle (which does NOT collapse) proves it at every scale.
     """
     words = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), "[^a-z]+").alias("ws")
@@ -605,6 +621,23 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     # DuckDB oracle's generate_series(1, len-2) is empty for the same
     # input, so filtering matches oracle semantics exactly.
     words = words.where(F.size("ws") >= 3)
+    # Exact-duplicate collapse: key on the normalized token array
+    # (tokens are [a-z]+ only, so "\n" can never appear inside one and
+    # array_join is injective). One shuffle on the md5 key — the same
+    # cost shape as exact_duplicates(), scales to 100 TB.
+    keyed = words.withColumn("grp", F.md5(F.array_join("ws", "\n")))
+    members = keyed.select(
+        "doc_id",
+        "grp",
+        F.min("doc_id").over(Window.partitionBy("grp")).alias("rep"),
+    )
+    words = (
+        keyed.join(
+            members.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+            "doc_id",
+        )
+        .select("doc_id", "ws")
+    )
     toks = (
         words.select(
             "doc_id",
@@ -659,7 +692,7 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
-    return (
+    rep_pairs = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -671,6 +704,51 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
         )
         .where(F.col("jaccard_e4") >= threshold_e1 * 1000)
     )
+    # Re-expand representative pairs to the full member cross product.
+    # Groups are disjoint, so a member of doc_a's group never equals a
+    # member of doc_b's group; least/greatest restores the global
+    # doc_a < doc_b contract (member ids interleave across groups).
+    ma = members.select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("mem_a")
+    )
+    mb = members.select(
+        F.col("rep").alias("doc_b"), F.col("doc_id").alias("mem_b")
+    )
+    expanded = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("mem_a", "mem_b").alias("doc_a"),
+            F.greatest("mem_a", "mem_b").alias("doc_b"),
+            "inter",
+            "uni",
+            "jaccard_e4",
+        )
+    )
+    # Intra-group pairs: identical token arrays => identical shingle
+    # sets => inter = uni = |shingle set| and Jaccard exactly 1.0.
+    # Output-proportional by construction (the contract emits exactly
+    # these C(n,2) rows), so no hidden blowup beyond the output itself.
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "grp")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.rep").alias("rep"),
+        )
+        .join(sizes.select(F.col("doc_id").alias("rep"), "sz"), "rep")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sz").alias("inter"),
+            F.col("sz").alias("uni"),
+            F.lit(10000).cast("long").alias("jaccard_e4"),
+        )
+        .where(F.lit(10000) >= threshold_e1 * 1000)
+    )
+    return expanded.unionByName(intra)
 
 
 def cross_source_dups(docs: DataFrame, prefix_chars: int = 64) -> DataFrame:

@@ -303,38 +303,47 @@ def test_gate_rotation_frontloads_unchecked_queries():
     """The driver's correctness gate samples the FIRST 50 entries of
     queries(): queries whose latest driver row is a FAIL (uncontradicted
     reds) must sort before never-checked ones, and both before every
-    already-green one (after the flagship), so past reds re-certify
-    first and new work earns a driver row within one round while there
-    are <50 unchecked entries."""
+    already-green one, so past reds re-certify first and new work earns
+    a driver row within one round while there are <50 unchecked
+    entries. fact_trips is deliberately NOT pinned to slot 0 any more
+    (r9): entry() exercises it every round, so pinning it only
+    displaced a never-checked query from the sample window."""
     import __spark_entry__ as entrymod
 
     q = list(entrymod.queries())
     green = entrymod._driver_green_rounds()
     reds = entrymod._driver_unresolved_reds()
-    assert q[0] == "fact_trips"
-    # ever-red (no subsequent pass) sorts before every other non-flagship
+    # ever-red (no subsequent pass) sorts before every other query
     for n in reds:
         if n not in q:
             continue
-        others = [
-            m for m in q if m not in reds and m != "fact_trips"
-        ]
+        others = [m for m in q if m not in reds]
         if others:
             assert q.index(n) < min(q.index(m) for m in others), n
-    unchecked = [n for n in q if n not in green and n != "fact_trips"]
+    unchecked = [n for n in q if n not in green]
     if unchecked:
         last_unchecked = max(q.index(n) for n in unchecked)
         first_checked = min(
-            q.index(n)
-            for n in q
-            if n in green and n != "fact_trips" and n not in reds
+            q.index(n) for n in q if n in green and n not in reds
         )
         assert last_unchecked < first_checked, (
             q[first_checked],
             q[last_unchecked],
         )
-        if len(unchecked) < 49:
+        if len(unchecked) <= 50:
             assert last_unchecked < 50, "unchecked query outside gate window"
+        # the ANN/KNN pillar family must never be the overflow that
+        # falls outside the 50-entry window (VERDICT r08 item 5)
+        pillar = [
+            "knn_blocked_pairs",
+            "knn_blocked_recall",
+            "knn_multiprobe_pairs",
+            "knn_multiprobe_recall",
+            "ann_pq_recall",
+        ]
+        for n in pillar:
+            if n in unchecked:
+                assert q.index(n) < 50, n
     # and every queries() entry still has an oracle
     assert set(entrymod.queries()) == set(entrymod.oracle_sql())
 
@@ -460,3 +469,36 @@ def test_decision_walks_are_single_pass_maps(spark, sf_dir):
         assert "MapInPandas" in f["plan"], name
         assert "FlatMapGroupsInPandas" not in f["plan"], name
         assert "hashpartitioning(user_id" in f["plan"], name
+
+
+def test_two_pass_rewrites_keep_global_windows_bounded(spark, sf_dir):
+    """peak_concurrency / feature_deciles / pareto_8020 /
+    abc_classification / lorenz_deciles were rewritten in r8 from
+    single-partition windows over ENTITY-GRAIN rows to bounded two-pass
+    histogram forms (commits 26b4719, ded8693). Pin the shape so a
+    refactor can't silently reintroduce the global window: every
+    Exchange SinglePartition in these plans must be fed directly by a
+    final Aggregate (the bounded value-domain / day-grain histogram —
+    ≤4096 buckets regardless of corpus size), never by raw scan/join
+    output whose row count grows with the data."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    agg_child = re.compile(r"^(\*\(\d+\) )?(Hash|Sort|ObjectHash)Aggregate")
+    for name in (
+        "peak_concurrency",
+        "feature_deciles",
+        "pareto_8020",
+        "abc_classification",
+        "lorenz_deciles",
+    ):
+        df = entrymod.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        singles = [
+            i for i, l in enumerate(lines) if "Exchange SinglePartition" in l
+        ]
+        for i in singles:
+            child = lines[i + 1].lstrip(" :+-")
+            assert agg_child.match(child), (name, lines[i + 1])
