@@ -303,17 +303,126 @@ def blocked_levenshtein_pairs(
     )
 
 
+def _exact_vector_members(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, v, rep): min vec_id over groups of byte-identical
+    vectors. One keyed shuffle on the array itself (Spark normalizes
+    NaN/-0.0 in grouping keys; both merges are cosine-safe — identical
+    arrays give identical dot/norm arithmetic, and sign_bucket treats
+    -0.0 >= 0 and NaN >= 0 the same for every member)."""
+    e = spread(embeddings).select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    return e.withColumn(
+        "rep", F.min("vec_id").over(Window.partitionBy("v"))
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.999, bucket_bits: int = 8
 ) -> DataFrame:
     """Cosine near-dup via sign-bucket LSH: pairs sharing a sign pattern,
     verified by exact (rounded) cosine. Scaled/identical-direction copies
-    land in the same bucket by construction."""
-    e = spread(embeddings).select(
-        "vec_id", V.as_double(F.col("embedding")).alias("v")
-    ).withColumn("bucket", V.sign_bucket(F.col("v"), bucket_bits))
-    a, b = e.alias("a"), e.alias("b")
-    return (
+    land in the same bucket by construction.
+
+    EXACT-DUPLICATE COLLAPSE (same argument as jaccard_prefix_join):
+    byte-identical vectors are collapsed to their min-id representative
+    before the bucket join — cosine verification runs once per UNIQUE
+    pair instead of once per pair (a 100-copy cluster would otherwise
+    pay C(100,2) array reductions) — then representative pairs re-expand
+    to the member cross product and intra-group pairs are emitted with
+    the representative's SELF-cosine (identical float arithmetic to the
+    naive a-vs-b computation for identical arrays; a zero-norm or NaN
+    vector self-scores NaN and is filtered exactly as the naive form
+    would). Output-identical by construction; the brute-force oracle
+    (no collapse) proves it at every scale."""
+    g = _exact_vector_members(embeddings)
+    reps = (
+        g.where(F.col("vec_id") == F.col("rep"))
+        .select("vec_id", "v")
+        .withColumn("bucket", V.sign_bucket(F.col("v"), bucket_bits))
+    )
+    a, b = reps.alias("a"), reps.alias("b")
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("r1"),
+            F.col("b.vec_id").alias("r2"),
+            V.cosine_r6(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    members = g.select("vec_id", "rep")
+    inter = (
+        rep_pairs.join(
+            members.select(
+                F.col("rep").alias("r1"), F.col("vec_id").alias("m1")
+            ),
+            "r1",
+        )
+        .join(
+            members.select(
+                F.col("rep").alias("r2"), F.col("vec_id").alias("m2")
+            ),
+            "r2",
+        )
+        .select(
+            F.least("m1", "m2").alias("d1"),
+            F.greatest("m1", "m2").alias("d2"),
+            "cos_sim",
+        )
+    )
+    self_cos = (
+        reps.select(
+            F.col("vec_id").alias("rep"),
+            V.cosine_r6(F.col("v"), F.col("v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    intra = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("d1"),
+            F.col("y.vec_id").alias("d2"),
+            F.col("x.rep").alias("rep"),
+        )
+        .join(self_cos, "rep")
+        .select("d1", "d2", "cos_sim")
+    )
+    return inter.unionByName(intra)
+
+
+def embedding_dup_edges_for_clustering(
+    embeddings: DataFrame, threshold: float = 0.999, bucket_bits: int = 8
+) -> DataFrame:
+    """Component-equivalent REDUCED edge set for pairs->clusters
+    pipelines (semantic dedup): representative-level qualifying pairs
+    plus one rep->member STAR edge per exact-duplicate member, instead
+    of the full C(n,2) intra-cluster clique ``embedding_dup_pairs``
+    contractually emits. Connected components — and therefore cluster
+    assignments and survivors — are IDENTICAL (a star connects exactly
+    what a clique connects), but the edge count feeding the iterative
+    label propagation drops from O(sum n_i^2) to O(sum n_i): at the
+    100x replicated soak that is 11.4M -> ~0.2M edges. Star edges are
+    gated on the representative's self-cosine clearing the threshold,
+    matching the naive form's behavior on zero-norm/NaN vectors (whose
+    intra-group pairs never qualify, leaving each copy a singleton)."""
+    g = _exact_vector_members(embeddings)
+    reps = (
+        g.where(F.col("vec_id") == F.col("rep"))
+        .select("vec_id", "v")
+        .withColumn("bucket", V.sign_bucket(F.col("v"), bucket_bits))
+    )
+    a, b = reps.alias("a"), reps.alias("b")
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -326,6 +435,24 @@ def embedding_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+    self_cos = (
+        reps.select(
+            F.col("vec_id").alias("rep"),
+            V.cosine_r6(F.col("v"), F.col("v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    star = (
+        g.where(F.col("vec_id") != F.col("rep"))
+        .select("vec_id", "rep")
+        .join(self_cos, "rep")
+        .select(
+            F.col("rep").alias("d1"),
+            F.col("vec_id").alias("d2"),
+            "cos_sim",
+        )
+    )
+    return rep_pairs.unionByName(star)
 
 
 def connected_components(
