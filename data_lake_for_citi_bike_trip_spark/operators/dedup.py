@@ -331,10 +331,13 @@ def embedding_dup_pairs(
     pay C(100,2) array reductions) — then representative pairs re-expand
     to the member cross product and intra-group pairs are emitted with
     the representative's SELF-cosine (identical float arithmetic to the
-    naive a-vs-b computation for identical arrays; a zero-norm or NaN
-    vector self-scores NaN and is filtered exactly as the naive form
-    would). Output-identical by construction; the brute-force oracle
-    (no collapse) proves it at every scale."""
+    naive a-vs-b computation for identical arrays; a NaN vector
+    self-scores NaN, which Spark's NaN-is-greatest ordering KEEPS past
+    the >= threshold filter exactly as the naive form keeps NaN pair
+    scores, and a zero-norm vector raises DIVIDE_BY_ZERO under ANSI
+    mode in BOTH forms — loud-fail parity). Output-identical by
+    construction; the brute-force oracle (no collapse) proves it at
+    every scale."""
     g = _exact_vector_members(embeddings)
     reps = (
         g.where(F.col("vec_id") == F.col("rep"))
@@ -412,9 +415,10 @@ def embedding_dup_edges_for_clustering(
     what a clique connects), but the edge count feeding the iterative
     label propagation drops from O(sum n_i^2) to O(sum n_i): at the
     100x replicated soak that is 11.4M -> ~0.2M edges. Star edges are
-    gated on the representative's self-cosine clearing the threshold,
-    matching the naive form's behavior on zero-norm/NaN vectors (whose
-    intra-group pairs never qualify, leaving each copy a singleton)."""
+    gated on the representative's self-cosine clearing the threshold —
+    the same >= filter the full pair set applies, so NaN groups (which
+    Spark's NaN-is-greatest ordering keeps) and sub-threshold groups
+    connect or stay singletons exactly as the clique form decides."""
     g = _exact_vector_members(embeddings)
     reps = (
         g.where(F.col("vec_id") == F.col("rep"))

@@ -378,3 +378,136 @@ def test_jaccard_prefix_short_docs_no_crash(spark):
     rows = dedup.jaccard_prefix_join(docs).collect()
     assert {(r.doc_a, r.doc_b) for r in rows} == {(4, 5)}
     assert rows[0].jaccard_e4 == 10000
+
+
+def test_embedding_collapse_matches_naive_with_exact_copies(spark, sf_dir):
+    """The r9 exact-duplicate collapse must be output-identical to the
+    naive all-pairs-in-bucket form on a corpus with byte-identical
+    copies — including a NaN-containing duplicate GROUP: Spark orders
+    NaN GREATER than every double, so a NaN cosine passes the
+    >= threshold filter and the pair is KEPT — and the collapse must
+    reproduce exactly that (intra-group via the NaN self-cosine,
+    cross-group via the representative's NaN pair score). Zero-norm
+    vectors raise DIVIDE_BY_ZERO under ANSI mode in BOTH forms —
+    loud-fail parity."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 40)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    dim = len(emb.first().embedding)
+    copies = emb.where(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    more = emb.where(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 2000).alias("vec_id"), "embedding"
+    )
+    nan_vec = [float("nan")] + [1.0] * (dim - 1)
+    nans = spark.createDataFrame(
+        [(9001, nan_vec), (9002, nan_vec)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.unionAll(copies).unionAll(more).unionAll(nans)
+    got = {
+        (r.d1, r.d2): r.cos_sim
+        for r in dedup.embedding_dup_pairs(corpus, threshold=0.999).collect()
+    }
+    # naive reference: bucket join over ALL vectors, no collapse
+    from data_lake_for_citi_bike_trip_spark.functions import vectors as V
+
+    e = corpus.select(
+        "vec_id", F.col("embedding").alias("v")
+    ).withColumn("bucket", V.sign_bucket(F.col("v"), 8))
+    a, b = e.alias("a"), e.alias("b")
+    naive = {
+        (r.d1, r.d2): r.cos_sim
+        for r in (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("d1"),
+                F.col("b.vec_id").alias("d2"),
+                V.cosine_r6(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            )
+            .where(F.col("cos_sim") >= 0.999)
+        ).collect()
+    }
+    import math
+
+    def canon(d):
+        return {
+            k: ("NaN" if isinstance(v, float) and math.isnan(v) else v)
+            for k, v in d.items()
+        }
+
+    assert canon(got) == canon(naive)
+    # the duplicated triples produced cross-copy pairs...
+    assert (0, 1000) in got and (0, 2000) in got and (1000, 2000) in got
+    # ...and the NaN group's pairs are present with NaN scores (Spark's
+    # NaN-is-greatest ordering keeps them in both forms)
+    assert math.isnan(got[(9001, 9002)])
+
+
+def test_star_edges_cluster_identically_to_full_pairs(spark, sf_dir):
+    """embedding_dup_edges_for_clustering feeds O(n) star edges per
+    exact-duplicate group instead of the C(n,2) clique; the resulting
+    clusters (via dedup_clusters) must be IDENTICAL to clustering the
+    full contractual pair set."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 30)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    copies = emb.where(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionAll(copies)
+    full = dedup.dedup_clusters(
+        corpus, dedup.embedding_dup_pairs(corpus, threshold=0.999), id_col="vec_id"
+    )
+    star = dedup.dedup_clusters(
+        corpus,
+        dedup.embedding_dup_edges_for_clustering(corpus, threshold=0.999),
+        id_col="vec_id",
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, star.collect())
+    )
+
+
+def test_jaccard_collapse_matches_naive_on_duplicate_heavy_corpus(spark):
+    """jaccard_prefix_join's exact-duplicate collapse must reproduce the
+    naive result on a corpus saturated with exact copies — including
+    intra-group pairs at jaccard_e4 == 10000 with inter == uni == the
+    trigram-set size, and near-dup pairs BETWEEN different duplicate
+    groups expanded to every member combination."""
+    base = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "completely unrelated text about database partitioning strategies",
+    ]
+    rows = []
+    for rep in range(4):
+        for j, t in enumerate(base):
+            rows.append((rep * 10 + j, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.jaccard_prefix_join(docs, threshold_e1=6)
+    got = {(r.doc_a, r.doc_b): (r.inter, r.uni, r.jaccard_e4) for r in out.collect()}
+    # intra-group: doc 0/10/20/30 identical -> C(4,2)=6 pairs at 10000
+    intra_0 = [(a, b) for (a, b) in got if a % 10 == 0 and b % 10 == 0]
+    assert len(intra_0) == 6
+    assert all(got[p][2] == 10000 and got[p][0] == got[p][1] for p in intra_0)
+    # inter-group: every (fox-today, fox-tonight) member combination
+    cross = [(a, b) for (a, b) in got if {a % 10, b % 10} == {0, 1}]
+    assert len(cross) == 16  # 4 members x 4 members
+    assert len({got[p] for p in cross}) == 1  # identical scores
+    # the unrelated text pairs only with its own copies
+    unrelated = [(a, b) for (a, b) in got if a % 10 == 2 or b % 10 == 2]
+    assert all(a % 10 == 2 and b % 10 == 2 for a, b in unrelated)
