@@ -300,6 +300,145 @@ def knn_graph(embeddings: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def _collapsed_knn_edges(
+    embeddings: DataFrame,
+    k: int,
+    bucket_bits: int | None = None,
+    multiprobe: bool = False,
+) -> DataFrame:
+    """Exact kNN edges (src, dst, cos_sim, rank) — output-identical to
+    scoring every member pair (``knn_graph`` / the blocked variants'
+    inner scorer) but computed once per EXACT-DUPLICATE GROUP.
+
+    Byte-identical vectors share their entire candidate list, so the
+    per-member top-k is derived from group-level work (the same
+    collapse as ``dedup.embedding_dup_pairs``; a 100-copy cluster would
+    otherwise multiply candidate-pair scoring AND the top-k shuffle by
+    100x100 — the r9 100x soak measured the naive blocked form spilling
+    a multi-GB single-key sort on exactly that corpus):
+
+    1. collapse members to min-id representatives (one keyed shuffle on
+       the vector itself);
+    2. score REP pairs only — all-pairs (bucket_bits None), same
+       sign-bucket, or Hamming<=1 multiprobe buckets — INCLUDING the
+       self pair, whose self-cosine stands in for every intra-group
+       member pair (identical arrays -> identical float arithmetic);
+    3. expand candidate groups to member-level candidates and take the
+       group's top-(k+1) by the naive ordering (cos DESC, dst ASC) —
+       k+1 because each member's personal list differs from the group
+       list only by removing itself. The expansion volume is
+       sum over groups of candidate MEMBERS, which equals the naive
+       candidate-pair volume when every vector is unique and is 1/copy²
+       of it when it isn't — never more;
+    4. expand to src members, drop self, and re-rank the <=k+1 rows per
+       src: row_number here equals the naive per-member rank exactly
+       (nothing that precedes a top-k candidate was dropped: a dropped
+       candidate has >= k+1 group-list predecessors, of which at most
+       one — self — is removed for any member, leaving >= k ahead of
+       it).
+
+    NULL embeddings and NaN cosines follow the naive semantics by
+    construction: grouping treats NULL/NaN keys as equal (cosine- and
+    sign-bucket-safe), NULL cos_sim orders last / NaN first exactly as
+    the naive window orders them, and ranks survive because the
+    ordering never changes — only provably-unreachable rows are cut."""
+    base = _prepared(embeddings)
+    g = base.withColumn(
+        "rep", F.min("vec_id").over(Window.partitionBy("v"))
+    )
+    members = g.select("vec_id", "rep")
+    reps = (
+        g.where(F.col("vec_id") == F.col("rep"))
+        .select(F.col("vec_id").alias("rid"), "v")
+        .withColumn("nrm", V.norm(F.col("v")))
+    )
+    cand_side = reps.select(
+        F.col("rid").alias("h_id"),
+        F.col("v").alias("hv"),
+        F.col("nrm").alias("hnrm"),
+    )
+    if bucket_bits is None:
+        # exact tier: every group pairs with every group (self included).
+        # spread() re-parallelizes the stream side: AQE coalesces the
+        # tiny post-collapse shuffle to one partition, and the cross
+        # join then explodes |groups| -> |groups|² rows inside that
+        # single task (measured 24s vs 3s at sf0.1) — fan back out
+        # BEFORE the explosion so the pair scoring uses every core.
+        q_side = spread(
+            reps.select(
+                F.col("rid").alias("g_id"),
+                F.col("v").alias("gv"),
+                F.col("nrm").alias("gnrm"),
+            )
+        )
+        paired = q_side.crossJoin(F.broadcast(cand_side))
+    else:
+        bucketed = reps.withColumn(
+            "bucket", V.sign_bucket(F.col("v"), bucket_bits)
+        )
+        cand_side = bucketed.select(
+            F.col("rid").alias("h_id"),
+            F.col("v").alias("hv"),
+            F.col("nrm").alias("hnrm"),
+            "bucket",
+        )
+        if multiprobe:
+            probe_expr = (
+                f"concat(array(bucket), transform(sequence(1, {bucket_bits}), j -> "
+                "concat(substring(bucket, 1, j - 1), "
+                "case when substring(bucket, j, 1) = '1' then '0' else '1' end, "
+                f"substring(bucket, j + 1, {bucket_bits}))))"
+            )
+            q_side = bucketed.select(
+                F.col("rid").alias("g_id"),
+                F.col("v").alias("gv"),
+                F.col("nrm").alias("gnrm"),
+                F.explode(F.expr(probe_expr)).alias("pb"),
+            )
+            paired = q_side.join(
+                cand_side, F.col("pb") == F.col("bucket")
+            )
+        else:
+            q_side = bucketed.select(
+                F.col("rid").alias("g_id"),
+                F.col("v").alias("gv"),
+                F.col("nrm").alias("gnrm"),
+                F.col("bucket").alias("gb"),
+            )
+            paired = q_side.join(
+                cand_side, F.col("gb") == F.col("bucket")
+            )
+    rep_scored = paired.select(
+        "g_id",
+        "h_id",
+        V.cosine_r6_prenormed(
+            F.col("gv"), F.col("hv"), F.col("gnrm"), F.col("hnrm")
+        ).alias("cos_sim"),
+    )
+    mcand = rep_scored.join(
+        members.select(
+            F.col("rep").alias("h_id"), F.col("vec_id").alias("dst")
+        ),
+        "h_id",
+    ).select("g_id", "dst", "cos_sim")
+    w_g = Window.partitionBy("g_id").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    glist = mcand.withColumn("grank", F.row_number().over(w_g)).where(
+        F.col("grank") <= k + 1
+    )
+    edges = glist.join(
+        members.select(
+            F.col("rep").alias("g_id"), F.col("vec_id").alias("src")
+        ),
+        "g_id",
+    ).where(F.col("dst") != F.col("src"))
+    w_m = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return (
+        edges.withColumn("rank", F.row_number().over(w_m).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "cos_sim", "rank")
+    )
+
+
 def mutual_knn_pairs(embeddings: DataFrame, k: int = 5) -> DataFrame:
     """Mutual-kNN edges: unordered pairs where EACH vector is in the
     other's top-k — the standard robust edge set for density/cluster
@@ -310,8 +449,10 @@ def mutual_knn_pairs(embeddings: DataFrame, k: int = 5) -> DataFrame:
     expensive scoring pipeline for each side): every directed edge is
     canonicalized to (min, max) and grouped — a pair present twice has
     both directions. One pass over the edge list, one shuffle on the
-    canonical pair, linear in edges (n·k rows)."""
-    edges = knn_graph(embeddings, k)
+    canonical pair, linear in edges (n·k rows). Edges come from the
+    exact-duplicate-collapsed scorer (output-identical to knn_graph,
+    including ranks — see ``_collapsed_knn_edges``)."""
+    edges = _collapsed_knn_edges(embeddings, k)
     canon = edges.select(
         F.least("src", "dst").alias("v1"),
         F.greatest("src", "dst").alias("v2"),
@@ -768,32 +909,16 @@ def blocked_mutual_knn(
     LSH blocks, so pair scoring is sum over buckets of |bucket|²
     instead of n². Same mutuality canonicalization; candidate loss is
     quantified by ``blocked_knn_recall`` below rather than hidden.
-    """
-    corpus = (
-        _prepared(embeddings)
-        .withColumn("bucket", V.sign_bucket(F.col("v"), bucket_bits))
-        .withColumn("nrm", V.norm(F.col("v")))
+
+    Scoring runs through the exact-duplicate-collapsed scorer
+    (``_collapsed_knn_edges``) — on a duplicate-saturated corpus the
+    naive within-bucket form multiplies both the pair scoring and the
+    top-k shuffle by the squared copy count (the r9 100x soak spilled
+    multi-GB sorts on it); the collapsed form is output-identical and
+    linear in members + unique-pair work."""
+    edges = _collapsed_knn_edges(
+        embeddings, k, bucket_bits=bucket_bits
     )
-    src = corpus.select(
-        F.col("bucket").alias("b2"),
-        F.col("vec_id").alias("src"),
-        F.col("v").alias("sv"),
-        F.col("nrm").alias("snrm"),
-    )
-    scored = corpus.join(
-        src,
-        (F.col("bucket") == F.col("b2")) & (F.col("vec_id") != F.col("src")),
-    ).select(
-        "src",
-        F.col("vec_id").alias("dst"),
-        V.cosine_r6_prenormed(
-            F.col("sv"), F.col("v"), F.col("snrm"), F.col("nrm")
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
-    edges = scored.withColumn(
-        "rank", F.row_number().over(w).cast("bigint")
-    ).where(F.col("rank") <= k)
     canon = edges.select(
         F.least("src", "dst").alias("v1"),
         F.greatest("src", "dst").alias("v2"),
@@ -845,38 +970,17 @@ def blocked_mutual_knn_multiprobe(
 
     ``blocked_knn_multiprobe_recall`` quantifies the gain: recall_bp
     strictly above single-probe on the same data (oracle-reproduced,
-    not asserted on faith)."""
-    corpus = (
-        _prepared(embeddings)
-        .withColumn("bucket", V.sign_bucket(F.col("v"), bucket_bits))
-        .withColumn("nrm", V.norm(F.col("v")))
+    not asserted on faith).
+
+    Scoring runs through the exact-duplicate-collapsed scorer
+    (``_collapsed_knn_edges`` with multiprobe=True) — candidate
+    generation and the probe relation are unchanged (a vector's home
+    bucket matches exactly one probe string, so each pair scores once,
+    same as the naive join), only the per-copy duplication of the work
+    is gone. Output-identical including ranks."""
+    edges = _collapsed_knn_edges(
+        embeddings, k, bucket_bits=bucket_bits, multiprobe=True
     )
-    probe_expr = (
-        f"concat(array(bucket), transform(sequence(1, {bucket_bits}), j -> "
-        "concat(substring(bucket, 1, j - 1), "
-        "case when substring(bucket, j, 1) = '1' then '0' else '1' end, "
-        f"substring(bucket, j + 1, {bucket_bits}))))"
-    )
-    probes = corpus.select(
-        F.col("vec_id").alias("src"),
-        F.col("v").alias("sv"),
-        F.col("nrm").alias("snrm"),
-        F.explode(F.expr(probe_expr)).alias("pb"),
-    )
-    scored = corpus.join(
-        probes,
-        (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("src")),
-    ).select(
-        "src",
-        F.col("vec_id").alias("dst"),
-        V.cosine_r6_prenormed(
-            F.col("sv"), F.col("v"), F.col("snrm"), F.col("nrm")
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
-    edges = scored.withColumn(
-        "rank", F.row_number().over(w).cast("bigint")
-    ).where(F.col("rank") <= k)
     canon = edges.select(
         F.least("src", "dst").alias("v1"),
         F.greatest("src", "dst").alias("v2"),
