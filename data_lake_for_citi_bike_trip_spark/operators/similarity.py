@@ -389,21 +389,33 @@ def _collapsed_knn_edges(
                 "case when substring(bucket, j, 1) = '1' then '0' else '1' end, "
                 f"substring(bucket, j + 1, {bucket_bits}))))"
             )
-            q_side = bucketed.select(
-                F.col("rid").alias("g_id"),
-                F.col("v").alias("gv"),
-                F.col("nrm").alias("gnrm"),
-                F.explode(F.expr(probe_expr)).alias("pb"),
+            # spread(): same AQE coalesce-then-explode trap as the
+            # exact tier — the post-collapse rep set is tiny at toy
+            # scale, AQE coalesces its shuffle to ~1 partition, and the
+            # bucket join then emits the candidate pairs single-task.
+            # Fan the probe side back out; NO broadcast hint on
+            # cand_side (it is corpus-sized — grows with unique
+            # vectors — so a forced hint would blow the broadcast limit
+            # at 100 TB; AQE still broadcasts it when actually small).
+            q_side = spread(
+                bucketed.select(
+                    F.col("rid").alias("g_id"),
+                    F.col("v").alias("gv"),
+                    F.col("nrm").alias("gnrm"),
+                    F.explode(F.expr(probe_expr)).alias("pb"),
+                )
             )
             paired = q_side.join(
                 cand_side, F.col("pb") == F.col("bucket")
             )
         else:
-            q_side = bucketed.select(
-                F.col("rid").alias("g_id"),
-                F.col("v").alias("gv"),
-                F.col("nrm").alias("gnrm"),
-                F.col("bucket").alias("gb"),
+            q_side = spread(
+                bucketed.select(
+                    F.col("rid").alias("g_id"),
+                    F.col("v").alias("gv"),
+                    F.col("nrm").alias("gnrm"),
+                    F.col("bucket").alias("gb"),
+                )
             )
             paired = q_side.join(
                 cand_side, F.col("gb") == F.col("bucket")
