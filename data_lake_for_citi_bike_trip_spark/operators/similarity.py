@@ -944,11 +944,28 @@ def blocked_mutual_knn(
     )
 
 
-def blocked_knn_recall(embeddings: DataFrame, k: int = 5, bucket_bits: int = 4) -> DataFrame:
+def blocked_knn_recall(
+    embeddings: DataFrame,
+    k: int = 5,
+    bucket_bits: int = 4,
+    sample_cap: int | None = None,
+) -> DataFrame:
     """One-row quality readout for the blocked graph: exact-pair count,
     blocked-pair count, their intersection, and recall in basis points
     — entirely deterministic, so the oracle reproduces the number
-    rather than trusting a bound."""
+    rather than trusting a bound.
+
+    ``sample_cap``: the exact baseline is quadratic in UNIQUE vectors by
+    definition — a rate-based subsample (vec_id % p == 0, what the
+    contract query uses for oracle determinism) still grows linearly
+    with the corpus, so its baseline cost grows quadratically. At 100 TB
+    pass an ABSOLUTE cap instead: ``vec_id < sample_cap`` bounds the
+    baseline at O(cap^2) REGARDLESS of corpus size (SOAK_r9.md contract
+    note). Both the exact and blocked sides are capped identically —
+    recall is only meaningful when both graphs are built over the same
+    vector set."""
+    if sample_cap is not None:
+        embeddings = embeddings.where(F.col("vec_id") < sample_cap)
     exact = mutual_knn_pairs(embeddings, k=k).select("v1", "v2")
     blocked = blocked_mutual_knn(embeddings, k=k, bucket_bits=bucket_bits).select(
         "v1", "v2"
@@ -1007,14 +1024,23 @@ def blocked_mutual_knn_multiprobe(
 
 
 def blocked_knn_multiprobe_recall(
-    embeddings: DataFrame, k: int = 5, bucket_bits: int = 4
+    embeddings: DataFrame,
+    k: int = 5,
+    bucket_bits: int = 4,
+    sample_cap: int | None = None,
 ) -> DataFrame:
     """One-row readout comparing single-probe and multi-probe blocked
     graphs against the exact mutual-kNN graph — all three deterministic,
     so the oracle reproduces every number. The interesting columns:
     multi_recall_bp vs single_recall_bp (the multi-probe gain) and
     multi_superset (multi-probe candidates contain all single-probe
-    candidates, so its graph can only add pairs)."""
+    candidates, so its graph can only add pairs).
+
+    ``sample_cap``: absolute bound on the quadratic exact baseline for
+    100 TB deployments — see ``blocked_knn_recall``; applied identically
+    to all three graphs so recall stays an apples-to-apples readout."""
+    if sample_cap is not None:
+        embeddings = embeddings.where(F.col("vec_id") < sample_cap)
     exact = mutual_knn_pairs(embeddings, k=k).select("v1", "v2")
     single = blocked_mutual_knn(embeddings, k=k, bucket_bits=bucket_bits).select(
         "v1", "v2"

@@ -3,6 +3,8 @@ contamination_check, mixture_epochs, repetition_stats."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_lake_for_citi_bike_trip_spark.operators import corpus, text as text_ops
 
 
@@ -299,6 +301,33 @@ def test_multiprobe_knn_superset_and_strictly_better_recall(spark, sf_dir):
         r.multi_recall_bp,
     )
     assert m_pairs, (len(s_pairs), len(m_pairs))
+
+
+def test_recall_sample_cap_equals_prefiltered_baseline(spark, sf_dir):
+    """The 100-TB posture for the quadratic exact-recall baseline is an
+    ABSOLUTE sample cap (SOAK_r9.md contract note): vec_id < C bounds
+    the baseline at O(C^2) regardless of corpus size. Semantics pin:
+    sample_cap=C must be bit-identical to hand-filtering the input to
+    vec_id < C — the cap is a pushed-down filter, not a different
+    estimator — for both the single-probe and multi-probe readouts."""
+    from data_lake_for_citi_bike_trip_spark.operators import similarity
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cap = 60
+    capped = similarity.blocked_knn_recall(emb, k=3, sample_cap=cap).first()
+    manual = similarity.blocked_knn_recall(
+        emb.where(F.col("vec_id") < cap), k=3
+    ).first()
+    assert capped == manual, (capped, manual)
+    assert capped.n_exact > 0  # the cap must not silence the readout
+    capped_m = similarity.blocked_knn_multiprobe_recall(
+        emb, k=3, sample_cap=cap
+    ).first()
+    manual_m = similarity.blocked_knn_multiprobe_recall(
+        emb.where(F.col("vec_id") < cap), k=3
+    ).first()
+    assert capped_m == manual_m, (capped_m, manual_m)
 
 
 def test_bigram_surprisal_prefers_repeated_sequences(spark):
