@@ -966,12 +966,23 @@ def blocked_knn_recall(
     vector set."""
     if sample_cap is not None:
         embeddings = embeddings.where(F.col("vec_id") < sample_cap)
-    exact = mutual_knn_pairs(embeddings, k=k).select("v1", "v2")
-    blocked = blocked_mutual_knn(embeddings, k=k, bucket_bits=bucket_bits).select(
-        "v1", "v2"
+    # Each pair set feeds BOTH a count and a join — persist so the
+    # expensive scoring pipelines run once, not once per action. The
+    # persisted sets are pair lists at sample scale (n·k rows, and the
+    # exact side is cappable via sample_cap), so memory is bounded by
+    # the sample, never the corpus.
+    exact = mutual_knn_pairs(embeddings, k=k).select("v1", "v2").persist()
+    blocked = (
+        blocked_mutual_knn(embeddings, k=k, bucket_bits=bucket_bits)
+        .select("v1", "v2")
+        .persist()
     )
-    common = exact.join(blocked, ["v1", "v2"]).count()
-    n_exact, n_blocked = exact.count(), blocked.count()
+    try:
+        common = exact.join(blocked, ["v1", "v2"]).count()
+        n_exact, n_blocked = exact.count(), blocked.count()
+    finally:
+        exact.unpersist()
+        blocked.unpersist()
     return embeddings.sparkSession.createDataFrame(
         [(n_exact, n_blocked, common, (10000 * common) // max(n_exact, 1))],
         "n_exact bigint, n_blocked bigint, n_common bigint, recall_bp bigint",
@@ -1041,16 +1052,22 @@ def blocked_knn_multiprobe_recall(
     to all three graphs so recall stays an apples-to-apples readout."""
     if sample_cap is not None:
         embeddings = embeddings.where(F.col("vec_id") < sample_cap)
-    exact = mutual_knn_pairs(embeddings, k=k).select("v1", "v2")
+    # The exact graph feeds three actions (its count + two probe
+    # joins); persist so the quadratic baseline pipeline runs ONCE.
+    # Sample-scale pair list — bounded memory (see blocked_knn_recall).
+    exact = mutual_knn_pairs(embeddings, k=k).select("v1", "v2").persist()
     single = blocked_mutual_knn(embeddings, k=k, bucket_bits=bucket_bits).select(
         "v1", "v2"
     )
     multi = blocked_mutual_knn_multiprobe(
         embeddings, k=k, bucket_bits=bucket_bits
     ).select("v1", "v2")
-    n_exact = exact.count()
-    s_common = exact.join(single, ["v1", "v2"]).count()
-    m_common = exact.join(multi, ["v1", "v2"]).count()
+    try:
+        n_exact = exact.count()
+        s_common = exact.join(single, ["v1", "v2"]).count()
+        m_common = exact.join(multi, ["v1", "v2"]).count()
+    finally:
+        exact.unpersist()
     return embeddings.sparkSession.createDataFrame(
         [
             (
