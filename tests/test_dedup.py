@@ -511,3 +511,29 @@ def test_jaccard_collapse_matches_naive_on_duplicate_heavy_corpus(spark):
     # the unrelated text pairs only with its own copies
     unrelated = [(a, b) for (a, b) in got if a % 10 == 2 or b % 10 == 2]
     assert all(a % 10 == 2 and b % 10 == 2 for a, b in unrelated)
+
+
+def test_salted_intra_pairs_exactly_once_property(spark):
+    """_salted_intra_pairs must emit every unordered intra-group pair
+    EXACTLY once with its group-constant payload, for group sizes both
+    below and above the salt factor (the left row's salt matches
+    exactly one right-side replica — a double emission or a dropped
+    salt bucket would corrupt every duplicate-heavy dedup output)."""
+    rows = (
+        [(f"g1", i, 7) for i in range(5)]          # m < salt
+        + [(f"g2", 100 + i, 9) for i in range(40)]  # m > salt
+        + [(f"g3", 900, 3)]                         # singleton: no pairs
+    )
+    members = spark.createDataFrame(rows, "grp string, doc_id long, sz long")
+    out = dedup._salted_intra_pairs(
+        members, "grp", "doc_id", payload=["sz"], salt=16
+    ).collect()
+    got = {}
+    for r in out:
+        got[(r.grp, r.id_a, r.id_b)] = got.get((r.grp, r.id_a, r.id_b), 0) + 1
+        assert r.id_a < r.id_b
+        assert r.sz == {"g1": 7, "g2": 9}[r.grp]
+    assert all(v == 1 for v in got.values()), "duplicate pair emission"
+    assert len([k for k in got if k[0] == "g1"]) == 5 * 4 // 2
+    assert len([k for k in got if k[0] == "g2"]) == 40 * 39 // 2
+    assert not [k for k in got if k[0] == "g3"]
