@@ -84,9 +84,43 @@ def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3
 ) -> DataFrame:
     """Candidate pairs from banded LSH, scored by estimated Jaccard
-    (fraction of matching min-hashes), filtered at ``threshold``."""
-    sigs = _signatures(docs, shingle_n).cache()
-    bands = _band_table(sigs)
+    (fraction of matching min-hashes), filtered at ``threshold``.
+
+    SIGNATURE COLLAPSE (same argument as simhash_pairs_from_signatures):
+    every output column is a function of the two SIGNATURES, so docs
+    with identical signature vectors are interchangeable — banding,
+    candidate dedup, and permutation-match scoring run once per UNIQUE
+    signature, signature pairs expand to member doc pairs, and
+    intra-signature pairs emit directly at est_jaccard exactly 1.0
+    (every permutation matches itself). Without the collapse a whale
+    duplicate-group re-emits its C(m,2) pairs through every band into
+    the distinct() and re-scores each with MINHASH_PERMS comparisons —
+    measured SUPER-linear in output (whale 10.5k->21k copies: 4x the
+    pairs, 8.7x the time, 51.4s), while the collapsed form stays
+    output-proportional (1.6x, 7.1s). The toy-scale cost is ~3 extra
+    signature-sized shuffles (sf0.1: 1.0s -> ~3.9s) — stage overhead
+    that amortizes at scale, the documented collapse trade.
+    The collapse key is md5 over the comma-joined signature ints —
+    injective on the tuple (fixed count, unambiguous encoding), the
+    same 128-bit-collision posture as exact_duplicates' md5 on text.
+    Intra emission is salted (_salted_intra_pairs) so the whale's
+    contract output parallelizes."""
+    sig_cols = [f"mh_{i}" for i in range(TX.MINHASH_PERMS)]
+    keyed = (
+        _signatures(docs, shingle_n)
+        .withColumn("skey", F.md5(F.concat_ws(",", *sig_cols)))
+        .cache()
+    )
+    reps = keyed.groupBy("skey").agg(
+        F.min("doc_id").alias("doc_id"),
+        # group members share byte-identical signatures; min() of an
+        # all-equal column is that value
+        *[F.min(c).alias(c) for c in sig_cols],
+    )
+    members = keyed.join(
+        reps.select("skey", F.col("doc_id").alias("rep")), "skey"
+    ).select("rep", "doc_id")
+    bands = _band_table(reps)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -95,11 +129,11 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select(F.col("a.doc_id").alias("r1"), F.col("b.doc_id").alias("r2"))
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("d1"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(TX.MINHASH_PERMS)])
-    sb = sigs.select(F.col("doc_id").alias("d2"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(TX.MINHASH_PERMS)])
+    sa = reps.select(F.col("doc_id").alias("r1"), *[F.col(c).alias(f"a_{i}") for i, c in enumerate(sig_cols)])
+    sb = reps.select(F.col("doc_id").alias("r2"), *[F.col(c).alias(f"b_{i}") for i, c in enumerate(sig_cols)])
     matches = reduce(
         lambda x, y: x + y,
         [
@@ -107,16 +141,39 @@ def minhash_lsh_pairs(
             for i in range(TX.MINHASH_PERMS)
         ],
     )
-    return (
-        cand.join(sa, "d1")
-        .join(sb, "d2")
+    rep_pairs = (
+        cand.join(sa, "r1")
+        .join(sb, "r2")
         .select(
-            "d1",
-            "d2",
+            "r1",
+            "r2",
             (matches.cast("double") / TX.MINHASH_PERMS).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= threshold)
     )
+    # Expand rep pairs to member pairs; groups are disjoint, so
+    # least/greatest restores the global d1 < d2 contract.
+    ma = members.select(F.col("rep").alias("r1"), F.col("doc_id").alias("m1"))
+    mb = members.select(F.col("rep").alias("r2"), F.col("doc_id").alias("m2"))
+    inter = (
+        rep_pairs.join(ma, "r1")
+        .join(mb, "r2")
+        .select(
+            F.least("m1", "m2").alias("d1"),
+            F.greatest("m1", "m2").alias("d2"),
+            "est_jaccard",
+        )
+    )
+    intra = (
+        _salted_intra_pairs(members, "rep", "doc_id")
+        .select(
+            F.col("id_a").alias("d1"),
+            F.col("id_b").alias("d2"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+        .where(F.lit(1.0) >= threshold)
+    )
+    return inter.unionByName(intra)
 
 
 def simhash_docs(docs: DataFrame) -> DataFrame:
