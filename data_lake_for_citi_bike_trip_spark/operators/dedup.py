@@ -378,21 +378,57 @@ def blocked_levenshtein_pairs(
         F.substring(F.lower(F.col("text")), 1, block_chars).alias("blk"),
         F.substring(F.lower(F.col("text")), 1, head_chars).alias("head"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    # HEAD COLLAPSE (the signature-collapse argument — see
+    # minhash_lsh_pairs): both the block key and the verified distance
+    # are functions of (blk, head) alone, so docs identical on that
+    # prefix pair are interchangeable. The Levenshtein DP — the
+    # expensive part — runs once per UNIQUE head pair; member expansion
+    # restores the doc-pair contract, and intra-group pairs emit
+    # directly at lev 0 (identical heads). Un-collapsed, a whale
+    # duplicate-group paid C(m,2) DP calls on ONE block key
+    # (single-task): 197s warm on the 30%-hot whale corpus vs 4.1s
+    # collapsed (48x); the 2x whale never finished inside 10 min vs
+    # 5.0s collapsed. Common case (sf0.1, duplicate-free): ~1.5s.
+    reps = base.groupBy("blk", "head").agg(F.min("doc_id").alias("rid"))
+    members = base.join(reps, ["blk", "head"]).select(
+        F.col("rid").alias("rep"), "doc_id"
+    )
+    a, b = reps.alias("a"), reps.alias("b")
     lev = F.levenshtein(F.col("a.head"), F.col("b.head"))
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rid") < F.col("b.rid")),
         )
         .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
+            F.col("a.rid").alias("r1"),
+            F.col("b.rid").alias("r2"),
             lev.cast("bigint").alias("lev"),
         )
         .where(F.col("lev") <= max_dist)
     )
+    ma = members.select(F.col("rep").alias("r1"), F.col("doc_id").alias("m1"))
+    mb = members.select(F.col("rep").alias("r2"), F.col("doc_id").alias("m2"))
+    inter = (
+        rep_pairs.join(ma, "r1")
+        .join(mb, "r2")
+        .select(
+            F.least("m1", "m2").alias("d1"),
+            F.greatest("m1", "m2").alias("d2"),
+            "lev",
+        )
+    )
+    intra = (
+        _salted_intra_pairs(members, "rep", "doc_id")
+        .select(
+            F.col("id_a").alias("d1"),
+            F.col("id_b").alias("d2"),
+            F.lit(0).cast("bigint").alias("lev"),
+        )
+        .where(F.lit(0) <= max_dist)
+    )
+    return inter.unionByName(intra)
 
 
 def _salted_intra_pairs(
