@@ -115,11 +115,18 @@ def test_planted_skew_triggers_aqe_skew_join_split(spark):
 
 def test_minhash_band_join_planted_skew_gets_aqe_split(spark):
     """The documented dedup failure mode (dedup.py:17-22): a hot band
-    bucket — here planted via a block of identical documents, which
-    share every band key — must come out of AQE with the band self-join's
-    hot partition SPLIT (skew=true on the SMJ), and the pair results must
-    be unaffected by the split. Thresholds are lowered on a session clone
-    because the band rows are bytes-tiny at test scale."""
+    bucket planted via a block of identical documents, which share
+    every band key. HISTORY: pre-collapse, the correct outcome was an
+    AQE skew split (skew=true on the band SMJ). Since the signature
+    collapse the identical block reduces to ONE representative before
+    banding, so the hot bucket never reaches the join at all — the
+    stronger fix. This test now pins that posture: (a) the pair output
+    contract is unchanged (every identical pair at est_jaccard 1.0),
+    and (b) the quadratic intra emission runs through the SALTED pair
+    join (the __s salt key is visible in the final plan) instead of a
+    single-group-key join. Thresholds are still lowered on a session
+    clone so a regression that reintroduces the hot bucket would show
+    up as a skew split or a single fat partition."""
     from data_lake_for_citi_bike_trip_spark.operators import dedup
 
     sess = spark.newSession()
@@ -149,4 +156,7 @@ def test_minhash_band_join_planted_skew_gets_aqe_split(spark):
     assert n_pairs >= hot_n * (hot_n - 1) // 2
     final_plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final_plan
-    assert "skew=true" in final_plan, final_plan[:4000]
+    # the salted intra join carries the __s salt key through the plan;
+    # the collapse means the band join itself no longer needs a skew
+    # split for identical-document blocks
+    assert "__s" in final_plan, final_plan[:4000]
