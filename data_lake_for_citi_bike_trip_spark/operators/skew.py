@@ -42,15 +42,40 @@ def salted_join(
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, num_buckets: int = 16
 ) -> None:
-    """Persist as a bucketed (+ sorted) managed table: join/groupBy on
-    ``key`` can then reuse the on-disk hash partitioning."""
+    """Persist as a bucketed (+ sorted) table: join/groupBy on ``key``
+    can then reuse the on-disk hash partitioning.
+
+    Cross-process safety: the physical managed table (and hence its
+    warehouse directory) is suffixed with this process's applicationId,
+    so two processes sharing a warehouse never overwrite or delete each
+    other's files — the round-9 bench crash mode. ``table_name`` is
+    registered as a temp view over the physical table; views are plan
+    aliases, so the underlying scan keeps its bucketing metadata and
+    ``bucketed_join`` still plans exchange-free."""
+    spark = df.sparkSession
+    app_tag = "".join(
+        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+    )
+    phys = f"{table_name}__{app_tag}"
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    # applicationIds are process-unique: a leftover directory under the
+    # physical name can only be our own earlier write — safe to clear.
+    spark.sql(f"DROP TABLE IF EXISTS {phys}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    leftover = os.path.join(wh, phys)
+    if wh and os.path.isdir(leftover):
+        shutil.rmtree(leftover)
     (
         df.write.format("parquet")
         .bucketBy(num_buckets, key)
         .sortBy(key)
         .mode("overwrite")
-        .saveAsTable(table_name)
+        .saveAsTable(phys)
     )
+    spark.table(phys).createOrReplaceTempView(table_name)
 
 
 def bucketed_join(

@@ -640,13 +640,24 @@ WITH partsupp AS (SELECT * FROM partsupp_mat)
 
 _PARTSUPP_TABLES: dict[tuple[str, str], str] = {}
 
+# Bump when the derivation formula / schema / bucket layout changes: the
+# version is part of the canonical directory name, so a new code version
+# never reinterprets (or deletes) files published by an old one.
+_PARTSUPP_VERSION = 2
+
+
+def _warehouse_path(spark: SparkSession) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
 
 def ensure_partsupp(
     spark: SparkSession, sf_dir: str, buckets: int = 8
 ) -> str:
     """Materialize the derived partsupp relation as a parquet table
-    bucketed (and sorted) on ps_partkey, once per (application, sf_dir);
-    returns the catalog table name.
+    bucketed (and sorted) on ps_partkey, once per (warehouse, sf_dir,
+    version); returns the catalog table name.
 
     This is the deployment shape PLANS.md called for: the
     DISTINCT-over-lineitem derivation runs exactly once, and the
@@ -655,7 +666,19 @@ def ensure_partsupp(
     repartitioned build side) skips the exchange on partsupp. 8 buckets
     suit test scale; a 100 TB deployment would size buckets to
     ~executor-memory-sized splits of the distinct (partkey, suppkey)
-    domain."""
+    domain.
+
+    Concurrency contract (the round-9 bench crash was a cross-process
+    race on this path): the canonical table directory is IMMUTABLE once
+    published. A process that finds it present registers an external
+    bucketed table over it and never writes; a process that finds it
+    absent builds the relation under an applicationId-unique scratch
+    table (a path no other process can touch) and publishes it with one
+    atomic ``os.rename``. Rename either installs a fully-written
+    directory or fails because a concurrent builder already did — the
+    loser drops its scratch copy and reuses the winner's. No shared path
+    is ever deleted or rewritten, so a scan planned by any process at
+    any time can always execute."""
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir, buckets)
     if key in _PARTSUPP_TABLES:
@@ -663,7 +686,42 @@ def ensure_partsupp(
     for stale in [k for k in _PARTSUPP_TABLES if k[0] != app_id]:
         del _PARTSUPP_TABLES[stale]
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    tbl = f"partsupp_b{buckets}_{tag}"
+    tbl = f"partsupp_b{buckets}_v{_PARTSUPP_VERSION}_{tag}"
+    wh = _warehouse_path(spark)
+    canon_dir = os.path.join(wh, tbl)
+    if not os.path.isdir(canon_dir):
+        _build_and_publish_partsupp(spark, sf_dir, buckets, tbl, canon_dir)
+    # Register (process-local catalog) an external table over the
+    # published directory, declaring the bucket spec the files were
+    # written with so joins on ps_partkey skip the exchange. External:
+    # DROP TABLE removes only this process's catalog row, never the
+    # shared files.
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {tbl} (
+            ps_partkey BIGINT, ps_suppkey BIGINT,
+            ps_availqty BIGINT, ps_supplycost_cents BIGINT
+        ) USING parquet
+        CLUSTERED BY (ps_partkey) SORTED BY (ps_partkey)
+        INTO {buckets} BUCKETS
+        LOCATION '{canon_dir}'
+        """
+    )
+    _PARTSUPP_TABLES[key] = tbl
+    return tbl
+
+
+def _build_and_publish_partsupp(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int,
+    tbl: str,
+    canon_dir: str,
+) -> None:
+    """Derive partsupp into an applicationId-scoped scratch table, then
+    atomically rename its directory to the canonical location."""
+    import shutil
+
     li = load_table(spark, sf_dir, "lineitem")
     ps = (
         li.select("l_partkey", "l_suppkey")
@@ -677,26 +735,36 @@ def ensure_partsupp(
             " AS ps_supplycost_cents",
         )
     )
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    # The in-memory catalog forgets tables across processes but the
-    # warehouse files persist; clear any leftover location so CREATE
-    # doesn't trip over it.
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    leftover = os.path.join(wh, tbl)
-    if wh and os.path.isdir(leftover):
-        shutil.rmtree(leftover)
+    app_tag = "".join(
+        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+    )
+    scratch = f"{tbl}__{app_tag}"
+    scratch_dir = os.path.join(_warehouse_path(spark), scratch)
+    # applicationIds are process-unique, so scratch is ours alone; a
+    # leftover can only be our own earlier partial write.
+    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    if os.path.isdir(scratch_dir):
+        shutil.rmtree(scratch_dir)
     (
         ps.write.format("parquet")
         .mode("overwrite")
         .bucketBy(buckets, "ps_partkey")
         .sortBy("ps_partkey")
-        .saveAsTable(tbl)
+        .saveAsTable(scratch)
     )
-    _PARTSUPP_TABLES[key] = tbl
-    return tbl
+    try:
+        os.rename(scratch_dir, canon_dir)
+    except OSError:
+        # A concurrent process published first. rename is atomic, so
+        # canon_dir is complete; keep it, discard our duplicate.
+        pass
+    # Remove the scratch catalog row. If we won the rename the managed
+    # location is already gone (nothing to delete); if we lost, dropping
+    # the managed table cleans up our duplicate files — still a path
+    # only we own.
+    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    if os.path.isdir(scratch_dir):
+        shutil.rmtree(scratch_dir)
 
 
 def _partsupp_view(spark: SparkSession, sf_dir: str) -> None:
