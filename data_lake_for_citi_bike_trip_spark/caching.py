@@ -1,0 +1,54 @@
+"""Session-lifetime cache registry for operator-internal persists.
+
+Several operators cache an intermediate that the RETURNED lazy plan
+consumes more than once (LSH signature tables feeding both the rep
+aggregation and the member expansion; graph edge lists feeding every
+iteration of an iterative algorithm). The operator cannot unpersist
+before returning — the cache must outlive the call, because the caller
+may trigger the plan at any later time. Spark's ``CacheManager`` holds
+cached plans by strong reference, so without an explicit release these
+accumulate for the life of the session.
+
+The contract: operators register such caches via :func:`cached`, and a
+long-lived session (a notebook, a service) reclaims them at a point
+where no previously returned plan will be re-executed by calling
+:func:`release_caches`. Short-lived jobs (the bench, the driver's
+correctness runs) never need to — the session teardown reclaims
+everything. ``spark.catalog.clearCache()`` remains the indiscriminate
+alternative; this registry only releases what operators registered, so
+caller-owned caches survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_REGISTRY: list[DataFrame] = []
+
+
+def cached(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + register for later :func:`release_caches`."""
+    df = df.cache()
+    _REGISTRY.append(df)
+    return df
+
+
+def release_caches(blocking: bool = False) -> int:
+    """Unpersist every operator-registered cache; returns how many.
+
+    Call only when no DataFrame previously returned by an operator will
+    be executed again (re-execution after release is still CORRECT —
+    Spark recomputes from source — just no longer cached)."""
+    n = 0
+    while _REGISTRY:
+        df = _REGISTRY.pop()
+        try:
+            df.unpersist(blocking)
+        except Exception:
+            pass  # session already stopped — nothing to release
+        n += 1
+    return n
+
+
+def registered_count() -> int:
+    return len(_REGISTRY)

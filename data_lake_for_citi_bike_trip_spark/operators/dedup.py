@@ -28,6 +28,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import cached
+
 from ..functions import text as TX
 from ..functions import vectors as V
 from ..session import spread
@@ -106,10 +108,9 @@ def minhash_lsh_pairs(
     Intra emission is salted (_salted_intra_pairs) so the whale's
     contract output parallelizes."""
     sig_cols = [f"mh_{i}" for i in range(TX.MINHASH_PERMS)]
-    keyed = (
+    keyed = cached(
         _signatures(docs, shingle_n)
         .withColumn("skey", F.md5(F.concat_ws(",", *sig_cols)))
-        .cache()
     )
     reps = keyed.groupBy("skey").agg(
         F.min("doc_id").alias("doc_id"),
@@ -280,10 +281,17 @@ def simhash_pairs_from_signatures(
             "hamming",
         )
     )
-    intra = _salted_intra_pairs(sigs, "simhash", "doc_id").select(
-        F.col("id_a").alias("d1"),
-        F.col("id_b").alias("d2"),
-        F.lit(0).cast("bigint").alias("hamming"),
+    intra = (
+        _salted_intra_pairs(sigs, "simhash", "doc_id")
+        .select(
+            F.col("id_a").alias("d1"),
+            F.col("id_b").alias("d2"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+        # guard parity with the pre-collapse form (and the minhash /
+        # levenshtein collapses): intra pairs sit at hamming 0, which
+        # still must satisfy the caller's threshold
+        .where(F.lit(0) <= max_hamming)
     )
     return inter.unionByName(intra)
 
@@ -840,8 +848,8 @@ def incremental_dedup(
         .select("doc_id", "dup_of", F.lit("exact").alias("reason"))
     )
 
-    sigs_old = _signatures(old_docs, shingle_n).cache()
-    sigs_new = _signatures(new_docs, shingle_n).cache()
+    sigs_old = cached(_signatures(old_docs, shingle_n))
+    sigs_new = cached(_signatures(new_docs, shingle_n))
     cand = (
         _band_table(sigs_new)
         .alias("a")

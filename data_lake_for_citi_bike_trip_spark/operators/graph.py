@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import cached
+
 #: e6 fixed-point scale for ranks.
 RANK_SCALE = 1_000_000
 
@@ -58,17 +60,16 @@ def pagerank(
 
     Returns (id, rank_e6).
     """
-    edges = edges.select("src", "dst").cache()
-    nodes = (
+    edges = cached(edges.select("src", "dst"))
+    nodes = cached(
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .cache()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # contribution edges: (src, dst, outdeg) — computed once, reused by
     # every iteration's rank join
-    contrib_edges = edges.join(outdeg, "src").cache()
+    contrib_edges = cached(edges.join(outdeg, "src"))
 
     base = 100 - damping_pct
     ranks = nodes.select(
@@ -157,7 +158,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     the canonical edge set. Each triangle is counted exactly once (its
     unique lowest-(degree, id) apex). Returns one row (n_vertices,
     n_edges, n_triangles)."""
-    e = edges.select("src", "dst").distinct().cache()
+    e = cached(edges.select("src", "dst").distinct())
     deg = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
@@ -171,10 +172,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     src_first = (F.col("ds") < F.col("dd")) | (
         (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
     )
-    oriented = with_degs.select(
+    oriented = cached(with_degs.select(
         F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
-    ).cache()
+    ))
     x = oriented.select("a", F.col("b").alias("b1"))
     y = oriented.select("a", F.col("b").alias("b2"))
     wedges = x.join(y, "a").where(F.col("b1") < F.col("b2"))
@@ -574,15 +575,14 @@ def personalized_pagerank(
     bounds the nonzero output; the emitted surface is the top-k by
     rank (deterministic tie-break) — TakeOrderedAndProject.
     """
-    edges = edges.select("src", "dst").cache()
-    nodes = (
+    edges = cached(edges.select("src", "dst"))
+    nodes = cached(
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .cache()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    contrib_edges = edges.join(outdeg, "src").cache()
+    contrib_edges = cached(edges.join(outdeg, "src"))
     stats = nodes.agg(
         F.min("id").alias("seed"), F.count(F.lit(1)).alias("n_nodes")
     )
@@ -726,7 +726,7 @@ def hits_scores(edges: DataFrame, rounds: int = 2, top_k: int = 100) -> DataFram
     vector. Each round is two keyed join+aggregate passes — the
     Pregel shape, oracle-unrolled.
     """
-    edges = edges.select("src", "dst").cache()
+    edges = cached(edges.select("src", "dst"))
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))

@@ -944,6 +944,30 @@ def blocked_mutual_knn(
     )
 
 
+def _recall_sample(
+    embeddings: DataFrame, sample_cap: int | None
+) -> DataFrame:
+    """Deterministic absolute-size sample for the quadratic recall
+    baselines: the ``sample_cap`` vectors with the LOWEST
+    xxhash64(vec_id) (ties broken by vec_id).
+
+    Scale shape: the pick is a distributed top-k over (hash, id) —
+    TakeOrderedAndProject, O(cap) memory per task, never a global sort —
+    and the selected id set (<= cap rows) broadcasts back as a semijoin.
+    Hash order makes the sample independent of id assignment, so the
+    recall readout is unbiased even when vec_ids correlate with ingest
+    source or time; determinism (vs ``.sample()``) keeps the readout
+    reproducible across retries and engines."""
+    if sample_cap is None:
+        return embeddings
+    picked = (
+        embeddings.select("vec_id")
+        .orderBy(F.xxhash64("vec_id").asc(), F.col("vec_id").asc())
+        .limit(sample_cap)
+    )
+    return embeddings.join(F.broadcast(picked), "vec_id")
+
+
 def blocked_knn_recall(
     embeddings: DataFrame,
     k: int = 5,
@@ -959,13 +983,15 @@ def blocked_knn_recall(
     definition — a rate-based subsample (vec_id % p == 0, what the
     contract query uses for oracle determinism) still grows linearly
     with the corpus, so its baseline cost grows quadratically. At 100 TB
-    pass an ABSOLUTE cap instead: ``vec_id < sample_cap`` bounds the
-    baseline at O(cap^2) REGARDLESS of corpus size (SOAK_r9.md contract
-    note). Both the exact and blocked sides are capped identically —
-    recall is only meaningful when both graphs are built over the same
-    vector set."""
-    if sample_cap is not None:
-        embeddings = embeddings.where(F.col("vec_id") < sample_cap)
+    pass an ABSOLUTE cap instead, which bounds the baseline at O(cap^2)
+    REGARDLESS of corpus size (SOAK_r9.md contract note). The sample is
+    the ``sample_cap`` lowest vectors by xxhash64(vec_id) — see
+    ``_recall_sample`` — so it is deterministic AND unbiased by id
+    ordering (a plain ``vec_id < cap`` prefix would skew the readout
+    whenever ids correlate with ingest source or time). Both the exact
+    and blocked sides are capped identically — recall is only meaningful
+    when both graphs are built over the same vector set."""
+    embeddings = _recall_sample(embeddings, sample_cap)
     # Each pair set feeds BOTH a count and a join — persist so the
     # expensive scoring pipelines run once, not once per action. The
     # persisted sets are pair lists at sample scale (n·k rows, and the
@@ -1048,10 +1074,10 @@ def blocked_knn_multiprobe_recall(
     candidates, so its graph can only add pairs).
 
     ``sample_cap``: absolute bound on the quadratic exact baseline for
-    100 TB deployments — see ``blocked_knn_recall``; applied identically
+    100 TB deployments — hash-ordered top-k sample, see
+    ``_recall_sample`` / ``blocked_knn_recall``; applied identically
     to all three graphs so recall stays an apples-to-apples readout."""
-    if sample_cap is not None:
-        embeddings = embeddings.where(F.col("vec_id") < sample_cap)
+    embeddings = _recall_sample(embeddings, sample_cap)
     # The exact graph feeds three actions (its count + two probe
     # joins); persist so the quadratic baseline pipeline runs ONCE.
     # Sample-scale pair list — bounded memory (see blocked_knn_recall).

@@ -305,28 +305,41 @@ def test_multiprobe_knn_superset_and_strictly_better_recall(spark, sf_dir):
 
 def test_recall_sample_cap_equals_prefiltered_baseline(spark, sf_dir):
     """The 100-TB posture for the quadratic exact-recall baseline is an
-    ABSOLUTE sample cap (SOAK_r9.md contract note): vec_id < C bounds
-    the baseline at O(C^2) regardless of corpus size. Semantics pin:
-    sample_cap=C must be bit-identical to hand-filtering the input to
-    vec_id < C — the cap is a pushed-down filter, not a different
-    estimator — for both the single-probe and multi-probe readouts."""
+    ABSOLUTE sample cap (SOAK_r9.md contract note) bounding the baseline
+    at O(C^2) regardless of corpus size. The sample is the C lowest
+    vectors by xxhash64(vec_id) — deterministic AND unbiased by id
+    ordering (a vec_id < C prefix would skew the readout whenever ids
+    correlate with ingest source/time). Semantics pin: sample_cap=C is
+    bit-identical to hand-filtering the input to that hash-selected id
+    set — the cap is a sample SELECTION, not a different estimator —
+    for both the single-probe and multi-probe readouts; plus exact-size
+    and id-independence properties of the selection itself."""
     from data_lake_for_citi_bike_trip_spark.operators import similarity
     from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     cap = 60
+    picked = {
+        r.vec_id
+        for r in emb.select("vec_id")
+        .orderBy(F.xxhash64("vec_id").asc(), F.col("vec_id").asc())
+        .limit(cap)
+        .collect()
+    }
+    assert len(picked) == cap  # exact absolute bound
+    # the selection must differ from an id-prefix sample (unbiasedness
+    # is what the hash order buys; on this corpus they'd coincide only
+    # if xxhash64 happened to order ids — it doesn't)
+    assert picked != set(range(cap))
+    manual_in = emb.where(F.col("vec_id").isin(list(picked)))
     capped = similarity.blocked_knn_recall(emb, k=3, sample_cap=cap).first()
-    manual = similarity.blocked_knn_recall(
-        emb.where(F.col("vec_id") < cap), k=3
-    ).first()
+    manual = similarity.blocked_knn_recall(manual_in, k=3).first()
     assert capped == manual, (capped, manual)
     assert capped.n_exact > 0  # the cap must not silence the readout
     capped_m = similarity.blocked_knn_multiprobe_recall(
         emb, k=3, sample_cap=cap
     ).first()
-    manual_m = similarity.blocked_knn_multiprobe_recall(
-        emb.where(F.col("vec_id") < cap), k=3
-    ).first()
+    manual_m = similarity.blocked_knn_multiprobe_recall(manual_in, k=3).first()
     assert capped_m == manual_m, (capped_m, manual_m)
 
 

@@ -156,7 +156,14 @@ def test_minhash_band_join_planted_skew_gets_aqe_split(spark):
     assert n_pairs >= hot_n * (hot_n - 1) // 2
     final_plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final_plan
-    # the salted intra join carries the __s salt key through the plan;
-    # the collapse means the band join itself no longer needs a skew
-    # split for identical-document blocks
-    assert "__s" in final_plan, final_plan[:4000]
+    # the salted intra join keys on (__g, __s) — match the salt key as a
+    # real join attribute (`__s#<exprId>`), not a loose substring that
+    # any attribute containing "__s" would satisfy
+    import re
+
+    assert re.search(r"__s#\d+", final_plan), final_plan[:4000]
+    # and pin that the collapse truly removed the hot bucket: no join in
+    # the final plan needed an AQE skew split (a regression that lets
+    # the identical-document block reach the band join would show up
+    # here as skew=true or as a single fat partition)
+    assert "skew=true" not in final_plan, final_plan[:4000]
