@@ -115,12 +115,14 @@ def minhash_lsh_pairs(
     reps = keyed.groupBy("skey").agg(
         F.min("doc_id").alias("doc_id"),
         # group members share byte-identical signatures; min() of an
-        # all-equal column is that value
+        # all-equal column is that value. The member count rides the
+        # same aggregation for free; it gates the intra-pair salt.
+        F.count(F.lit(1)).alias("gsz"),
         *[F.min(c).alias(c) for c in sig_cols],
     )
     members = keyed.join(
-        reps.select("skey", F.col("doc_id").alias("rep")), "skey"
-    ).select("rep", "doc_id")
+        reps.select("skey", F.col("doc_id").alias("rep"), "gsz"), "skey"
+    ).select("rep", "doc_id", "gsz")
     bands = _band_table(reps)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -166,7 +168,7 @@ def minhash_lsh_pairs(
         )
     )
     intra = (
-        _salted_intra_pairs(members, "rep", "doc_id")
+        _salted_intra_pairs(members, "rep", "doc_id", size_col="gsz")
         .select(
             F.col("id_a").alias("d1"),
             F.col("id_b").alias("d2"),
@@ -397,9 +399,13 @@ def blocked_levenshtein_pairs(
     # (single-task): 197s warm on the 30%-hot whale corpus vs 4.1s
     # collapsed (48x); the 2x whale never finished inside 10 min vs
     # 5.0s collapsed. Common case (sf0.1, duplicate-free): ~1.5s.
-    reps = base.groupBy("blk", "head").agg(F.min("doc_id").alias("rid"))
+    reps = base.groupBy("blk", "head").agg(
+        F.min("doc_id").alias("rid"),
+        # member count rides the same agg; gates the intra-pair salt
+        F.count(F.lit(1)).alias("gsz"),
+    )
     members = base.join(reps, ["blk", "head"]).select(
-        F.col("rid").alias("rep"), "doc_id"
+        F.col("rid").alias("rep"), "doc_id", "gsz"
     )
     a, b = reps.alias("a"), reps.alias("b")
     lev = F.levenshtein(F.col("a.head"), F.col("b.head"))
@@ -428,7 +434,7 @@ def blocked_levenshtein_pairs(
         )
     )
     intra = (
-        _salted_intra_pairs(members, "rep", "doc_id")
+        _salted_intra_pairs(members, "rep", "doc_id", size_col="gsz")
         .select(
             F.col("id_a").alias("d1"),
             F.col("id_b").alias("d2"),
@@ -445,9 +451,11 @@ def _salted_intra_pairs(
     id_col: str,
     payload: list[str] | None = None,
     salt: int = 16,
+    size_col: str | None = None,
+    whale_min: int = 256,
 ) -> DataFrame:
     """All unordered intra-group member pairs (id_a < id_b), generated
-    across ``salt`` tasks per group instead of one.
+    across up to ``salt`` tasks per group instead of one.
 
     A self-join keyed on the group id alone serializes each group's
     C(m, 2) pair OUTPUT into a single task: AQE's skew-join split keys
@@ -460,9 +468,19 @@ def _salted_intra_pairs(
     [0, salt), the right side replicates once per salt value, and the
     join keys on (group, salt) — each unordered pair is produced
     exactly once (the left row's salt matches exactly one of the right
-    row's replicas, and id_a < id_b picks one orientation). Cost when
-    there is no whale: the id list shuffles salt-times over — ids
-    only, bytes-cheap, and the pair count is unchanged.
+    row's replicas, and id_a < id_b picks one orientation).
+
+    WHALE-GATED (VERDICT r09 item 7): the salt factor is PER GROUP — a
+    function of the group's member count, so both sides derive the same
+    value and exactly-once is unchanged. Groups under ``whale_min``
+    members (C(m,2) < ~32k pairs: sub-task-sized output) take factor 1 —
+    the right side's explode emits ONE replica and the no-whale common
+    case pays nothing over an unsalted join — while whale groups scatter
+    over the full ``salt``. ``size_col`` names a group-constant member
+    count the caller already has (every collapse computes one in its
+    rep aggregation — thread it here for free); when absent it is
+    computed internally with groupBy+join (whale-safe rep-assignment
+    shape, linear).
 
     ``payload``: group-constant columns the caller needs on every pair
     (self-similarity, shingle size). They ride the LEFT side so the
@@ -470,16 +488,28 @@ def _salted_intra_pairs(
     — such a join would re-serialize the quadratic stream onto the
     whale's single hash key, undoing the salting."""
     pay = payload or []
-    x = members.select(
+    if size_col is None:
+        sized = members.join(
+            members.groupBy(grp_col).agg(F.count(F.lit(1)).alias("__m")),
+            grp_col,
+        )
+        size_expr = F.col("__m")
+    else:
+        sized = members
+        size_expr = F.col(size_col)
+    factor = (
+        F.when(size_expr >= whale_min, F.lit(salt)).otherwise(F.lit(1))
+    )
+    x = sized.select(
         F.col(grp_col).alias("__g"),
         F.col(id_col).alias("id_a"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).alias("__s"),
+        F.pmod(F.xxhash64(F.col(id_col)), factor).alias("__s"),
         *pay,
     )
-    y = members.select(
+    y = sized.select(
         F.col(grp_col).alias("__g"),
         F.col(id_col).alias("id_b"),
-        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__s"),
+        F.explode(F.sequence(F.lit(0), factor - F.lit(1))).alias("__s"),
     )
     return (
         x.join(y, ["__g", "__s"])
@@ -489,11 +519,12 @@ def _salted_intra_pairs(
 
 
 def _exact_vector_members(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, v, rep): min vec_id over groups of byte-identical
-    vectors. One keyed shuffle on the array itself (Spark normalizes
-    NaN/-0.0 in grouping keys; both merges are cosine-safe — identical
-    arrays give identical dot/norm arithmetic, and sign_bucket treats
-    -0.0 >= 0 and NaN >= 0 the same for every member)."""
+    """(vec_id, v, rep, gsz): min vec_id and member count over groups of
+    byte-identical vectors. One keyed shuffle on the array itself (Spark
+    normalizes NaN/-0.0 in grouping keys; both merges are cosine-safe —
+    identical arrays give identical dot/norm arithmetic, and sign_bucket
+    treats -0.0 >= 0 and NaN >= 0 the same for every member). ``gsz``
+    rides the same window for free; it gates the intra-pair salt."""
     e = spread(embeddings).select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
@@ -507,8 +538,9 @@ def _exact_vector_members(embeddings: DataFrame) -> DataFrame:
     # that must parallelize, and _salted_intra_pairs handles that; a
     # corpus dominated by one duplicate group should run exact dedup
     # first regardless (the pair OUTPUT is quadratic by contract).
-    return e.withColumn(
-        "rep", F.min("vec_id").over(Window.partitionBy("v"))
+    w = Window.partitionBy("v")
+    return e.withColumn("rep", F.min("vec_id").over(w)).withColumn(
+        "gsz", F.count(F.lit(1)).over(w)
     )
 
 
@@ -553,7 +585,7 @@ def embedding_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
-    members = g.select("vec_id", "rep")
+    members = g.select("vec_id", "rep", "gsz")
     inter = (
         rep_pairs.join(
             members.select(
@@ -589,6 +621,7 @@ def embedding_dup_pairs(
         _salted_intra_pairs(
             members.join(self_cos, "rep"), "rep", "vec_id",
             payload=["cos_sim"],
+            size_col="gsz",
         )
         .select(
             F.col("id_a").alias("d1"),
@@ -954,9 +987,15 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     # cost shape as exact_duplicates(), scales to 100 TB.
     keyed = words.withColumn("grp", F.md5(F.array_join("ws", "\n")))
     # groupBy+join, not Window.partitionBy(grp) — whale-group safe rep
-    # assignment (see _exact_vector_members for the argument).
+    # assignment (see _exact_vector_members for the argument). The
+    # member count rides the same aggregation for free; it gates the
+    # intra-pair salt stage below.
     members = keyed.select("doc_id", "grp").join(
-        keyed.groupBy("grp").agg(F.min("doc_id").alias("rep")), "grp"
+        keyed.groupBy("grp").agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("gsz"),
+        ),
+        "grp",
     )
     words = (
         keyed.join(
@@ -1068,6 +1107,7 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
             "grp",
             "doc_id",
             payload=["sz"],
+            size_col="gsz",
         )
         .select(
             F.col("id_a").alias("doc_a"),

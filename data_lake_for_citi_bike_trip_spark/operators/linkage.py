@@ -92,32 +92,63 @@ def link_customers(
     at 85 (all fields agree), nation-shifted ones at 75 via the name
     pass, name-corrupted ones at 45 via the recovery pass; records both
     name-corrupted AND nation-shifted are the documented recall loss.
+
+    FEATURE COLLAPSE (VERDICT r09 item 5; the dedup.py exact-duplicate
+    collapse pattern applied to a CROSS-table match stream): every
+    blocking key and every agreement point is a function of the
+    four-field feature tuple alone, so clean rows with identical
+    (digits, cents, nation, seg) — and dirty rows with identical
+    (d_digits, d_cents, d_nation, d_seg) — are interchangeable. Both
+    passes, the candidate distinct, and the scoring therefore run over
+    UNIQUE feature tuples; qualifying tuple pairs expand to the member
+    id cross product at the end. On a replica-heavy corpus (the 100x
+    soak: every customer in 100 near-identical copies) the blocking,
+    dedup and scoring cost drops from O(raw-pairs) to O(unique-pairs) —
+    only the contractual output expansion stays proportional to the
+    match stream. Output-identical to the uncollapsed form: blocking
+    keys are tuple functions, so a member pair shares a block iff its
+    rep pair does; the pass-2 purge keeps RAW-row block counts
+    (sum of member counts), so purge decisions are unchanged; and each
+    id belongs to exactly one tuple group, so the expansion emits each
+    (clean_id, dirty_id) exactly once — the brute-force oracle (which
+    never collapses) proves it at every scale.
     """
     clean = _clean_side(customer)
     dirty = _dirty_side(customer)
 
+    c_feat = ["digits", "cents", "nation", "seg"]
+    d_feat = ["d_digits", "d_cents", "d_nation", "d_seg"]
+    # groupBy+join rep assignment (whale-safe — see dedup.py); the
+    # member count rides the aggregation for free and feeds the purge.
+    cg = clean.groupBy(*c_feat).agg(
+        F.min("clean_id").alias("crep"), F.count(F.lit(1)).alias("cn")
+    )
+    dg = dirty.groupBy(*d_feat).agg(F.min("dirty_id").alias("drep"))
+    c_members = clean.join(cg.select(*c_feat, "crep"), c_feat).select(
+        "crep", "clean_id"
+    )
+    d_members = dirty.join(dg, d_feat).select("drep", "dirty_id")
+
     # pass 1: selective name-digit key — linear in corpus size
-    p1 = clean.join(dirty, clean.digits == dirty.d_digits)
+    p1 = cg.join(dg, cg.digits == dg.d_digits)
 
     # pass 2: (nation, $100-balance-bucket) recovery blocks, purged when
-    # the CLEAN side of a block exceeds max_block rows
+    # the CLEAN side of a block exceeds max_block RAW rows (sum of
+    # member counts — identical purge decisions to the uncollapsed form)
     cb = F.floor(F.col("cents") / F.lit(10000.0)).cast("long")
     db = F.floor(F.col("d_cents") / F.lit(10000.0)).cast("long")
-    cblk = clean.withColumn("blk", cb)
-    sizes = cblk.groupBy("nation", "blk").agg(F.count(F.lit(1)).alias("bn"))
+    cblk = cg.withColumn("blk", cb)
+    sizes = cblk.groupBy("nation", "blk").agg(F.sum("cn").alias("bn"))
     bounded = cblk.join(
         sizes.where(F.col("bn") <= max_block), ["nation", "blk"]
     ).drop("bn")
     p2 = bounded.join(
-        dirty.withColumn("d_blk", db),
+        dg.withColumn("d_blk", db),
         (F.col("nation") == F.col("d_nation"))
         & (F.col("blk") == F.col("d_blk")),
     )
 
-    cols = [
-        "clean_id", "digits", "cents", "nation", "seg",
-        "dirty_id", "d_digits", "d_cents", "d_nation", "d_seg",
-    ]
+    cols = ["crep", *c_feat, "drep", *d_feat]
     cands = p1.select(*cols).union(p2.select(*cols)).distinct()
 
     name_pts = F.when(F.col("digits") == F.col("d_digits"), 40).otherwise(0)
@@ -127,8 +158,8 @@ def link_customers(
     nation_pts = F.when(F.col("nation") == F.col("d_nation"), 10).otherwise(0)
     seg_pts = F.when(F.col("seg") == F.col("d_seg"), 5).otherwise(0)
     scored = cands.select(
-        "clean_id",
-        "dirty_id",
+        "crep",
+        "drep",
         name_pts.cast("long").alias("name_pts"),
         bal_pts.cast("long").alias("bal_pts"),
         nation_pts.cast("long").alias("nation_pts"),
@@ -136,5 +167,20 @@ def link_customers(
         (name_pts + bal_pts + nation_pts + seg_pts)
         .cast("long")
         .alias("score"),
+    ).where(F.col("score") >= threshold)
+
+    # Expand qualifying rep pairs to the member cross product; the
+    # point columns are tuple functions, so they ride unchanged.
+    return (
+        scored.join(c_members, "crep")
+        .join(d_members, "drep")
+        .select(
+            "clean_id",
+            "dirty_id",
+            "name_pts",
+            "bal_pts",
+            "nation_pts",
+            "seg_pts",
+            "score",
+        )
     )
-    return scored.where(F.col("score") >= threshold)

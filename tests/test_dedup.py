@@ -516,24 +516,40 @@ def test_jaccard_collapse_matches_naive_on_duplicate_heavy_corpus(spark):
 def test_salted_intra_pairs_exactly_once_property(spark):
     """_salted_intra_pairs must emit every unordered intra-group pair
     EXACTLY once with its group-constant payload, for group sizes both
-    below and above the salt factor (the left row's salt matches
-    exactly one right-side replica — a double emission or a dropped
-    salt bucket would corrupt every duplicate-heavy dedup output)."""
+    below and above the salt factor AND on both sides of the whale gate
+    (the left row's salt matches exactly one right-side replica — a
+    double emission or a dropped salt bucket would corrupt every
+    duplicate-heavy dedup output; a gate inconsistency between the two
+    sides would drop or duplicate whole salt buckets)."""
     rows = (
-        [(f"g1", i, 7) for i in range(5)]          # m < salt
-        + [(f"g2", 100 + i, 9) for i in range(40)]  # m > salt
-        + [(f"g3", 900, 3)]                         # singleton: no pairs
+        [("g1", i, 7) for i in range(5)]            # m < salt, ungated
+        + [("g2", 100 + i, 9) for i in range(40)]   # salt < m < whale_min
+        + [("g3", 900, 3)]                          # singleton: no pairs
+        + [("g4", 1000 + i, 4) for i in range(300)]  # m >= whale_min: salted
     )
     members = spark.createDataFrame(rows, "grp string, doc_id long, sz long")
-    out = dedup._salted_intra_pairs(
-        members, "grp", "doc_id", payload=["sz"], salt=16
-    ).collect()
-    got = {}
-    for r in out:
-        got[(r.grp, r.id_a, r.id_b)] = got.get((r.grp, r.id_a, r.id_b), 0) + 1
-        assert r.id_a < r.id_b
-        assert r.sz == {"g1": 7, "g2": 9}[r.grp]
-    assert all(v == 1 for v in got.values()), "duplicate pair emission"
-    assert len([k for k in got if k[0] == "g1"]) == 5 * 4 // 2
-    assert len([k for k in got if k[0] == "g2"]) == 40 * 39 // 2
-    assert not [k for k in got if k[0] == "g3"]
+    expected = {"g1": 5 * 4 // 2, "g2": 40 * 39 // 2, "g3": 0,
+                "g4": 300 * 299 // 2}
+    payload = {"g1": 7, "g2": 9, "g4": 4}
+    for kwargs in ({}, {"size_col": "__precomputed"}):
+        inp = members
+        if kwargs:
+            # caller-threaded group size (the free-rider column every
+            # collapse computes in its rep aggregation)
+            from pyspark.sql import Window
+
+            inp = members.withColumn(
+                "__precomputed",
+                F.count(F.lit(1)).over(Window.partitionBy("grp")),
+            )
+        out = dedup._salted_intra_pairs(
+            inp, "grp", "doc_id", payload=["sz"], salt=16, **kwargs
+        ).collect()
+        got = {}
+        for r in out:
+            got[(r.grp, r.id_a, r.id_b)] = got.get((r.grp, r.id_a, r.id_b), 0) + 1
+            assert r.id_a < r.id_b
+            assert r.sz == payload[r.grp]
+        assert all(v == 1 for v in got.values()), "duplicate pair emission"
+        for g, n in expected.items():
+            assert len([k for k in got if k[0] == g]) == n, (kwargs, g)
