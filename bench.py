@@ -31,23 +31,40 @@ def main() -> None:
     # Warm the JVM/codegen paths so query 1 doesn't pay session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # min-of-3 by default: single runs carry ±25% box noise; the minimum
-    # is the stable estimate of the query's intrinsic cost. Queries whose
-    # first run finishes under BENCH_FAST_CUTOFF seconds are NOT repeated:
-    # they are dominated by fixed job-submission overhead, repeats add
-    # wall-clock (~90 queries × 2 extra runs) without signal.
+    # Tiered repeats (BENCH_NOTES.md "noise pinning", VERDICT r09 item 6):
+    # single runs carry 2-4x box noise; the minimum over repeats is the
+    # stable estimate of a query's intrinsic cost, and the slower the
+    # query the more a single noisy run distorts the board. Tiers:
+    #   first run < BENCH_FAST_CUTOFF (1 s)  -> 1 run (fixed job-submission
+    #       overhead dominates; repeats add wall-clock without signal)
+    #   first run < BENCH_SLOW_CUTOFF (2 s)  -> min-of-BENCH_ITERATIONS (3)
+    #   first run >= BENCH_SLOW_CUTOFF       -> min-of-BENCH_SLOW_ITERATIONS
+    #       (5), while BENCH_EXTRA_BUDGET (240 s total) lasts — the extra
+    #       4th/5th runs consume the budget, bounding the added wall-clock
+    #       no matter how many queries land in the slow tier.
     iterations = int(os.environ.get("BENCH_ITERATIONS", "3"))
+    slow_iterations = int(os.environ.get("BENCH_SLOW_ITERATIONS", "5"))
     fast_cutoff = float(os.environ.get("BENCH_FAST_CUTOFF", "1.0"))
+    slow_cutoff = float(os.environ.get("BENCH_SLOW_CUTOFF", "2.0"))
+    extra_budget = float(os.environ.get("BENCH_EXTRA_BUDGET", "240"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         runs: list[float] = []
-        for it in range(iterations):
+        target = iterations
+        while len(runs) < target:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-            if it == 0 and runs[0] < fast_cutoff:
-                break
+            if len(runs) == 1:
+                if runs[0] < fast_cutoff:
+                    break
+                if runs[0] >= slow_cutoff and extra_budget > 0:
+                    target = slow_iterations
+            elif len(runs) > iterations:
+                extra_budget -= runs[-1]
+                if extra_budget <= 0:
+                    break
         timings[name] = round(min(runs), 3)
         if len(runs) > 1:
             # median alongside min: this box swings 2-4x per query; when
