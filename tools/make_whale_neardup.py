@@ -34,6 +34,20 @@ BOILER = (
 ).split()  # 45 tokens -> 43 trigram shingles
 
 
+def letters(n: int) -> str:
+    """Base-26 letters-only encoding — tokens must stay unique under
+    BOTH tokenizers in play (whitespace in functions/text.py AND the
+    ``[^a-z]+`` split inside jaccard_prefix_join, which erases digits;
+    a digit-bearing token like 'nz7' degrades to 'nz' there and
+    near-dup docs silently become exact duplicates)."""
+    s = ""
+    n += 1
+    while n:
+        n, r = divmod(n - 1, 26)
+        s = chr(ord("a") + r) + s
+    return s
+
+
 def main() -> None:
     out_dir, whale_n, tail_n = (
         sys.argv[1],
@@ -50,12 +64,17 @@ def main() -> None:
     # the full C(whale_n,2) pair set IS the contract output
     for i in range(whale_n):
         ws = list(BOILER)
-        ws[5 + (i % 30)] = f"nz{i}"
+        ws[5 + (i % 30)] = "nz" + letters(i)
         texts.append(" ".join(ws))
-    # distinct tail: unrelated vocabulary, no shared shingles
+    # distinct tail: letters-only unique vocabulary per doc, so no two
+    # tail docs share a shingle under either tokenizer
     for i in range(tail_n):
-        toks = [f"w{rng.integers(0, 50_000)}" for _ in range(30)]
-        texts.append(f"tail document {i} " + " ".join(toks))
+        toks = [
+            "w" + letters(int(rng.integers(0, 50_000))) for _ in range(30)
+        ]
+        texts.append(
+            "tail document " + letters(i) + " " + " ".join(toks)
+        )
 
     n = len(texts)
     table = pa.table(
