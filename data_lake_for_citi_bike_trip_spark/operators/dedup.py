@@ -33,6 +33,7 @@ from ..caching import cached
 from ..functions import text as TX
 from ..functions import vectors as V
 from ..session import spread
+from .skew import salted_candidates
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -407,18 +408,27 @@ def blocked_levenshtein_pairs(
     members = base.join(reps, ["blk", "head"]).select(
         F.col("rid").alias("rep"), "doc_id", "gsz"
     )
-    a, b = reps.alias("a"), reps.alias("b")
-    lev = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    # Salted block join (salted_candidates): a whale of NEAR-identical
+    # heads (distinct heads, shared block prefix — one edit past the
+    # block key) defeats the head collapse and owns one blk key; the
+    # plain join would run its C(m,2) Levenshtein DPs single-task.
+    # Output-identical: each rep pair meets at exactly the probe row's
+    # salt, r1 < r2 keeps one orientation.
+    a = reps.select(
+        F.col("rid").alias("r1"), F.col("head").alias("ha"), "blk"
+    )
+    b = reps.select(
+        F.col("rid").alias("r2"), F.col("head").alias("hb"), "blk"
+    )
     rep_pairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.rid") < F.col("b.rid")),
-        )
+        salted_candidates(a, b, "blk", "r1")
+        .where(F.col("r1") < F.col("r2"))
         .select(
-            F.col("a.rid").alias("r1"),
-            F.col("b.rid").alias("r2"),
-            lev.cast("bigint").alias("lev"),
+            "r1",
+            "r2",
+            F.levenshtein(F.col("ha"), F.col("hb"))
+            .cast("bigint")
+            .alias("lev"),
         )
         .where(F.col("lev") <= max_dist)
     )
@@ -571,17 +581,38 @@ def embedding_dup_pairs(
         .select("vec_id", "v")
         .withColumn("bucket", V.sign_bucket(F.col("v"), bucket_bits))
     )
-    a, b = reps.alias("a"), reps.alias("b")
+    # SALTED bucket join (salted_candidates — see its docstring): a
+    # NEAR-identical whale defeats the exact collapse (arrays distinct)
+    # and owns one bucket key; the plain a-b join emitted its C(m,2)
+    # pairs single-task (229 s at 21k vectors / 7k whale). The salted
+    # form is output-identical (each pair meets at exactly the probe
+    # row's salt; a<b then keeps one orientation, same as unsalted).
+    # Norms precompute once per REP (cosine_r6_prenormed is
+    # bit-identical to cosine_r6): on the same whale the all-pairs
+    # scorer drops from three interpreted array reductions per pair to
+    # one — the pair-scoring stage, not the join, is the cost at scale.
+    normed = reps.withColumn("nrm", V.norm(F.col("v")))
+    a = normed.select(
+        F.col("vec_id").alias("r1"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = normed.select(
+        F.col("vec_id").alias("r2"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
     rep_pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        salted_candidates(a, b, "bucket", "r1")
+        .where(F.col("r1") < F.col("r2"))
         .select(
-            F.col("a.vec_id").alias("r1"),
-            F.col("b.vec_id").alias("r2"),
-            V.cosine_r6(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            "r1",
+            "r2",
+            V.cosine_r6_prenormed(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -654,17 +685,31 @@ def embedding_dup_edges_for_clustering(
         .select("vec_id", "v")
         .withColumn("bucket", V.sign_bucket(F.col("v"), bucket_bits))
     )
-    a, b = reps.alias("a"), reps.alias("b")
+    # Salted bucket join + per-rep norm precompute — near-identical
+    # whale defense, same argument and output-identity (prenormed is
+    # bit-identical) as embedding_dup_pairs above.
+    normed = reps.withColumn("nrm", V.norm(F.col("v")))
+    a = normed.select(
+        F.col("vec_id").alias("d1"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = normed.select(
+        F.col("vec_id").alias("d2"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
     rep_pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        salted_candidates(a, b, "bucket", "d1")
+        .where(F.col("d1") < F.col("d2"))
         .select(
-            F.col("a.vec_id").alias("d1"),
-            F.col("b.vec_id").alias("d2"),
-            V.cosine_r6(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            "d1",
+            "d2",
+            V.cosine_r6_prenormed(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from ..session import spread
+from .skew import salted_candidates
 
 
 def _prepared(embeddings: DataFrame) -> DataFrame:
@@ -389,37 +390,35 @@ def _collapsed_knn_edges(
                 "case when substring(bucket, j, 1) = '1' then '0' else '1' end, "
                 f"substring(bucket, j + 1, {bucket_bits}))))"
             )
-            # spread(): same AQE coalesce-then-explode trap as the
-            # exact tier — the post-collapse rep set is tiny at toy
-            # scale, AQE coalesces its shuffle to ~1 partition, and the
-            # bucket join then emits the candidate pairs single-task.
-            # Fan the probe side back out; NO broadcast hint on
-            # cand_side (it is corpus-sized — grows with unique
-            # vectors — so a forced hint would blow the broadcast limit
-            # at 100 TB; AQE still broadcasts it when actually small).
-            q_side = spread(
-                bucketed.select(
-                    F.col("rid").alias("g_id"),
-                    F.col("v").alias("gv"),
-                    F.col("nrm").alias("gnrm"),
-                    F.explode(F.expr(probe_expr)).alias("pb"),
-                )
-            )
-            paired = q_side.join(
-                cand_side, F.col("pb") == F.col("bucket")
+            # NO broadcast hint on cand_side (it is corpus-sized —
+            # grows with unique vectors — so a forced hint would blow
+            # the broadcast limit at 100 TB; AQE still broadcasts it
+            # when actually small). salted_candidates below fans the
+            # probe side out itself (the AQE coalesce-then-explode
+            # trap the exact tier's spread() guards against).
+            q_side = bucketed.select(
+                F.col("rid").alias("g_id"),
+                F.col("v").alias("gv"),
+                F.col("nrm").alias("gnrm"),
+                F.explode(F.expr(probe_expr)).alias("bucket"),
             )
         else:
-            q_side = spread(
-                bucketed.select(
-                    F.col("rid").alias("g_id"),
-                    F.col("v").alias("gv"),
-                    F.col("nrm").alias("gnrm"),
-                    F.col("bucket").alias("gb"),
-                )
+            q_side = bucketed.select(
+                F.col("rid").alias("g_id"),
+                F.col("v").alias("gv"),
+                F.col("nrm").alias("gnrm"),
+                "bucket",
             )
-            paired = q_side.join(
-                cand_side, F.col("gb") == F.col("bucket")
-            )
+        # SALTED bucket join (skew.salted_candidates): a NEAR-identical
+        # vector whale defeats the collapse above (arrays distinct) and
+        # owns one sign bucket; the plain equi-join scored that
+        # bucket's m² candidates in a single task (input kilobytes —
+        # invisible to AQE's byte-keyed skew split — output quadratic).
+        # Candidate SET is unchanged: each (probe, cand) combination,
+        # self included, meets at exactly the probe row's salt; a home
+        # bucket still matches exactly one multiprobe string, so no
+        # pair scores twice.
+        paired = salted_candidates(q_side, cand_side, "bucket", "g_id")
     rep_scored = paired.select(
         "g_id",
         "h_id",

@@ -39,6 +39,88 @@ def salted_join(
     return lg.join(sm, [on, "__salt"], how).drop("__salt")
 
 
+def salted_candidates(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_id: str,
+    salt: int = 16,
+    whale_min: int = 256,
+) -> DataFrame:
+    """Inner equi-join on ``key`` whose pair EMISSION stays parallel
+    when one key value is hot — the candidate-generation primitive for
+    bucketed similarity joins (LSH sign buckets, Levenshtein blocks).
+
+    The failure mode this fixes (measured, not hypothetical): a
+    NEAR-identical whale — 30% of a corpus within epsilon of one
+    vector — defeats the exact-duplicate collapse (every array
+    distinct) and lands m rows on ONE bucket key. A plain equi-join
+    then emits that bucket's m² candidate pairs inside a single task:
+    AQE's skew split keys on INPUT partition bytes, and m rows of
+    id+vector are kilobytes even when the pair output is quadratic
+    (the same blind spot ``_salted_intra_pairs`` fixes for intra-group
+    emission, one level up at the candidate join). 21k vectors with a
+    7k whale took 229 s through the unsalted join and seconds salted.
+
+    Mechanics: per-key build counts attach to both sides (the counts
+    relation has one row per distinct key — bucket-enum-sized for sign
+    buckets, AQE broadcasts it); the probe row takes ONE deterministic
+    salt in [0, factor) hashed from ``probe_id``; the build row
+    replicates once per salt value; the join keys on (key, salt).
+    Every (probe, build) combination meets at exactly one salt — the
+    probe's — so output equals the unsalted join exactly (order
+    aside). WHALE-GATED like ``_salted_intra_pairs``: keys under
+    ``whale_min`` build rows take factor 1 (explode emits one replica,
+    no replication cost), so a corpus with no hot bucket pays only the
+    count-attach; hot keys scatter across ``salt`` tasks.
+
+    Contract: ``probe`` and ``build`` must not share non-``key``
+    column names; rows whose key is absent from the other side drop
+    (inner-join semantics, same as the join this replaces).
+    """
+    counts = build.groupBy(key).agg(F.count(F.lit(1)).alias("__bn"))
+    factor = F.when(
+        F.col("__bn") >= whale_min, F.lit(salt)
+    ).otherwise(F.lit(1))
+    p = (
+        probe.join(counts, key)
+        .withColumn("__s", F.pmod(F.xxhash64(F.col(probe_id)), factor))
+        .drop("__bn")
+    )
+    b = (
+        build.join(counts, key)
+        .withColumn(
+            "__s", F.explode(F.sequence(F.lit(0), factor - F.lit(1)))
+        )
+        .drop("__bn")
+    )
+    # Round-robin repartition of the probe side, measured against the
+    # alternatives on the 7k-whale corpus (23.8M pairs):
+    # - nothing: AQE's partition coalescer keys on INPUT bytes — the
+    #   same blind spot as its skew split — and merges the probe's tiny
+    #   inherited exchange before the join, so the broadcast-hash join
+    #   emits the whale's quadratic output nearly single-task (117 s).
+    # - repartition BY (key, salt): coalesce-exempt, but concentrates
+    #   the whale onto its ~`salt` hash slots — the pair-scoring stage
+    #   runs ~16-of-32-way (104 s).
+    # - round-robin REPARTITION_BY_NUM (this): coalesce-exempt by
+    #   contract AND even, so under the broadcast-hash join the small
+    #   scale actually plans, emission parallelism is every core
+    #   (27 s). At build sides too big to broadcast the join inserts
+    #   its own (key, salt) exchange on top — one extra linear probe
+    #   pass, and the salt still caps any key's share of the emission
+    #   at 1/`salt` — while the large inputs keep the coalescer from
+    #   re-merging the salted partitions.
+    try:
+        nparts = int(
+            probe.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):  # "auto" under some AQE setups
+        nparts = probe.sparkSession.sparkContext.defaultParallelism
+    p = p.repartition(nparts)
+    return p.join(b, [key, "__s"]).drop("__s")
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, num_buckets: int = 16
 ) -> None:
