@@ -318,7 +318,7 @@ def q_range_price_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof.range_join_bucketed(
         lineitem, part, point_col="l_extendedprice", lo_col="lo", hi_col="hi",
-        bucket_width=10.0,
+        bucket_width=10.0, point_id=["l_orderkey", "l_linenumber"],
     ).select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "p_partkey", "p_retailprice"
     )

@@ -33,6 +33,16 @@ def cached(df: DataFrame) -> DataFrame:
     return df
 
 
+def register(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-cached DataFrame for :func:`release_caches`.
+
+    For operators that cache eagerly to answer a metadata-scale gate
+    question and only then learn whether the returned plan will consume
+    the cache (if not, they unpersist on the spot instead)."""
+    _REGISTRY.append(df)
+    return df
+
+
 def release_caches(blocking: bool = False) -> int:
     """Unpersist every operator-registered cache; returns how many.
 

@@ -25,6 +25,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     direction: str = "backward",
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Left as-of join per ``on`` key: for each left row, attach the most
     recent right row with ``right_ts <= left_ts`` (direction='backward')
@@ -36,13 +37,34 @@ def asof_join(
     right payload with ``last(..., ignorenulls)`` over a single
     key-partitioned window, keep left rows. Equivalent to a merge-asof but
     expressed so Spark plans exactly one exchange + sort either way.
+
+    ``bucket_width`` opts into the SEGMENTED plan (VERDICT r10 item 7):
+    the single key-partitioned window serializes a hot key — one task
+    sorts that key's whole history, measured 2.4-2.6x a flat corpus at
+    a 30% hot key (SOAK_r11). With a width, the window partitions by
+    (key, floor(ts / width)) — a hot key's sort splits across its time
+    buckets — and the cross-bucket carry is reconstructed segmented-scan
+    style from a per-(key, bucket) carry-out table (metadata-scale:
+    one row per key x occupied bucket, broadcast back). Output-identical
+    to the single-window plan whenever timestamps are non-null and
+    right rows are unique per (key, ts) (ties among identical (key, ts)
+    right rows are arbitrary in BOTH plans). Pick a width that yields
+    tens-to-hundreds of buckets over the hot key's time span; flat
+    corpora should keep the default single-window plan (fewer stages).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
     if direction == "nearest":
+        if bucket_width is not None:
+            raise ValueError("bucket_width supports backward|forward only")
         return _asof_nearest(left, right, on, left_ts, right_ts, right_cols)
+    if bucket_width is not None:
+        return _asof_segmented(
+            left, right, on, left_ts, right_ts, right_cols, direction,
+            bucket_width,
+        )
     lt = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )
@@ -71,6 +93,125 @@ def asof_join(
     return (
         carried.where(F.col("__is_left") == 1)
         .drop("__is_left", "__ts", *[f"__r_{c}" for c in right_cols])
+    )
+
+
+def _asof_segmented(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Hot-key-parallel as-of: the union-tag frame windowed per
+    (key, time-bucket) plus a segmented-scan carry between buckets.
+
+    Three relations:
+    1. ``local`` — the big union, windowed by (key, bucket): each row's
+       last-seen (backward) / next-seen (forward) right payload WITHIN
+       its bucket. The hot key's sort now splits across its buckets.
+    2. ``outs`` — per (key, bucket) the bucket's carry-OUT: the payload
+       of its extreme right row (max_by ts backward / min_by forward),
+       each column independently with a null-masked ordering key so a
+       NULL payload column never shadows an earlier non-null one —
+       mirroring last(..., ignorenulls) per column.
+    3. ``cins`` — carry-IN per (key, bucket): last non-null carry-out
+       among strictly earlier (backward) / later (forward) buckets,
+       one tiny window over the per-bucket table, seeded from the
+       DISTINCT (key, bucket) set of the union so buckets containing
+       only left rows still inherit.
+
+    final = coalesce(local, carry-in), left rows kept. The big side
+    moves once (the (key, bucket) exchange the window needs); cins is
+    (key x occupied-bucket)-sized — tiny under hot keys — and joins
+    back on the partitioning both sides already share.
+    """
+    backward = direction == "backward"
+    lt = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    payload = [F.col(c).alias(f"__r_{c}") for c in right_cols]
+    rt = (
+        right.select(F.col(on), F.col(right_ts).alias("__ts"), *payload)
+        .withColumn("__is_left", F.lit(0))
+    )
+    bucket = F.floor(F.col("__ts").cast("double") / F.lit(bucket_width)).cast(
+        "long"
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True).withColumn(
+        "__b", bucket
+    )
+    ts_order = F.col("__ts").asc() if backward else F.col("__ts").desc()
+    w_local = (
+        Window.partitionBy(on, "__b")
+        .orderBy(ts_order, F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True)
+            .over(w_local)
+            .alias(f"__loc_{c}")
+            for c in right_cols
+        ],
+    )
+    pick = F.max_by if backward else F.min_by
+    outs = (
+        rt.withColumn("__b", bucket)
+        .groupBy(on, "__b")
+        .agg(
+            *[
+                pick(
+                    F.col(f"__r_{c}"),
+                    F.when(F.col(f"__r_{c}").isNotNull(), F.col("__ts")),
+                ).alias(f"__out_{c}")
+                for c in right_cols
+            ]
+        )
+    )
+    all_buckets = unioned.select(on, "__b").distinct()
+    w_carry = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__b").asc() if backward else F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cins = all_buckets.join(outs, [on, "__b"], "left").select(
+        on,
+        "__b",
+        *[
+            F.last(f"__out_{c}", ignorenulls=True)
+            .over(w_carry)
+            .alias(f"__cin_{c}")
+            for c in right_cols
+        ],
+    )
+    internals = (
+        ["__is_left", "__ts", "__b"]
+        + [f"__r_{c}" for c in right_cols]
+        + [f"__loc_{c}" for c in right_cols]
+        + [f"__cin_{c}" for c in right_cols]
+    )
+    # no broadcast hint: cins is (key x occupied-bucket)-sized — tiny for
+    # hot-key corpora, but potentially large for many-key ones; let AQE
+    # pick broadcast vs reusing the (key, bucket) exchange both sides
+    # already share.
+    return (
+        local.join(cins, [on, "__b"])
+        .where(F.col("__is_left") == 1)
+        .select(
+            "*",
+            *[
+                F.coalesce(F.col(f"__loc_{c}"), F.col(f"__cin_{c}")).alias(
+                    f"asof_{c}"
+                )
+                for c in right_cols
+            ],
+        )
+        .drop(*internals)
     )
 
 
@@ -143,13 +284,29 @@ def range_join_bucketed(
     lo_col: str,
     hi_col: str,
     bucket_width: float,
+    point_id: str | list[str] | None = None,
 ) -> DataFrame:
     """Join points to containing [lo, hi) intervals via bucketization.
 
     Each interval is exploded to the buckets it overlaps (cheap when
-    interval width ~ bucket_width); the join is then a plain equi-join on
+    interval width ~ bucket_width); the join is then an equi-join on
     bucket id — shuffle-hash/broadcast eligible — with an exact range
     post-filter. Avoids BroadcastNestedLoopJoin, which dies at scale.
+
+    ``point_id`` (a row-distinguishing column or column list on the
+    points side, e.g. ``["l_orderkey", "l_linenumber"]``) routes the
+    bucket join through ``skew.salted_candidates``: a HOT VALUE RANGE —
+    many points and many overlapping intervals in one bucket — is an
+    expected distribution shape (a popular price band), and a plain
+    equi-join emits that bucket's points×intervals candidates inside a
+    single task (AQE's skew split keys on input bytes and cannot see
+    quadratic OUTPUT from a small hot bucket — the blind spot
+    VERDICT r10 item 1 flags here, measured on the vector whale).
+    ``salted_candidates`` is whale-gated twice over: with no hot bucket
+    the plan IS the plain equi-join (one extra counting pass over the
+    exploded intervals); with one, the hot bucket's emission scatters
+    across the salt-span tasks. Pass ``point_id=None`` only when the
+    caller KNOWS both sides' bucket histograms are flat.
     """
     p = points.withColumn(
         "__bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
@@ -163,6 +320,12 @@ def range_join_bucketed(
             )
         ),
     )
-    return p.join(iv, "__bucket").where(
+    if point_id is None:
+        joined = p.join(iv, "__bucket")
+    else:
+        from .skew import salted_candidates
+
+        joined = salted_candidates(p, iv, "__bucket", point_id)
+    return joined.where(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     ).drop("__bucket")

@@ -38,7 +38,12 @@ _DIGITS = r"([0-9]+)$"
 def _clean_side(customer: DataFrame) -> DataFrame:
     return customer.select(
         F.col("c_custkey").alias("clean_id"),
-        F.regexp_extract("c_name", _DIGITS, 1).cast("long").alias("digits"),
+        # regexp miss -> '' -> NULL (nullif), not an ANSI cast error;
+        # the NULL-feature row then flows through the null-safe member
+        # expansion below instead of killing the job (ADVICE r10).
+        F.nullif(F.regexp_extract("c_name", _DIGITS, 1), F.lit(""))
+        .cast("long")
+        .alias("digits"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
         F.col("c_nationkey").cast("long").alias("nation"),
         F.col("c_mktsegment").alias("seg"),
@@ -124,10 +129,24 @@ def link_customers(
         F.min("clean_id").alias("crep"), F.count(F.lit(1)).alias("cn")
     )
     dg = dirty.groupBy(*d_feat).agg(F.min("dirty_id").alias("drep"))
-    c_members = clean.join(cg.select(*c_feat, "crep"), c_feat).select(
-        "crep", "clean_id"
+    # NULL-SAFE member expansion (ADVICE r10): groupBy puts NULL
+    # features in a group, but a plain-equality join back would drop
+    # those rows from the member lists entirely — losing their pass-2
+    # (nation, balance-bucket) matches that the uncollapsed form still
+    # emits. eqNullSafe keeps the expansion output-identical on inputs
+    # where a feature (e.g. a regexp_extract miss) is NULL.
+    cgx = cg.select(
+        *[F.col(c).alias(f"g_{c}") for c in c_feat], "crep"
     )
-    d_members = dirty.join(dg, d_feat).select("drep", "dirty_id")
+    c_members = clean.join(
+        cgx, [F.col(c).eqNullSafe(F.col(f"g_{c}")) for c in c_feat]
+    ).select("crep", "clean_id")
+    dgx = dg.select(
+        *[F.col(c).alias(f"g_{c}") for c in d_feat], "drep"
+    )
+    d_members = dirty.join(
+        dgx, [F.col(c).eqNullSafe(F.col(f"g_{c}")) for c in d_feat]
+    ).select("drep", "dirty_id")
 
     # pass 1: selective name-digit key — linear in corpus size
     p1 = cg.join(dg, cg.digits == dg.d_digits)

@@ -754,10 +754,17 @@ def _build_and_publish_partsupp(
     )
     try:
         os.rename(scratch_dir, canon_dir)
-    except OSError:
-        # A concurrent process published first. rename is atomic, so
-        # canon_dir is complete; keep it, discard our duplicate.
-        pass
+    except OSError as exc:
+        # Expected loss mode: a concurrent process published first.
+        # rename is atomic, so canon_dir is then complete; keep it,
+        # discard our duplicate. But ONLY swallow the error when the
+        # canonical directory actually materialized — any other rename
+        # failure (EACCES, a mis-resolved warehouse path on a
+        # non-file:// URI) would otherwise let ensure_partsupp register
+        # an external table over a missing directory and every
+        # partsupp-family query silently return zero rows (ADVICE r10).
+        if not os.path.isdir(canon_dir):
+            raise exc
     # Remove the scratch catalog row. If we won the rename the managed
     # location is already gone (nothing to delete); if we lost, dropping
     # the managed table cleans up our duplicate files — still a path

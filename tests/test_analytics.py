@@ -56,6 +56,51 @@ def test_asof_join_forward_with_tie(spark):
     assert got[(2, "2024-01-01T10:00:00")] is None  # right row is in past
 
 
+def test_asof_segmented_identity_both_directions(spark):
+    """VERDICT r10 item 7: the segmented (bucket_width) as-of plan must
+    be output-identical to the single-window plan — hot key, unique
+    right (key, ts), per-column NULL payloads, exact ties, left-only
+    buckets inheriting across empty bucket gaps."""
+    import random
+
+    rnd = random.Random(11)
+    # key 0 is hot (owns ~60% of rows); right ts unique per key
+    left_rows, right_rows = [], []
+    for i in range(400):
+        k = 0 if i % 5 < 3 else 1 + (i % 3)
+        left_rows.append((k, float(rnd.randrange(0, 10_000))))
+    seen = set()
+    for i in range(150):
+        k = 0 if i % 5 < 3 else 1 + (i % 3)
+        ts = float(rnd.randrange(0, 10_000))
+        while (k, ts) in seen:
+            ts += 0.5
+        seen.add((k, ts))
+        # v NULL on some rows, w NULL on others: per-column carry
+        v = None if i % 7 == 0 else float(i)
+        w = None if i % 5 == 0 else float(i * 2)
+        right_rows.append((k, ts, v, w))
+    # exact-tie rows: left ts equal to a right ts
+    left_rows.append((0, right_rows[0][1]))
+    left = spark.createDataFrame(left_rows, "k int, ts double")
+    right = spark.createDataFrame(right_rows, "k int, ts double, v double, w double")
+    for direction in ("backward", "forward"):
+        plain = asof.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["v", "w"], direction=direction,
+        )
+        seg = asof.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["v", "w"], direction=direction,
+            bucket_width=500.0,
+        )
+        assert sorted(plain.columns) == sorted(seg.columns)
+        diff = (
+            seg.exceptAll(plain).count() + plain.exceptAll(seg).count()
+        )
+        assert diff == 0, f"direction={direction}: {diff} mismatched rows"
+
+
 def test_range_join_bucketed_equals_naive(spark, sf_dir):
     from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 
@@ -214,6 +259,31 @@ def test_record_linkage_branches(spark):
     got = {(r.clean_id, r.dirty_id): r.score
            for r in linkage.link_customers(df).collect()}
     assert got == {(1, 1): 85, (13, 13): 45, (20, 20): 75}
+
+
+def test_record_linkage_null_feature_rows_survive_expansion(spark):
+    """ADVICE r10: a clean row whose name has NO trailing digits
+    (regexp_extract miss -> digits NULL) must still emit its pass-2
+    (nation, balance-bucket) match at 45 — the collapse's member
+    expansion joins are null-safe, so the NULL-feature group's members
+    are not silently dropped."""
+    from data_lake_for_citi_bike_trip_spark.operators import linkage
+
+    rows = [
+        # distinct $100-balance buckets so the two customers never
+        # cross-match through the recovery blocks
+        (502, "Customer#000000502", 5, 100.0, "BUILDING"),
+        (501, "NoDigitsName", 5, 300.0, "BUILDING"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    got = {(r.clean_id, r.dirty_id): r.score
+           for r in linkage.link_customers(df).collect()}
+    # (501, 501): bal 30 + nation 10 + seg 5 = 45, reachable only if
+    # the NULL-digits clean row survived into c_members.
+    assert got == {(501, 501): 45, (502, 502): 85}
 
 
 def test_ivm_agg_delta_zero_group_vanishes(spark):

@@ -305,3 +305,39 @@ def test_degree_powerlaw_flat_degrees_filtered(spark):
     # 2-cycle: both degrees equal -> s_mb = 0 -> filtered
     flat = spark.createDataFrame([(1, 2)], "src long, dst long")
     assert graph.degree_powerlaw(flat).collect() == []
+
+
+def test_also_bought_whale_basket_salted_identity(spark):
+    """VERDICT r10 item 6: the basket self-join's "orders have
+    single-digit lines" bound is enforced by salted_candidates' whale
+    gate, not argued. A malformed whale basket (one order with 300
+    distinct parts -> 90k bucket pairs > whale_min**2 opens the gate)
+    must produce exactly the plain self-join's co-occurrence counts."""
+    rows = [(999, p) for p in range(300)]          # whale basket
+    rows += [(ok, p) for ok in range(50) for p in (ok % 7, 7 + ok % 5)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    )
+    got = {
+        (r.part, r.other): (r.n_baskets, r.rank)
+        for r in graph.also_bought(li, k=3).collect()
+    }
+    # driver-side mirror of the plain-join semantics
+    from collections import defaultdict
+    from itertools import permutations
+
+    baskets = defaultdict(set)
+    for ok, p in rows:
+        baskets[ok].add(p)
+    nb = defaultdict(int)
+    for ps in baskets.values():
+        for a, b in permutations(sorted(ps), 2):
+            nb[(a, b)] += 1
+    want = {}
+    per_part = defaultdict(list)
+    for (a, b), n in nb.items():
+        per_part[a].append((-n, b))
+    for a, lst in per_part.items():
+        for rank, (negn, b) in enumerate(sorted(lst)[:3], start=1):
+            want[(a, b)] = (-negn, rank)
+    assert got == want

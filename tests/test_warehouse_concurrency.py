@@ -120,3 +120,39 @@ def test_two_concurrent_processes_build_and_read(spark, sf_dir, tmp_path):
     # and this (third) process can reuse what they published
     assert sqlsurface.ensure_partsupp(spark, sf_dir) == tbl
     assert spark.table(tbl).count() == int(results[0][2])
+
+
+def test_sweep_stale_bucketed_removes_only_old_foreign_dirs(spark, tmp_path):
+    """ADVICE r10: the per-process bucketed-table directories need a GC
+    path. The sweep must remove a stale foreign directory, keep a fresh
+    foreign one, and never touch this process's own."""
+    import os
+    import time
+    from urllib.parse import urlparse
+
+    from data_lake_for_citi_bike_trip_spark.operators.skew import (
+        sweep_stale_bucketed,
+        write_bucketed,
+    )
+
+    df = spark.range(10).selectExpr("id", "id % 3 AS k")
+    write_bucketed(df, "sweep_probe", "k", num_buckets=2)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    app_tag = "".join(
+        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+    )
+    own = os.path.join(wh, f"sweep_probe__{app_tag}")
+    assert os.path.isdir(own)
+    stale = os.path.join(wh, "sweep_probe__app_dead_process")
+    fresh = os.path.join(wh, "sweep_probe__app_live_process")
+    os.makedirs(stale, exist_ok=True)
+    os.makedirs(fresh, exist_ok=True)
+    two_days_ago = time.time() - 48 * 3600
+    os.utime(stale, (two_days_ago, two_days_ago))
+    removed = sweep_stale_bucketed(spark, "sweep_probe", max_age_hours=24)
+    assert removed == 1
+    assert not os.path.exists(stale)
+    assert os.path.isdir(fresh)
+    assert os.path.isdir(own)
+    # the logical view still reads: the sweep never broke our own table
+    assert spark.table("sweep_probe").count() == 10

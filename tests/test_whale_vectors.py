@@ -71,6 +71,73 @@ def test_salted_candidates_identity_across_the_whale_gate(spark):
     )
 
 
+def test_salted_candidates_no_whale_gate_returns_plain_join(spark):
+    # no key reaches whale_min=256 build rows -> the metadata-scale
+    # scalar gate closes and the PLAIN equi-join comes back: identical
+    # output, and the plan carries none of the salt machinery (no
+    # count-attach, no xxhash64 salt, no round-robin repartition) —
+    # the no-whale common case must not pay an extra probe pass
+    # (VERDICT r10 item 3).
+    rows = [(i, f"k{i % 7}") for i in range(210)]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    probe = df.select(F.col("id").alias("pid"), F.col("k"))
+    build = df.select(F.col("id").alias("bid"), F.col("k"))
+    salted = salted_candidates(probe, build, "k", "pid")
+    plain = probe.join(build, "k")
+    assert (
+        salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
+        == 0
+    )
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" not in plan and "__s" not in plan
+    assert "__pairs" not in plan
+
+
+def test_salted_candidates_composite_probe_id(spark):
+    # probe_id as a COLUMN LIST (the range_price_match shape: the
+    # points side is row-unique only on a composite key). Whale key
+    # present (600x600 pairs > whale_min**2) so the salted path
+    # actually runs with the composite hash.
+    rows = [(i // 10, i % 10, "hot" if i < 600 else f"c{i % 13}")
+            for i in range(700)]
+    df = spark.createDataFrame(rows, "maj bigint, min bigint, k string")
+    probe = df.select("maj", "min", "k")
+    build = df.select(F.col("maj").alias("bmaj"), F.col("min").alias("bmin"), "k")
+    salted = salted_candidates(probe, build, "k", ["maj", "min"])
+    plain = probe.join(build, "k")
+    assert (
+        salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
+        == 0
+    )
+
+
+def test_range_join_bucketed_salted_hot_range_identity(spark):
+    # a hot value range: most points and 40 overlapping intervals
+    # share one bucket (2000 x 40 = 80k bucket pairs > whale_min**2,
+    # so the salt gate OPENS on the pair product even though the build
+    # count alone, 40, never would) — the expected "popular price
+    # band" shape from VERDICT r10 item 1. The salted route must emit
+    # exactly the plain route's rows.
+    from data_lake_for_citi_bike_trip_spark.operators import asof
+
+    pts = [(i, 0, 50.0 + (i % 97) * 0.1) for i in range(2000)]  # hot band
+    pts += [(i, 1, 1000.0 + i) for i in range(2000, 2300)]      # flat tail
+    points = spark.createDataFrame(pts, "okey bigint, lnum bigint, v double")
+    ivs = [(j, 49.0 + j * 0.2, 52.0 + j * 0.2) for j in range(40)]
+    ivs += [(100 + j, 1000.0 + 3 * j, 1003.0 + 3 * j) for j in range(100)]
+    intervals = spark.createDataFrame(ivs, "iv_id bigint, lo double, hi double")
+    salted = asof.range_join_bucketed(
+        points, intervals, "v", "lo", "hi", 10.0,
+        point_id=["okey", "lnum"],
+    )
+    plain = asof.range_join_bucketed(points, intervals, "v", "lo", "hi", 10.0)
+    assert salted.count() > 0
+    assert (
+        salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
+        == 0
+    )
+
+
 def test_embedding_dup_pairs_near_dup_vector_whale(spark):
     emb = _corpus(spark)
     out = dedup.embedding_dup_pairs(emb, threshold=0.999).collect()
