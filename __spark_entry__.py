@@ -280,6 +280,36 @@ def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_purchase_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_asof_purchase through the SEGMENTED as-of plan (VERDICT r10
+    item 7): the window partitions by (user, week bucket) with a
+    segmented-scan carry, so a hot user's history sort parallelizes.
+    Must emit exactly the single-window plan's rows — driver-checked
+    against the same DuckDB ASOF JOIN oracle."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("p_ts_us"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof.asof_join(
+        errors, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["p_ts_us", "p_value"],
+        bucket_width=7 * 24 * 3600.0,  # one week of epoch seconds
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "asof_p_ts_us",
+        "asof_p_value",
+    )
+
+
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: each error event joined to the EARLIEST purchase at
     or after it (per user) — the mirror of q_asof_purchase."""
@@ -3550,6 +3580,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "sessionize": q_sessionize,
         "asof_purchase": q_asof_purchase,
+        "asof_purchase_segmented": q_asof_purchase_segmented,
         "asof_forward": q_asof_forward,
         "range_price_match": q_range_price_match,
         "union_backfill": q_union_backfill,
@@ -3937,6 +3968,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_pivot": oracles.EVENT_TYPE_PIVOT,
         "sessionize": oracles.SESSIONIZE,
         "asof_purchase": oracles.ASOF_PURCHASE,
+        "asof_purchase_segmented": oracles.ASOF_PURCHASE,
         "asof_forward": oracles.ASOF_FORWARD,
         "range_price_match": oracles.RANGE_PRICE_MATCH,
         "union_backfill": oracles.UNION_BACKFILL,

@@ -24,6 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _REGISTRY: list[DataFrame] = []
+_RELEASE_CALLBACKS: list = []
+
+
+def on_release(cb) -> None:
+    """Register a zero-arg callback run by :func:`release_caches` —
+    for operator-level memos whose lifetime must match the cache
+    registry's (e.g. the salted-join gate memo in operators.skew)."""
+    _RELEASE_CALLBACKS.append(cb)
 
 
 def cached(df: DataFrame) -> DataFrame:
@@ -57,6 +65,11 @@ def release_caches(blocking: bool = False) -> int:
         except Exception:
             pass  # session already stopped — nothing to release
         n += 1
+    for cb in _RELEASE_CALLBACKS:
+        try:
+            cb()
+        except Exception:
+            pass
     return n
 
 

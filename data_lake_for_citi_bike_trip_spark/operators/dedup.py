@@ -424,10 +424,14 @@ def blocked_levenshtein_pairs(
     # (single-task): 197s warm on the 30%-hot whale corpus vs 4.1s
     # collapsed (48x); the 2x whale never finished inside 10 min vs
     # 5.0s collapsed. Common case (sf0.1, duplicate-free): ~1.5s.
-    reps = base.groupBy("blk", "head").agg(
-        F.min("doc_id").alias("rid"),
-        # member count rides the same agg; gates the intra-pair salt
-        F.count(F.lit(1)).alias("gsz"),
+    # cached: consumed by both join sides, the member expansion, and
+    # salted_candidates' eager pair-count gate.
+    reps = cached(
+        base.groupBy("blk", "head").agg(
+            F.min("doc_id").alias("rid"),
+            # member count rides the same agg; gates the intra-pair salt
+            F.count(F.lit(1)).alias("gsz"),
+        )
     )
     members = base.join(reps, ["blk", "head"]).select(
         F.col("rid").alias("rep"), "doc_id", "gsz"
@@ -615,7 +619,10 @@ def embedding_dup_pairs(
     # bit-identical to cosine_r6): on the same whale the all-pairs
     # scorer drops from three interpreted array reductions per pair to
     # one — the pair-scoring stage, not the join, is the cost at scale.
-    normed = reps.withColumn("nrm", V.norm(F.col("v")))
+    # cached: consumed by both join sides and by salted_candidates'
+    # eager pair-count gate — uncached, the gate job re-derived the
+    # whole collapse + bucket chain (measured +1 s/query at sf0.1).
+    normed = cached(reps.withColumn("nrm", V.norm(F.col("v"))))
     a = normed.select(
         F.col("vec_id").alias("r1"),
         F.col("v").alias("va"),
@@ -711,8 +718,9 @@ def embedding_dup_edges_for_clustering(
     )
     # Salted bucket join + per-rep norm precompute — near-identical
     # whale defense, same argument and output-identity (prenormed is
-    # bit-identical) as embedding_dup_pairs above.
-    normed = reps.withColumn("nrm", V.norm(F.col("v")))
+    # bit-identical) as embedding_dup_pairs above. cached: both join
+    # sides plus the salted gate's counting passes read it.
+    normed = cached(reps.withColumn("nrm", V.norm(F.col("v"))))
     a = normed.select(
         F.col("vec_id").alias("d1"),
         F.col("v").alias("va"),

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import cached
 from ..functions import vectors as V
 from ..session import spread
 from .skew import salted_candidates
@@ -374,8 +375,11 @@ def _collapsed_knn_edges(
         )
         paired = q_side.crossJoin(F.broadcast(cand_side))
     else:
-        bucketed = reps.withColumn(
-            "bucket", V.sign_bucket(F.col("v"), bucket_bits)
+        # cached: the probe and candidate sides below AND
+        # salted_candidates' eager pair-count gate all derive from it —
+        # uncached, the gate job re-ran the rep collapse + bucketing.
+        bucketed = cached(
+            reps.withColumn("bucket", V.sign_bucket(F.col("v"), bucket_bits))
         )
         cand_side = bucketed.select(
             F.col("rid").alias("h_id"),

@@ -138,6 +138,22 @@ def test_range_join_bucketed_salted_hot_range_identity(spark):
     )
 
 
+def test_salted_candidates_wide_path_identity(spark):
+    # broadcast_bytes=0 forces the WIDE-SALT shape (explicit (key,salt)
+    # repartition + shuffle-hash) — must emit exactly the broadcast
+    # shape's rows, which in turn equal the plain join's.
+    rows = [(i, "hot" if i < 300 else "cold") for i in range(305)]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    probe = df.select(F.col("id").alias("pid"), F.col("k"))
+    build = df.select(F.col("id").alias("bid"), F.col("k"))
+    wide = salted_candidates(probe, build, "k", "pid", broadcast_bytes=0)
+    plain = probe.join(build, "k")
+    assert wide.count() == 300 * 300 + 5 * 5
+    assert (
+        wide.exceptAll(plain).count() + plain.exceptAll(wide).count() == 0
+    )
+
+
 def test_embedding_dup_pairs_near_dup_vector_whale(spark):
     emb = _corpus(spark)
     out = dedup.embedding_dup_pairs(emb, threshold=0.999).collect()
