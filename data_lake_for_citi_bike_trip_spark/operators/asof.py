@@ -51,6 +51,8 @@ def asof_join(
     right rows are arbitrary in BOTH plans). Pick a width that yields
     tens-to-hundreds of buckets over the hot key's time span; flat
     corpora should keep the default single-window plan (fewer stages).
+    All three directions support it (nearest runs the reconstruction
+    both ways over one frame, then the closer-side choice).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -58,7 +60,10 @@ def asof_join(
         )
     if direction == "nearest":
         if bucket_width is not None:
-            raise ValueError("bucket_width supports backward|forward only")
+            return _asof_nearest_segmented(
+                left, right, on, left_ts, right_ts, right_cols,
+                bucket_width,
+            )
         return _asof_nearest(left, right, on, left_ts, right_ts, right_cols)
     if bucket_width is not None:
         return _asof_segmented(
@@ -213,6 +218,135 @@ def _asof_segmented(
         )
         .drop(*internals)
     )
+
+
+def _asof_nearest_segmented(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    bucket_width: float,
+) -> DataFrame:
+    """Hot-key-parallel NEAREST as-of: ``_asof_segmented``'s
+    (key, time-bucket) windows + segmented-scan carry applied in BOTH
+    directions over one frame, then ``_asof_nearest``'s closer-side
+    choice on the reconstructed carries. The right timestamp rides as
+    a carried payload exactly as in the single-window nearest, so the
+    per-row delta comparison — and the tie-keeps-backward contract —
+    is unchanged. One (key, bucket) exchange and two in-partition
+    sorts (asc, desc) for the big union; carry-outs/-ins are
+    per-(key, bucket) aggregates windowed both ways."""
+    carry = [*right_cols, "__rts"]
+    lt = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    payload = [F.col(c).alias(f"__r_{c}") for c in right_cols] + [
+        F.col(right_ts).alias("__r___rts")
+    ]
+    rt = right.select(F.col(on), F.col(right_ts).alias("__ts"), *payload).withColumn(
+        "__is_left", F.lit(0)
+    )
+    bucket = F.floor(F.col("__ts").cast("double") / F.lit(bucket_width)).cast(
+        "long"
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True).withColumn(
+        "__b", bucket
+    )
+    wb_local = (
+        Window.partitionBy(on, "__b")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf_local = (
+        Window.partitionBy(on, "__b")
+        .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True)
+            .over(wb_local)
+            .alias(f"__lb_{c}")
+            for c in carry
+        ],
+        *[
+            F.last(f"__r_{c}", ignorenulls=True)
+            .over(wf_local)
+            .alias(f"__lf_{c}")
+            for c in carry
+        ],
+    )
+    rb = rt.withColumn("__b", bucket)
+    outs = rb.groupBy(on, "__b").agg(
+        *[
+            F.max_by(
+                F.col(f"__r_{c}"),
+                F.when(F.col(f"__r_{c}").isNotNull(), F.col("__ts")),
+            ).alias(f"__ob_{c}")
+            for c in carry
+        ],
+        *[
+            F.min_by(
+                F.col(f"__r_{c}"),
+                F.when(F.col(f"__r_{c}").isNotNull(), F.col("__ts")),
+            ).alias(f"__of_{c}")
+            for c in carry
+        ],
+    )
+    all_buckets = unioned.select(on, "__b").distinct()
+    wb_carry = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf_carry = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cins = all_buckets.join(outs, [on, "__b"], "left").select(
+        on,
+        "__b",
+        *[
+            F.last(f"__ob_{c}", ignorenulls=True)
+            .over(wb_carry)
+            .alias(f"__cb_{c}")
+            for c in carry
+        ],
+        *[
+            F.last(f"__of_{c}", ignorenulls=True)
+            .over(wf_carry)
+            .alias(f"__cf_{c}")
+            for c in carry
+        ],
+    )
+    joined = local.join(cins, [on, "__b"]).where(F.col("__is_left") == 1)
+    b_val = {
+        c: F.coalesce(F.col(f"__lb_{c}"), F.col(f"__cb_{c}")) for c in carry
+    }
+    f_val = {
+        c: F.coalesce(F.col(f"__lf_{c}"), F.col(f"__cf_{c}")) for c in carry
+    }
+    b_ts, f_ts = b_val["__rts"], f_val["__rts"]
+    pick_forward = b_ts.isNull() | (
+        f_ts.isNotNull() & ((f_ts - F.col("__ts")) < (F.col("__ts") - b_ts))
+    )
+    chosen = [
+        F.when(pick_forward, f_val[c]).otherwise(b_val[c]).alias(f"asof_{c}")
+        for c in right_cols
+    ]
+    internals = (
+        ["__is_left", "__ts", "__b"]
+        + [f"__r_{c}" for c in carry]
+        + [f"__lb_{c}" for c in carry]
+        + [f"__lf_{c}" for c in carry]
+        + [f"__cb_{c}" for c in carry]
+        + [f"__cf_{c}" for c in carry]
+    )
+    return joined.select("*", *chosen).drop(*internals)
 
 
 def _asof_nearest(

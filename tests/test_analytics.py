@@ -84,7 +84,7 @@ def test_asof_segmented_identity_both_directions(spark):
     left_rows.append((0, right_rows[0][1]))
     left = spark.createDataFrame(left_rows, "k int, ts double")
     right = spark.createDataFrame(right_rows, "k int, ts double, v double, w double")
-    for direction in ("backward", "forward"):
+    for direction in ("backward", "forward", "nearest"):
         plain = asof.asof_join(
             left, right, on="k", left_ts="ts", right_ts="ts",
             right_cols=["v", "w"], direction=direction,
