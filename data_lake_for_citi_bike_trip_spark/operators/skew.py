@@ -220,9 +220,20 @@ def salted_candidates(
     # 7k-vector whale). Deciding here pins the measured-fast shape on
     # BOTH sides of the estimate.
     try:
+        plan_str = build._jdf.queryExecution().optimizedPlan().toString()
         build_bytes = int(
             build._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
+        # Spark's size estimate does NOT multiply through Generate
+        # (explode) nodes — measured: a 51x row blowup keeps the same
+        # byte estimate — so bytes-per-row computed against the
+        # POST-explode row count (which the gate counts exactly)
+        # understates width by the explode multiplier. An exploded
+        # build (e.g. range_join_bucketed's interval-bucket expansion)
+        # therefore can't be trusted into the forced-broadcast fast
+        # path; the wide-salt shape is the safe, still-parallel plan.
+        if "Generate" in plan_str:
+            build_bytes = 1 << 62
     except Exception:  # stats unavailable -> assume big, take wide path
         build_bytes = 1 << 62
     build_rows = max(int(row["build_rows"] or 1), 1)
