@@ -256,6 +256,18 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_sessionize_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sessionize through the SEGMENTED plan (SOAK_r11): per-(user,
+    day-bucket) windows + segmented-scan carries, so a bot user owning
+    a corpus-scale share of events no longer serializes the session
+    sort. Must emit exactly the single-window plan's sessions —
+    driver-checked against the same DuckDB oracle."""
+    return analytics.sessionize(
+        load_table(spark, sf_dir, "events"), gap_minutes=30,
+        bucket_width_minutes=24 * 60,
+    )
+
+
 def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     errors = events.where(F.col("event_type") == "error").select(
@@ -3579,6 +3591,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "event_type_pivot": q_event_type_pivot,
         "sessionize": q_sessionize,
+        "sessionize_segmented": q_sessionize_segmented,
         "asof_purchase": q_asof_purchase,
         "asof_purchase_segmented": q_asof_purchase_segmented,
         "asof_forward": q_asof_forward,
@@ -3967,6 +3980,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": oracles.REVENUE_BY_NATION,
         "event_type_pivot": oracles.EVENT_TYPE_PIVOT,
         "sessionize": oracles.SESSIONIZE,
+        "sessionize_segmented": oracles.SESSIONIZE,
         "asof_purchase": oracles.ASOF_PURCHASE,
         "asof_purchase_segmented": oracles.ASOF_PURCHASE,
         "asof_forward": oracles.ASOF_FORWARD,

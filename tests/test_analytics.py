@@ -773,3 +773,34 @@ def test_ranked_cumsum_matches_naive_global_window(spark):
     for line in phys.splitlines():
         if "row_number()" in line:
             assert "windowspecdefinition(_bkt" in line, line
+
+
+def test_sessionize_segmented_identity_hot_user(spark):
+    """SOAK_r11: the segmented (bucket_width_minutes) sessionize must
+    emit exactly the single-window plan's sessions — hot user, sessions
+    spanning bucket boundaries, empty bucket gaps, ties broken by
+    event_id."""
+    import random
+
+    rnd = random.Random(13)
+    rows = []
+    eid = 0
+    for i in range(3000):
+        u = 0 if i % 5 < 3 else 1 + (i % 4)  # user 0 hot (~60%)
+        # minutes over ~3 days; clusters + long gaps
+        base_min = rnd.randrange(0, 3 * 24 * 60)
+        for k in range(rnd.randrange(1, 4)):
+            rows.append((eid, u, base_min * 60 + k * 17))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, sec bigint"
+    ).select(
+        "event_id", "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    from data_lake_for_citi_bike_trip_spark.operators import analytics as an
+
+    plain = an.sessionize(df, gap_minutes=30)
+    seg = an.sessionize(df, gap_minutes=30, bucket_width_minutes=120)
+    assert sorted(plain.columns) == sorted(seg.columns)
+    diff = seg.exceptAll(plain).count() + plain.exceptAll(seg).count()
+    assert diff == 0, f"{diff} mismatched session rows"
