@@ -228,12 +228,30 @@ def salted_candidates(
         # (explode) nodes — measured: a 51x row blowup keeps the same
         # byte estimate — so bytes-per-row computed against the
         # POST-explode row count (which the gate counts exactly)
-        # understates width by the explode multiplier. An exploded
-        # build (e.g. range_join_bucketed's interval-bucket expansion)
-        # therefore can't be trusted into the forced-broadcast fast
-        # path; the wide-salt shape is the safe, still-parallel plan.
+        # understates width by the explode multiplier. For an exploded
+        # build with a FIXED-WIDTH schema (the range join's
+        # interval-bucket expansion: ids, bounds, bucket — all
+        # numeric) the honest width needs no plan statistics at all:
+        # schema defaultSize + row overhead x the EXACT post-explode
+        # row count. Variable-width columns (strings, arrays, maps,
+        # binary) have no trustworthy static width — those builds take
+        # the wide-salt shape, safe at any size.
         if "Generate" in plan_str:
-            build_bytes = 1 << 62
+            # explicit width table: PySpark's Python type objects do
+            # not expose the JVM's defaultSize
+            fixed = {
+                "boolean": 1, "byte": 1, "short": 2, "integer": 4,
+                "long": 8, "float": 4, "double": 8, "date": 4,
+                "timestamp": 8, "timestamp_ntz": 8, "decimal": 16,
+            }
+            names = [f.dataType.typeName() for f in build.schema]
+            if any(n.split("(")[0] not in fixed for n in names):
+                build_bytes = 1 << 62
+            else:
+                width = sum(fixed[n.split("(")[0]] for n in names) + 16
+                # feed the normal comparison: bytes-per-row x exact
+                # post-explode rows (build_rows divides back out below)
+                build_bytes = width * max(int(row["build_rows"] or 1), 1)
     except Exception:  # stats unavailable -> assume big, take wide path
         build_bytes = 1 << 62
     build_rows = max(int(row["build_rows"] or 1), 1)
