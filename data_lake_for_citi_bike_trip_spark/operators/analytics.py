@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .asof import join_carry_null_safe
+
 
 def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-shaped rollup: filter -> groupBy -> multi-agg.
@@ -189,8 +191,11 @@ def _sessionize_segmented(
     prev_ts = outs.select(
         "user_id", "__b", F.max("__maxts").over(w_carry).alias("__prev_ts")
     )
+    # Null-safe carry joins: a NULL user_id forms a real window partition
+    # in the single-window plan (Window.partitionBy groups NULLs), so a
+    # plain equi-join here would silently drop those rows (ADVICE r11).
     flagged = (
-        base.join(prev_ts, ["user_id", "__b"])
+        join_carry_null_safe(base, prev_ts, ["user_id", "__b"])
         .withColumn(
             "__prev",
             F.coalesce(F.lag("ts_us").over(w_local), F.col("__prev_ts")),
@@ -213,7 +218,7 @@ def _sessionize_segmented(
         F.coalesce(F.sum("__bt").over(w_carry), F.lit(0)).alias("__off"),
     )
     with_session = (
-        flagged.join(offsets, ["user_id", "__b"])
+        join_carry_null_safe(flagged, offsets, ["user_id", "__b"])
         .withColumn(
             "session_id",
             (F.sum("new_session").over(w_local) + F.col("__off")).cast(

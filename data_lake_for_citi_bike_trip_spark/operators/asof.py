@@ -17,6 +17,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def join_carry_null_safe(
+    big: DataFrame, carry: DataFrame, keys: list[str], how: str = "inner"
+) -> DataFrame:
+    """Inner equi-join on ``keys`` with NULL-safe equality (``<=>``),
+    keeping the big side's copy of each key column.
+
+    The segmented plans join their carry tables back on the window
+    partition keys. ``Window.partitionBy`` groups NULL keys into a real
+    partition, so a plain list-of-columns join (NULL never equals NULL)
+    would silently DROP every NULL-key row — and every NULL-timestamp
+    row, whose bucket id is NULL (ADVICE r11, medium). ``<=>`` keys
+    hash like normal keys (NULL is one more bucket), so the join stays
+    sort-merge / shuffled-hash / broadcast eligible and the plan shape
+    is unchanged.
+
+    The carry side must not share non-key column names with the big
+    side (the segmented plans' carry columns are all ``__``-prefixed
+    internals, so they never do).
+    """
+    aliased = carry.select(
+        *[F.col(k).alias(f"__nsj_{k}") for k in keys],
+        *[c for c in carry.columns if c not in keys],
+    )
+    cond = [F.col(k).eqNullSafe(F.col(f"__nsj_{k}")) for k in keys]
+    return big.join(aliased, cond, how).drop(*[f"__nsj_{k}" for k in keys])
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -48,7 +75,11 @@ def asof_join(
     one row per key x occupied bucket, broadcast back). Output-identical
     to the single-window plan whenever timestamps are non-null and
     right rows are unique per (key, ts) (ties among identical (key, ts)
-    right rows are arbitrary in BOTH plans). Pick a width that yields
+    right rows are arbitrary in BOTH plans). NULL join keys are kept:
+    the carry joins are null-safe (``<=>``), grouping NULL keys into
+    one partition exactly as ``Window.partitionBy`` does; NULL-ts rows
+    are likewise kept (NULL bucket), though their attached values
+    remain under the non-null-ts disclaimer above. Pick a width that yields
     tens-to-hundreds of buckets over the hot key's time span; flat
     corpora should keep the default single-window plan (fewer stages).
     All three directions support it (nearest runs the reconstruction
@@ -184,7 +215,7 @@ def _asof_segmented(
         .orderBy(F.col("__b").asc() if backward else F.col("__b").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cins = all_buckets.join(outs, [on, "__b"], "left").select(
+    cins = join_carry_null_safe(all_buckets, outs, [on, "__b"], "left").select(
         on,
         "__b",
         *[
@@ -203,9 +234,11 @@ def _asof_segmented(
     # no broadcast hint: cins is (key x occupied-bucket)-sized — tiny for
     # hot-key corpora, but potentially large for many-key ones; let AQE
     # pick broadcast vs reusing the (key, bucket) exchange both sides
-    # already share.
+    # already share. NULL-safe join: NULL keys (and NULL-ts rows, whose
+    # bucket is NULL) form a window partition in the single-window plan
+    # and must survive the carry join too.
     return (
-        local.join(cins, [on, "__b"])
+        join_carry_null_safe(local, cins, [on, "__b"])
         .where(F.col("__is_left") == 1)
         .select(
             "*",
@@ -307,7 +340,7 @@ def _asof_nearest_segmented(
         .orderBy(F.col("__b").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cins = all_buckets.join(outs, [on, "__b"], "left").select(
+    cins = join_carry_null_safe(all_buckets, outs, [on, "__b"], "left").select(
         on,
         "__b",
         *[
@@ -323,7 +356,9 @@ def _asof_nearest_segmented(
             for c in carry
         ],
     )
-    joined = local.join(cins, [on, "__b"]).where(F.col("__is_left") == 1)
+    joined = join_carry_null_safe(local, cins, [on, "__b"]).where(
+        F.col("__is_left") == 1
+    )
     b_val = {
         c: F.coalesce(F.col(f"__lb_{c}"), F.col(f"__cb_{c}")) for c in carry
     }

@@ -30,8 +30,122 @@ from ..caching import on_release, register
 #: gate job (the cached kstats DATA is reused, but the job round-trip
 #: and scans are not free). Cleared with release_caches — the memo's
 #: kstats references die with the cache registry.
+#: CONTRACT (ADVICE r11): the memo assumes the probe/build SOURCES are
+#: immutable for the session — semanticHash fingerprints the PLAN, not
+#: the data, so underlying files changing between calls (or a 32-bit
+#: hash collision) would replay a stale verdict, and in the whale path
+#: the cached kstats inner-join would silently drop keys that newly
+#: appeared. Sessions that mutate inputs mid-stream must call
+#: ``caching.release_caches()`` after the mutation — it clears this
+#: memo along with the kstats caches the verdicts point at.
 _GATE_MEMO: dict = {}
 on_release(_GATE_MEMO.clear)
+
+#: logical bucketed tables registered by write_bucketed this session,
+#: keyed (id(session), table_name) -> session. release_caches — the
+#: session's declared maintenance moment — sweeps stale sibling
+#: directories for each (VERDICT r11 item 3: the GC helper must run
+#: from the NORMAL lifecycle, not only when someone remembers it).
+_BUCKETED_SWEEP: dict = {}
+
+
+def _sweep_registered_bucketed() -> None:
+    for memo_key in list(_BUCKETED_SWEEP):
+        spark = _BUCKETED_SWEEP[memo_key]
+        name = memo_key[1]
+        try:
+            if spark.sparkContext._jsc is None:  # session stopped
+                _BUCKETED_SWEEP.pop(memo_key, None)
+                continue
+            sweep_stale_bucketed(spark, name)
+        except Exception:
+            # best-effort GC: a failing registration (dead session,
+            # torn-down warehouse) is dropped, never re-raised
+            _BUCKETED_SWEEP.pop(memo_key, None)
+
+
+on_release(_sweep_registered_bucketed)
+
+
+#: session-scoped memo of hot_window_gate verdicts (same design and
+#: same immutable-inputs contract as _GATE_MEMO above; cleared by
+#: release_caches). Keyed (session id, stats-frame semanticHash,
+#: hot_min_rows) -> (max key rows, non-null time span) — metadata-scale
+#: scalars, so the memo stores values, not cached plans.
+_WINDOW_GATE_MEMO: dict = {}
+on_release(_WINDOW_GATE_MEMO.clear)
+
+
+def hot_window_gate(
+    stats_frame: DataFrame, hot_min_rows: int
+) -> tuple[int, float | None]:
+    """Metadata-scale gate for per-key window operators (VERDICT r11
+    item 1): does any window-partition key own enough rows that the
+    single ``Window.partitionBy(key)`` sort serializes a whale into
+    one task, and over what time span would a segmented plan bucket?
+
+    ``stats_frame`` must have exactly two columns ``__k`` (the window
+    key) and ``__t`` (the ordering value cast to double). One counting
+    job — groupBy(__k) count + min/max (map-side partial, only
+    (key, count, min, max) rows move) — returns
+    ``(max_key_rows, span)`` where ``span`` is max-min of the WHOLE
+    frame's non-null ``__t`` (None when no non-null values exist).
+    The caller compares ``max_key_rows`` against its measured
+    crossover and derives a bucket width from ``span``.
+
+    Memoized per (session, plan semantics) exactly like the
+    salted_candidates gate — bench repeats and plan sweeps rebuild
+    identical frames many times per session — and under the same
+    contract: sources immutable for the session, else call
+    ``caching.release_caches()`` after mutating.
+    """
+    spark = stats_frame.sparkSession
+    try:
+        memo_key = (id(spark), stats_frame.semanticHash(), hot_min_rows)
+    except Exception:
+        memo_key = None
+    hit = _WINDOW_GATE_MEMO.get(memo_key) if memo_key is not None else None
+    if hit is not None and hit[2] is spark:
+        return hit[0], hit[1]
+    row = (
+        stats_frame.groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__t").alias("__mn"),
+            F.max("__t").alias("__mx"),
+        )
+        .agg(
+            F.max("__n").alias("max_rows"),
+            F.min("__mn").alias("t_min"),
+            F.max("__mx").alias("t_max"),
+        )
+        .first()
+    )
+    max_rows = int(row["max_rows"] or 0) if row is not None else 0
+    span = None
+    if row is not None and row["t_min"] is not None and row["t_max"] is not None:
+        span = float(row["t_max"]) - float(row["t_min"])
+    if memo_key is not None:
+        _WINDOW_GATE_MEMO[memo_key] = (max_rows, span, spark)
+    return max_rows, span
+
+
+def auto_bucket_width(
+    spark: SparkSession, span: float | None
+) -> float | None:
+    """Bucket width giving a whale key ~4x-parallelism time buckets
+    over ``span`` (the SOAK_r11 segmented runs used 64 buckets at
+    local[32]; 4*shuffle-partitions keeps the hot key's sort spread
+    across every core with headroom at any cluster size). None when
+    the span is missing or degenerate — segmentation cannot help a
+    zero-width history."""
+    if span is None or span <= 0:
+        return None
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = spark.sparkContext.defaultParallelism
+    return span / float(max(4 * nparts, 16))
 
 
 def salted_join(
@@ -62,6 +176,7 @@ def salted_candidates(
     salt: int = 16,
     whale_min: int = 256,
     broadcast_bytes: int = 256 << 20,
+    eager_gate: bool = True,
 ) -> DataFrame:
     """Inner equi-join on ``key`` whose pair EMISSION stays parallel
     when one key value is hot — the candidate-generation primitive for
@@ -141,6 +256,54 @@ def salted_candidates(
     else:
         id_cols = [F.col(c) for c in probe_id]
     pair_min = whale_min * whale_min
+    if not eager_gate:
+        # LAZY path (ADVICE r11): no jobs at plan CONSTRUCTION — for
+        # explain-only / plan-dump / interactive plan-building callers.
+        # Skips the counting gate and the measured-bytes strategy
+        # chooser; the per-key stats join stays IN the plan (uncached)
+        # and every key takes the wide-salt shape conditionally via the
+        # in-plan pair-count factor. Safe at any build size; costs the
+        # stats subquery per execution and forgoes the no-whale plain
+        # join and the broadcast fast path — eager_gate=True remains
+        # the execution-path default.
+        try:
+            lazy_nparts = int(
+                probe.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            lazy_nparts = probe.sparkSession.sparkContext.defaultParallelism
+        lazy_kstats = (
+            build.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .join(
+                probe.groupBy(key).agg(F.count(F.lit(1)).alias("__pn")),
+                key,
+            )
+            .select(
+                key, "__bn", (F.col("__pn") * F.col("__bn")).alias("__pairs")
+            )
+        )
+        wide = max(salt, 4 * lazy_nparts)
+        lazy_factor = F.when(
+            F.col("__pairs") >= pair_min, F.lit(wide)
+        ).otherwise(F.lit(1))
+        lp = (
+            probe.join(lazy_kstats, key)
+            .withColumn("__s", F.pmod(F.xxhash64(*id_cols), lazy_factor))
+            .drop("__bn", "__pairs")
+            .repartition(lazy_nparts, F.col(key), F.col("__s"))
+        )
+        lb = (
+            build.join(lazy_kstats, key)
+            .withColumn(
+                "__s",
+                F.explode(F.sequence(F.lit(0), lazy_factor - F.lit(1))),
+            )
+            .drop("__bn", "__pairs")
+            .repartition(lazy_nparts, F.col(key), F.col("__s"))
+            .hint("SHUFFLE_HASH")
+        )
+        return lp.join(lb, [key, "__s"]).drop("__s")
     try:
         memo_key = (
             id(probe.sparkSession),
@@ -350,6 +513,9 @@ def write_bucketed(
         .saveAsTable(phys)
     )
     spark.table(phys).createOrReplaceTempView(table_name)
+    # lifecycle GC hook: release_caches sweeps stale sibling dirs of
+    # every logical table this session bucketed (VERDICT r11 item 3)
+    _BUCKETED_SWEEP[(id(spark), table_name)] = spark
 
 
 def sweep_stale_bucketed(
@@ -390,12 +556,22 @@ def sweep_stale_bucketed(
             continue
         path = os.path.join(wh, entry)
         try:
-            if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
-                shutil.rmtree(path)
-                spark.sql(f"DROP TABLE IF EXISTS {entry}")
-                removed += 1
+            if not (os.path.isdir(path) and os.path.getmtime(path) < cutoff):
+                continue
+            shutil.rmtree(path)
         except OSError:
             continue  # raced with a concurrent sweep — someone got it
+        removed += 1
+        # Catalog drop is best-effort and per-entry isolated (ADVICE
+        # r11): a sibling directory with non-identifier characters
+        # (hyphen, dot — not something write_bucketed produces, but the
+        # listdir gives no guarantee) must not abort the sweep after
+        # its rmtree already ran. Backtick-quoting makes any directory
+        # name a legal identifier.
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS `{entry.replace('`', '``')}`")
+        except Exception:
+            pass  # dir is gone; a stale catalog row loses benignly
     return removed
 
 

@@ -804,3 +804,55 @@ def test_sessionize_segmented_identity_hot_user(spark):
     assert sorted(plain.columns) == sorted(seg.columns)
     diff = seg.exceptAll(plain).count() + plain.exceptAll(seg).count()
     assert diff == 0, f"{diff} mismatched session rows"
+
+
+def test_asof_segmented_null_key_rows_survive(spark):
+    """ADVICE r11 (medium): segmented carry joins must be NULL-safe —
+    NULL-key left rows form a real window partition in the single-window
+    plan and must both SURVIVE and MATCH NULL-key right history in the
+    segmented plan."""
+    left = spark.createDataFrame(
+        [(None, 100.0), (None, 250.0), (1, 100.0), (None, 900.0), (1, 900.0)],
+        "k int, ts double",
+    )
+    right = spark.createDataFrame(
+        [(None, 50.0, 10.0), (None, 200.0, 20.0), (1, 80.0, 30.0),
+         (None, 800.0, 40.0), (1, 850.0, 50.0)],
+        "k int, ts double, v double",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        plain = asof.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], direction=direction,
+        )
+        seg = asof.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], direction=direction, bucket_width=300.0,
+        )
+        assert seg.count() == left.count(), (
+            f"direction={direction}: segmented plan dropped NULL-key rows"
+        )
+        diff = seg.exceptAll(plain).count() + plain.exceptAll(seg).count()
+        assert diff == 0, f"direction={direction}: {diff} mismatched rows"
+
+
+def test_sessionize_segmented_null_user_rows_survive(spark):
+    """ADVICE r11 (medium): NULL user_id events sessionize as one NULL
+    'user' in the single-window plan; the segmented plan's null-safe
+    carry joins must keep them and emit identical sessions."""
+    rows = []
+    for i in range(60):
+        u = None if i % 3 == 0 else i % 2
+        rows.append((i, u, i * 600 + (i % 7) * 11))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, sec bigint"
+    ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
+    plain = analytics.sessionize(df, gap_minutes=30)
+    seg = analytics.sessionize(df, gap_minutes=30, bucket_width_minutes=60)
+    assert (
+        seg.agg(F.sum("n_events")).collect()[0][0]
+        == plain.agg(F.sum("n_events")).collect()[0][0]
+        == 60
+    ), "segmented plan dropped NULL-user events"
+    diff = seg.exceptAll(plain).count() + plain.exceptAll(seg).count()
+    assert diff == 0, f"{diff} mismatched session rows"

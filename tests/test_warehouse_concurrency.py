@@ -156,3 +156,36 @@ def test_sweep_stale_bucketed_removes_only_old_foreign_dirs(spark, tmp_path):
     assert os.path.isdir(own)
     # the logical view still reads: the sweep never broke our own table
     assert spark.table("sweep_probe").count() == 10
+
+
+def test_release_caches_sweeps_registered_bucketed(spark):
+    """VERDICT r11 item 3: a foreign process's stale directory must be
+    reaped by the NORMAL session lifecycle (write_bucketed registers the
+    logical table; caching.release_caches runs the sweep) — not only by
+    calling the helper directly. Also pins the ADVICE r11 quoting fix:
+    a sibling directory with non-identifier characters (hyphen) must be
+    swept, not abort the loop with a ParseException."""
+    import os
+    import time
+    from urllib.parse import urlparse
+
+    from data_lake_for_citi_bike_trip_spark import caching
+    from data_lake_for_citi_bike_trip_spark.operators.skew import (
+        write_bucketed,
+    )
+
+    df = spark.range(12).selectExpr("id", "id % 4 AS k")
+    write_bucketed(df, "sweep_lifecycle", "k", num_buckets=2)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(wh, "sweep_lifecycle__app_dead_process")
+    weird = os.path.join(wh, "sweep_lifecycle__app-with-hyphen.dot")
+    os.makedirs(stale, exist_ok=True)
+    os.makedirs(weird, exist_ok=True)
+    two_days_ago = time.time() - 48 * 3600
+    os.utime(stale, (two_days_ago, two_days_ago))
+    os.utime(weird, (two_days_ago, two_days_ago))
+    caching.release_caches()
+    assert not os.path.exists(stale), "lifecycle release did not sweep"
+    assert not os.path.exists(weird), "non-identifier dir aborted sweep"
+    # our own table survives and still reads
+    assert spark.table("sweep_lifecycle").count() == 12
