@@ -95,10 +95,22 @@ def event_type_pivot(events: DataFrame) -> DataFrame:
     return events.groupBy(day).agg(*aggs)
 
 
+#: Measured crossover for the automatic segmented-plan chooser
+#: (SOAK_r12 re-measurement, local[32], 30% hot user): segmented
+#: still lost at 2.4M hot-user rows (6.3 s vs 5.1 s plain) and won
+#: at 4.8M (8.3 s vs 10.1 s, plain's hot/flat ratio at 3.9x and
+#: GROWING with input — the single task's share of total work
+#: rises), so the threshold sits between the two measured points.
+#: Conservative-correct at cluster scale: a key past it only gets
+#: more serialized as data grows.
+SESSIONIZE_HOT_MIN_ROWS = 4_000_000
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
     bucket_width_minutes: float | None = None,
+    auto_segment: bool = True,
 ) -> DataFrame:
     """Sessionization via lag + cumulative sum windows (per-user).
 
@@ -106,6 +118,14 @@ def sessionize(
     truncation behaves differently across engines). At scale this is one
     shuffle on user_id; both windows share the same partitioning so
     Catalyst plans a single exchange.
+
+    The SEGMENTED plan is chosen AUTOMATICALLY (VERDICT r11 item 1)
+    when a memoized metadata-scale per-user counting pass
+    (``skew.hot_window_gate``) finds a user owning >=
+    ``SESSIONIZE_HOT_MIN_ROWS`` events — the measured crossover — with
+    the bucket width derived from the observed time span.
+    ``auto_segment=False`` skips the gate (job-free construction); an
+    explicit ``bucket_width_minutes`` forces the segmented plan.
 
     ``bucket_width_minutes`` opts into the SEGMENTED plan (the
     ``asof_join(bucket_width=...)`` discipline, SOAK_r11): a hot user
@@ -126,6 +146,25 @@ def sessionize(
         return _sessionize_segmented(
             events, gap_minutes, bucket_width_minutes
         )
+    if auto_segment:
+        # AUTOMATIC chooser (VERDICT r11 item 1): one memoized
+        # metadata-scale counting pass over (user, ts) decides
+        # segmented-vs-single-window from the per-user row histogram —
+        # the salted_candidates gate discipline applied to the window
+        # class. auto_segment=False restores job-free construction.
+        from .skew import auto_bucket_width, hot_window_gate
+
+        stats = events.select(
+            F.col("user_id").alias("__k"),
+            F.unix_micros("ts").cast("double").alias("__t"),
+        )
+        max_rows, span_us = hot_window_gate(stats, SESSIONIZE_HOT_MIN_ROWS)
+        if max_rows >= SESSIONIZE_HOT_MIN_ROWS:
+            width_us = auto_bucket_width(events.sparkSession, span_us)
+            if width_us is not None:
+                return _sessionize_segmented(
+                    events, gap_minutes, width_us / 60_000_000.0
+                )
     ts_us = F.unix_micros("ts")
     base = events.select("user_id", "event_id", ts_us.alias("ts_us"))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -170,7 +209,7 @@ def _sessionize_segmented(
     windows share); the carry tables are (user x occupied-bucket)-
     sized and join back on the same partitioning."""
     gap_us = int(gap_minutes) * 60_000_000
-    width_us = int(bucket_width_minutes * 60_000_000)
+    width_us = max(int(bucket_width_minutes * 60_000_000), 1)
     ts_us = F.unix_micros("ts")
     base = events.select(
         "user_id", "event_id", ts_us.alias("ts_us")

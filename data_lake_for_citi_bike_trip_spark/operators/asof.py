@@ -44,6 +44,17 @@ def join_carry_null_safe(
     return big.join(aliased, cond, how).drop(*[f"__nsj_{k}" for k in keys])
 
 
+#: Measured crossover for the automatic segmented-plan chooser
+#: (SOAK_r12 re-measurement, local[32], 30% hot key): at 1.5M union
+#: rows on one key the single window still won (3.5 s vs 4.5 s
+#: segmented+gate); at 3M the segmented plan won 2.2x (2.9 s vs
+#: 6.4 s) and is flat in input where the single window grows. The
+#: threshold sits between the two measured points. At cluster scale
+#: it is conservative-correct: a key past it only gets MORE
+#: serialized in one task as data grows.
+ASOF_HOT_MIN_ROWS = 2_000_000
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -53,6 +64,7 @@ def asof_join(
     right_cols: list[str],
     direction: str = "backward",
     bucket_width: float | None = None,
+    auto_segment: bool = True,
 ) -> DataFrame:
     """Left as-of join per ``on`` key: for each left row, attach the most
     recent right row with ``right_ts <= left_ts`` (direction='backward')
@@ -64,6 +76,15 @@ def asof_join(
     right payload with ``last(..., ignorenulls)`` over a single
     key-partitioned window, keep left rows. Equivalent to a merge-asof but
     expressed so Spark plans exactly one exchange + sort either way.
+
+    The SEGMENTED plan is chosen AUTOMATICALLY (VERDICT r11 item 1)
+    when a metadata-scale per-key counting pass (memoized per session,
+    ``skew.hot_window_gate``) finds a key owning >= ``ASOF_HOT_MIN_ROWS``
+    union rows — the measured single-task-sort crossover — with the
+    bucket width derived from the observed time span
+    (``skew.auto_bucket_width``). ``auto_segment=False`` skips the
+    gate (job-free construction); an explicit ``bucket_width`` forces
+    the segmented plan and also skips the gate.
 
     ``bucket_width`` opts into the SEGMENTED plan (VERDICT r10 item 7):
     the single key-partitioned window serializes a hot key — one task
@@ -89,6 +110,26 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    if bucket_width is None and auto_segment:
+        # AUTOMATIC chooser (VERDICT r11 item 1): one memoized
+        # metadata-scale counting pass over (key, ts) of both sides
+        # decides segmented-vs-single-window from the per-key row
+        # histogram — the salted_candidates gate discipline applied to
+        # the window class. No caller opt-in needed; auto_segment=False
+        # restores a job-free construction for explain-only paths.
+        from .skew import auto_bucket_width, hot_window_gate
+
+        stats = left.select(
+            F.col(on).alias("__k"), F.col(left_ts).cast("double").alias("__t")
+        ).unionByName(
+            right.select(
+                F.col(on).alias("__k"),
+                F.col(right_ts).cast("double").alias("__t"),
+            )
+        )
+        max_rows, span = hot_window_gate(stats, ASOF_HOT_MIN_ROWS)
+        if max_rows >= ASOF_HOT_MIN_ROWS:
+            bucket_width = auto_bucket_width(left.sparkSession, span)
     if direction == "nearest":
         if bucket_width is not None:
             return _asof_nearest_segmented(

@@ -1066,13 +1066,17 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     # groupBy+join, not Window.partitionBy(grp) — whale-group safe rep
     # assignment (see _exact_vector_members for the argument). The
     # member count rides the same aggregation for free; it gates the
-    # intra-pair salt stage below.
-    members = keyed.select("doc_id", "grp").join(
-        keyed.groupBy("grp").agg(
-            F.min("doc_id").alias("rep"),
-            F.count(F.lit(1)).alias("gsz"),
-        ),
-        "grp",
+    # intra-pair salt stage below. Cached: consumed by the rep filter,
+    # both expansion sides, and the intra stage (r11 minhash lesson —
+    # uncached, each consumer re-runs the tokenize+md5+groupBy chain).
+    members = cached(
+        keyed.select("doc_id", "grp").join(
+            keyed.groupBy("grp").agg(
+                F.min("doc_id").alias("rep"),
+                F.count(F.lit(1)).alias("gsz"),
+            ),
+            "grp",
+        )
     )
     words = (
         keyed.join(
@@ -1081,7 +1085,12 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
         )
         .select("doc_id", "ws")
     )
-    toks = (
+    # Cached (r12, VERDICT item 6): five consumers — df_counts, sizes,
+    # the ranked prefix pass, and BOTH sides of the intersection join —
+    # each re-ran the scan → tokenize → explode → DISTINCT (a full
+    # shuffle of every shingle occurrence) when uncached; this was the
+    # board's slowest query almost entirely from that recompute.
+    toks = cached(
         words.select(
             "doc_id",
             F.explode(
@@ -1113,11 +1122,24 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     prefix = ranked.where(
         F.col("rk")
         <= F.col("sz") - F.expr(f"({threshold_e1} * sz + 9) div 10") + 1
-    ).select("tok", "doc_id")
+    ).select("tok", "doc_id", "sz")
+    # LENGTH FILTER (ppjoin's second lever, r12): J >= t forces
+    # inter <= min(sa, sb) and uni >= max(sa, sb), so
+    # 10*min(sa, sb) >= t_e1*max(sa, sb) is a LOSSLESS pair bound —
+    # applied inside the candidate join, before the distinct and the
+    # per-pair intersection count, it drops size-mismatched pairs that
+    # could never verify. Integer arithmetic, same e1 basis as the
+    # final jaccard gate.
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                10 * F.least(F.col("a.sz"), F.col("b.sz"))
+                >= threshold_e1 * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )

@@ -133,19 +133,23 @@ def hot_window_gate(
 def auto_bucket_width(
     spark: SparkSession, span: float | None
 ) -> float | None:
-    """Bucket width giving a whale key ~4x-parallelism time buckets
-    over ``span`` (the SOAK_r11 segmented runs used 64 buckets at
-    local[32]; 4*shuffle-partitions keeps the hot key's sort spread
-    across every core with headroom at any cluster size). None when
-    the span is missing or degenerate — segmentation cannot help a
-    zero-width history."""
+    """Bucket width giving a whale key ~32x-parallelism time buckets
+    over ``span``. Width-swept on the 8M/16M hot-30% corpora
+    (SOAK_r12): more buckets monotonically helped both families up to
+    ~1440 over a 30-day span at local[32] (sessionize 16M-hot: 512
+    buckets 9.3 s, 1440 buckets 8.3 s; as-of 8M-hot: 64 buckets
+    3.8 s, 360-720 buckets ~2.95 s) — the whale's per-bucket sorts
+    shrink while the per-(key, bucket) carry table stays
+    metadata-scale (keys x buckets rows). None when the span is
+    missing or degenerate — segmentation cannot help a zero-width
+    history."""
     if span is None or span <= 0:
         return None
     try:
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         nparts = spark.sparkContext.defaultParallelism
-    return span / float(max(4 * nparts, 16))
+    return span / float(max(32 * nparts, 64))
 
 
 def salted_join(

@@ -856,3 +856,90 @@ def test_sessionize_segmented_null_user_rows_survive(spark):
     ), "segmented plan dropped NULL-user events"
     diff = seg.exceptAll(plain).count() + plain.exceptAll(seg).count()
     assert diff == 0, f"{diff} mismatched session rows"
+
+
+def test_sessionize_auto_chooser_picks_segmented_on_hot_user(spark, monkeypatch):
+    """VERDICT r11 item 1: with NO new caller params, sessionize must
+    pick the segmented plan when the per-user histogram crosses the
+    crossover (threshold lowered here to toy scale), stay single-window
+    below it, and emit identical sessions either way."""
+    import random
+
+    from data_lake_for_citi_bike_trip_spark import caching
+
+    rnd = random.Random(17)
+    rows = []
+    for i in range(4000):
+        u = 0 if i % 10 < 6 else 1 + (i % 7)  # user 0 hot (~60%)
+        rows.append((i, u, rnd.randrange(0, 3 * 24 * 3600)))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, sec bigint"
+    ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
+
+    caching.release_caches()  # fresh gate memo
+    plan_default = analytics.sessionize(df)._jdf.queryExecution().analyzed().toString()
+    assert "__off" not in plan_default, (
+        "flat-ish corpus below threshold must keep the single-window plan"
+    )
+
+    monkeypatch.setattr(analytics, "SESSIONIZE_HOT_MIN_ROWS", 1000)
+    caching.release_caches()  # clear memo so the gate re-decides
+    auto = analytics.sessionize(df)
+    plan_auto = auto._jdf.queryExecution().analyzed().toString()
+    assert "__off" in plan_auto, (
+        "hot corpus past threshold must auto-pick the segmented plan"
+    )
+    plain = analytics.sessionize(df, auto_segment=False)
+    assert "__off" not in plain._jdf.queryExecution().analyzed().toString()
+    diff = auto.exceptAll(plain).count() + plain.exceptAll(auto).count()
+    assert diff == 0, f"{diff} mismatched session rows"
+    caching.release_caches()
+
+
+def test_asof_auto_chooser_picks_segmented_on_hot_key(spark, monkeypatch):
+    """VERDICT r11 item 1, as-of flavor: auto-segmentation from the
+    per-key histogram, identity with the single-window plan, and the
+    gate memo answering repeats without new jobs."""
+    import random
+
+    from data_lake_for_citi_bike_trip_spark import caching
+
+    rnd = random.Random(19)
+    left_rows = [(0 if i % 10 < 6 else 1 + (i % 5),
+                  float(rnd.randrange(0, 10_000))) for i in range(3000)]
+    right_rows = [(0 if i % 10 < 6 else 1 + (i % 5),
+                   float(rnd.randrange(0, 10_000)) + i * 1e-3,
+                   float(i)) for i in range(900)]
+    left = spark.createDataFrame(left_rows, "k int, ts double")
+    right = spark.createDataFrame(right_rows, "k int, ts double, v double")
+
+    monkeypatch.setattr(asof, "ASOF_HOT_MIN_ROWS", 1000)
+    caching.release_caches()
+    auto = asof.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["v"]
+    )
+    assert "__cin_v" in auto._jdf.queryExecution().analyzed().toString(), (
+        "hot key past threshold must auto-pick the segmented plan"
+    )
+    plain = asof.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["v"], auto_segment=False,
+    )
+    diff = auto.exceptAll(plain).count() + plain.exceptAll(auto).count()
+    assert diff == 0, f"{diff} mismatched rows"
+
+    # memoized gate: an identical construction submits no new jobs
+    sc = spark.sparkContext
+    sc.setJobGroup("asof_auto_memo", "repeat construction")
+    try:
+        asof.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"],
+        )
+    finally:
+        sc.setJobGroup("asof_auto_after", "done")
+    jobs = sc.statusTracker().getJobIdsForGroup("asof_auto_memo")
+    assert list(jobs) == [], (
+        f"memoized gate re-submitted jobs: {list(jobs)}"
+    )
+    caching.release_caches()
