@@ -28,6 +28,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .asof import join_carry_null_safe
+
+#: Shared crossover for the raw-event user-window choosers below
+#: (SOAK_r12 §4): the flagged operators' hot/flat ratios at a 30% bot
+#: user all grow with input (user_paths 4.5x→7.0x, transition_latency
+#: 2.8x→3.8x, visit_cadence 3.2x→4.0x from 8M→16M), same class as
+#: sessionize. Threshold calibrated like SESSIONIZE_HOT_MIN_ROWS —
+#: below it the extra stages cost more than the serialized sort.
+USER_WINDOW_HOT_MIN_ROWS = 4_000_000
+
+
+def _hot_user_width_us(
+    events: DataFrame, hot_min_rows: int | None = None
+) -> float | None:
+    """The sessionize auto-chooser gate for any raw-event user-keyed
+    window in this module: one memoized metadata-scale counting pass
+    (``skew.hot_window_gate``) over (user_id, ts); returns the derived
+    bucket width in MICROS when some user owns >= ``hot_min_rows``
+    events (None otherwise, or when the time span is degenerate)."""
+    from .skew import auto_bucket_width, hot_window_gate
+
+    if hot_min_rows is None:
+        # resolved at CALL time so the module global stays the single
+        # tunable (and tests can lower it)
+        hot_min_rows = USER_WINDOW_HOT_MIN_ROWS
+    stats = events.select(
+        F.col("user_id").alias("__k"),
+        F.unix_micros("ts").cast("double").alias("__t"),
+    )
+    max_rows, span_us = hot_window_gate(stats, hot_min_rows)
+    if max_rows >= hot_min_rows:
+        return auto_bucket_width(events.sparkSession, span_us)
+    return None
+
 
 def cohort_retention(events: DataFrame) -> DataFrame:
     """Classic retention triangle on daily cohorts: for each (first-seen
@@ -203,7 +237,9 @@ def user_gap_median(events: DataFrame) -> DataFrame:
     )
 
 
-def user_paths(events: DataFrame, max_len: int = 12) -> DataFrame:
+def user_paths(
+    events: DataFrame, max_len: int = 12, auto_segment: bool = True
+) -> DataFrame:
     """Per-user ordered event-type path — the sequence-reconstruction
     primitive behind behavioral training data (next-event prediction,
     path clustering): events sorted by (ts, event_id) within the user,
@@ -211,9 +247,20 @@ def user_paths(events: DataFrame, max_len: int = 12) -> DataFrame:
 
     Ordered aggregation without an ORDER BY clause: collect structs,
     array_sort (total order — epoch micros then the unique event_id
-    breaks ties), slice, transform. One shuffle on user_id; the sort is
-    per-group in memory, bounded by the per-user event count (skewed
-    power users are an AQE concern, not a correctness one)."""
+    breaks ties), slice, transform. One shuffle on user_id; the sort
+    is per-group in memory.
+
+    A BOT USER breaks that memory bound: collect_list materializes the
+    whale's entire history as ONE in-memory array in one task (SOAK_r12
+    §4: 7x a flat corpus at a 30% user / 16M events, ratio growing).
+    When the ``_hot_user_width_us`` gate fires, the plan switches to a
+    two-phase salted top-K — per-(user, salt) partials keep only their
+    local count + first ``max_len`` structs, the merge flattens
+    salt-many short arrays — top-K is mergeable, so output is
+    IDENTICAL and every array is bounded by rows/salt (partial) or
+    salt*max_len (merge)."""
+    if auto_segment and _hot_user_width_us(events) is not None:
+        return _user_paths_salted(events, max_len)
     return (
         events.groupBy("user_id")
         .agg(
@@ -235,6 +282,61 @@ def user_paths(events: DataFrame, max_len: int = 12) -> DataFrame:
                 F.transform(
                     F.slice("seq", 1, max_len), lambda s: s.getField("et")
                 ),
+            ).alias("path"),
+        )
+    )
+
+
+def _user_paths_salted(
+    events: DataFrame, max_len: int, nsalt: int | None = None
+) -> DataFrame:
+    """Whale-parallel user_paths: per-(user, salt) partial top-K +
+    count, then a per-user merge of salt-many ``max_len``-bounded
+    arrays. The salt is a deterministic hash of the unique event_id
+    (retries route identically); partial top-K is lossless because any
+    global top-``max_len`` element is in its own salt group's local
+    top-``max_len``."""
+    if nsalt is None:
+        spark = events.sparkSession
+        try:
+            nsalt = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            nsalt = spark.sparkContext.defaultParallelism
+    part = (
+        events.withColumn(
+            "__s", F.pmod(F.xxhash64("event_id"), F.lit(nsalt)).cast("int")
+        )
+        .groupBy("user_id", "__s")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros("ts").alias("us"),
+                            F.col("event_id").alias("eid"),
+                            F.col("event_type").alias("et"),
+                        )
+                    )
+                ),
+                1,
+                max_len,
+            ).alias("__seq"),
+        )
+    )
+    return (
+        part.groupBy("user_id")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_events"),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("__seq"))), 1, max_len
+            ).alias("seq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.concat_ws(
+                ">", F.transform(F.col("seq"), lambda s: s.getField("et"))
             ).alias("path"),
         )
     )
@@ -1399,7 +1501,11 @@ def markov_entropy_rate(events: DataFrame) -> DataFrame:
     )
 
 
-def transition_latency(events: DataFrame) -> DataFrame:
+def transition_latency(
+    events: DataFrame,
+    bucket_width_minutes: float | None = None,
+    auto_segment: bool = True,
+) -> DataFrame:
     """Median dwell time per event-type TRANSITION — how long users
     sit between a click and the purchase it becomes, per (from, to)
     pair: markov_transitions says WHERE users go, this says HOW FAST
@@ -1408,17 +1514,32 @@ def transition_latency(events: DataFrame) -> DataFrame:
     (enum^2-bounded partitions), gaps in exact whole seconds.
 
     One user-partitioned lead window + a (a, b, gap) histogram + the
-    standard 2*cum >= tot median selection.
+    standard 2*cum >= tot median selection. The lead window is the
+    sessionize hot-key class (SOAK_r12 §4: 3.8x a flat corpus at a
+    30% bot user, growing); past the ``_hot_user_width_us`` gate the
+    gaps come from per-(user, time-bucket) lead windows plus a
+    NEXT-bucket-first-row carry (the forward twin of sessionize's
+    prev-ts carry) — output-identical, whale sort parallelized.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = events.select(
-        F.col("event_type").alias("a"),
-        F.lead("event_type").over(w).alias("b"),
-        (
-            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
-            / F.lit(1_000_000)
-        ).cast("long").alias("gap_s"),
-    ).where(F.col("b").isNotNull())
+    width_us = None
+    if bucket_width_minutes is not None:
+        width_us = max(int(bucket_width_minutes * 60_000_000), 1)
+    elif auto_segment:
+        w_f = _hot_user_width_us(events)
+        if w_f is not None:
+            width_us = max(int(w_f), 1)
+    if width_us is not None:
+        gaps = _transition_gaps_segmented(events, width_us)
+    else:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gaps = events.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(w).alias("b"),
+            (
+                (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+                / F.lit(1_000_000)
+            ).cast("long").alias("gap_s"),
+        ).where(F.col("b").isNotNull())
     hist = gaps.groupBy("a", "b", "gap_s").agg(
         F.count(F.lit(1)).alias("t")
     )
@@ -1442,6 +1563,53 @@ def transition_latency(events: DataFrame) -> DataFrame:
             F.min("gap_s").cast("long").alias("median_gap_s"),
             F.max("n").cast("long").alias("n_transitions"),
         )
+    )
+
+
+def _transition_gaps_segmented(events: DataFrame, width_us: int) -> DataFrame:
+    """Hot-user-parallel (a, b, gap_s) emission for transition_latency:
+    lead within (user, time-bucket) windows; each bucket's LAST row
+    takes its successor from the next occupied bucket's first row —
+    a per-(user, bucket) ``min(struct(ts, event_id, type))`` carry
+    table led one bucket forward (metadata-scale, user x occupied-
+    bucket rows). Null-safe carry join so NULL users and NULL-ts rows
+    survive exactly as the single window's NULL partitions do."""
+    ts_us = F.unix_micros("ts")
+    base = events.select(
+        "user_id", "event_id", "event_type", ts_us.alias("ts_us")
+    ).withColumn(
+        "__b", F.floor(F.col("ts_us") / F.lit(width_us)).cast("long")
+    )
+    w_local = Window.partitionBy("user_id", "__b").orderBy(
+        "ts_us", "event_id"
+    )
+    firsts = base.groupBy("user_id", "__b").agg(
+        F.min(
+            F.struct(
+                F.col("ts_us"), F.col("event_id"), F.col("event_type")
+            )
+        ).alias("__f")
+    )
+    w_next = Window.partitionBy("user_id").orderBy("__b")
+    cins = firsts.select(
+        "user_id", "__b", F.lead("__f").over(w_next).alias("__cin")
+    )
+    loc = base.select(
+        "*",
+        F.lead("event_type").over(w_local).alias("__lb"),
+        F.lead("ts_us").over(w_local).alias("__lt"),
+    )
+    return (
+        join_carry_null_safe(loc, cins, ["user_id", "__b"])
+        .select(
+            F.col("event_type").alias("a"),
+            F.coalesce("__lb", F.col("__cin.event_type")).alias("b"),
+            (
+                (F.coalesce("__lt", F.col("__cin.ts_us")) - F.col("ts_us"))
+                / F.lit(1_000_000)
+            ).cast("long").alias("gap_s"),
+        )
+        .where(F.col("b").isNotNull())
     )
 
 
@@ -1671,7 +1839,12 @@ def activation_depth(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def visit_cadence(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def visit_cadence(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    bucket_width_minutes: float | None = None,
+    auto_segment: bool = True,
+) -> DataFrame:
     """Visit cadence: the lower-median gap BETWEEN a user's session
     starts, rolled into an hours-histogram — how often users come
     back when they do come back (stickiness says how many days; this
@@ -1681,18 +1854,70 @@ def visit_cadence(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     One session walk, one user-partitioned lag over session starts,
     per-user histogram median, bounded hour-band rollup.
+
+    The RAW-EVENT lag is the sessionize hot-key class (SOAK_r12 §4:
+    4x a flat corpus at a 30% bot user, growing); past the
+    ``_hot_user_width_us`` gate the start flags come from
+    per-(user, time-bucket) lag windows plus sessionize's prev-max-ts
+    carry — output-identical. The SECOND window (lag over session
+    starts) needs no protection at any scale: a user's start count is
+    structurally bounded by span/gap (each start needs a
+    ``gap_minutes`` quiet period before it — ~1440 starts max for a
+    30-day span at 30 min), so no whale is possible there.
     """
+    gap_us = gap_minutes * 60_000_000
     ts_us = F.unix_micros("ts")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    width_us = None
+    if bucket_width_minutes is not None:
+        width_us = max(int(bucket_width_minutes * 60_000_000), 1)
+    elif auto_segment:
+        w_f = _hot_user_width_us(events)
+        if w_f is not None:
+            width_us = max(int(w_f), 1)
     base = events.select("user_id", "event_id", ts_us.alias("ts_us"))
-    gap = F.col("ts_us") - F.lag("ts_us").over(w)
-    starts = base.select(
-        "user_id",
-        "ts_us",
-        F.when(
-            gap.isNull() | (gap > gap_minutes * 60_000_000), 1
-        ).otherwise(0).alias("ns"),
-    ).where(F.col("ns") == 1)
+    if width_us is not None:
+        base_b = base.withColumn(
+            "__b", F.floor(F.col("ts_us") / F.lit(width_us)).cast("long")
+        )
+        w_local = Window.partitionBy("user_id", "__b").orderBy(
+            "ts_us", "event_id"
+        )
+        outs = base_b.groupBy("user_id", "__b").agg(
+            F.max("ts_us").alias("__maxts")
+        )
+        w_carry = (
+            Window.partitionBy("user_id")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev_ts = outs.select(
+            "user_id",
+            "__b",
+            F.max("__maxts").over(w_carry).alias("__prev_ts"),
+        )
+        prev = F.coalesce(
+            F.lag("ts_us").over(w_local), F.col("__prev_ts")
+        )
+        starts = (
+            join_carry_null_safe(base_b, prev_ts, ["user_id", "__b"])
+            .select(
+                "user_id",
+                "ts_us",
+                F.when(
+                    prev.isNull() | ((F.col("ts_us") - prev) > gap_us), 1
+                ).otherwise(0).alias("ns"),
+            )
+            .where(F.col("ns") == 1)
+        )
+    else:
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        gap = F.col("ts_us") - F.lag("ts_us").over(w)
+        starts = base.select(
+            "user_id",
+            "ts_us",
+            F.when(gap.isNull() | (gap > gap_us), 1)
+            .otherwise(0).alias("ns"),
+        ).where(F.col("ns") == 1)
     sw = Window.partitionBy("user_id").orderBy("ts_us")
     igaps = starts.select(
         "user_id",

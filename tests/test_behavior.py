@@ -488,3 +488,43 @@ def test_transition_latency_median(spark):
            for r in behavior.transition_latency(
                _events(spark, rows)).collect()}
     assert out[("click", "view")] == (20, 3)
+
+
+def test_user_windows_auto_segment_identity(spark, monkeypatch):
+    """SOAK_r12 §4: the three flagged raw-event user-window operators
+    must (a) auto-pick their whale-parallel plans past the (lowered)
+    threshold and (b) emit output identical to the plain plans —
+    including NULL users and event_id tie-breaks."""
+    import random
+
+    from data_lake_for_citi_bike_trip_spark import caching
+    from data_lake_for_citi_bike_trip_spark.operators import behavior as bh
+
+    rnd = random.Random(23)
+    rows = []
+    types = ["click", "view", "purchase", "signup", "error"]
+    for i in range(5000):
+        u = 0 if i % 10 < 6 else (None if i % 10 == 6 else 1 + (i % 7))
+        rows.append((i, u, rnd.randrange(0, 6 * 24 * 3600), types[i % 5]))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, sec bigint, event_type string"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds("sec").alias("ts"), "event_type",
+    )
+    monkeypatch.setattr(bh, "USER_WINDOW_HOT_MIN_ROWS", 1000)
+    for op in ("user_paths", "transition_latency", "visit_cadence"):
+        caching.release_caches()
+        fn = getattr(bh, op)
+        auto = fn(df)
+        plain = fn(df, auto_segment=False)
+        assert sorted(auto.columns) == sorted(plain.columns), op
+        diff = auto.exceptAll(plain).count() + plain.exceptAll(auto).count()
+        assert diff == 0, f"{op}: {diff} mismatched rows"
+    # and the gate actually fired: the segmented/salted plans differ
+    caching.release_caches()
+    assert (
+        bh.user_paths(df).semanticHash()
+        != bh.user_paths(df, auto_segment=False).semanticHash()
+    )
+    caching.release_caches()

@@ -64,11 +64,21 @@ def main() -> None:
             )
             ev.count()
             cells = {
-                "user_paths": lambda: behavior.user_paths(ev)
+                "user_paths_plain": lambda: behavior.user_paths(
+                    ev, auto_segment=False
+                ).agg(F.max("n_events"), F.count(F.lit(1))).collect(),
+                "user_paths_auto": lambda: behavior.user_paths(ev)
                 .agg(F.max("n_events"), F.count(F.lit(1))).collect(),
-                "transition_latency": lambda: behavior.transition_latency(ev)
+                "transition_latency_plain": lambda:
+                behavior.transition_latency(ev, auto_segment=False)
                 .agg(F.max("median_gap_s"), F.count(F.lit(1))).collect(),
-                "visit_cadence": lambda: behavior.visit_cadence(ev)
+                "transition_latency_auto": lambda:
+                behavior.transition_latency(ev)
+                .agg(F.max("median_gap_s"), F.count(F.lit(1))).collect(),
+                "visit_cadence_plain": lambda: behavior.visit_cadence(
+                    ev, auto_segment=False
+                ).agg(F.max("n_users")).collect(),
+                "visit_cadence_auto": lambda: behavior.visit_cadence(ev)
                 .agg(F.max("n_users")).collect(),
             }
             for name, fn in cells.items():
