@@ -1066,17 +1066,17 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     # groupBy+join, not Window.partitionBy(grp) — whale-group safe rep
     # assignment (see _exact_vector_members for the argument). The
     # member count rides the same aggregation for free; it gates the
-    # intra-pair salt stage below. Cached: consumed by the rep filter,
-    # both expansion sides, and the intra stage (r11 minhash lesson —
-    # uncached, each consumer re-runs the tokenize+md5+groupBy chain).
-    members = cached(
-        keyed.select("doc_id", "grp").join(
-            keyed.groupBy("grp").agg(
-                F.min("doc_id").alias("rep"),
-                F.count(F.lit(1)).alias("gsz"),
-            ),
-            "grp",
-        )
+    # intra-pair salt stage below. NOT cached despite four consumers:
+    # measured A/B (r12, VERDICT item 6) — Spark's ReusedExchange
+    # already dedupes these identical subtrees within the one plan,
+    # so cached()/InMemoryRelation only added row-format conversion
+    # cost (sf0.1: 6.62 s uncached vs 7.04 s cached).
+    members = keyed.select("doc_id", "grp").join(
+        keyed.groupBy("grp").agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("gsz"),
+        ),
+        "grp",
     )
     words = (
         keyed.join(
@@ -1085,12 +1085,14 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
         )
         .select("doc_id", "ws")
     )
-    # Cached (r12, VERDICT item 6): five consumers — df_counts, sizes,
-    # the ranked prefix pass, and BOTH sides of the intersection join —
-    # each re-ran the scan → tokenize → explode → DISTINCT (a full
-    # shuffle of every shingle occurrence) when uncached; this was the
-    # board's slowest query almost entirely from that recompute.
-    toks = cached(
+    # Five consumers (df_counts, sizes, the ranked prefix pass, both
+    # intersection sides) but NOT cached: the r11 minhash recompute
+    # lesson does NOT transfer here — ReusedExchange shares the one
+    # distinct shuffle across all five consumers already, and the
+    # measured A/B (r12, VERDICT item 6) showed caching is a small
+    # net LOSS (sf0.1: 6.62 s vs 7.04 s). Negative result recorded in
+    # BENCH_NOTES.md r12.
+    toks = (
         words.select(
             "doc_id",
             F.explode(
