@@ -137,20 +137,37 @@ def funnel_counts(events: DataFrame, steps: list[str] | None = None) -> DataFram
     )
 
 
-def markov_transitions(events: DataFrame) -> DataFrame:
+def markov_transitions(
+    events: DataFrame, auto_segment: bool = True
+) -> DataFrame:
     """Per-user event-type transition matrix: counts of consecutive
     (from_type -> to_type) pairs in each user's timeline, with the
     per-from-type transition probability in exact e4 units.
 
     Ordering is made total (ts, event_id) so lead() is deterministic
     under timestamp ties. One user-window + one |types|²-sized groupBy.
-    """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = events.select(
-        "user_id",
-        F.col("event_type").alias("from_type"),
-        F.lead("event_type").over(w).alias("to_type"),
-    ).where(F.col("to_type").isNotNull())
+    The lead window is the sessionize hot-key class; past the
+    ``_hot_user_width_us`` gate the pairs come from
+    ``_segmented_lookahead(k=1)`` — output-identical, bot-user sort
+    parallelized across time buckets."""
+    width_f = _hot_user_width_us(events) if auto_segment else None
+    if width_f is not None:
+        seq = (
+            _segmented_lookahead(events, max(int(width_f), 1), 1)
+            .select(
+                "user_id",
+                F.col("__p").alias("from_type"),
+                F.col("__n1").alias("to_type"),
+            )
+            .where(F.col("to_type").isNotNull())
+        )
+    else:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        ).where(F.col("to_type").isNotNull())
     counts = seq.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("transitions")
     )
@@ -986,7 +1003,9 @@ def burst_max(events: DataFrame, window_seconds: int = 300) -> DataFrame:
     )
 
 
-def path_trigrams(events: DataFrame, k: int = 20) -> DataFrame:
+def path_trigrams(
+    events: DataFrame, k: int = 20, auto_segment: bool = True
+) -> DataFrame:
     """Top-k three-step behavior sequences — the order above
     markov_transitions' bigrams, where funnels actually live
     (view->click->purchase vs click->view->purchase are different
@@ -996,13 +1015,27 @@ def path_trigrams(events: DataFrame, k: int = 20) -> DataFrame:
     total order; trigram counts reduce map-side into a |types|^3-
     bounded cell table, and the top-k boundary is a TOTAL order
     (count desc, then the lexicographic triple) — deterministic in any
-    engine. TakeOrderedAndProject handles the limit."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    led = events.select(
-        F.col("event_type").alias("t1"),
-        F.lead("event_type", 1).over(w).alias("t2"),
-        F.lead("event_type", 2).over(w).alias("t3"),
-    ).where(F.col("t3").isNotNull())
+    engine. TakeOrderedAndProject handles the limit. Hot-key class:
+    past the ``_hot_user_width_us`` gate the two leads come from
+    ``_segmented_lookahead(k=2)``, output-identical."""
+    width_f = _hot_user_width_us(events) if auto_segment else None
+    if width_f is not None:
+        led = (
+            _segmented_lookahead(events, max(int(width_f), 1), 2)
+            .select(
+                F.col("__p").alias("t1"),
+                F.col("__n1").alias("t2"),
+                F.col("__n2").alias("t3"),
+            )
+            .where(F.col("t3").isNotNull())
+        )
+    else:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        led = events.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        ).where(F.col("t3").isNotNull())
     counts = led.groupBy("t1", "t2", "t3").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1566,6 +1599,93 @@ def transition_latency(
     )
 
 
+def _segmented_lookahead(
+    events: DataFrame, width_us: int, k: int
+) -> DataFrame:
+    """Whale-parallel NEXT-K payloads: attach each event's next ``k``
+    event_types (per-user (ts_us, event_id) total order) as columns
+    ``__n1..__nk`` — the generalized form of the transition/trigram
+    lead windows.
+
+    Per-(user, time-bucket) lead windows resolve successors inside the
+    bucket; a row with only ``j < k`` in-bucket successors completes
+    from a CARRY: per (user, bucket) the ordered first-``k`` rows
+    (slice of array_sort(collect_list(struct))), then for each bucket
+    the flatten-slice of the NEXT ``k`` occupied buckets' first-k
+    arrays (every occupied bucket holds >= 1 row, so k bucket-rows
+    always cover k successors; buckets are time-ranges, so the
+    flatten order IS the global order). Carry tables are
+    (user x occupied-bucket x k)-sized — metadata scale. The carry
+    join is null-safe: NULL users and NULL-ts rows (NULL bucket,
+    which sorts first — matching the single window's nulls-first
+    order) survive exactly as in the plain plan."""
+    ts_us = F.unix_micros("ts")
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("__p"),
+        ts_us.alias("ts_us"),
+    ).withColumn(
+        "__b", F.floor(F.col("ts_us") / F.lit(width_us)).cast("long")
+    )
+    w_local = Window.partitionBy("user_id", "__b").orderBy(
+        "ts_us", "event_id"
+    )
+    w_bucket = Window.partitionBy("user_id", "__b")
+    firsts = base.groupBy("user_id", "__b").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("ts_us"), F.col("event_id"), F.col("__p"))
+                )
+            ),
+            1,
+            k,
+        ).alias("__fk")
+    )
+    w_next = (
+        Window.partitionBy("user_id").orderBy("__b").rowsBetween(1, k)
+    )
+    cins = firsts.select(
+        "user_id",
+        "__b",
+        F.slice(
+            F.flatten(F.collect_list("__fk").over(w_next)), 1, k
+        ).alias("__carry"),
+    )
+    loc = base.select(
+        "*",
+        *[
+            F.lead("__p", i).over(w_local).alias(f"__l{i}")
+            for i in range(1, k + 1)
+        ],
+        F.row_number().over(w_local).alias("__rn"),
+        F.count(F.lit(1)).over(w_bucket).alias("__cnt"),
+    )
+    j = F.col("__cnt") - F.col("__rn")  # in-bucket successors
+    out = join_carry_null_safe(loc, cins, ["user_id", "__b"]).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "__p",
+        *[
+            # gate on the successor COUNT, not payload nullness — a
+            # genuinely-NULL event_type successor must stay NULL, not
+            # be papered over by the carry
+            # try_element_at: past-the-end (end of the user's
+            # timeline) is NULL, and ANSI mode must not throw
+            F.when(j >= i, F.col(f"__l{i}"))
+            .otherwise(
+                F.try_element_at("__carry", (F.lit(i) - j).cast("int"))
+                .getField("__p")
+            )
+            .alias(f"__n{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    return out
+
+
 def _transition_gaps_segmented(events: DataFrame, width_us: int) -> DataFrame:
     """Hot-user-parallel (a, b, gap_s) emission for transition_latency:
     lead within (user, time-bucket) windows; each bucket's LAST row
@@ -1598,14 +1718,27 @@ def _transition_gaps_segmented(events: DataFrame, width_us: int) -> DataFrame:
         "*",
         F.lead("event_type").over(w_local).alias("__lb"),
         F.lead("ts_us").over(w_local).alias("__lt"),
+        F.row_number().over(w_local).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("user_id", "__b")
+        ).alias("__cnt"),
     )
+    # gate on the successor COUNT (__rn < __cnt), never on payload
+    # nullness: a NULL-typed or NULL-ts in-bucket successor must stay
+    # the successor, not be papered over by the next bucket's carry
+    has_local = F.col("__rn") < F.col("__cnt")
     return (
         join_carry_null_safe(loc, cins, ["user_id", "__b"])
         .select(
             F.col("event_type").alias("a"),
-            F.coalesce("__lb", F.col("__cin.event_type")).alias("b"),
+            F.when(has_local, F.col("__lb"))
+            .otherwise(F.col("__cin.event_type")).alias("b"),
             (
-                (F.coalesce("__lt", F.col("__cin.ts_us")) - F.col("ts_us"))
+                (
+                    F.when(has_local, F.col("__lt"))
+                    .otherwise(F.col("__cin.ts_us"))
+                    - F.col("ts_us")
+                )
                 / F.lit(1_000_000)
             ).cast("long").alias("gap_s"),
         )

@@ -505,7 +505,10 @@ def test_user_windows_auto_segment_identity(spark, monkeypatch):
     types = ["click", "view", "purchase", "signup", "error"]
     for i in range(5000):
         u = 0 if i % 10 < 6 else (None if i % 10 == 6 else 1 + (i % 7))
-        rows.append((i, u, rnd.randrange(0, 6 * 24 * 3600), types[i % 5]))
+        # every 11th event_type NULL: a null-typed SUCCESSOR must stay
+        # null in the lookahead (not be papered over by the carry)
+        et = None if i % 11 == 0 else types[i % 5]
+        rows.append((i, u, rnd.randrange(0, 6 * 24 * 3600), et))
     df = spark.createDataFrame(
         rows, "event_id bigint, user_id bigint, sec bigint, event_type string"
     ).select(
@@ -513,7 +516,13 @@ def test_user_windows_auto_segment_identity(spark, monkeypatch):
         F.timestamp_seconds("sec").alias("ts"), "event_type",
     )
     monkeypatch.setattr(bh, "USER_WINDOW_HOT_MIN_ROWS", 1000)
-    for op in ("user_paths", "transition_latency", "visit_cadence"):
+    for op in (
+        "user_paths",
+        "transition_latency",
+        "visit_cadence",
+        "markov_transitions",
+        "path_trigrams",
+    ):
         caching.release_caches()
         fn = getattr(bh, op)
         auto = fn(df)
