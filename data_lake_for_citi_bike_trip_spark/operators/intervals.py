@@ -89,7 +89,12 @@ def incident_exposure(events: DataFrame, value_floor: float = 200.0) -> DataFram
     )
 
 
-def interval_union_length(events: DataFrame, dur_minutes: int = 5) -> DataFrame:
+def interval_union_length(
+    events: DataFrame,
+    dur_minutes: int = 5,
+    bucket_width_minutes: float | None = None,
+    auto_segment: bool = False,
+) -> DataFrame:
     """Total TIME COVERED per user by the union of [ts, ts + dur)
     activity intervals — overlapping activity counted ONCE (the
     billing/utilization primitive; summing durations naively
@@ -102,7 +107,27 @@ def interval_union_length(events: DataFrame, dur_minutes: int = 5) -> DataFrame:
     islands are numbered by a running sum of those breaks, and each
     island contributes max(end) - min(start). Two window passes over
     the same user partitioning, one aggregate. Exact epoch micros.
+
+    The island walk is the sessionize hot-key class (one per-user
+    window serializes a bot user). A SEGMENTED plan exists — the walk
+    per (user, time-bucket) with two segmented-scan carries: the
+    running max of ends (per-bucket max-e running-max'd over earlier
+    buckets) and the island-id offset (sessionize's running sum of
+    per-bucket break totals) — output-identical and identity-pinned,
+    BUT ``auto_segment`` defaults to FALSE here: the r12 soak measured
+    the segmented plan LOSING at both 16M (26.5 s vs 15.0 s plain,
+    30% hot user) and 32M (44.4 s vs 38.5 s) — its two extra
+    full-frame carry-join shuffles scale linearly and outweigh the
+    parallelized sort on this operator's thin rows, so the toy-scale
+    crossover (if any) sits past 32M. Explicit
+    ``bucket_width_minutes`` (or auto_segment=True) remains the
+    MEMORY-bound escape hatch: at true scale a single task sorting a
+    whale's whole history spills or dies regardless of wall-clock
+    comparisons at toy scale.
     """
+    from .asof import join_carry_null_safe
+    from .behavior import _hot_user_width_us
+
     dur_us = dur_minutes * 60 * 1_000_000
     base = events.select(
         "user_id",
@@ -110,21 +135,84 @@ def interval_union_length(events: DataFrame, dur_minutes: int = 5) -> DataFrame:
         (F.unix_micros("ts") + dur_us).alias("e"),
         "event_id",
     )
-    w = Window.partitionBy("user_id").orderBy("s", "event_id")
-    prev_max_e = F.max("e").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = base.withColumn(
-        "new_island",
-        F.when(
-            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
-        ).otherwise(0),
-    ).withColumn(
-        "island",
-        F.sum("new_island").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    width_us = None
+    if bucket_width_minutes is not None:
+        width_us = max(int(bucket_width_minutes * 60_000_000), 1)
+    elif auto_segment:
+        w_f = _hot_user_width_us(events)
+        if w_f is not None:
+            width_us = max(int(w_f), 1)
+    if width_us is not None:
+        base_b = base.withColumn(
+            "__b", F.floor(F.col("s") / F.lit(width_us)).cast("long")
+        )
+        w_local = Window.partitionBy("user_id", "__b").orderBy(
+            "s", "event_id"
+        )
+        w_carry = (
+            Window.partitionBy("user_id")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        outs = base_b.groupBy("user_id", "__b").agg(
+            F.max("e").alias("__maxe")
+        )
+        prev_e = outs.select(
+            "user_id",
+            "__b",
+            F.max("__maxe").over(w_carry).alias("__prev_e"),
+        )
+        local_prev = F.max("e").over(
+            w_local.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # greatest() skips NULLs (null only when BOTH are) — matching
+        # the single window's "no prior rows at all" null exactly
+        prev_max_e = F.greatest(local_prev, F.col("__prev_e"))
+        flagged = join_carry_null_safe(
+            base_b, prev_e, ["user_id", "__b"]
+        ).withColumn(
+            "new_island",
+            F.when(
+                prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+            ).otherwise(0),
+        )
+        totals = flagged.groupBy("user_id", "__b").agg(
+            F.sum("new_island").alias("__bt")
+        )
+        offsets = totals.select(
+            "user_id",
+            "__b",
+            F.coalesce(F.sum("__bt").over(w_carry), F.lit(0)).alias(
+                "__off"
+            ),
+        )
+        marked = join_carry_null_safe(
+            flagged, offsets, ["user_id", "__b"]
+        ).withColumn(
+            "island",
+            F.sum("new_island").over(
+                w_local.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            + F.col("__off"),
+        )
+    else:
+        w = Window.partitionBy("user_id").orderBy("s", "event_id")
+        prev_max_e = F.max("e").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        marked = base.withColumn(
+            "new_island",
+            F.when(
+                prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+            ).otherwise(0),
+        ).withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
     islands = marked.groupBy("user_id", "island").agg(
         F.min("s").alias("is_s"), F.max("e").alias("is_e")
     )

@@ -537,3 +537,37 @@ def test_user_windows_auto_segment_identity(spark, monkeypatch):
         != bh.user_paths(df, auto_segment=False).semanticHash()
     )
     caching.release_caches()
+
+
+def test_interval_union_auto_segment_identity(spark, monkeypatch):
+    """interval_union_length's island walk behind the shared hot-user
+    gate: segmented (running-max-of-ends + island-offset carries) must
+    equal the single-window plan — NULL users, NULL timestamps,
+    overlapping and back-to-back intervals, event_id ties."""
+    import random
+
+    from data_lake_for_citi_bike_trip_spark import caching
+    from data_lake_for_citi_bike_trip_spark.operators import behavior as bh
+    from data_lake_for_citi_bike_trip_spark.operators import intervals
+
+    rnd = random.Random(29)
+    rows = []
+    for i in range(4000):
+        u = 0 if i % 10 < 6 else (None if i % 10 == 6 else 1 + (i % 5))
+        sec = None if i % 97 == 0 else rnd.randrange(0, 2 * 24 * 3600)
+        rows.append((i, u, sec))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, sec bigint"
+    ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
+    monkeypatch.setattr(bh, "USER_WINDOW_HOT_MIN_ROWS", 1000)
+    caching.release_caches()
+    # auto_segment defaults FALSE for this operator (measured loss,
+    # see docstring) — the segmented path stays identity-pinned here
+    auto = intervals.interval_union_length(df, auto_segment=True)
+    plain = intervals.interval_union_length(df)
+    assert "__off" in auto._jdf.queryExecution().analyzed().toString(), (
+        "gate did not fire on the hot corpus"
+    )
+    diff = auto.exceptAll(plain).count() + plain.exceptAll(auto).count()
+    assert diff == 0, f"{diff} mismatched rows"
+    caching.release_caches()
