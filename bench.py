@@ -84,7 +84,15 @@ def main() -> None:
     }
 
     # Per-query history (appended per run) lets later rounds spot
-    # regressions: compare against the previous run at the same sf.
+    # regressions. Flag rule (VERDICT r12 item 3): a query is a
+    # regression candidate only when it sits ABOVE its historical band
+    # — above max(1.0 s, 1.5 x band min over the last N committed
+    # boards, tools/bench_band.py) — on BOTH this board AND the
+    # previous same-sf board. Two same-code boards have measured 18%
+    # apart with different query sets elevated (BENCH_NOTES.md r12),
+    # so a single elevated board is box noise until it reproduces; a
+    # real plan regression reproduces by definition. Single-board
+    # exceedances are reported as informational.
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_HISTORY.jsonl")
     prev = None
@@ -96,7 +104,45 @@ def main() -> None:
                     prev = rec
     except FileNotFoundError:
         pass
-    if prev:
+    band = {}
+    band_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BAND.json")
+    try:
+        with open(band_path) as f:
+            band_file = json.load(f)
+        if band_file.get("sf") == result["sf"]:
+            band = band_file.get("band", {})
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+
+    def above_band(q, t):
+        b = band.get(q)
+        return b is not None and t > max(1.0, 1.5 * b["min"])
+
+    if band:
+        now_above = {q for q, t in timings.items() if above_band(q, t)}
+        prev_above = set()
+        if prev:
+            prev_above = {q for q, t in prev["queries"].items()
+                          if above_band(q, t)}
+        flagged = {
+            q: {"band_min": band[q]["min"],
+                "prev": prev["queries"].get(q) if prev else None,
+                "now": timings[q]}
+            for q in sorted(now_above & prev_above)
+        }
+        if flagged:
+            print("# regressions (above band on BOTH boards): "
+                  + json.dumps(flagged), file=sys.stderr)
+        single = sorted(now_above - prev_above)
+        if single:
+            print("# above-band on this board only (informational, "
+                  "box-noise until reproduced): "
+                  + json.dumps({q: {"band_min": band[q]["min"],
+                                    "now": timings[q]} for q in single}),
+                  file=sys.stderr)
+    elif prev:
+        # no band file yet: legacy single-board rule
         regressions = {
             q: {"prev": prev["queries"][q], "now": t}
             for q, t in timings.items()

@@ -63,6 +63,26 @@ def _hot_user_width_us(
     return None
 
 
+def _has_hot_user(events: DataFrame, hot_min_rows: int | None = None) -> bool:
+    """Row-count-only form of the gate for plans that do not bucket by
+    time (ADVICE r12: ``user_paths`` salts by event_id hash, so a whale
+    whose events share ONE timestamp — degenerate span, width None —
+    must still escape the single-task collect_list). Same memoized
+    ``hot_window_gate`` counting pass as ``_hot_user_width_us``: the
+    stats frame is byte-identical, so when both run in one session the
+    second is a memo hit, not a second job."""
+    from .skew import hot_window_gate
+
+    if hot_min_rows is None:
+        hot_min_rows = USER_WINDOW_HOT_MIN_ROWS
+    stats = events.select(
+        F.col("user_id").alias("__k"),
+        F.unix_micros("ts").cast("double").alias("__t"),
+    )
+    max_rows, _ = hot_window_gate(stats, hot_min_rows)
+    return max_rows >= hot_min_rows
+
+
 def cohort_retention(events: DataFrame) -> DataFrame:
     """Classic retention triangle on daily cohorts: for each (first-seen
     day, day offset) how many distinct users were active — plus the
@@ -270,13 +290,16 @@ def user_paths(
     A BOT USER breaks that memory bound: collect_list materializes the
     whale's entire history as ONE in-memory array in one task (SOAK_r12
     §4: 7x a flat corpus at a 30% user / 16M events, ratio growing).
-    When the ``_hot_user_width_us`` gate fires, the plan switches to a
+    When the ``_has_hot_user`` gate fires, the plan switches to a
     two-phase salted top-K — per-(user, salt) partials keep only their
     local count + first ``max_len`` structs, the merge flattens
     salt-many short arrays — top-K is mergeable, so output is
     IDENTICAL and every array is bounded by rows/salt (partial) or
-    salt*max_len (merge)."""
-    if auto_segment and _hot_user_width_us(events) is not None:
+    salt*max_len (merge). The gate is row-count-only (ADVICE r12): the
+    salted plan never buckets by time, so a degenerate time span (all
+    whale events on one timestamp) must not force the single-task
+    plan."""
+    if auto_segment and _has_hot_user(events):
         return _user_paths_salted(events, max_len)
     return (
         events.groupBy("user_id")
@@ -1649,8 +1672,17 @@ def _segmented_lookahead(
     cins = firsts.select(
         "user_id",
         "__b",
+        # array_sort pins the cross-bucket order CONTRACTUALLY (ADVICE
+        # r12): collect_list is documented order-non-deterministic even
+        # over an ordered frame, and the flatten order must be the
+        # global (ts_us, event_id) order. The structs are totally
+        # ordered by their leading fields, and the NULL-ts bucket sorts
+        # first in w_next so it never lands in a following frame — the
+        # sort is a no-op on today's ordering, a guarantee tomorrow.
         F.slice(
-            F.flatten(F.collect_list("__fk").over(w_next)), 1, k
+            F.array_sort(F.flatten(F.collect_list("__fk").over(w_next))),
+            1,
+            k,
         ).alias("__carry"),
     )
     loc = base.select(

@@ -22,6 +22,22 @@ from pyspark.sql import functions as F
 #: one hour in microseconds — the default grid cell.
 HOUR_US = 3_600_000_000
 
+#: Byte bound above which interval_union_length's auto gate fires the
+#: segmented plan (VERDICT r12 item 2). The whale failure mode at 100x
+#: is MEMORY, not seconds: the plain plan sorts a whale key's whole
+#: history in ONE task's window buffer. 1 GiB is the conservative
+#: per-task working-set budget on the common 4-cores/16 GB-executor
+#: shape (WindowExec's row array spills past its threshold, but a
+#: task spilling a multi-GiB partition is both memory-pressured and a
+#: straggler by construction). Resolved at CALL time so tests can
+#: lower it (the r12 def-time-default monkeypatch trap).
+INTERVAL_UNION_HOT_BYTES = 1 << 30
+
+#: estimated bytes per row in the plain plan's window sort: UnsafeRow
+#: with 4 long fields (user_id, s, e, event_id) = 8 B null bitmap +
+#: 32 B payload, plus sorter pointer/page overhead.
+_INTERVAL_ROW_BYTES = 48
+
 
 def overlap_join(
     left: DataFrame, right: DataFrame, grid_us: int = HOUR_US
@@ -93,7 +109,7 @@ def interval_union_length(
     events: DataFrame,
     dur_minutes: int = 5,
     bucket_width_minutes: float | None = None,
-    auto_segment: bool = False,
+    auto_segment: bool = True,
 ) -> DataFrame:
     """Total TIME COVERED per user by the union of [ts, ts + dur)
     activity intervals — overlapping activity counted ONCE (the
@@ -113,20 +129,25 @@ def interval_union_length(
     per (user, time-bucket) with two segmented-scan carries: the
     running max of ends (per-bucket max-e running-max'd over earlier
     buckets) and the island-id offset (sessionize's running sum of
-    per-bucket break totals) — output-identical and identity-pinned,
-    BUT ``auto_segment`` defaults to FALSE here: the r12 soak measured
-    the segmented plan LOSING at both 16M (26.5 s vs 15.0 s plain,
-    30% hot user) and 32M (44.4 s vs 38.5 s) — its two extra
-    full-frame carry-join shuffles scale linearly and outweigh the
-    parallelized sort on this operator's thin rows, so the toy-scale
-    crossover (if any) sits past 32M. Explicit
-    ``bucket_width_minutes`` (or auto_segment=True) remains the
-    MEMORY-bound escape hatch: at true scale a single task sorting a
-    whale's whole history spills or dies regardless of wall-clock
-    comparisons at toy scale.
+    per-bucket break totals) — output-identical and identity-pinned.
+
+    The auto gate is BYTE-based here, not row-count-based (VERDICT r12
+    item 2): the r12 soak measured the segmented plan LOSING on
+    wall-clock at both 16M (26.5 s vs 15.0 s plain, 30% hot user) and
+    32M (44.4 s vs 38.5 s) — its two extra carry-join shuffles
+    outweigh the parallelized sort on this operator's thin 4-long
+    rows — but wall-time A/Bs at toy scale say nothing about the 100x
+    failure mode, which is ONE task sorting a whale's whole history.
+    So the gate fires on estimated whale-partition bytes from the same
+    memoized counting pass (max per-user rows x ``_INTERVAL_ROW_BYTES``)
+    crossing ``INTERVAL_UNION_HOT_BYTES`` (1 GiB): below it the
+    measured-faster plain plan always wins (16M-hot whale = 4.8M rows
+    ~ 0.23 GiB estimated — correctly plain); above it the segmented
+    plan is the memory-safe choice regardless of toy-scale seconds.
+    Explicit ``bucket_width_minutes`` still forces segmentation.
     """
     from .asof import join_carry_null_safe
-    from .behavior import _hot_user_width_us
+    from .skew import auto_bucket_width, hot_window_gate
 
     dur_us = dur_minutes * 60 * 1_000_000
     base = events.select(
@@ -139,9 +160,20 @@ def interval_union_length(
     if bucket_width_minutes is not None:
         width_us = max(int(bucket_width_minutes * 60_000_000), 1)
     elif auto_segment:
-        w_f = _hot_user_width_us(events)
-        if w_f is not None:
-            width_us = max(int(w_f), 1)
+        stats = events.select(
+            F.col("user_id").alias("__k"),
+            F.unix_micros("ts").cast("double").alias("__t"),
+        )
+        # hot_min_rows participates only in the memo key; derive it
+        # from the byte bound so the memo stays bound-consistent
+        bound = INTERVAL_UNION_HOT_BYTES
+        max_rows, span = hot_window_gate(
+            stats, max(bound // _INTERVAL_ROW_BYTES, 1)
+        )
+        if max_rows * _INTERVAL_ROW_BYTES > bound:
+            w_f = auto_bucket_width(events.sparkSession, span)
+            if w_f is not None:
+                width_us = max(int(w_f), 1)
     if width_us is not None:
         base_b = base.withColumn(
             "__b", F.floor(F.col("s") / F.lit(width_us)).cast("long")

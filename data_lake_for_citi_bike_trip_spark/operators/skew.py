@@ -43,19 +43,61 @@ on_release(_GATE_MEMO.clear)
 
 #: logical bucketed tables registered by write_bucketed this session,
 #: keyed (id(session), table_name) -> session. release_caches — the
-#: session's declared maintenance moment — sweeps stale sibling
-#: directories for each (VERDICT r11 item 3: the GC helper must run
-#: from the NORMAL lifecycle, not only when someone remembers it).
+#: session's declared maintenance moment — refreshes this process's
+#: OWN tables' heartbeat files, and (opt-in via
+#: SPARK_GRAFT_SWEEP_BUCKETED=1) sweeps stale sibling directories
+#: (VERDICT r11 item 3 wanted GC in the normal lifecycle; ADVICE r12
+#: flagged the default-on deletion as a destructive side effect inside
+#: an operation documented recompute-safe, so deletion is now opt-in
+#: and liveness is a heartbeat file, not directory mtime — parquet
+#: reads never bump mtime, so a long-lived reader looked dead).
 _BUCKETED_SWEEP: dict = {}
+
+#: name of the liveness marker write_bucketed drops inside each
+#: physical table directory; touched again on every release_caches of
+#: the owning process, consulted (in preference to directory mtime) by
+#: sweep_stale_bucketed before deleting.
+_HEARTBEAT = "_SPARK_GRAFT_HEARTBEAT"
+
+
+def _warehouse_path(spark: SparkSession) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+
+def _touch_heartbeat(wh: str, phys: str) -> None:
+    import os
+
+    try:
+        path = os.path.join(wh, phys, _HEARTBEAT)
+        with open(path, "a"):
+            pass
+        os.utime(path, None)
+    except OSError:
+        pass  # heartbeat is advisory; sweep falls back to dir mtime
 
 
 def _sweep_registered_bucketed() -> None:
+    import os
+
+    sweep_enabled = os.environ.get("SPARK_GRAFT_SWEEP_BUCKETED", "") == "1"
     for memo_key in list(_BUCKETED_SWEEP):
         spark = _BUCKETED_SWEEP[memo_key]
         name = memo_key[1]
         try:
             if spark.sparkContext._jsc is None:  # session stopped
                 _BUCKETED_SWEEP.pop(memo_key, None)
+                continue
+            # Always: re-assert this process's liveness on its own
+            # physical dirs so OTHER processes' opt-in sweeps see a
+            # fresh heartbeat while we are alive.
+            app_tag = "".join(
+                c if c.isalnum() else "_"
+                for c in spark.sparkContext.applicationId
+            )
+            _touch_heartbeat(_warehouse_path(spark), f"{name}__{app_tag}")
+            if not sweep_enabled:
                 continue
             sweep_stale_bucketed(spark, name)
         except Exception:
@@ -517,8 +559,12 @@ def write_bucketed(
         .saveAsTable(phys)
     )
     spark.table(phys).createOrReplaceTempView(table_name)
-    # lifecycle GC hook: release_caches sweeps stale sibling dirs of
-    # every logical table this session bucketed (VERDICT r11 item 3)
+    # liveness marker: a heartbeat file inside the physical dir, touched
+    # now and on every release_caches while this process lives; sibling
+    # sweeps key deletion on it instead of directory mtime (ADVICE r12)
+    _touch_heartbeat(wh, phys)
+    # lifecycle hook: release_caches refreshes our heartbeats and — only
+    # when SPARK_GRAFT_SWEEP_BUCKETED=1 — sweeps stale sibling dirs
     _BUCKETED_SWEEP[(id(spark), table_name)] = spark
 
 
@@ -530,17 +576,24 @@ def sweep_stale_bucketed(
     ``{table_name}__{applicationId}`` and only ever clears its OWN
     name, so a long-lived shared warehouse accumulates one directory
     per (logical table, process). This sweeps sibling directories of
-    ``table_name`` that are (a) not this process's own and (b) older
-    than ``max_age_hours`` (mtime) — the age bound is the liveness
-    proxy: a directory untouched for a day belongs to a session that
-    is gone. Returns how many directories were removed.
+    ``table_name`` that are (a) not this process's own and (b) whose
+    liveness marker is older than ``max_age_hours``. Liveness is the
+    ``_SPARK_GRAFT_HEARTBEAT`` file the owning process touches at write
+    time and on each of its own ``release_caches`` calls — NOT the
+    directory mtime, because parquet reads never bump mtime and a
+    long-lived reader would look dead (ADVICE r12). Directories with no
+    heartbeat (pre-heartbeat writers) fall back to directory mtime.
+    Returns how many directories were removed.
 
-    Call from the same operational point as ``caching.release_caches``
-    — a maintenance moment when no concurrent process is mid-write on
-    this warehouse. Races lose benignly: an rmtree of a directory a
-    live process still reads fails that process's scan loudly (retry
-    re-derives), never silently corrupts, because bucketed reads list
-    files at plan time."""
+    Automatic invocation from ``caching.release_caches`` is opt-in via
+    ``SPARK_GRAFT_SWEEP_BUCKETED=1``; by default release_caches only
+    refreshes this process's own heartbeats and deletes nothing, so it
+    stays recompute-safe as documented. Call this function directly (or
+    set the env var) at a maintenance moment when no concurrent process
+    is mid-write on this warehouse. Races lose benignly: an rmtree of a
+    directory a live process still reads fails that process's scan
+    loudly (retry re-derives), never silently corrupts, because
+    bucketed reads list files at plan time."""
     import os
     import shutil
     import time
@@ -560,7 +613,15 @@ def sweep_stale_bucketed(
             continue
         path = os.path.join(wh, entry)
         try:
-            if not (os.path.isdir(path) and os.path.getmtime(path) < cutoff):
+            if not os.path.isdir(path):
+                continue
+            hb = os.path.join(path, _HEARTBEAT)
+            liveness = (
+                os.path.getmtime(hb)
+                if os.path.exists(hb)
+                else os.path.getmtime(path)
+            )
+            if liveness >= cutoff:
                 continue
             shutil.rmtree(path)
         except OSError:

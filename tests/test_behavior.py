@@ -539,6 +539,40 @@ def test_user_windows_auto_segment_identity(spark, monkeypatch):
     caching.release_caches()
 
 
+def test_user_paths_degenerate_span_still_salts(spark, monkeypatch):
+    """ADVICE r12: a whale whose events all share ONE timestamp has a
+    degenerate time span (bucket width None), but user_paths' salted
+    plan never buckets by time — the row-count-only gate must still
+    fire, and output must match the plain plan (event_id breaks every
+    tie deterministically)."""
+    from data_lake_for_citi_bike_trip_spark import caching
+    from data_lake_for_citi_bike_trip_spark.operators import behavior as bh
+
+    rows = [(i, 7, 1_700_000_000, f"t{i % 4}") for i in range(3000)]
+    rows += [(10_000 + i, None, 1_700_000_000, "x") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, sec bigint, event_type string"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds("sec").alias("ts"), "event_type",
+    )
+    monkeypatch.setattr(bh, "USER_WINDOW_HOT_MIN_ROWS", 1000)
+    caching.release_caches()
+    try:
+        assert bh._hot_user_width_us(df) is None, (
+            "degenerate span unexpectedly produced a bucket width"
+        )
+        auto = bh.user_paths(df)
+        plain = bh.user_paths(df, auto_segment=False)
+        assert auto.semanticHash() != plain.semanticHash(), (
+            "row-count gate did not fire on a degenerate-span whale"
+        )
+        diff = auto.exceptAll(plain).count() + plain.exceptAll(auto).count()
+        assert diff == 0, f"{diff} mismatched rows"
+    finally:
+        caching.release_caches()
+
+
 def test_interval_union_auto_segment_identity(spark, monkeypatch):
     """interval_union_length's island walk behind the shared hot-user
     gate: segmented (running-max-of-ends + island-offset carries) must
@@ -559,15 +593,26 @@ def test_interval_union_auto_segment_identity(spark, monkeypatch):
     df = spark.createDataFrame(
         rows, "event_id bigint, user_id bigint, sec bigint"
     ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
-    monkeypatch.setattr(bh, "USER_WINDOW_HOT_MIN_ROWS", 1000)
+    # VERDICT r12 item 2: the gate is BYTE-based — lower the byte bound
+    # so the ~2400-row whale (x48 B/row ~ 115 kB estimated) crosses it
+    monkeypatch.setattr(intervals, "INTERVAL_UNION_HOT_BYTES", 50_000)
     caching.release_caches()
-    # auto_segment defaults FALSE for this operator (measured loss,
-    # see docstring) — the segmented path stays identity-pinned here
-    auto = intervals.interval_union_length(df, auto_segment=True)
-    plain = intervals.interval_union_length(df)
+    auto = intervals.interval_union_length(df)  # auto_segment default
+    plain = intervals.interval_union_length(df, auto_segment=False)
     assert "__off" in auto._jdf.queryExecution().analyzed().toString(), (
-        "gate did not fire on the hot corpus"
+        "byte gate did not fire on the hot corpus"
     )
+    assert "__off" not in (
+        plain._jdf.queryExecution().analyzed().toString()
+    ), "auto_segment=False must stay plain"
     diff = auto.exceptAll(plain).count() + plain.exceptAll(auto).count()
     assert diff == 0, f"{diff} mismatched rows"
+    # below the bound the auto path must pick the measured-faster
+    # plain plan (the r12 soak's wall-clock verdict)
+    monkeypatch.setattr(intervals, "INTERVAL_UNION_HOT_BYTES", 1 << 30)
+    caching.release_caches()
+    assert "__off" not in (
+        intervals.interval_union_length(df)
+        ._jdf.queryExecution().analyzed().toString()
+    ), "gate fired below the byte bound"
     caching.release_caches()

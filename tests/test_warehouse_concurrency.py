@@ -149,34 +149,50 @@ def test_sweep_stale_bucketed_removes_only_old_foreign_dirs(spark, tmp_path):
     os.makedirs(fresh, exist_ok=True)
     two_days_ago = time.time() - 48 * 3600
     os.utime(stale, (two_days_ago, two_days_ago))
+    # ADVICE r12: liveness is the heartbeat file, not directory mtime —
+    # a stale-looking dir whose owner still heartbeats must survive.
+    beating = os.path.join(wh, "sweep_probe__app_old_but_alive")
+    os.makedirs(beating, exist_ok=True)
+    from data_lake_for_citi_bike_trip_spark.operators import skew
+
+    skew._touch_heartbeat(wh, "sweep_probe__app_old_but_alive")
+    os.utime(beating, (two_days_ago, two_days_ago))  # dir looks dead
     removed = sweep_stale_bucketed(spark, "sweep_probe", max_age_hours=24)
     assert removed == 1
     assert not os.path.exists(stale)
     assert os.path.isdir(fresh)
+    assert os.path.isdir(beating), "fresh heartbeat did not protect dir"
     assert os.path.isdir(own)
     # the logical view still reads: the sweep never broke our own table
     assert spark.table("sweep_probe").count() == 10
 
 
-def test_release_caches_sweeps_registered_bucketed(spark):
-    """VERDICT r11 item 3: a foreign process's stale directory must be
-    reaped by the NORMAL session lifecycle (write_bucketed registers the
-    logical table; caching.release_caches runs the sweep) — not only by
-    calling the helper directly. Also pins the ADVICE r11 quoting fix:
-    a sibling directory with non-identifier characters (hyphen) must be
-    swept, not abort the loop with a ParseException."""
+def test_release_caches_sweeps_registered_bucketed(spark, monkeypatch):
+    """VERDICT r11 item 3 + ADVICE r12: the lifecycle sweep exists but
+    deletion is opt-in. By default caching.release_caches must delete
+    NOTHING (it only refreshes this process's own heartbeats — it is
+    documented recompute-safe); with SPARK_GRAFT_SWEEP_BUCKETED=1 it
+    reaps stale foreign directories. Also pins the ADVICE r11 quoting
+    fix: a sibling directory with non-identifier characters (hyphen)
+    must be swept, not abort the loop with a ParseException."""
     import os
     import time
     from urllib.parse import urlparse
 
     from data_lake_for_citi_bike_trip_spark import caching
     from data_lake_for_citi_bike_trip_spark.operators.skew import (
+        _HEARTBEAT,
         write_bucketed,
     )
 
     df = spark.range(12).selectExpr("id", "id % 4 AS k")
     write_bucketed(df, "sweep_lifecycle", "k", num_buckets=2)
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    app_tag = "".join(
+        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+    )
+    own_hb = os.path.join(wh, f"sweep_lifecycle__{app_tag}", _HEARTBEAT)
+    assert os.path.exists(own_hb), "write_bucketed did not drop heartbeat"
     stale = os.path.join(wh, "sweep_lifecycle__app_dead_process")
     weird = os.path.join(wh, "sweep_lifecycle__app-with-hyphen.dot")
     os.makedirs(stale, exist_ok=True)
@@ -184,6 +200,21 @@ def test_release_caches_sweeps_registered_bucketed(spark):
     two_days_ago = time.time() - 48 * 3600
     os.utime(stale, (two_days_ago, two_days_ago))
     os.utime(weird, (two_days_ago, two_days_ago))
+
+    # Default (no opt-in): release_caches deletes nothing, but must
+    # refresh our own heartbeat so sibling sweeps see us alive.
+    monkeypatch.delenv("SPARK_GRAFT_SWEEP_BUCKETED", raising=False)
+    os.utime(own_hb, (two_days_ago, two_days_ago))
+    caching.release_caches()
+    assert os.path.exists(stale), "default release_caches deleted files"
+    assert os.path.exists(weird), "default release_caches deleted files"
+    assert os.path.getmtime(own_hb) > two_days_ago + 3600, (
+        "release_caches did not refresh own heartbeat"
+    )
+
+    # Opt-in: the stale foreign dirs are reaped.
+    write_bucketed(df, "sweep_lifecycle", "k", num_buckets=2)  # re-register
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_BUCKETED", "1")
     caching.release_caches()
     assert not os.path.exists(stale), "lifecycle release did not sweep"
     assert not os.path.exists(weird), "non-identifier dir aborted sweep"

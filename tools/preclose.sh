@@ -41,8 +41,13 @@ step "6/9 plan regen (PLANS.md over the full surface)"
 python tools/dump_plans.py > /tmp/preclose_plans.txt 2>&1 || fail=1
 tail -2 /tmp/preclose_plans.txt
 
-step "7/9 bench sf0.1"
+step "7/9 bench sf0.1 (band-flagged, VERDICT r12 item 3)"
+# Freeze the per-query band from committed history BEFORE the close
+# run; bench.py then flags only queries above band on BOTH this board
+# and the previous one (single-board elevation = box noise).
+python tools/bench_band.py --sf 0.1 --n 8 || fail=1
 python bench.py > "/tmp/bench_${TAG}_close.json" 2>/tmp/bench_close.err || fail=1
+grep "^# regressions\|^# above-band" /tmp/bench_close.err || true
 python - "$TAG" <<'EOF'
 import json, sys
 d = json.load(open(f"/tmp/bench_{sys.argv[1]}_close.json"))
