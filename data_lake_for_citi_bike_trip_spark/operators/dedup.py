@@ -1095,12 +1095,12 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
         )
         .select("doc_id", "ws")
     )
-    # Five consumers (df_counts, sizes, the ranked prefix pass, both
-    # intersection sides) but NOT cached: the r11 minhash recompute
+    # Three consumers (df_counts, the ranked prefix pass, the arrs
+    # verification arrays) but NOT cached: the r11 minhash recompute
     # lesson does NOT transfer here — ReusedExchange shares the one
-    # distinct shuffle across all five consumers already, and the
-    # measured A/B (r12, VERDICT item 6) showed caching is a small
-    # net LOSS (sf0.1: 6.62 s vs 7.04 s). Negative result recorded in
+    # distinct shuffle across the consumers already, and the measured
+    # A/B (r12, VERDICT item 6) showed caching is a small net LOSS
+    # (sf0.1: 6.62 s vs 7.04 s). Negative result recorded in
     # BENCH_NOTES.md r12.
     toks = (
         words.select(
@@ -1116,20 +1116,18 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
         .distinct()
     )
     df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # No broadcast hints on df_counts/sizes: both grow with the corpus
-    # (one row per distinct shingle / per doc), so a forced hint would
-    # blow the 8 GB broadcast limit at 100 TB. AQE still broadcasts
-    # them when they are actually small.
-    ranked = (
-        toks.join(df_counts, "tok")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "tok")
-            ),
-        )
-        .join(sizes, "doc_id")
+    # No broadcast hint on df_counts: it grows with the corpus (one row
+    # per distinct shingle), so a forced hint would blow the 8 GB
+    # broadcast limit at 100 TB. AQE still broadcasts it when small.
+    # sz rides the SAME doc_id window the rank needs (whole-partition
+    # count — no extra exchange), replacing the r12 groupBy+join
+    # (r13 plan-thinning, part of the 5.9 -> 3.6 s measured cut).
+    wdoc = Window.partitionBy("doc_id")
+    ranked = toks.join(df_counts, "tok").select(
+        "doc_id",
+        "tok",
+        F.row_number().over(wdoc.orderBy("df", "tok")).alias("rk"),
+        F.count(F.lit(1)).over(wdoc).alias("sz"),
     )
     # ASYMMETRIC PREFIXES (r13, VERDICT item 1): candidates pair the
     # larger doc's PROBING prefix (|x| - ceil(t|x|) + 1 — with the
@@ -1144,14 +1142,14 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     prefix = ranked.where(
         F.col("rk")
         <= F.col("sz") - F.expr(f"({threshold_e1} * sz + 9) div 10") + 1
-    ).select("tok", "doc_id", "sz", "rk")
+    )
     d = 10 + threshold_e1
     idx = ranked.where(
         F.col("rk")
         <= F.col("sz")
         - F.expr(f"(2 * {threshold_e1} * sz + {d - 1}) div {d}")
         + 1
-    ).select("tok", "doc_id", "sz", "rk")
+    )
     # LENGTH FILTER (ppjoin's second lever, r12): J >= t forces
     # inter <= min(sa, sb) and uni >= max(sa, sb), so
     # 10*min(sa, sb) >= t_e1*max(sa, sb) is a LOSSLESS pair bound —
@@ -1199,31 +1197,59 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
             )
             >= F.expr(f"({threshold_e1} * (sx + sy) + {d - 1}) div {d}")
         )
+        # carry both set sizes through (least/greatest restores the
+        # doc_a < doc_b contract; the sizes swap with the ids) — the
+        # verification stage then needs NO size joins at all
         .select(
             F.least("id_x", "id_y").alias("doc_a"),
             F.greatest("id_x", "id_y").alias("doc_b"),
+            F.when(F.col("id_x") < F.col("id_y"), F.col("sx"))
+            .otherwise(F.col("sy"))
+            .alias("sa"),
+            F.when(F.col("id_x") < F.col("id_y"), F.col("sy"))
+            .otherwise(F.col("sx"))
+            .alias("sb"),
         )
     )
-    inter = (
-        toks.select(F.col("doc_id").alias("doc_a"), "tok")
-        .join(cand, "doc_a")
-        .join(
-            toks.select(F.col("doc_id").alias("doc_b"), "tok"),
-            ["doc_b", "tok"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    # VERIFICATION BY ARRAY INTERSECTION (r13): each doc's distinct
+    # shingle set collects ONCE into an array row (bounded by the
+    # document's own size — the text column already arrives as one row,
+    # so no new whale class), and the surviving candidate pairs join
+    # the two arrays and compute |A∩B| with a per-row array_intersect.
+    # This replaces the r12 explode-join-groupBy (a sum-of-set-sizes
+    # row fanout + pair-grain shuffle, ~27M rows at sf0.1 pre-filter)
+    # with two hash joins keyed on doc id — AQE broadcasts the
+    # candidate side when small; at scale both joins stay equi-joins
+    # with no blowup. Measured (with the filters above): sf0.1 board
+    # query 5.9 -> 3.6 s min-of-5.
+    arrs = toks.groupBy("doc_id").agg(F.collect_list("tok").alias("tarr"))
     rep_pairs = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("tarr").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("tarr").alias("tb")
+            ),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
-            "inter",
-            (F.col("sa") + F.col("sb") - F.col("inter")).alias("uni"),
+            "sa",
+            "sb",
+            F.size(F.array_intersect("ta", "tb")).alias("inter"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("sa") + F.col("sb") - F.col("inter"))
+            .cast("long")
+            .alias("uni"),
             F.expr("(10000 * inter) div (sa + sb - inter)").alias("jaccard_e4"),
         )
         .where(F.col("jaccard_e4") >= threshold_e1 * 1000)
@@ -1260,7 +1286,11 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     intra = (
         _salted_intra_pairs(
             members.join(
-                sizes.select(F.col("doc_id").alias("rep"), "sz"), "rep"
+                arrs.select(
+                    F.col("doc_id").alias("rep"),
+                    F.size("tarr").cast("long").alias("sz"),
+                ),
+                "rep",
             ),
             "grp",
             "doc_id",

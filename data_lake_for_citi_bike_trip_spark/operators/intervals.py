@@ -33,10 +33,13 @@ HOUR_US = 3_600_000_000
 #: lower it (the r12 def-time-default monkeypatch trap).
 INTERVAL_UNION_HOT_BYTES = 1 << 30
 
-#: estimated bytes per row in the plain plan's window sort: UnsafeRow
-#: with 4 long fields (user_id, s, e, event_id) = 8 B null bitmap +
-#: 32 B payload, plus sorter pointer/page overhead.
-_INTERVAL_ROW_BYTES = 48
+#: estimated bytes per row in the plain plan's window sort, CALIBRATED
+#: against measured task metrics (SOAK_r13 §3b): a 4.8M-row whale's
+#: window task peaked at 0.44 GiB = 99 B/row (UnsafeRow 40 B payload +
+#: sorter pages + the window exec's row-array overhead) — the naive
+#: 48 B UnsafeRow figure under-counted 2.1x, which would fire the
+#: memory gate LATE, the dangerous direction.
+_INTERVAL_ROW_BYTES = 96
 
 
 def overlap_join(
@@ -142,7 +145,8 @@ def interval_union_length(
     memoized counting pass (max per-user rows x ``_INTERVAL_ROW_BYTES``)
     crossing ``INTERVAL_UNION_HOT_BYTES`` (1 GiB): below it the
     measured-faster plain plan always wins (16M-hot whale = 4.8M rows
-    ~ 0.23 GiB estimated — correctly plain); above it the segmented
+    ~ 0.43 GiB at the task-metrics-calibrated 96 B/row, measured
+    0.44 GiB — correctly plain, SOAK_r13 §3b); above it the segmented
     plan is the memory-safe choice regardless of toy-scale seconds.
     Explicit ``bucket_width_minutes`` still forces segmentation.
     """

@@ -561,15 +561,33 @@ def _subvectors(df: DataFrame, id_col: str, m: int) -> DataFrame:
 
 
 def _pq_assign(subs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
-    """Nearest codeword per (id, m): broadcast codebooks, argmin of l2."""
-    d = subs.join(F.broadcast(codebooks), "m").select(
-        id_col, "m", "code", _l2sq(F.col("sv"), F.col("cv")).alias("d2")
+    """Nearest codeword per (id, m): the whole codebook of a subspace
+    collapses to ONE array row (k x m rows -> m rows, broadcast), and
+    the argmin happens INSIDE a per-row expression —
+    ``array_min(transform(codewords, c -> struct(l2(sv, c.cv),
+    c.code)))`` — struct array_min orders lexicographically
+    (d2 asc, code asc), the exact tie-break of the r12 row_number
+    window. No |codebook|-times row expansion exists at ALL: the r12
+    window form shuffled AND sorted the 64M-row distance stream at
+    500k vectors, an intermediate min(struct) aggregate still planned
+    as SortAggregate (struct-min has no fixed-width buffer, so
+    HashAggregate is unavailable and every task sorts its slice) —
+    this form emits one output row per input row with zero extra
+    exchanges (SOAK_r13 §4b)."""
+    cba = codebooks.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("__cbs")
     )
-    w = Window.partitionBy(id_col, "m").orderBy(F.asc("d2"), F.asc("code"))
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, "m", "code")
+    best = F.array_min(
+        F.transform(
+            "__cbs",
+            lambda s: F.struct(
+                _l2sq(F.col("sv"), s.getField("cv")).alias("d2"),
+                s.getField("code").alias("code"),
+            ),
+        )
+    )
+    return subs.join(F.broadcast(cba), "m").select(
+        id_col, "m", best.getField("code").alias("code")
     )
 
 
@@ -581,12 +599,31 @@ def build_pq_codebooks(
     ``k=None`` -> lossless: every subvector becomes a codeword (code =
     rank of its vec_id within the subspace), no iterations."""
     subs = _subvectors(_prepared(embeddings), "vec_id", m)
-    w = Window.partitionBy("m").orderBy("vec_id")
-    init = subs.withColumn("code", F.row_number().over(w))
     if k is None:
-        return init.select("m", "code", F.col("sv").alias("cv"))
-    codebooks = init.where(F.col("code") <= k).select(
-        "m", "code", F.col("sv").alias("cv")
+        # lossless oracle configuration: every subvector is a codeword,
+        # code = rank of vec_id within the subspace. The m-partition
+        # full sort is inherent to the exhaustive configuration and
+        # only ever runs at oracle/testdata scale.
+        w = Window.partitionBy("m").orderBy("vec_id")
+        return subs.withColumn("code", F.row_number().over(w)).select(
+            "m", "code", F.col("sv").alias("cv")
+        )
+    # initial codewords = the k lowest vec_ids' subvectors. Every
+    # subspace holds the SAME vec_id set, so a distributed top-k on the
+    # distinct ids (TakeOrderedAndProject — no wide sort) + a broadcast
+    # semijoin reproduces the old per-m row_number <= k selection
+    # exactly, without the m-task full-corpus window sort SOAK_r13 §4b
+    # caught (at m=4, parallelism 4 on a 2M-subvector sort).
+    first_ids = (
+        subs.select("vec_id").distinct().orderBy("vec_id").limit(k)
+    )
+    codebooks = (
+        subs.join(F.broadcast(first_ids), "vec_id")
+        .withColumn(
+            "code",
+            F.row_number().over(Window.partitionBy("m").orderBy("vec_id")),
+        )
+        .select("m", "code", F.col("sv").alias("cv"))
     )
     for _ in range(iters):
         assigned = _pq_assign(subs, codebooks, "vec_id")

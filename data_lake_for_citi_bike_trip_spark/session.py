@@ -68,6 +68,41 @@ def spread(df, multiplier: int = 1):
     except Exception:
         current = -1  # e.g. streaming plan — fall through to repartition
     if current >= target:
+        # The split COUNT can lie (SOAK_r13 §4b): Spark slices a
+        # parquet file into byte-range splits, but a split yields rows
+        # only if a ROW GROUP starts inside it — a single-row-group
+        # file reports 32 "partitions" with every row in one of them,
+        # and the whole downstream pipeline runs on one core while
+        # this check waves it through. When the scan has FEWER parquet
+        # files than target, verify real splittability from the
+        # footers (driver-side metadata read, bounded by target files;
+        # many-file scans and non-parquet line formats stay trusted).
+        # LIMITATION: a CACHED DataFrame hides its files
+        # (inputFiles() == [] through InMemoryRelation), so the probe
+        # cannot see through df.cache() — spread BEFORE caching, so
+        # the cache itself is laid out in parallel.
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
+        pq_files = [f for f in files if f.endswith(".parquet")]
+        if pq_files and len(files) < target:
+            groups = 0
+            try:
+                import pyarrow.parquet as _pq
+                from urllib.parse import urlparse
+
+                for f in pq_files:
+                    u = urlparse(f)
+                    if u.scheme not in ("file", ""):
+                        return df  # remote stores: trust the planner
+                    groups += _pq.ParquetFile(u.path).num_row_groups
+                    if groups >= target:
+                        break
+            except Exception:
+                return df  # unreadable footer: keep the old behavior
+            if groups + (len(files) - len(pq_files)) < target:
+                return df.repartition(target)
         return df
     return df.repartition(target)
 

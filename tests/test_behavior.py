@@ -594,7 +594,7 @@ def test_interval_union_auto_segment_identity(spark, monkeypatch):
         rows, "event_id bigint, user_id bigint, sec bigint"
     ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
     # VERDICT r12 item 2: the gate is BYTE-based — lower the byte bound
-    # so the ~2400-row whale (x48 B/row ~ 115 kB estimated) crosses it
+    # so the ~2400-row whale (x96 B/row ~ 230 kB estimated) crosses it
     monkeypatch.setattr(intervals, "INTERVAL_UNION_HOT_BYTES", 50_000)
     caching.release_caches()
     auto = intervals.interval_union_length(df)  # auto_segment default

@@ -68,6 +68,52 @@ def test_spread_is_noop_on_already_parallel_input(spark):
     assert out.rdd.getNumPartitions() == target
 
 
+def test_spread_sees_through_empty_parquet_splits(spark, tmp_path):
+    """SOAK_r13 §4b: a single-row-group parquet file slices into N
+    byte-range splits but only the one containing the row-group start
+    yields rows — getNumPartitions() then LIES about parallelism and
+    the old spread() waved the frame through to run single-task. The
+    footer probe must catch it; a many-row-group file must stay
+    untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_lake_for_citi_bike_trip_spark.session import spread
+
+    target = spark.sparkContext.defaultParallelism
+    n = 400_000
+    table = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        # pad rows so the file is comfortably larger than one split
+        "pad": pa.array([f"x{i:06d}" * 12 for i in range(n)]),
+    })
+    one = str(tmp_path / "one_group.parquet")
+    pq.write_table(table, one)  # single row group
+    many = str(tmp_path / "many_groups.parquet")
+    pq.write_table(table, many, row_group_size=n // (target * 2))
+
+    df_one = spark.read.parquet(one)
+    if df_one.rdd.getNumPartitions() >= target:
+        out = spread(df_one)
+        assert out is not df_one, (
+            "footer probe missed the single-row-group file"
+        )
+        from pyspark.sql import functions as F
+
+        dist = (
+            out.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .count()
+        )
+        assert dist > 1, "repartition did not actually distribute rows"
+
+    df_many = spark.read.parquet(many)
+    if df_many.rdd.getNumPartitions() >= target:
+        assert spread(df_many) is df_many, (
+            "probe repartitioned a genuinely splittable file"
+        )
+
+
 def test_tpch_q3_broadcasts_and_pushes_dates(spark, sf_dir):
     f = _facts(spark, sf_dir, "tpch_shipping_priority")
     assert f["broadcast_joins"] >= 1

@@ -76,7 +76,12 @@ def main() -> None:
             "label": pa.array([int(i < whale_n) for i in range(n)], pa.int32()),
         }
     )
-    pq.write_table(table, f"{out_dir}/embeddings.parquet")
+    # multiple row groups: a single-row-group file defeats Spark's
+    # byte-range splitting (only the split containing the group START
+    # yields rows) and silently serializes every consumer onto one
+    # core (SOAK_r13 §4b). Real lakes write many groups; so do we.
+    pq.write_table(table, f"{out_dir}/embeddings.parquet",
+                   row_group_size=65536)
     print(f"wrote {n} vectors ({whale_n} near-dup whale) -> {out_dir}")
 
 
