@@ -90,13 +90,18 @@ def spread(df, multiplier: int = 1):
             groups = 0
             try:
                 import pyarrow.parquet as _pq
-                from urllib.parse import urlparse
+                from urllib.parse import unquote, urlparse
 
                 for f in pq_files:
                     u = urlparse(f)
                     if u.scheme not in ("file", ""):
                         return df  # remote stores: trust the planner
-                    groups += _pq.ParquetFile(u.path).num_row_groups
+                    # inputFiles() returns URI-encoded paths — a space
+                    # or %-char in the path must be unquoted or the
+                    # footer read fails and the probe silently falls
+                    # back to trusting the planner (the exact
+                    # single-row-group case it exists to catch).
+                    groups += _pq.ParquetFile(unquote(u.path)).num_row_groups
                     if groups >= target:
                         break
             except Exception:
@@ -105,6 +110,34 @@ def spread(df, multiplier: int = 1):
                 return df.repartition(target)
         return df
     return df.repartition(target)
+
+
+def ensure_active(spark: SparkSession) -> SparkSession:
+    """Pin ``spark`` as the ACTIVE session, Python- and JVM-side.
+
+    Spark resolves Python data sources (``DataSource.lookupDataSource``)
+    through the *active* session's DataSourceManager — a per-session
+    registry — not through the session the DataFrame belongs to. PySpark's
+    ``createDataFrame`` sets the active session to its receiver and never
+    restores it, so one ``createDataFrame`` on a ``newSession()`` clone
+    permanently redirects every later format lookup to the clone's (empty)
+    manager: ``write.format("jsondir")`` on the PARENT then dies with
+    DATA_SOURCE_NOT_FOUND even though the parent registered the source.
+    Pinning the session we are about to operate on closes that hole; it is
+    exactly what Spark's own ``withActive`` does around every action, made
+    durable for the py4j call sequences in between.
+    """
+    try:
+        jspark = spark._jsparkSession  # classic mode only
+        type(spark)._activeSession = spark
+        getattr(
+            spark._jvm, "org.apache.spark.sql.classic.SparkSession"
+        ).setActiveSession(jspark)
+    except Exception:
+        # Connect mode (no _jsparkSession / JVM handle): sessions are
+        # process-isolated, so there is no shared thread-local to fix.
+        pass
+    return spark
 
 
 def configure_runtime(spark: SparkSession) -> SparkSession:
@@ -116,7 +149,7 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
             # Conf not settable at runtime in this deployment — skip; the
             # builder path below sets it at construction time instead.
             pass
-    return spark
+    return ensure_active(spark)
 
 
 def get_session(
@@ -158,4 +191,18 @@ def get_session(
         "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
     )
     spark = builder.getOrCreate()
+    # Register the engine's Python data sources up front so every session
+    # we hand out can read/write them without a per-query register call
+    # (per-query register remains idempotent and harmless). Lazy import:
+    # sources.registry imports this module.
+    try:
+        from .sources import pydatasource
+
+        pydatasource.register(spark)
+        pydatasource.register_stream(spark)
+        pydatasource.register_sink(spark)
+    except Exception:
+        # A deployment without the Python DataSource API (pre-4.0) still
+        # gets a working session for everything else.
+        pass
     return configure_runtime(spark)

@@ -77,8 +77,17 @@ class SynthEventsReader(DataSourceReader):
 
 
 def register(spark) -> None:
-    """Idempotent format registration."""
+    """Idempotent format registration.
+
+    Also pins ``spark`` as the active session: format lookup resolves
+    Python sources via the ACTIVE session's DataSourceManager (see
+    session.ensure_active), so registering on a non-active session
+    would be silently useless.
+    """
+    from ..session import ensure_active
+
     spark.dataSource.register(SynthEventsDataSource)
+    ensure_active(spark)
 
 
 # ---------------------------------------------------------------------------
@@ -135,8 +144,11 @@ class SynthEventsStreamSource(DataSource):
 
 
 def register_stream(spark) -> None:
-    """Idempotent streaming-format registration."""
+    """Idempotent streaming-format registration (see register())."""
+    from ..session import ensure_active
+
     spark.dataSource.register(SynthEventsStreamSource)
+    ensure_active(spark)
 
 
 # ---------------------------------------------------------------------------
@@ -235,5 +247,8 @@ class JsonDirWriter(DataSourceWriter):
 
 
 def register_sink(spark) -> None:
-    """Idempotent format registration."""
+    """Idempotent format registration (see register())."""
+    from ..session import ensure_active
+
     spark.dataSource.register(JsonDirDataSource)
+    ensure_active(spark)

@@ -20,3 +20,22 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture
+def session_clone(spark):
+    """A ``newSession()`` clone that cannot poison later tests.
+
+    PySpark's ``createDataFrame`` pins its receiver as the ACTIVE session
+    and never restores it; Python data-source lookup goes through the
+    active session's per-session manager. A clone test that ran
+    ``createDataFrame`` therefore used to redirect every later
+    ``format("jsondir")`` lookup to the clone's empty manager
+    (DATA_SOURCE_NOT_FOUND in an unrelated test). Teardown re-pins the
+    shared session so no clone test can invalidate a later sweep.
+    """
+    from data_lake_for_citi_bike_trip_spark.session import ensure_active
+
+    clone = spark.newSession()
+    yield clone
+    ensure_active(spark)

@@ -214,7 +214,7 @@ def test_partsupp_tpch_shapes_avoid_cartesian_and_nlj(spark, sf_dir):
         assert f["broadcast_joins"] >= 2, name
 
 
-def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+def test_dynamic_partition_pruning_on_partitioned_fact(session_clone, sf_dir, tmp_path):
     """The 100 TB scan-reduction feature beyond static pushdown: a fact
     table partitioned on the join key must get a runtime
     dynamicpruning PartitionFilter from a selective dim-side filter that
@@ -226,7 +226,7 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
 
     from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 
-    sess = spark.newSession()
+    sess = session_clone
     sess.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
     sess.conf.set(
         "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "0.01"
@@ -256,7 +256,7 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     assert rows[0]["count"] == expected
 
 
-def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark, sf_dir):
+def test_runtime_bloom_filter_injected_for_selective_shuffle_join(session_clone, sf_dir):
     """Runtime bloom-filter injection (the row-level companion to
     dynamic partition pruning): a selective filter on the small side of
     a SHUFFLE join must inject might_contain(...) onto the fact side's
@@ -269,7 +269,7 @@ def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark, sf_dir)
 
     from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
 
-    sess = spark.newSession()
+    sess = session_clone
     orders = load_table(sess, sf_dir, "orders").where(
         F.col("o_orderpriority") == "1-URGENT"
     )

@@ -62,14 +62,14 @@ def test_key_skew_profile_orders_and_shares(spark):
     ]
 
 
-def test_planted_skew_triggers_aqe_skew_join_split(spark):
+def test_planted_skew_triggers_aqe_skew_join_split(session_clone):
     """Protects the 100x-scale claim: a deliberately skewed sort-merge
     join must come out of AQE with the hot partition SPLIT (the plan's
     SMJ node carries skew=true). Confs are scoped to a session clone so
     the lowered thresholds can't leak into other tests."""
     from pyspark.sql import functions as F
 
-    sess = spark.newSession()
+    sess = session_clone
     sess.conf.set("spark.sql.adaptive.enabled", "true")
     sess.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
@@ -113,7 +113,7 @@ def test_planted_skew_triggers_aqe_skew_join_split(spark):
     assert "skew=true" in final_plan, final_plan
 
 
-def test_minhash_band_join_planted_skew_gets_aqe_split(spark):
+def test_minhash_band_join_planted_skew_gets_aqe_split(session_clone):
     """The documented dedup failure mode (dedup.py:17-22): a hot band
     bucket planted via a block of identical documents, which share
     every band key. HISTORY: pre-collapse, the correct outcome was an
@@ -129,7 +129,7 @@ def test_minhash_band_join_planted_skew_gets_aqe_split(spark):
     up as a skew split or a single fat partition."""
     from data_lake_for_citi_bike_trip_spark.operators import dedup
 
-    sess = spark.newSession()
+    sess = session_clone
     sess.conf.set("spark.sql.adaptive.enabled", "true")
     sess.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
