@@ -141,6 +141,27 @@ def main() -> None:
                   + json.dumps({q: {"band_min": band[q]["min"],
                                     "now": timings[q]} for q in single}),
                   file=sys.stderr)
+        # Sub-second queries can never clear the 1.0 s floor above, so a
+        # reproducible 10x plan regression on a tiny query would stay
+        # invisible (ADVICE r13). Ratio-only informational line: >= 3x
+        # band-min on BOTH boards, no absolute floor.
+        def ratio_above(q, t):
+            b = band.get(q)
+            return (b is not None and b["min"] > 0
+                    and t > 3.0 * b["min"] and not above_band(q, t))
+
+        sub = {q for q, t in timings.items() if ratio_above(q, t)}
+        sub_prev = ({q for q, t in prev["queries"].items()
+                     if ratio_above(q, t)} if prev else set())
+        sub_both = sorted(sub & sub_prev)
+        if sub_both:
+            print("# sub-second ratio exceedances (>=3x band-min on "
+                  "BOTH boards, informational — under the 1.0s flag "
+                  "floor but reproducible): "
+                  + json.dumps({q: {"band_min": band[q]["min"],
+                                    "prev": prev["queries"].get(q),
+                                    "now": timings[q]} for q in sub_both}),
+                  file=sys.stderr)
     elif prev:
         # no band file yet: legacy single-board rule
         regressions = {

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import cached
+from ..caching import cached, on_release
 from ..functions import vectors as V
 from ..session import spread
 from .skew import salted_candidates
@@ -31,6 +31,49 @@ def _prepared(embeddings: DataFrame) -> DataFrame:
     return spread(embeddings).select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
+
+
+#: memo for auto_bucket_bits — same immutable-inputs contract as
+#: skew._GATE_MEMO (semanticHash fingerprints the PLAN; testdata is
+#: immutable for the session); cleared by caching.release_caches.
+_BITS_MEMO: dict = {}
+on_release(_BITS_MEMO.clear)
+
+
+def auto_bucket_bits(embeddings: DataFrame) -> int:
+    """Corpus-size-derived sign-LSH width:
+    ``bits = clamp(ceil(log2(n)) - 3, 4, 24)``.
+
+    Blocked pair scoring costs sum over buckets of |bucket|², so holding
+    nominal occupancy n / 2^bits ≈ 8 keeps total candidate work roughly
+    linear in the corpus. Calibration (SOAK_r13 §4): at 500k vectors,
+    12 bits under-partitions (123.6 s/rep) while 16 bits is right
+    (21.2 s) — the formula gives 16 at 500k and 17 at 1M, so the
+    measured-good cell is reproduced and larger corpora keep scaling.
+    Floor 4 = the original 10k-testdata contract width (recall first on
+    tiny corpora); cap 24 bounds the bucket string within dims (64 in
+    the testdata) and multiprobe's (1 + bits)× probe fan-out.
+
+    The count is one column-pruned scan, memoized per (session, plan)
+    like skew.salted_candidates' stats gate. The DuckDB oracle derives
+    the SAME width with ``CEIL(LOG2(COUNT(*)))`` over the same input, so
+    the adaptive behavior itself is oracle-checked.
+    """
+    key = None
+    try:
+        key = (
+            id(embeddings.sparkSession),
+            embeddings._jdf.queryExecution().analyzed().semanticHash(),
+        )
+        if key in _BITS_MEMO:
+            return _BITS_MEMO[key]
+    except Exception:
+        pass
+    n = embeddings.count()
+    bits = max(4, min(24, (max(n, 2) - 1).bit_length() - 3))
+    if key is not None:
+        _BITS_MEMO[key] = bits
+    return bits
 
 
 def cosine_topk(
@@ -623,6 +666,11 @@ def build_pq_codebooks(
             "code",
             F.row_number().over(Window.partitionBy("m").orderBy("vec_id")),
         )
+        # duplicate vec_id rows in the input would re-inflate the
+        # semijoin past k codewords (the old per-m row_number <= k form
+        # capped unconditionally) — re-pin the cap so iteration 0's
+        # codes always run 1..k
+        .where(F.col("code") <= k)
         .select("m", "code", F.col("sv").alias("cv"))
     )
     for _ in range(iters):
@@ -953,7 +1001,7 @@ def arrow_vector_stats(embeddings: DataFrame) -> DataFrame:
 
 
 def blocked_mutual_knn(
-    embeddings: DataFrame, k: int = 5, bucket_bits: int = 4
+    embeddings: DataFrame, k: int = 5, bucket_bits: int | None = None
 ) -> DataFrame:
     """The SCALE path for the mutual-kNN graph: the exact
     ``mutual_knn_pairs`` above is O(n²) by contract (documented as the
@@ -968,6 +1016,8 @@ def blocked_mutual_knn(
     top-k shuffle by the squared copy count (the r9 100x soak spilled
     multi-GB sorts on it); the collapsed form is output-identical and
     linear in members + unique-pair work."""
+    if bucket_bits is None:
+        bucket_bits = auto_bucket_bits(embeddings)
     edges = _collapsed_knn_edges(
         embeddings, k, bucket_bits=bucket_bits
     )
@@ -1011,7 +1061,7 @@ def _recall_sample(
 def blocked_knn_recall(
     embeddings: DataFrame,
     k: int = 5,
-    bucket_bits: int = 4,
+    bucket_bits: int | None = None,
     sample_cap: int | None = None,
 ) -> DataFrame:
     """One-row quality readout for the blocked graph: exact-pair count,
@@ -1032,6 +1082,16 @@ def blocked_knn_recall(
     and blocked sides are capped identically — recall is only meaningful
     when both graphs are built over the same vector set."""
     embeddings = _recall_sample(embeddings, sample_cap)
+    # bits derive from the SAMPLED corpus: both graphs are built on the
+    # sample, so the sample's own width is the only operating point the
+    # readout can grade meaningfully (full-corpus width over a small
+    # sample would shatter it into singleton buckets and report ~0),
+    # and it keeps the semantics pin that sample_cap=C is bit-identical
+    # to hand-filtering the input to the same C ids. To grade a SPECIFIC
+    # production width, pass bucket_bits explicitly (what the soak
+    # harness does for apples-to-apples cells).
+    if bucket_bits is None:
+        bucket_bits = auto_bucket_bits(embeddings)
     # Each pair set feeds BOTH a count and a join — persist so the
     # expensive scoring pipelines run once, not once per action. The
     # persisted sets are pair lists at sample scale (n·k rows, and the
@@ -1056,7 +1116,7 @@ def blocked_knn_recall(
 
 
 def blocked_mutual_knn_multiprobe(
-    embeddings: DataFrame, k: int = 5, bucket_bits: int = 4
+    embeddings: DataFrame, k: int = 5, bucket_bits: int | None = None
 ) -> DataFrame:
     """MULTI-PROBE blocked mutual-kNN: single-probe sign-LSH loses
     exactly the pairs that straddle one hyperplane boundary (a vector
@@ -1084,6 +1144,8 @@ def blocked_mutual_knn_multiprobe(
     bucket matches exactly one probe string, so each pair scores once,
     same as the naive join), only the per-copy duplication of the work
     is gone. Output-identical including ranks."""
+    if bucket_bits is None:
+        bucket_bits = auto_bucket_bits(embeddings)
     edges = _collapsed_knn_edges(
         embeddings, k, bucket_bits=bucket_bits, multiprobe=True
     )
@@ -1103,7 +1165,7 @@ def blocked_mutual_knn_multiprobe(
 def blocked_knn_multiprobe_recall(
     embeddings: DataFrame,
     k: int = 5,
-    bucket_bits: int = 4,
+    bucket_bits: int | None = None,
     sample_cap: int | None = None,
 ) -> DataFrame:
     """One-row readout comparing single-probe and multi-probe blocked

@@ -590,7 +590,14 @@ def sweep_stale_bucketed(
     refreshes this process's own heartbeats and deletes nothing, so it
     stays recompute-safe as documented. Call this function directly (or
     set the env var) at a maintenance moment when no concurrent process
-    is mid-write on this warehouse. Races lose benignly: an rmtree of a
+    is mid-write on this warehouse. REQUIRED CADENCE for co-tenants of
+    a swept warehouse: any process holding bucketed tables alive must
+    refresh its heartbeats more often than every ``max_age_hours`` —
+    release_caches does it for all registered tables, and bucketed_join
+    does it for the tables it reads; a foreign process that does
+    neither within the window is indistinguishable from a dead one and
+    its directories WILL be reaped (its next scan fails loudly and a
+    retry re-derives — never silent corruption). Races lose benignly: an rmtree of a
     directory a live process still reads fails that process's scan
     loudly (retry re-derives), never silently corrupts, because
     bucketed reads list files at plan time."""
@@ -643,7 +650,28 @@ def sweep_stale_bucketed(
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: str
 ) -> DataFrame:
-    """Join two co-bucketed tables — plans with zero shuffle exchanges."""
+    """Join two co-bucketed tables — plans with zero shuffle exchanges.
+
+    Also re-asserts this process's liveness on the tables it is about
+    to read: sweep liveness is a heartbeat file refreshed by
+    release_caches, and a long-lived process that READS but never
+    releases would otherwise look dead to a sibling's opt-in
+    ``SPARK_GRAFT_SWEEP_BUCKETED=1`` sweep after ``max_age_hours``
+    (ADVICE r13). The touch is two metadata writes per plan build —
+    invisible next to the scan it precedes.
+    """
+    for memo_key, sess in list(_BUCKETED_SWEEP.items()):
+        if sess is spark and memo_key[1] in (left_table, right_table):
+            try:
+                app_tag = "".join(
+                    c if c.isalnum() else "_"
+                    for c in spark.sparkContext.applicationId
+                )
+                _touch_heartbeat(
+                    _warehouse_path(spark), f"{memo_key[1]}__{app_tag}"
+                )
+            except Exception:
+                pass  # advisory, same contract as _touch_heartbeat
     return spark.table(left_table).join(spark.table(right_table), on)
 
 

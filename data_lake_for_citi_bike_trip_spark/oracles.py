@@ -3924,15 +3924,24 @@ FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
 
 
 # operators/similarity.py:blocked_mutual_knn — mutual kNN restricted to
-# sign-pattern blocks (first 4 coords), exactly mirrored.
-_SIGN4 = (
-    "array_to_string(list_transform({v}[1:4], "
-    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+# sign-pattern blocks, exactly mirrored INCLUDING the adaptive width:
+# bits = clamp(ceil(log2(n)) - 3, 4, 24) from the same input relation
+# (similarity.auto_bucket_bits), so the oracle checks the adaptive
+# behavior itself, not one hard-coded width.
+_BITS_CTE = (
+    "SELECT GREATEST(4, LEAST(24, CAST(CEIL(LOG2(GREATEST(COUNT(*), 2)))"
+    " AS INT) - 3)) AS b FROM {src}"
+)
+_SIGN_DYN = (
+    "substring(array_to_string(list_transform({v}[1:24], "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), ''), "
+    "1, (SELECT b FROM bits))"
 )
 
 KNN_BLOCKED_PAIRS = f"""
-WITH corpus AS (
-  SELECT vec_id, v, {_SIGN4.format(v='v')} AS bucket
+WITH bits AS ({_BITS_CTE.format(src='embeddings')}),
+corpus AS (
+  SELECT vec_id, v, {_SIGN_DYN.format(v='v')} AS bucket
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 ),
 scored AS (
@@ -3956,8 +3965,11 @@ WHERE f.src < f.dst
 # operators/similarity.py:blocked_knn_recall — both graphs reproduced,
 # recall computed as the same integer division.
 KNN_BLOCKED_RECALL = f"""
-WITH corpus AS (
-  SELECT vec_id, v, {_SIGN4.format(v='v')} AS bucket
+WITH bits AS (
+  {_BITS_CTE.format(src='embeddings WHERE vec_id % 5 = 0')}
+),
+corpus AS (
+  SELECT vec_id, v, {_SIGN_DYN.format(v='v')} AS bucket
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         WHERE vec_id % 5 = 0)
 ),
@@ -4085,20 +4097,22 @@ WHERE c_custkey IN (1, 7, 19, 23, 42)
 # operators/similarity.py:blocked_mutual_knn_multiprobe — each vector
 # probes its home sign-bucket plus the 4 one-bit-flip buckets; the
 # probe relation is symmetric so the mutual graph needs no second pass.
-_PROBES4 = (
-    "unnest(list_prepend(bucket, list_transform(range(1, 5), j -> "
+_PROBES_DYN = (
+    "unnest(list_prepend(bucket, "
+    "list_transform(range(1, (SELECT b FROM bits) + 1), j -> "
     "substring(bucket, 1, j - 1) || "
     "(CASE WHEN substring(bucket, j, 1) = '1' THEN '0' ELSE '1' END) || "
-    "substring(bucket, j + 1, 4))))"
+    "substring(bucket, j + 1, 24))))"
 )
 
 KNN_MULTIPROBE_PAIRS = f"""
-WITH corpus AS (
-  SELECT vec_id, v, {_SIGN4.format(v='v')} AS bucket
+WITH bits AS ({_BITS_CTE.format(src='embeddings')}),
+corpus AS (
+  SELECT vec_id, v, {_SIGN_DYN.format(v='v')} AS bucket
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 ),
 probes AS (
-  SELECT vec_id AS src, v AS sv, {_PROBES4} AS pb
+  SELECT vec_id AS src, v AS sv, {_PROBES_DYN} AS pb
   FROM corpus
 ),
 scored AS (
@@ -4118,8 +4132,11 @@ WHERE f.src < f.dst
 """
 
 KNN_MULTIPROBE_RECALL = f"""
-WITH corpus AS (
-  SELECT vec_id, v, {_SIGN4.format(v='v')} AS bucket
+WITH bits AS (
+  {_BITS_CTE.format(src='embeddings WHERE vec_id % 5 = 0')}
+),
+corpus AS (
+  SELECT vec_id, v, {_SIGN_DYN.format(v='v')} AS bucket
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         WHERE vec_id % 5 = 0)
 ),
@@ -4157,7 +4174,7 @@ single AS (
   WHERE f.src < f.dst
 ),
 probes AS (
-  SELECT vec_id AS src, v AS sv, {_PROBES4} AS pb
+  SELECT vec_id AS src, v AS sv, {_PROBES_DYN} AS pb
   FROM corpus
 ),
 scored_m AS (
