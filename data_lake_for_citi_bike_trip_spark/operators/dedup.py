@@ -583,7 +583,9 @@ def _exact_vector_members(embeddings: DataFrame) -> DataFrame:
 
 
 def embedding_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.999, bucket_bits: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.999,
+    bucket_bits: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup via sign-bucket LSH: pairs sharing a sign pattern,
     verified by exact (rounded) cosine. Scaled/identical-direction copies
@@ -602,7 +604,21 @@ def embedding_dup_pairs(
     scores, and a zero-norm vector raises DIVIDE_BY_ZERO under ANSI
     mode in BOTH forms — loud-fail parity). Output-identical by
     construction; the brute-force oracle (no collapse) proves it at
-    every scale."""
+    every scale.
+
+    ``bucket_bits=None`` derives the width from the corpus size
+    (similarity.auto_bucket_bits — same clamp(ceil(log2(n)) - 3, 4, 24)
+    the blocked-kNN family uses): at 1M vectors a fixed 8-bit table
+    averages ~4k vectors per bucket and the candidate join goes
+    quadratic per bucket; the derived width holds occupancy ~8. More
+    bits narrows the candidate net (a true near-dup pair straddling a
+    sign boundary is missed) — the cosine >= threshold verification
+    only ever prunes candidates, so the bucket equality is part of the
+    operator's contract and the oracle derives the same width."""
+    from .similarity import auto_bucket_bits
+
+    if bucket_bits is None:
+        bucket_bits = auto_bucket_bits(embeddings)
     g = _exact_vector_members(embeddings)
     reps = (
         g.where(F.col("vec_id") == F.col("rep"))
@@ -695,7 +711,9 @@ def embedding_dup_pairs(
 
 
 def embedding_dup_edges_for_clustering(
-    embeddings: DataFrame, threshold: float = 0.999, bucket_bits: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.999,
+    bucket_bits: int | None = None,
 ) -> DataFrame:
     """Component-equivalent REDUCED edge set for pairs->clusters
     pipelines (semantic dedup): representative-level qualifying pairs
@@ -709,7 +727,14 @@ def embedding_dup_edges_for_clustering(
     gated on the representative's self-cosine clearing the threshold —
     the same >= filter the full pair set applies, so NaN groups (which
     Spark's NaN-is-greatest ordering keeps) and sub-threshold groups
-    connect or stay singletons exactly as the clique form decides."""
+    connect or stay singletons exactly as the clique form decides.
+    ``bucket_bits=None`` derives the width from corpus size — see
+    ``embedding_dup_pairs``; both functions must use the same width for
+    their edge sets to stay component-equivalent on the same corpus."""
+    from .similarity import auto_bucket_bits
+
+    if bucket_bits is None:
+        bucket_bits = auto_bucket_bits(embeddings)
     g = _exact_vector_members(embeddings)
     reps = (
         g.where(F.col("vec_id") == F.col("rep"))

@@ -580,9 +580,19 @@ def _cos(a: str, b: str) -> str:
     )
 
 
+#: fixed-width sign bucket (lsh_bucket_topk's serving-path contract)
 _SIGN_BUCKET = (
     "array_to_string(list_transform({v}[1:8], "
     "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+#: corpus-size-derived sign bucket — mirrors similarity.auto_bucket_bits
+#: (clamp(ceil(log2(n)) - 3, 4, 24)) for the dedup embedding family;
+#: requires a ``bits(b)`` CTE in scope.
+_SIGN_BUCKET_DYN = (
+    "substring(array_to_string(list_transform({v}[1:24], "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), ''), "
+    "1, (SELECT b FROM bits))"
 )
 
 DEDUP_EMBEDDING = f"""
@@ -592,8 +602,12 @@ WITH corpus AS (
   SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
   FROM embeddings WHERE vec_id % 20 = 0
 ),
+bits AS (
+  SELECT GREATEST(4, LEAST(24, CAST(CEIL(LOG2(GREATEST(COUNT(*), 2)))
+    AS INT) - 3)) AS b FROM corpus
+),
 bucketed AS (
-  SELECT vec_id, v, {_SIGN_BUCKET.format(v='v')} AS bucket FROM corpus
+  SELECT vec_id, v, {_SIGN_BUCKET_DYN.format(v='v')} AS bucket FROM corpus
 )
 SELECT a.vec_id AS d1, b.vec_id AS d2, {_cos('a.v', 'b.v')} AS cos_sim
 FROM bucketed a JOIN bucketed b

@@ -414,12 +414,15 @@ def test_embedding_collapse_matches_naive_with_exact_copies(spark, sf_dir):
         (r.d1, r.d2): r.cos_sim
         for r in dedup.embedding_dup_pairs(corpus, threshold=0.999).collect()
     }
-    # naive reference: bucket join over ALL vectors, no collapse
+    # naive reference: bucket join over ALL vectors, no collapse —
+    # at the SAME auto-derived width the operator chose for this corpus
     from data_lake_for_citi_bike_trip_spark.functions import vectors as V
+    from data_lake_for_citi_bike_trip_spark.operators import similarity
 
+    bits = similarity.auto_bucket_bits(corpus)
     e = corpus.select(
         "vec_id", F.col("embedding").alias("v")
-    ).withColumn("bucket", V.sign_bucket(F.col("v"), 8))
+    ).withColumn("bucket", V.sign_bucket(F.col("v"), bits))
     a, b = e.alias("a"), e.alias("b")
     naive = {
         (r.d1, r.d2): r.cos_sim
