@@ -154,15 +154,51 @@ def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def auto_ivf_nlist(embeddings: DataFrame) -> int:
+    """Corpus-size-derived centroid count: ``clamp(round(sqrt(n)), 8, 4096)``.
+
+    IVF cost balance: training + assignment is O(n · nlist · iters) and
+    per-query probe cost is O(nlist + nprobe · n / nlist) — nlist ≈
+    sqrt(n) makes both probe terms O(sqrt(n)) (the standard IVF sizing;
+    FAISS guidance is sqrt(n)..16·sqrt(n), and we take the low end
+    because each Lloyd iteration here is a full Spark job over the
+    corpus, so training cost scales directly with nlist). The cap keeps
+    the centroid table broadcastable (4096 × 64 doubles ≈ 2 MB); above
+    it, grow nprobe instead of nlist. Count memoized per (session,
+    plan) exactly as auto_bucket_bits.
+    """
+    import math
+
+    key = None
+    try:
+        key = (
+            "ivf",
+            id(embeddings.sparkSession),
+            embeddings._jdf.queryExecution().analyzed().semanticHash(),
+        )
+        if key in _BITS_MEMO:
+            return _BITS_MEMO[key]
+    except Exception:
+        pass
+    n = embeddings.count()
+    nlist = max(8, min(4096, round(math.sqrt(max(n, 1)))))
+    if key is not None:
+        _BITS_MEMO[key] = nlist
+    return nlist
+
+
 def train_ivf_centroids(
-    embeddings: DataFrame, k: int = 16, iters: int = 3
+    embeddings: DataFrame, k: int | None = None, iters: int = 3
 ) -> DataFrame:
     """Lloyd's k-means with deterministic init (the k lowest vec_ids).
 
     Each iteration: assign (map-side, centroids broadcast) then
     recompute per-dimension means via posexplode -> two-level aggregate.
     k*dim floats per iteration cross the driver — nothing else does.
-    """
+    ``k=None`` derives the centroid count from the corpus size
+    (``auto_ivf_nlist``)."""
+    if k is None:
+        k = auto_ivf_nlist(embeddings)
     corpus = _prepared(embeddings)
     centroids = (
         corpus.orderBy("vec_id")
@@ -207,9 +243,13 @@ class IVFIndex:
 
 
 def build_ivf_index(
-    embeddings: DataFrame, k: int = 16, iters: int = 3, cache: bool = True
+    embeddings: DataFrame,
+    k: int | None = None,
+    iters: int = 3,
+    cache: bool = True,
 ) -> IVFIndex:
-    """Train centroids and materialize the inverted-list assignment."""
+    """Train centroids and materialize the inverted-list assignment.
+    ``k=None`` derives the centroid count from the corpus size."""
     centroids = train_ivf_centroids(embeddings, k=k, iters=iters)
     index = _assign(_prepared(embeddings), centroids)
     if cache:

@@ -78,6 +78,20 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert ivf.groupBy("q_id").count().where(F.col("count") != 10).count() == 0
 
 
+def test_auto_ivf_nlist_derives_sqrt_n(spark, sf_dir):
+    """k=None derives clamp(round(sqrt(n)), 8, 4096): 500 testdata
+    vectors -> 22 centroids, floor at tiny corpora; the derived index
+    still serves an exhaustive search exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    want = max(8, min(4096, round(n ** 0.5)))
+    assert similarity.auto_ivf_nlist(emb) == want
+    tiny = emb.where(F.col("vec_id") < 10)
+    assert similarity.auto_ivf_nlist(tiny) == 8  # floor
+    centroids = similarity.train_ivf_centroids(emb, iters=1)
+    assert centroids.count() == want
+
+
 def test_ivf_exhaustive_probe_equals_brute_force(spark, sf_dir):
     """nprobe == centroid count scans every inverted list — the routed
     plan must then reproduce brute-force top-k exactly (the property the
