@@ -70,6 +70,22 @@ def scoped_session(
     """
     clone = spark.newSession()
     configure_runtime(clone)
+    # Python data sources are registered PER SESSION (the clone's
+    # DataSourceManager starts empty), and configure_runtime just pinned
+    # the clone as the ACTIVE session — which is what format lookup
+    # consults (session.ensure_active). Register the engine's formats on
+    # the clone so (a) the drain itself can read synth_events_stream /
+    # write jsondir, and (b) a parent-side format lookup landing in the
+    # window where the clone is still active resolves instead of dying
+    # with DATA_SOURCE_NOT_FOUND.
+    try:
+        from ..sources import pydatasource
+
+        pydatasource.register(clone)
+        pydatasource.register_stream(clone)
+        pydatasource.register_sink(clone)
+    except Exception:
+        pass  # pre-4.0 deployment without the Python DataSource API
     if shuffle_partitions is not None:
         clone.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return clone

@@ -80,3 +80,38 @@ def test_get_session_preregisters_python_data_sources(spark):
         .count()
     )
     assert n == 100
+
+
+def test_stream_drain_clone_keeps_python_sources_usable(spark, tmp_path):
+    """The streaming audit from the same defect family: scoped_session
+    pins the clone active (configure_runtime) — the clone must carry
+    the engine's Python formats itself, and the parent must still
+    round-trip jsondir afterwards."""
+    from data_lake_for_citi_bike_trip_spark.streaming import pipeline
+
+    clone = pipeline.scoped_session(spark, shuffle_partitions=2)
+    try:
+        # the clone can read the Python batch source directly
+        n = (
+            clone.read.format("synth_events")
+            .option("rows", "50")
+            .option("parts", "2")
+            .load()
+            .count()
+        )
+        assert n == 50
+        # poison shape: createDataFrame on the clone pins it active
+        clone.createDataFrame([(1,)], "x int").count()
+        # parent-side jsondir write still resolves (get_session
+        # pre-registered it; register_sink would also repin)
+        out = str(tmp_path / "sink")
+        spark.range(3).selectExpr("id").write.format("jsondir").option(
+            "path", out
+        ).mode("append").save()
+        assert spark.read.schema("id bigint").json(
+            os.path.join(out, "data")
+        ).count() == 3
+    finally:
+        from data_lake_for_citi_bike_trip_spark.session import ensure_active
+
+        ensure_active(spark)
