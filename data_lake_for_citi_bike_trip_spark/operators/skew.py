@@ -522,11 +522,42 @@ def salted_candidates(
     return p.join(b, [key, "__s"]).drop("__s")
 
 
+def auto_num_buckets(
+    df: DataFrame, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Size-derived bucket count: ``clamp(ceil(size / 128MB), 8, 4096)``.
+
+    A fixed bucket count is wrong at both ends of the scale: 16 buckets
+    over a 10 TB fact table is ~640 GB per bucket file (one task per
+    bucket on the bucketed read — unschedulable), while 4096 buckets
+    over a 100 MB dim is all file-open overhead. 128 MB per bucket is
+    the same sizing logic as ``spark.sql.files.maxPartitionBytes``. The
+    estimate is the optimizer's ``sizeInBytes`` (metadata only, no job);
+    it can overestimate post-filter, which errs toward MORE buckets —
+    the benign direction.
+
+    CO-BUCKETING CONTRACT: two tables joined via ``bucketed_join`` must
+    be written with the SAME count or the join re-shuffles — derive
+    from the LARGER side and pass that count explicitly to both writes.
+    """
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 16  # stats unavailable: the historical default
+    return max(8, min(4096, -(-size // target_bytes)))
+
+
 def write_bucketed(
-    df: DataFrame, table_name: str, key: str, num_buckets: int = 16
+    df: DataFrame, table_name: str, key: str, num_buckets: int | None = None
 ) -> None:
     """Persist as a bucketed (+ sorted) table: join/groupBy on ``key``
     can then reuse the on-disk hash partitioning.
+
+    ``num_buckets=None`` derives the count from the table's estimated
+    size (``auto_num_buckets``); co-bucketed pairs must share an
+    explicit count — see the contract note there.
 
     Cross-process safety: the physical managed table (and hence its
     warehouse directory) is suffixed with this process's applicationId,
@@ -535,6 +566,8 @@ def write_bucketed(
     registered as a temp view over the physical table; views are plan
     aliases, so the underlying scan keeps its bucketing metadata and
     ``bucketed_join`` still plans exchange-free."""
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(df)
     spark = df.sparkSession
     app_tag = "".join(
         c if c.isalnum() else "_" for c in spark.sparkContext.applicationId

@@ -197,3 +197,23 @@ def test_salted_candidates_lazy_gate_no_jobs_and_identical(spark):
     assert sorted(lazy.columns) == sorted(plain.columns)
     diff = lazy.exceptAll(plain).count() + plain.exceptAll(lazy).count()
     assert diff == 0, f"{diff} mismatched candidate pairs"
+
+
+def test_auto_num_buckets_scales_with_size(spark, sf_dir):
+    """num_buckets=None derives clamp(ceil(size/128MB), 8, 4096) from
+    the optimizer's size estimate — floor at sf scale, proportional
+    growth once the estimate crosses the target, capped."""
+    from data_lake_for_citi_bike_trip_spark.operators.skew import (
+        auto_num_buckets,
+    )
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    small = load_table(spark, sf_dir, "nation")
+    assert auto_num_buckets(small) == 8  # floor: kilobytes of data
+    # force known sizes through the estimate by lowering the target
+    orders = load_table(spark, sf_dir, "orders")
+    est = int(
+        orders._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert auto_num_buckets(orders, target_bytes=est // 20) in range(8, 33)
+    assert auto_num_buckets(orders, target_bytes=1) == 4096  # cap
