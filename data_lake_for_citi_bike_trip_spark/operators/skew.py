@@ -549,6 +549,27 @@ def auto_num_buckets(
     return max(8, min(4096, -(-size // target_bytes)))
 
 
+def write_cobucketed(
+    tables: "Sequence[tuple[DataFrame, str]]",
+    key: str,
+    num_buckets: int | None = None,
+) -> int:
+    """Write several tables bucketed on ``key`` with ONE shared count —
+    the co-bucketing contract ``bucketed_join`` needs for exchange-free
+    joins, packaged so callers cannot accidentally derive per-table
+    counts. ``num_buckets=None`` derives from the LARGEST side
+    (``auto_num_buckets``): the big side's bucket files are the ones
+    that must stay schedulable; the small side merely follows. Returns
+    the count used (callers persist it for later incremental writes —
+    appending with a different count would silently break co-location).
+    """
+    if num_buckets is None:
+        num_buckets = max(auto_num_buckets(df) for df, _ in tables)
+    for df, name in tables:
+        write_bucketed(df, name, key, num_buckets)
+    return num_buckets
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, num_buckets: int | None = None
 ) -> None:

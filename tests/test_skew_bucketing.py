@@ -217,3 +217,39 @@ def test_auto_num_buckets_scales_with_size(spark, sf_dir):
     )
     assert auto_num_buckets(orders, target_bytes=est // 20) in range(8, 33)
     assert auto_num_buckets(orders, target_bytes=1) == 4096  # cap
+
+
+def test_write_cobucketed_shares_one_count_and_joins_shuffle_free(
+    spark, sf_dir, tmp_path
+):
+    """write_cobucketed derives ONE count from the larger side and the
+    resulting join plans with zero shuffle exchanges."""
+    from data_lake_for_citi_bike_trip_spark.operators.skew import (
+        bucketed_join,
+        write_cobucketed,
+    )
+    from data_lake_for_citi_bike_trip_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    n = write_cobucketed(
+        [(orders, "cob_orders"), (cust, "cob_cust")], "o_custkey"
+    )
+    # set AFTER the loads: load_table's configure_runtime re-pins the
+    # broadcast threshold (same ordering note as the bloom-filter test)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert n >= 8
+        joined = bucketed_join(spark, "cob_orders", "cob_cust", "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == orders.join(cust, "o_custkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS cob_orders")
+        spark.sql("DROP TABLE IF EXISTS cob_cust")
