@@ -158,7 +158,13 @@ def test_sweep_stale_bucketed_removes_only_old_foreign_dirs(spark, tmp_path):
     skew._touch_heartbeat(wh, "sweep_probe__app_old_but_alive")
     os.utime(beating, (two_days_ago, two_days_ago))  # dir looks dead
     removed = sweep_stale_bucketed(spark, "sweep_probe", max_age_hours=24)
-    assert removed == 1
+    # >= 1, not == 1: the sweep counts EVERY reaped sweep_probe__* dir,
+    # and a shared persistent warehouse can hold >24h-old leftovers from
+    # previous pytest sessions (the r14 verdict reproduced exactly that:
+    # a leftover aged past the boundary and the correct reap made the
+    # global count 2). The planted-dir assertions below are the actual
+    # contract: stale gone, fresh + beating + own kept.
+    assert removed >= 1
     assert not os.path.exists(stale)
     assert os.path.isdir(fresh)
     assert os.path.isdir(beating), "fresh heartbeat did not protect dir"
