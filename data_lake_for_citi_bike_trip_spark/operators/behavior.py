@@ -238,33 +238,38 @@ def user_gap_median(events: DataFrame) -> DataFrame:
     and drop out.
 
     At scale: state is one user's events in memory at a time (bounded
-    per-user cardinality), batches are Arrow-columnar, and no driver
-    collection anywhere — the same shape applyInPandasWithState uses
-    in streaming.
-    """
-    import pandas as pd  # local: keep module import-light
+    per-user cardinality), and no driver collection anywhere.
 
-    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import numpy as np
-
-        ts = np.sort(pdf["ts_us"].to_numpy())
-        if len(ts) < 2:
-            return pd.DataFrame(
-                {"user_id": [], "n_gaps": [], "median_gap_s": []}
-            ).astype({"user_id": "int64", "n_gaps": "int64", "median_gap_s": "int64"})
-        gaps = np.sort((np.diff(ts) // 1_000_000).astype("int64"))
-        n = len(gaps)
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_gaps": [n],
-                "median_gap_s": [int(gaps[(n - 1) // 2])],
-            }
-        )
-
-    keyed = events.select("user_id", F.unix_micros("ts").alias("ts_us"))
-    return keyed.groupBy("user_id").applyInPandas(
-        per_user, "user_id bigint, n_gaps bigint, median_gap_s bigint"
+    r15: formerly the ``applyInPandas`` grouped-map showcase — but the
+    walk is pure rank-order selection over the sorted per-user series,
+    fully expressible with JVM array expressions (sort_array +
+    transform diff + element_at), so the Arrow round-trip of every
+    event row through Python workers was pure overhead (guide §4.1:
+    built-ins over UDFs — FlatMapGroupsInPandas removed from the
+    plan). Identical arithmetic: gaps floor to whole seconds
+    (non-negative after the sort, so ``div`` == ``//``), median is the
+    LOWER-middle element ``gaps[(n-1)//2]``, users with fewer than two
+    events drop. The grouped-map escape hatch remains showcased where
+    Python is genuinely needed (capped_running_sum's
+    decision-dependent state; cogroup_reconcile)."""
+    agg = events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("ts_us")).alias("ts")
+    )
+    gaps = agg.where(F.size("ts") >= 2).select(
+        "user_id",
+        F.expr(
+            "sort_array(transform(sequence(2, size(ts)), i -> "
+            "(element_at(ts, i) - element_at(ts, i - 1)) div 1000000))"
+        ).alias("gaps"),
+    )
+    return gaps.select(
+        "user_id",
+        F.expr("CAST(size(gaps) AS BIGINT)").alias("n_gaps"),
+        F.expr(
+            "element_at(gaps, CAST((size(gaps) - 1) div 2 AS INT) + 1)"
+        ).alias("median_gap_s"),
     )
 
 

@@ -209,13 +209,22 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     Emits the surviving vertices with their residual degree after the
     last round.
     """
-    und = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Each round reads ``und`` TWICE (degree aggregate + survivor
+    # filter join) and rounds chain, so the uncached plan duplicated
+    # the whole prefix ~2x per round (ReusedExchange only dedupes
+    # exchange-rooted subtrees; the union scan below is not one).
+    # Caching each round's survivor list bounds the work per round to
+    # one degree aggregate + one filter join over cached rows (r15,
+    # guide §2.4/§5).
+    und = cached(
+        edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
     for _ in range(rounds):
         deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         alive = deg.where(F.col("deg") >= k).select("src")
-        und = (
+        und = cached(
             und.join(alive, "src")
             .join(alive.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
@@ -242,6 +251,14 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 4) -> DataFrame:
 
     Output: (node, level) with level in [0, max_depth]."""
     sess = edges.sparkSession
+    # Loop-invariant edge list cached ONCE (r15, guide §2.4): each round
+    # materializes eagerly (localCheckpoint + isEmpty), so without the
+    # cache every round re-ran the whole upstream edge derivation
+    # (orders x lineitem join + distinct for the co-purchase graph) —
+    # max_depth scans of the fact tables instead of one.
+    adj = cached(
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    )
     visited = sess.createDataFrame(
         [(source, 0)], "node bigint, level bigint"
     ).localCheckpoint()
@@ -249,9 +266,7 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 4) -> DataFrame:
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(
-                edges.select(
-                    F.col("src").alias("node"), F.col("dst").alias("nbr")
-                ),
+                adj,
                 "node",
             )
             .select(F.col("nbr").alias("node"))
@@ -390,12 +405,16 @@ def sssp_weighted(
     reachable within ``rounds`` edges.
     """
     sess = edges.sparkSession
+    # Loop-invariant edges cached ONCE (r15, guide §2.4): per-round
+    # localCheckpoint materialization otherwise re-derives the weighted
+    # edge list (orders x lineitem join + aggregate) every round.
+    adj = cached(edges.select(F.col("src").alias("node"), "dst", "w"))
     dist = sess.createDataFrame(
         [(source, 0)], "node bigint, dist bigint"
     ).localCheckpoint()
     for _ in range(rounds):
         relax = dist.join(
-            edges.select(F.col("src").alias("node"), "dst", "w"), "node"
+            adj, "node"
         ).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).cast("bigint").alias("dist"),
@@ -453,12 +472,15 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     canonical src < dst; propagation runs over the symmetrized list
     plus self-loops (a vertex keeps its own label).
     """
-    verts = (
+    verts = cached(
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
         .distinct()
     )
-    sym = (
+    # Loop-invariant symmetrized edge list cached ONCE (r15, guide
+    # §2.4): the per-round localCheckpoint boundaries otherwise re-run
+    # the whole upstream edge derivation each round.
+    sym = cached(
         edges.select("src", "dst")
         .unionByName(
             edges.select(
@@ -590,27 +612,43 @@ def personalized_pagerank(
     rank (deterministic tie-break) — TakeOrderedAndProject.
     """
     edges = cached(edges.select("src", "dst"))
-    nodes = cached(
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    contrib_edges = cached(edges.join(outdeg, "src"))
+    nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    contrib_edges = cached(edges.join(outdeg, "src"))
-    stats = nodes.agg(
-        F.min("id").alias("seed"), F.count(F.lit(1)).alias("n_nodes")
+    # 1-row (seed, n_nodes) stat — cached because seed_base below is
+    # consumed by EVERY iteration's union and would otherwise re-run
+    # the node distinct each round.
+    stats = cached(
+        nodes.agg(
+            F.min("id").alias("seed"), F.count(F.lit(1)).alias("n_nodes")
+        )
     )
     base = 100 - damping_pct
-    seeded = nodes.crossJoin(F.broadcast(stats))
-    ranks = seeded.select(
-        "id",
-        "seed",
-        "n_nodes",
-        F.when(
-            F.col("id") == F.col("seed"),
-            F.lit(RANK_SCALE).cast("long") * F.col("n_nodes"),
-        )
-        .otherwise(F.lit(0))
+    # r15 SPARSE formulation (guide §2.3/§2.4): mass only ever lives on
+    # the seed and nodes its <= iters-hop out-neighborhood reaches, and
+    # zero-rank rows contribute exactly 0 to every contribution sum —
+    # so the dense per-iteration full-node frame (nodes x stats crossJoin
+    # + an n-row left join + an n-row broadcast per step) is pure
+    # overhead. Keep ranks SPARSE (absent = rank 0): each step is the
+    # contribution aggregate plus a union with the 1-row seed base term
+    # and a sum by node. Output-identical: the old per-node expression
+    # when(seed, base_term) + (d * coalesce(contrib, 0)) div 100 equals
+    # the sum of the seed-base row and the contribution row, and rows
+    # absent in the sparse form are exactly the rank-0 rows the final
+    # rank_e6 > 0 filter dropped anyway (oracle-verified).
+    seed_base = stats.select(
+        F.col("seed").alias("id"),
+        F.expr(f"({base} * {RANK_SCALE} * n_nodes) div 100")
+        .cast("long")
+        .alias("rank_e6"),
+    )
+    ranks = stats.select(
+        F.col("seed").alias("id"),
+        (F.lit(RANK_SCALE).cast("long") * F.col("n_nodes"))
         .cast("long")
         .alias("rank_e6"),
     )
@@ -628,27 +666,16 @@ def personalized_pagerank(
             )
         )
         ranks = (
-            seeded.join(
-                contribs, F.col("id") == F.col("dst"), "left"
-            )
-            .select(
-                "id",
-                "seed",
-                "n_nodes",
-                (
-                    F.when(
-                        F.col("id") == F.col("seed"),
-                        F.expr(
-                            f"({base} * {RANK_SCALE} * n_nodes) div 100"
-                        ),
-                    )
-                    .otherwise(F.lit(0))
+            seed_base.unionByName(
+                contribs.select(
+                    F.col("dst").alias("id"),
+                    F.expr(f"({damping_pct} * contrib) div 100")
                     .cast("long")
-                    + F.expr(
-                        f"({damping_pct} * coalesce(contrib, 0)) div 100"
-                    )
-                ).cast("long").alias("rank_e6"),
+                    .alias("rank_e6"),
+                )
             )
+            .groupBy("id")
+            .agg(F.sum("rank_e6").cast("long").alias("rank_e6"))
         )
     return (
         ranks.where(F.col("rank_e6") > 0)
@@ -741,7 +768,9 @@ def hits_scores(edges: DataFrame, rounds: int = 2, top_k: int = 100) -> DataFram
     Pregel shape, oracle-unrolled.
     """
     edges = cached(edges.select("src", "dst"))
-    nodes = (
+    # nodes is loop-invariant and re-read every round by the score
+    # rebuild (plus the final ranking) — cache it like edges (r15).
+    nodes = cached(
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import spread
+
 #: Output schema of the image-decode stage.
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -105,8 +107,14 @@ _DECODERS.update({"bmp": decode_bmp, "ppm": decode_ppm, "real": sniff_decode})
 
 def media_table(docs: DataFrame) -> DataFrame:
     """Synthesize a media table from documents: utf-8 payload bytes +
-    typed metadata — the schema shape a real ingest would produce."""
-    return docs.select(
+    typed metadata — the schema shape a real ingest would produce.
+
+    r15: ``spread()`` re-parallelizes an under-split source (the sf
+    testdata arrives as ONE row group, so every downstream Python
+    decode stage otherwise ran in a single task — the module docstring
+    promised payload repartitioning but no generator did it); a no-op
+    on already-parallel inputs."""
+    return spread(docs).select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
         F.struct(
@@ -133,7 +141,8 @@ def synthetic_bmp_table(docs: DataFrame) -> DataFrame:
     predict them — while the decode stage downstream parses genuine BMP
     bytes, not a fake."""
     dims = (
-        docs.select(
+        spread(docs)  # single-row-group sources: parallelize the codegen
+        .select(
             F.col("doc_id").alias("media_id"),
             (F.col("n_chars") % 31 + 1).cast("long").alias("w"),
             (F.col("doc_id") % 17 + 1).cast("long").alias("h"),
@@ -551,7 +560,7 @@ def synthetic_png_table(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return (
-        docs.select("doc_id", "n_chars")
+        spread(docs.select("doc_id", "n_chars"))
         # geometry derives from n_chars; a NULL there generates nothing
         .where(F.col("n_chars").isNotNull())
         .mapInPandas(batches, schema=META)
@@ -690,8 +699,14 @@ def synthetic_wav_table(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return (
+        # NO spread() here — measured negative (r15): PCM struct-pack
+        # is cheap per row, and the 32-way Python fan-out (worker
+        # startup + per-task Arrow setup + the repartition) costs more
+        # than it saves on the wav family (audio_frames 0.5 -> 2.4 s
+        # min, first runs 12-28 s under concurrent worker imports).
+        # The png/bmp/video generators keep spread(): their zlib /
+        # hex-codegen per-row work amortizes it (2x measured wins).
         docs.select("doc_id", "n_chars")
-        # geometry derives from n_chars; a NULL there generates nothing
         .where(F.col("n_chars").isNotNull())
         .mapInPandas(batches, schema=META)
     )
@@ -748,7 +763,7 @@ def synthetic_video_table(docs: DataFrame) -> DataFrame:
     genuine container bytes. The pixel stream is assembled as one
     transform over a pixel-index sequence emitting 2-char hex per
     byte — whole-stage-codegen, no Python in the generator."""
-    dims = docs.select(
+    dims = spread(docs).select(
         F.col("doc_id").alias("media_id"),
         (F.col("doc_id") % 5 + 2).cast("long").alias("n_frames"),
         (F.col("n_chars") % 16 + 2).cast("long").alias("w"),

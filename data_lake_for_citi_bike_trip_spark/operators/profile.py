@@ -27,6 +27,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import spread
+
 
 @dataclass(frozen=True)
 class ColumnSpec:
@@ -63,6 +65,11 @@ def profile_table(
     shuffle carries one constant-size sketch per column, at the price of
     approximate n_distinct. The exact path stays the default because the
     DuckDB oracle pins its values."""
+    # spread() (r15): the Expand x n_distinct_aggs + partial aggregate
+    # run inside the scan task; a single-row-group source (the sf
+    # testdata shape) hashed every expanded row on one core. No-op on
+    # already-parallel inputs.
+    df = spread(df)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for s in specs:
         aggs.append(F.count(s.value).alias(f"__nn_{s.name}"))
@@ -494,35 +501,57 @@ def trimmed_mean_by_type(events: DataFrame, trim_pct: int = 10) -> DataFrame:
     whose cardinality is bounded in practice (the same per-key
     justification as user_gap_median's grouped map); a per-type-only
     trim at 100 TB would pull one event type's entire series into a
-    single UDAF call, which is exactly the shape this module avoids."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    single array cell, which is exactly the shape this module avoids.
 
-    # explicit functionType: this module postpones annotations
-    # (__future__), which turns the Series->scalar hints into strings
-    # the inferencer can't read
-    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
-    def trimmed_mean_e2(cents):
-        v = cents.sort_values().to_numpy()
-        k = (len(v) * trim_pct) // 100
-        kept = v[k : len(v) - k] if len(v) > 2 * k else v
-        return int((100 * int(kept.sum())) // len(kept))
-
+    r15: formerly a GROUPED_AGG pandas UDAF plus a separate JVM count
+    aggregate joined back on the group key — two aggregation exchanges,
+    a join, and an Arrow round-trip per group through AggregateInPandas.
+    The trim is expressible entirely in JVM expressions over the sorted
+    group array (sort_array(collect_list) + slice + aggregate), which
+    ships the identical bytes through ONE hash aggregate, computes the
+    count in the same pass, and removes the Python boundary (guide
+    §4.1: built-ins over UDFs). Output-identical: same sort, the same
+    floor(n*pct/100) trim from each end, and the final division uses
+    explicit FLOOR semantics ((a - pmod(a, n)) div n) to match the
+    Python ``//`` / DuckDB ``//`` the UDAF used — on the non-negative
+    cents domain truncation and floor agree, but the operator should
+    not change behavior if fed negatives."""
     cents = events.select(
         "user_id",
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    # Spark forbids mixing pandas and JVM aggregates in one agg(); the
-    # plain count comes from a separate agg joined on the group key
-    # (same partitioning — co-located join)
-    trimmed = cents.groupBy("user_id", "event_type").agg(
-        trimmed_mean_e2("cents").alias("trimmed_mean_e2")
+    grouped = cents.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(F.collect_list("cents")).alias("vs"),
     )
-    counts = cents.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n_events")
+    k = f"(size(vs) * {int(trim_pct)}) div 100"
+    kept = grouped.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.expr(
+            f"CASE WHEN size(vs) > 2 * ({k}) "
+            f"THEN slice(vs, ({k}) + 1, size(vs) - 2 * ({k})) "
+            "ELSE vs END"
+        ).alias("kept"),
     )
-    return counts.join(trimmed, ["user_id", "event_type"]).select(
-        "user_id", "event_type", "n_events", "trimmed_mean_e2"
+    sums = kept.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.expr(
+            "100 * aggregate(kept, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("s"),
+        F.expr("CAST(size(kept) AS BIGINT)").alias("m"),
+    )
+    return sums.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.expr("CAST((s - pmod(s, m)) div m AS BIGINT)").alias(
+            "trimmed_mean_e2"
+        ),
     )
 
 
@@ -1180,9 +1209,17 @@ def bootstrap_mean_ci(orders: DataFrame, b_reps: int = 32) -> DataFrame:
     shuffle carries at most B rows per task. The B-row window sort is
     bounded by b_reps.
     """
-    base = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    # spread() (r15): the B-fold expand + md5 + inverse-CDF weight run
+    # inside the scan task — a single-row-group source (the sf testdata
+    # shape) computed all B x n row hashes on one core. The compact
+    # (k, cents) rows shuffle BEFORE the expansion, so the repartition
+    # moves n rows to unlock B x n parallel work; no-op when the scan
+    # is already parallel.
+    base = spread(
+        orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
     )
     point = base.agg(
         F.expr("sum(cents) div count(1)").alias("point_cents")

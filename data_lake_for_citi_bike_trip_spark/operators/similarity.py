@@ -1271,7 +1271,12 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     # the multiply must promote to DOUBLE before round: float32 * int
     # rounds on single-precision boundaries and disagrees with any
     # engine that promotes (invisible on small samples, real at scale)
-    q = embeddings.select(
+    #
+    # spread() (r15): the d(d+1)/2-cell expansion + map-side partial
+    # aggregate run INSIDE the scan task — a single-row-group source
+    # (the sf testdata shape) serialized the whole n x d(d+1)/2 outer-
+    # product on one core. No-op on already-parallel inputs.
+    q = spread(embeddings).select(
         F.expr(
             "transform(embedding, x -> "
             "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"

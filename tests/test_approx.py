@@ -521,3 +521,53 @@ def test_median_of_means_plain_case(spark):
     )
     r = profile.median_of_means(orders).collect()[0]
     assert r.mom_cents == r.mean_cents == 5000 and r.gap_cents == 0
+
+
+def test_trimmed_mean_matches_reference_walk_incl_negative(spark):
+    """r15: trimmed_mean_by_type moved from a GROUPED_AGG pandas UDAF to
+    a single JVM aggregate (sort_array + slice + aggregate). Pin the
+    reference semantics per group: sort, drop floor(n*10/100) from each
+    end, FLOOR-divide 100*sum by kept length — including a negative-sum
+    group where floor and truncate diverge (-7 // 2 == -4, not -3)."""
+    from data_lake_for_citi_bike_trip_spark.operators import profile
+
+    rows = []
+    # group A: 10 values 0.01..0.10 -> cents 1..10, k=1, kept 2..9,
+    # mean = 100*44 // 8 = 550
+    for i, c in enumerate(range(1, 11)):
+        rows.append((1, "a", c / 100.0, i))
+    # group B: negative-sum group, n=3 -> k=0, kept all:
+    # cents [-5, 1, 1], sum=-3, 100*-3 // 3 = -100 (exact)
+    rows.extend([(2, "b", -0.05, 0), (2, "b", 0.01, 1), (2, "b", 0.01, 2)])
+    # group C: negative floor case, n=2: cents [-3, 2], sum=-1,
+    # 100*-1 = -100; -100 // 2 = -50 (exact); and n=1 singleton
+    rows.extend([(3, "c", -0.03, 0), (3, "c", 0.02, 1)])
+    # group D: floor-vs-truncate divergence: cents [-3], 100*-3=-300,
+    # -300 // 7 impossible with n=1... use [-1, -1, -1]: sum=-3,
+    # 100*-3 // 3 = -100 exact. Divergent case needs non-divisible
+    # negative: cents [-1, 0, 0] -> sum=-1, -100 // 3 = -34 (floor),
+    # truncate would give -33.
+    rows.extend([(4, "d", -0.01, 0), (4, "d", 0.0, 1), (4, "d", 0.0, 2)])
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, event_id long"
+    )
+    out = {
+        (r.user_id, r.event_type): (r.n_events, r.trimmed_mean_e2)
+        for r in profile.trimmed_mean_by_type(df).collect()
+    }
+    assert out[(1, "a")] == (10, 550)
+    assert out[(2, "b")] == (3, -100)
+    assert out[(3, "c")] == (2, -50)
+    assert out[(4, "d")] == (3, -34), "floor (not truncate) division"
+
+    # cross-check every group against the reference python walk
+    import collections
+
+    groups = collections.defaultdict(list)
+    for u, t, v, _ in rows:
+        groups[(u, t)].append(round(v * 100))
+    for key, cents in groups.items():
+        v = sorted(cents)
+        k = (len(v) * 10) // 100
+        kept = v[k : len(v) - k] if len(v) > 2 * k else v
+        assert out[key] == (len(v), (100 * sum(kept)) // len(kept))
