@@ -831,7 +831,20 @@ def connected_components(
         nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _materialize(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+        # LAZY local checkpoint (r15): the eager form ran one dedicated
+        # materialization job per round and the convergence count then
+        # ran a SECOND job over the checkpointed blocks — 2 jobs/round.
+        # eager=False defers materialization to the count action below,
+        # which computes the round and persists its blocks in ONE job
+        # (lineage truncation is identical once materialized). The
+        # reliable-checkpoint path keeps its eager write — that mode
+        # exists to survive executor loss, so the write must not be
+        # deferrable.
+        return (
+            df.checkpoint()
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=False)
+        )
 
     # Materialize edges ONCE: every iteration joins against them, and
     # without this the upstream pair-generation pipeline (minhash etc.)
@@ -1084,6 +1097,13 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     PPJoin's remaining two filters (asymmetric index/probe prefixes +
     the positional filter — see the candidate stage below).
     """
+    # NO spread() here — measured negative (r15 A/B: 3.65 s -> 4.72 s
+    # min-of-3 with it). Unlike bootstrap_ci/embedding_covariance, the
+    # single-task prefix of this pipeline is only the split+md5 of the
+    # raw docs; every expensive stage (shingle explode, distinct, the
+    # ranked-prefix window, candidate join) already runs after the
+    # keyed.groupBy exchange at full parallelism, so the extra
+    # repartition pass was pure overhead.
     words = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), "[^a-z]+").alias("ws")
     )
