@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import cached
+from ..session import spread
 from .skew import salted_candidates
 
 #: e6 fixed-point scale for ranks.
@@ -110,6 +111,10 @@ def copurchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     pairs = (
         orders.select("o_orderkey", "o_custkey")
         .join(
+            # NO spread() on the streamed side — measured wash (r15
+            # interleaved A/B): unlike the quadratic basket self-joins,
+            # this join emits ~|lineitem| rows, and the distinct's
+            # exchange already parallelizes everything downstream.
             lineitem.select("l_orderkey", "l_suppkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
@@ -131,9 +136,14 @@ def copurchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 def copart_edges(lineitem: DataFrame) -> DataFrame:
     """Market-basket edge list: distinct part pairs co-occurring in an
     order, canonicalized src < dst. The explode is bounded by order
-    size (a self-join of lineitem on l_orderkey), never corpus-wide."""
-    a = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    size (a self-join of lineitem on l_orderkey), never corpus-wide.
+    The probe side is spread() so the broadcast join's pair emission
+    does not serialize into a single-row-group scan task (r15, same
+    measured pattern as also_bought)."""
+    a = spread(
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+        )
     )
     b = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
@@ -297,9 +307,17 @@ def also_bought(lineitem: DataFrame, k: int = 3) -> DataFrame:
     gate instead of argued — a whale basket (one l_orderkey owning a
     corpus-scale share of lines) scatters its quadratic pair emission
     across the salt span instead of single-tasking it, and on bounded
-    baskets the gate closes and the plan IS the plain equi-join."""
-    a = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    baskets the gate closes and the plan IS the plain equi-join.
+
+    The probe side is spread() (r15): the broadcast self-join emits its
+    pair rows INSIDE the probe's scan task, so a single-row-group
+    source (the sf testdata shape) emitted + partially aggregated every
+    candidate pair on one core (measured 3.7-4.4 -> 2.4-2.5 s
+    min-of-3). No-op on already-parallel inputs."""
+    a = spread(
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+        )
     )
     b = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("other")
@@ -438,6 +456,7 @@ def copurchase_weighted_edges(
     pairs = (
         orders.select("o_orderkey", "o_custkey")
         .join(
+            # no spread: same measured-wash note as copurchase_edges
             lineitem.select("l_orderkey", "l_suppkey", "l_quantity"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
