@@ -49,45 +49,64 @@ def bm25_topk(
         .select("doc_id", F.explode_outer(F.col("w")).alias("term"))
         .where(F.col("term").isNotNull())
     )
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE doc-grain aggregate carries dl AND a pivoted per-term tf
+    # (r15): the former doclen/tf pair aggregated the exploded token
+    # stream twice, and because their shared subtree (scan -> tokenize
+    # -> explode) is not exchange-rooted, ReusedExchange could not
+    # dedupe it — the corpus was tokenized twice per run. The query
+    # term list is a small fixed constant, so tf pivots into one column
+    # per (sorted) term; df then derives from the doc-grain table
+    # (rows = docs, not tokens). Score arithmetic is unchanged and in
+    # the same sorted-term order, so the double result is bit-identical.
+    base = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
     stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        doclen.agg(F.sum("dl").alias("sum_dl"))
-    )
-    tf = (
-        toks.where(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        base.agg(
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        )
     )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    term_score = (
-        idf
-        * F.col("tf")
-        * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
-    )
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "term", term_score.alias("term_score"))
-    )
-    # fixed-order summation: one conditional-max column per (sorted) term
-    per_term = [
-        F.coalesce(
-            F.max(F.when(F.col("term") == t, F.col("term_score"))), F.lit(0.0)
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
         )
-        for t in terms
-    ]
-    total = per_term[0]
-    for p in per_term[1:]:
-        total = total + p
-    per_doc = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms_matched"),
-        F.round(total, 4).alias("score"),
+        return F.when(
+            tf > 0,
+            idf
+            * tf
+            * (k1 + 1)
+            / (tf + k1 * (1 - b + b * F.col("dl") / avgdl)),
+        ).otherwise(F.lit(0.0))
+
+    total = term_score(0)
+    for i in range(1, len(terms)):
+        total = total + term_score(i)
+    matched = F.lit(0).cast("long")
+    for i in range(len(terms)):
+        matched = matched + F.when(F.col(f"tf_{i}") > 0, 1).otherwise(
+            0
+        ).cast("long")
+    per_doc = (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            matched.alias("n_terms_matched"),
+            F.round(total, 4).alias("score"),
+        )
+        .where(F.col("n_terms_matched") > 0)
     )
     topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return topk.select(
