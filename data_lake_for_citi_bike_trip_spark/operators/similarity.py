@@ -1144,8 +1144,21 @@ def blocked_knn_recall(
         .persist()
     )
     try:
-        common = exact.join(blocked, ["v1", "v2"]).count()
-        n_exact, n_blocked = exact.count(), blocked.count()
+        # The three readout counts are independent jobs over the two
+        # persisted pair sets — submit them concurrently so the later
+        # jobs back-fill the cluster while the first one's stragglers
+        # finish (guide §2.6); the persisted frames make the shared
+        # pipelines compute once whichever job touches them first.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_common = pool.submit(
+                lambda: exact.join(blocked, ["v1", "v2"]).count()
+            )
+            f_exact = pool.submit(exact.count)
+            f_blocked = pool.submit(blocked.count)
+            common = f_common.result()
+            n_exact, n_blocked = f_exact.result(), f_blocked.result()
     finally:
         exact.unpersist()
         blocked.unpersist()
@@ -1231,9 +1244,20 @@ def blocked_knn_multiprobe_recall(
         embeddings, k=k, bucket_bits=bucket_bits
     ).select("v1", "v2")
     try:
-        n_exact = exact.count()
-        s_common = exact.join(single, ["v1", "v2"]).count()
-        m_common = exact.join(multi, ["v1", "v2"]).count()
+        # Independent readout jobs over the persisted exact set —
+        # overlap them (guide §2.6, same shape as blocked_knn_recall).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_exact = pool.submit(exact.count)
+            f_s = pool.submit(
+                lambda: exact.join(single, ["v1", "v2"]).count()
+            )
+            f_m = pool.submit(
+                lambda: exact.join(multi, ["v1", "v2"]).count()
+            )
+            n_exact = f_exact.result()
+            s_common, m_common = f_s.result(), f_m.result()
     finally:
         exact.unpersist()
     return embeddings.sparkSession.createDataFrame(
