@@ -15,6 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import on_release
 from ..session import configure_runtime
 
 TABLE_NAMES = (
@@ -23,12 +24,30 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: (id(session), sf_dir, name) -> (session, DataFrame). Plan-handle memo,
+#: NOT a result cache: the DataFrame is an immutable lazy plan and every
+#: action still computes from the parquet files. What it saves is
+#: spark.read.parquet's per-call schema-inference pass (~90 ms of footer
+#: job + listing per call, measured r15 — x ~550 load_table calls per
+#: bench board). The stored session reference is compared by IDENTITY on
+#: hit, so a recycled id() can never return another session's plan (the
+#: ADVICE r14 _BITS_MEMO hazard); testdata files are immutable for the
+#: life of a session (the same contract _GATE_MEMO relies on). Cleared
+#: by caching.release_caches.
+_DF_MEMO: dict = {}
+on_release(_DF_MEMO.clear)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_runtime(spark)
+    key = (id(spark), sf_dir, name)
+    hit = _DF_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _DF_MEMO[key] = (spark, df)
     return df
 
 

@@ -54,6 +54,11 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
 
 EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
+#: events-glob -> ts-stored-as-int64-nanos flag (file generations are
+#: immutable per path; saves one ~90 ms schema-inference pass per stream
+#: query — see stream_events).
+_TS_SNIFF_MEMO: dict = {}
+
 
 def scoped_session(
     spark: SparkSession, shuffle_partitions: int | None = None
@@ -103,8 +108,15 @@ def stream_events(
     # would silently read micros as nanos (1000x off).
     # Sniff via the SAME glob the stream reads below, so the probed
     # schema always matches the streamed file set (suffixed/mixed
-    # generations included).
-    ts_is_long = dict(spark.read.parquet(path + "*").dtypes).get("ts") == "bigint"
+    # generations included). Memoized per glob (r15): the inference pass
+    # costs ~90 ms per call and every stream query on the same testdata
+    # re-answered the identical immutable-file question.
+    ts_is_long = _TS_SNIFF_MEMO.get(path)
+    if ts_is_long is None:
+        ts_is_long = (
+            dict(spark.read.parquet(path + "*").dtypes).get("ts") == "bigint"
+        )
+        _TS_SNIFF_MEMO[path] = ts_is_long
     reader = spark.readStream.schema(
         _events_raw_schema(T.LongType() if ts_is_long else T.TimestampType())
     )
