@@ -261,14 +261,13 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 4) -> DataFrame:
 
     Output: (node, level) with level in [0, max_depth]."""
     sess = edges.sparkSession
-    # Loop-invariant edge list cached ONCE (r15, guide §2.4): each round
-    # materializes eagerly (localCheckpoint + isEmpty), so without the
-    # cache every round re-ran the whole upstream edge derivation
-    # (orders x lineitem join + distinct for the co-purchase graph) —
-    # max_depth scans of the fact tables instead of one.
-    adj = cached(
-        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
-    )
+    # NOT cached — measured wash-to-negative (r15 interleaved A/B:
+    # 2.58/2.64 s uncached vs 3.01/2.72 s cached at sf0.1): the
+    # co-purchase edge rebuild per round is one broadcast join +
+    # distinct, cheaper than the cache materialization + InMemoryRelation
+    # read it would replace (contrast sssp_weighted, whose cache
+    # measured a win — its weighted edge build carries an aggregate).
+    adj = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
     visited = sess.createDataFrame(
         [(source, 0)], "node bigint, level bigint"
     ).localCheckpoint()
