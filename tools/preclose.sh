@@ -10,26 +10,40 @@ fail=0
 
 step() { echo; echo "=== $1 ==="; }
 
-step "1/9 full pytest"
+step "1/9 bench sf0.1 (band-flagged; FIRST, before the JVM-churning
+# sweeps — VERDICT r14 item 6: the r14 close board carried ~17
+# load-adjacency exceedances purely from running after three full
+# sweeps + robustness on the same box)"
+python tools/bench_band.py --sf 0.1 --n 8 || fail=1
+python bench.py > "/tmp/bench_${TAG}_close.json" 2>/tmp/bench_close.err || fail=1
+grep "^# regressions\|^# above-band" /tmp/bench_close.err || true
+python - "$TAG" <<'EOF2'
+import json, sys
+d = json.load(open(f"/tmp/bench_{sys.argv[1]}_close.json"))
+print(f"bench: {d['value']}s over {len(d['queries'])} queries "
+      f"(mean {d['value']/len(d['queries']):.3f}s)")
+EOF2
+
+step "2/9 full pytest"
 python -m pytest tests/ -q 2>&1 | tail -2 | tee /tmp/preclose_pytest.txt
 grep -q " 0 failed\|passed" /tmp/preclose_pytest.txt || fail=1
 
-step "2/9 oracle sweep sf0.001"
+step "3/9 oracle sweep sf0.001"
 python tools/check_oracle.py /root/testdata/sf0.001 > "CORRECTNESS_LOCAL_${TAG}_sf0001.txt" 2>&1
 tail -2 "CORRECTNESS_LOCAL_${TAG}_sf0001.txt"
 grep -q "ALL OK" "CORRECTNESS_LOCAL_${TAG}_sf0001.txt" || fail=1
 
-step "3/9 oracle sweep sf0.01"
+step "4/9 oracle sweep sf0.01"
 python tools/check_oracle.py /root/testdata/sf0.01 > "CORRECTNESS_LOCAL_${TAG}_sf001.txt" 2>&1
 tail -2 "CORRECTNESS_LOCAL_${TAG}_sf001.txt"
 grep -q "ALL OK" "CORRECTNESS_LOCAL_${TAG}_sf001.txt" || fail=1
 
-step "4/9 oracle sweep sf0.1"
+step "5/9 oracle sweep sf0.1"
 python tools/check_oracle.py /root/testdata/sf0.1 > "CORRECTNESS_LOCAL_${TAG}_sf01.txt" 2>&1
 tail -2 "CORRECTNESS_LOCAL_${TAG}_sf01.txt"
 grep -q "ALL OK" "CORRECTNESS_LOCAL_${TAG}_sf01.txt" || fail=1
 
-step "5/9 degenerate robustness (empty + single + nulls)"
+step "6/9 degenerate robustness (empty + single + nulls)"
 for mode in empty single nulls; do
   python tools/make_degenerate.py "/tmp/degen_$mode" "$mode" > /dev/null
   python tools/robustness_sweep.py "/tmp/degen_$mode" > "/tmp/preclose_robust_$mode.txt" 2>&1 \
@@ -37,23 +51,9 @@ for mode in empty single nulls; do
   tail -2 "/tmp/preclose_robust_$mode.txt" | head -1
 done
 
-step "6/9 plan regen (PLANS.md over the full surface)"
+step "7/9 plan regen (PLANS.md over the full surface)"
 python tools/dump_plans.py > /tmp/preclose_plans.txt 2>&1 || fail=1
 tail -2 /tmp/preclose_plans.txt
-
-step "7/9 bench sf0.1 (band-flagged, VERDICT r12 item 3)"
-# Freeze the per-query band from committed history BEFORE the close
-# run; bench.py then flags only queries above band on BOTH this board
-# and the previous one (single-board elevation = box noise).
-python tools/bench_band.py --sf 0.1 --n 8 || fail=1
-python bench.py > "/tmp/bench_${TAG}_close.json" 2>/tmp/bench_close.err || fail=1
-grep "^# regressions\|^# above-band" /tmp/bench_close.err || true
-python - "$TAG" <<'EOF'
-import json, sys
-d = json.load(open(f"/tmp/bench_{sys.argv[1]}_close.json"))
-print(f"bench: {d['value']}s over {len(d['queries'])} queries "
-      f"(mean {d['value']/len(d['queries']):.3f}s)")
-EOF
 
 step "8/9 certification cross-check (driver rows vs local sweeps)"
 python tools/certification_check.py "$TAG" > /tmp/preclose_cert.txt 2>&1 || fail=1
