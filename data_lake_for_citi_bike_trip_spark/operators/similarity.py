@@ -59,20 +59,35 @@ def auto_bucket_bits(embeddings: DataFrame) -> int:
     the SAME width with ``CEIL(LOG2(COUNT(*)))`` over the same input, so
     the adaptive behavior itself is oracle-checked.
     """
+    # Key hardening (ADVICE r14): id() can be recycled after a session
+    # is garbage-collected, and the 32-bit semanticHash can collide in
+    # a long session — either would silently return a WRONG width,
+    # which changes operator output, not just speed. The memo therefore
+    # stores the session object and the plan's schema string in the
+    # VALUE and verifies both on hit: the session by identity (a strong
+    # ref also pins the id for the entry's lifetime) and the schema as
+    # a cheap collision fence for the hash. Cleared by release_caches.
     key = None
     try:
+        session = embeddings.sparkSession
+        schema_str = embeddings.schema.simpleString()
         key = (
-            id(embeddings.sparkSession),
+            id(session),
             embeddings._jdf.queryExecution().analyzed().semanticHash(),
         )
-        if key in _BITS_MEMO:
-            return _BITS_MEMO[key]
+        hit = _BITS_MEMO.get(key)
+        if (
+            hit is not None
+            and hit[0] is session
+            and hit[1] == schema_str
+        ):
+            return hit[2]
     except Exception:
-        pass
+        key = None
     n = embeddings.count()
     bits = max(4, min(24, (max(n, 2) - 1).bit_length() - 3))
     if key is not None:
-        _BITS_MEMO[key] = bits
+        _BITS_MEMO[key] = (session, schema_str, bits)
     return bits
 
 

@@ -563,6 +563,11 @@ def write_cobucketed(
     the count used (callers persist it for later incremental writes —
     appending with a different count would silently break co-location).
     """
+    if not tables:
+        raise ValueError(
+            "write_cobucketed: tables must be non-empty "
+            "(ADVICE r14 — a bare max() error here was opaque)"
+        )
     if num_buckets is None:
         num_buckets = max(auto_num_buckets(df) for df, _ in tables)
     for df, name in tables:
@@ -726,6 +731,53 @@ def bucketed_join(
                 )
             except Exception:
                 pass  # advisory, same contract as _touch_heartbeat
+    # Exchange-free-property guard (ADVICE r14 medium): since
+    # write_bucketed's default count became size-derived, two tables
+    # written separately with default args almost always get DIFFERENT
+    # counts, and Spark then silently plans a shuffle exchange — the
+    # property this API exists for degrades with no signal. Compare the
+    # catalog bucket specs and warn loudly on mismatch, pointing at
+    # write_cobucketed (warn, not raise: the join stays CORRECT, just
+    # no longer exchange-free).
+    try:
+        app_tag = "".join(
+            c if c.isalnum() else "_"
+            for c in spark.sparkContext.applicationId
+        )
+
+        def bucket_count(logical: str) -> int | None:
+            # write_bucketed registers `logical` as a temp view over the
+            # per-process physical table `logical__<app_tag>`; DESCRIBE
+            # on the view shows no bucket spec, so probe the physical
+            # name first and fall back to the logical one (a caller may
+            # pass a real catalog table directly).
+            for name in (f"{logical}__{app_tag}", logical):
+                try:
+                    for row in spark.sql(
+                        f"DESCRIBE TABLE EXTENDED `{name}`"
+                    ).collect():
+                        if row.col_name == "Num Buckets":
+                            return int(row.data_type)
+                except Exception:
+                    continue
+            return None
+
+        nl, nr = bucket_count(left_table), bucket_count(right_table)
+        if nl is not None and nr is not None and nl != nr:
+            counts = {left_table: nl, right_table: nr}
+            import warnings
+
+            warnings.warn(
+                f"bucketed_join({left_table!r}, {right_table!r}): bucket "
+                f"counts differ ({counts[left_table]} vs "
+                f"{counts[right_table]}) — the join will plan a shuffle "
+                "exchange. Write both sides with write_cobucketed (one "
+                "shared count) to keep the join exchange-free.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    except Exception:
+        pass  # diagnostics only; never block the join
     return spark.table(left_table).join(spark.table(right_table), on)
 
 

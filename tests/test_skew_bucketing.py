@@ -253,3 +253,52 @@ def test_write_cobucketed_shares_one_count_and_joins_shuffle_free(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS cob_orders")
         spark.sql("DROP TABLE IF EXISTS cob_cust")
+
+
+def test_bucketed_join_warns_on_mismatched_counts(spark, sf_dir):
+    """ADVICE r14: since write_bucketed's default count became
+    size-derived, two independently written tables can silently lose
+    the exchange-free property. bucketed_join must warn on a bucket
+    count mismatch (and stay silent on a co-bucketed pair)."""
+    import warnings
+
+    from data_lake_for_citi_bike_trip_spark.operators.skew import (
+        bucketed_join,
+        write_bucketed,
+        write_cobucketed,
+    )
+
+    a = spark.range(100).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(100).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "mismatch_a", "k", num_buckets=4)
+    write_bucketed(b, "mismatch_b", "k", num_buckets=8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = bucketed_join(spark, "mismatch_a", "mismatch_b", "k")
+        assert out.count() == 100
+    assert any(
+        "bucket" in str(x.message) and "exchange" in str(x.message)
+        for x in w
+    ), [str(x.message) for x in w]
+
+    # co-bucketed pair: no warning
+    n = write_cobucketed(
+        [(a, "match_a"), (b, "match_b")], "k", num_buckets=4
+    )
+    assert n == 4
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = bucketed_join(spark, "match_a", "match_b", "k")
+        assert out.count() == 100
+    assert not [x for x in w if "bucket counts differ" in str(x.message)]
+
+
+def test_write_cobucketed_empty_tables_raises(spark):
+    import pytest as _pytest
+
+    from data_lake_for_citi_bike_trip_spark.operators.skew import (
+        write_cobucketed,
+    )
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        write_cobucketed([], "k")
