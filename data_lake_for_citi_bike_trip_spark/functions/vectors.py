@@ -1,10 +1,26 @@
 """Vector column expressions over array<double> embeddings.
 
 Built-in higher-order functions only (zip_with/aggregate): the math runs
-JVM-side inside codegen, no Python round-trip. Per-row reductions are
-sequential left folds — deterministic — but engines may differ in the
-last float bits, so any value used for thresholding/ordering should pass
-through round6 first (see oracles.py parity rules).
+JVM-side, no Python round-trip. Per-row reductions are sequential left
+folds — deterministic — but engines may differ in the last float bits,
+so any value used for thresholding/ordering should pass through round6
+first (see oracles.py parity rules).
+
+UNROLLED-DOT NEGATIVE RESULT (r16, VERDICT r15 item 5): Spark's HOFs
+are CodegenFallback (interpreted per row), so an ``element_at`` product
+chain unrolled at the data-model width (64) with a ``when(size==64)``
+guard looked like the §4.2 move — and in a bare cached-scan projection
+it measured 2.3x FASTER (0.82 -> 0.33 s / 2M pairs). In the real knn
+query stages (pair scoring inside join+window plans) it measured
+consistently SLOWER across the whole family — knn_mutual_pairs
+3.10 -> 3.60 s, blocked_pairs 1.47 -> 2.15 s, multiprobe_pairs
+1.50 -> 2.10 s, blocked_recall 2.57 -> 4.04 s, multiprobe_recall
+3.24 -> 6.45 s (min-of-3, same harness back-to-back) — the giant
+inlined expression pushes the enclosing whole-stage-codegen method past
+JIT-friendly size inside complex stages (no Spark fallback warning;
+the stage silently runs un-JIT-compiled). A seq-indexed HOF
+(``aggregate(sequence(...))`` without zip_with's intermediate array)
+measured a wash (0.81 vs 0.82 s). The HOF fold therefore stays.
 """
 
 from __future__ import annotations
@@ -20,6 +36,15 @@ def as_double(vec: Column) -> Column:
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance — same HOF left fold as ``dot``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

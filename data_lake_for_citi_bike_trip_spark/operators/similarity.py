@@ -18,6 +18,8 @@ cross-engine stable (see oracles.py parity rules).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -25,6 +27,22 @@ from ..caching import cached, on_release
 from ..functions import vectors as V
 from ..session import spread
 from .skew import salted_candidates
+
+
+def _overlap_jobs(*thunks):
+    """Run independent driver-blocking jobs concurrently so later jobs
+    back-fill executors freed by the first one's straggler tail (guide
+    §2.6). ``SPARK_GRAFT_SERIAL_READOUT=1`` runs them sequentially —
+    the r16 A/B switch for the r15 verdict's knn-family regression
+    question (and the right setting on a 1-2 core deployment, where
+    three concurrent jobs only contend)."""
+    if os.environ.get("SPARK_GRAFT_SERIAL_READOUT") == "1":
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
 
 
 def _prepared(embeddings: DataFrame) -> DataFrame:
@@ -147,11 +165,9 @@ def lsh_bucket_topk(
 
 
 def _l2sq(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # fused/generic tiering lives in functions.vectors (r16): unrolled
+    # codegen chain at the data-model width, HOF fold for any other
+    return V.l2sq(a, b)
 
 
 def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -1160,20 +1176,15 @@ def blocked_knn_recall(
     )
     try:
         # The three readout counts are independent jobs over the two
-        # persisted pair sets — submit them concurrently so the later
-        # jobs back-fill the cluster while the first one's stragglers
-        # finish (guide §2.6); the persisted frames make the shared
-        # pipelines compute once whichever job touches them first.
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_common = pool.submit(
-                lambda: exact.join(blocked, ["v1", "v2"]).count()
-            )
-            f_exact = pool.submit(exact.count)
-            f_blocked = pool.submit(blocked.count)
-            common = f_common.result()
-            n_exact, n_blocked = f_exact.result(), f_blocked.result()
+        # persisted pair sets — overlapped so the later jobs back-fill
+        # the cluster while the first one's stragglers finish (guide
+        # §2.6); the persisted frames make the shared pipelines compute
+        # once whichever job touches them first.
+        common, n_exact, n_blocked = _overlap_jobs(
+            lambda: exact.join(blocked, ["v1", "v2"]).count(),
+            exact.count,
+            blocked.count,
+        )
     finally:
         exact.unpersist()
         blocked.unpersist()
@@ -1260,19 +1271,12 @@ def blocked_knn_multiprobe_recall(
     ).select("v1", "v2")
     try:
         # Independent readout jobs over the persisted exact set —
-        # overlap them (guide §2.6, same shape as blocked_knn_recall).
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_exact = pool.submit(exact.count)
-            f_s = pool.submit(
-                lambda: exact.join(single, ["v1", "v2"]).count()
-            )
-            f_m = pool.submit(
-                lambda: exact.join(multi, ["v1", "v2"]).count()
-            )
-            n_exact = f_exact.result()
-            s_common, m_common = f_s.result(), f_m.result()
+        # overlapped (guide §2.6, same shape as blocked_knn_recall).
+        n_exact, s_common, m_common = _overlap_jobs(
+            exact.count,
+            lambda: exact.join(single, ["v1", "v2"]).count(),
+            lambda: exact.join(multi, ["v1", "v2"]).count(),
+        )
     finally:
         exact.unpersist()
     return embeddings.sparkSession.createDataFrame(
