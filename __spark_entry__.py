@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from data_lake_for_citi_bike_trip_spark import oracles
+from data_lake_for_citi_bike_trip_spark import caching, oracles
 from data_lake_for_citi_bike_trip_spark.operators import (
     analytics,
     asof,
@@ -3328,6 +3328,32 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_INDEX_CACHE: dict[tuple, "similarity.IVFIndex"] = {}
+
+
+def _release_ann_caches() -> None:
+    """Drop the built ANN indexes (VERDICT r15 item 8): these hold
+    ``.cache()``d DataFrames for the process lifetime, so a bench cell
+    that only times the search after the first run is not an
+    end-to-end cost. Registered with ``caching.on_data_release`` —
+    ``bench.py`` releases data caches between timed runs, making every
+    ann_* run include index construction; long-lived sessions reclaim
+    them at the usual ``release_caches`` maintenance moment."""
+    for idx in _IVF_INDEX_CACHE.values():
+        try:
+            idx.unpersist()
+        except Exception:
+            pass
+    _IVF_INDEX_CACHE.clear()
+    for cb, codes in _PQ_CACHE.values():
+        for df in (cb, codes):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _PQ_CACHE.clear()
+
+
+caching.on_data_release(_release_ann_caches)
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> "similarity.IVFIndex":

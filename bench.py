@@ -49,9 +49,42 @@ def main() -> None:
     extra_budget = float(os.environ.get("BENCH_EXTRA_BUDGET", "240"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+
+    # COLD-START per query (r16, VERDICT r15 items 1-fix/2/8 — disclosed
+    # in OPTIMIZATION_r16.md / BENCH_NOTES.md): operator-internal caches
+    # and the built ANN indexes persist until released, so (a) identical
+    # cached subtrees (e.g. the copurchase edge list shared by the graph
+    # family) arrived WARM across queries, and (b) the ann_* cells timed
+    # only the search after their very first run of the process. All
+    # cached DATA (operator caches, ANN indexes, anything else in the
+    # CacheManager) is now dropped BETWEEN QUERIES (outside the timed
+    # region), so every query's FIRST run is the full from-parquet,
+    # build-everything cost — reported per query in "queries_first_run".
+    # The "queries" min keeps its old job (intrinsic per-query cost with
+    # box noise pinned; iterations after the first still reuse the
+    # query's OWN within-plan caches, as any repeated production query
+    # would). Plan-handle / metadata memos (load_table handles,
+    # ts-sniff, gate scalars) are deliberately kept: they hold no
+    # materialized data. BENCH_COLD_DATA=0 restores the old
+    # warm-across-queries methodology for historical A/B.
+    from data_lake_for_citi_bike_trip_spark import caching
+
+    cold_data = os.environ.get("BENCH_COLD_DATA", "1") == "1"
+    first_runs: dict[str, float] = {}
+
+    def _drop_data_caches() -> None:
+        if not cold_data:
+            return
+        caching.release_data_caches()
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+
     for name, fn in entrymod.queries().items():
         runs: list[float] = []
         target = iterations
+        _drop_data_caches()
         while len(runs) < target:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -66,6 +99,7 @@ def main() -> None:
                 if extra_budget <= 0:
                     break
         timings[name] = round(min(runs), 3)
+        first_runs[name] = round(runs[0], 3)
         if len(runs) > 1:
             # median alongside min: this box swings 2-4x per query; when
             # min and median disagree wildly the delta is environmental,
@@ -81,6 +115,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "iterations": iterations,
         "queries_median": medians,
+        # r16 methodology additions (additions-only; see the cold-start
+        # comment above): first run of each query = cold end-to-end
+        # cost (no cached data, ANN index build included); cold_data
+        # records whether the between-queries release ran.
+        "queries_first_run": first_runs,
+        "cold_data": cold_data,
     }
 
     # Per-query history (appended per run) lets later rounds spot

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 
 _REGISTRY: list[DataFrame] = []
 _RELEASE_CALLBACKS: list = []
+_DATA_RELEASE_CALLBACKS: list = []
 
 
 def on_release(cb) -> None:
@@ -32,6 +33,17 @@ def on_release(cb) -> None:
     for operator-level memos whose lifetime must match the cache
     registry's (e.g. the salted-join gate memo in operators.skew)."""
     _RELEASE_CALLBACKS.append(cb)
+
+
+def on_data_release(cb) -> None:
+    """Register a zero-arg callback run by :func:`release_data_caches`
+    (and, transitively, by :func:`release_caches`) — for module-level
+    holders of MATERIALIZED data (e.g. the ANN index caches in the
+    entry surface) as opposed to plan-handle/metadata memos. The split
+    exists so a caller can drop every byte of cached DATA while keeping
+    the cheap plan memos (schema-inference handles, gate scalars) —
+    what a cold-cost benchmark wants between repeats."""
+    _DATA_RELEASE_CALLBACKS.append(cb)
 
 
 def cached(df: DataFrame) -> DataFrame:
@@ -51,12 +63,14 @@ def register(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_caches(blocking: bool = False) -> int:
-    """Unpersist every operator-registered cache; returns how many.
+def release_data_caches(blocking: bool = False) -> int:
+    """Unpersist every operator-registered DataFrame cache and run the
+    data-release callbacks; returns how many registry entries dropped.
 
-    Call only when no DataFrame previously returned by an operator will
-    be executed again (re-execution after release is still CORRECT —
-    Spark recomputes from source — just no longer cached)."""
+    Unlike :func:`release_caches` this does NOT clear the plan-handle /
+    metadata memos (load_table handles, ts-sniff flags, gate scalars) —
+    only materialized data goes. Re-execution after release is still
+    CORRECT (Spark recomputes from source), just cold."""
     n = 0
     while _REGISTRY:
         df = _REGISTRY.pop()
@@ -65,6 +79,21 @@ def release_caches(blocking: bool = False) -> int:
         except Exception:
             pass  # session already stopped — nothing to release
         n += 1
+    for cb in _DATA_RELEASE_CALLBACKS:
+        try:
+            cb()
+        except Exception:
+            pass
+    return n
+
+
+def release_caches(blocking: bool = False) -> int:
+    """Unpersist every operator-registered cache; returns how many.
+
+    Call only when no DataFrame previously returned by an operator will
+    be executed again (re-execution after release is still CORRECT —
+    Spark recomputes from source — just no longer cached)."""
+    n = release_data_caches(blocking)
     for cb in _RELEASE_CALLBACKS:
         try:
             cb()
