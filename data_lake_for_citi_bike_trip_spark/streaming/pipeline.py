@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..caching import on_release
 from ..session import configure_runtime
 
 #: Parquet-on-disk schema of the events table. Older driver testdata stored
@@ -56,8 +57,13 @@ EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
 #: events-glob -> ts-stored-as-int64-nanos flag (file generations are
 #: immutable per path; saves one ~90 ms schema-inference pass per stream
-#: query — see stream_events).
+#: query — see stream_events). Registered with caching.on_release
+#: (VERDICT r15 item 9): a long-lived session that regenerates an
+#: events path with a DIFFERENT ts physical type must not read a stale
+#: sniff (timestamps silently 1000x off) — release_caches is the same
+#: declared maintenance moment the _DF_MEMO / gate memos already use.
 _TS_SNIFF_MEMO: dict = {}
+on_release(_TS_SNIFF_MEMO.clear)
 
 
 def scoped_session(

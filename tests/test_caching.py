@@ -38,3 +38,16 @@ def test_release_caches_spares_caller_owned_caches(spark):
         assert mine.storageLevel.useMemory  # still cached
     finally:
         mine.unpersist()
+
+
+def test_ts_sniff_memo_clears_on_release(spark):
+    """VERDICT r15 item 9: the streaming ts-type sniff memo must be
+    invalidated at the same maintenance moment as every other plan/
+    metadata memo — a regenerated events path with a different ts
+    physical type would otherwise read a stale sniff for the process
+    lifetime (timestamps 1000x off)."""
+    from data_lake_for_citi_bike_trip_spark.streaming import pipeline
+
+    pipeline._TS_SNIFF_MEMO["/fake/events.parquet"] = True
+    caching.release_caches()
+    assert pipeline._TS_SNIFF_MEMO == {}
