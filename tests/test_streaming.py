@@ -406,3 +406,57 @@ def test_stream_minmax_matches_batch(spark, sf_dir):
     expect = {(r.w, r.event_type): (r.cnt, r.mn, r.mx)
               for r in batch.collect()}
     assert got == expect
+
+
+def test_scoped_session_memoized_and_drains_stay_isolated(spark, sf_dir):
+    """r16 shared drain session (VERDICT r15 item 3): scoped_session is
+    memoized per (parent, conf), and REPEATED drains on the shared clone
+    must stay isolated — the memory sink resets per start(), so a rerun
+    returns the same rows, never an accumulation of prior drains."""
+    from data_lake_for_citi_bike_trip_spark.streaming import pipeline as sp
+
+    a = sp.scoped_session(spark, 4)
+    assert sp.scoped_session(spark, 4) is a  # memo hit, same clone
+    assert sp.scoped_session(spark, 4, no_data_batches=False) is not a
+
+    def drain(tag_run):
+        stream = sp.stream_events(a, sf_dir)
+        out = sp.windowed_counts(stream)
+        # same queryName on purpose: bench repeats reuse the name
+        return sorted(
+            (r.window_start_us, r.event_type, r.cnt)
+            for r in sp.run_available_now(
+                out, "t_memo_drain", "complete"
+            ).collect()
+        )
+
+    first, second = drain(0), drain(1)
+    assert first == second and len(first) > 0
+
+
+def test_eager_drain_skips_no_data_batch_same_rows(spark, sf_dir):
+    """The no-data-batch opt-out (scoped_session no_data_batches=False)
+    must not change an EAGER-emission drain's rows: inner interval join
+    emits on arrival, so the trailing watermark batch only evicted
+    state. Rows must be identical with and without it."""
+    from data_lake_for_citi_bike_trip_spark.streaming import pipeline as sp
+
+    def rows(no_data):
+        scoped = sp.scoped_session(spark, 4, no_data_batches=no_data)
+        errors = sp.stream_events(scoped, sf_dir).where(
+            F.col("event_type") == "error"
+        )
+        purchases = sp.stream_events(scoped, sf_dir).where(
+            F.col("event_type") == "purchase"
+        )
+        joined = sp.interval_join(errors, purchases, on="user_id")
+        name = f"t_eager_{int(no_data)}"
+        return sorted(
+            (r.l_event_id, r.r_event_id)
+            for r in sp.run_available_now(
+                joined.select("l_event_id", "r_event_id"), name, "append"
+            ).collect()
+        )
+
+    with_batch, without_batch = rows(True), rows(False)
+    assert with_batch == without_batch and len(with_batch) > 0
