@@ -1784,7 +1784,14 @@ def q_txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = TxnTable.create(spark, os.path.join(root, "t"), current, key="c_custkey")
     t.merge(spark, batch(0, "m1_"), "seq", "op")
     t.merge(spark, batch(1, "m2_"), "seq", "op")
-    rows = [(v, t.read(spark, v).count()) for v in t.versions()]
+    # per-version counts are independent read jobs over committed,
+    # immutable manifests — overlap them (guide §2.6) instead of paying
+    # three sequential scheduler round-trips
+    versions = t.versions()
+    counts = similarity._overlap_jobs(
+        *[lambda v=v: t.read(spark, v).count() for v in versions]
+    )
+    rows = list(zip(versions, counts))
     return spark.createDataFrame(rows, "version bigint, n_rows bigint")
 
 

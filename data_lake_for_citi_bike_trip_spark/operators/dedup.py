@@ -854,26 +854,61 @@ def connected_components(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
-    labels = _materialize(nodes.select("id", F.col("id").alias("cluster_id")))
-    converged = False
-    for _ in range(max_iters):
+    # ACTIVE-node restriction (r16): a node with no edge never changes
+    # its label — it is its own singleton component by construction —
+    # so the loop iterates over edge-endpoint nodes ONLY and singletons
+    # are restored by one left join at the end. On a dedup corpus the
+    # active set is the near-duplicate docs (typically a small fraction
+    # of the corpus), so every per-round join/checkpoint/count touches
+    # |dup nodes| rows instead of |corpus| rows — the same sparse-
+    # frontier argument as personalized_pagerank (r15). Output
+    # identical: restricting labels to active nodes cannot change
+    # propagation (a label only ever enters the loop through sym, whose
+    # endpoints are all active), and absent rows are exactly the
+    # (id, id) singleton rows the final coalesce re-emits.
+    # endpoints derive from the MATERIALIZED sym (both directions are
+    # in it, so src alone covers every endpoint) — deriving from the
+    # raw `edges` plan would re-run the whole upstream pair-generation
+    # pipeline a second time.
+    endpoints = sym.select(F.col("src").alias("id")).distinct()
+    active = nodes.join(endpoints, "id", "left_semi")
+    labels = _materialize(active.select("id", F.col("id").alias("cluster_id")))
+
+    def _step(lab: DataFrame, carry_changed: bool = False) -> DataFrame:
+        """One propagation step; ``carry_changed`` ORs the incoming
+        ``__changed`` flag through, so chained steps report changes
+        across the whole chain without a re-join."""
         nbr_min = (
-            sym.join(labels, sym.src == labels.id)
+            sym.join(lab, sym.src == lab.id)
             .groupBy(F.col("dst").alias("id2"))
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
-        updated = (
-            labels.join(nbr_min, labels.id == nbr_min.id2, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-                (F.col("nbr_label") < F.col("cluster_id")).alias("__changed"),
-            )
+        prev = F.col("__changed") if carry_changed else F.lit(False)
+        return lab.join(nbr_min, lab.id == nbr_min.id2, "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+            (
+                prev | (F.col("nbr_label") < F.col("cluster_id"))
+            ).alias("__changed"),
         )
-        updated = _materialize(updated)
+
+    # Single step per materialization. DOUBLE-STEP rounds (two
+    # propagation steps per checkpoint+count, halving driver
+    # round-trips) were tried in r16 and measured a LOSS on the dedup
+    # corpus — near-dup components are shallow (diameter ~1), so the
+    # fixpoint arrives in one step and the second step per round was
+    # pure extra work: dedup_clusters 3.43 -> 4.68 s, dedup_keep_best
+    # 3.54 -> 4.33 s (min-of-3, same harness). A deep-diameter graph
+    # would flip that trade; the _step helper keeps the chainable form
+    # (carry_changed) should one appear.
+    converged = False
+    steps_left = max_iters
+    while steps_left > 0:
+        steps_left -= 1
+        updated = _materialize(_step(labels))
         n_changed = (
             updated.agg(
                 F.sum(F.col("__changed").cast("long")).alias("n")
@@ -902,7 +937,14 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels
+    # Restore the edge-less singletons the loop never carried: a node
+    # absent from `labels` is exactly a node with no edge, whose
+    # component label is itself. One broadcast-or-keyed left join at
+    # the end instead of |corpus| rows through every round above.
+    return nodes.join(labels, "id", "left").select(
+        "id",
+        F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+    )
 
 
 def dedup_clusters(
