@@ -1113,6 +1113,15 @@ def jaccard_prefix_join(docs: DataFrame, threshold_e1: int = 6) -> DataFrame:
     force) — so a prefix too short to be lossless goes red, proving
     completeness, not just precision.
 
+    r16 NEGATIVE RESULTS (measured, interleaved; see OPTIMIZATION_r16):
+    caching the ranked-prefix window output (both candidate-join sides
+    re-derive it) 2.45-2.57 -> 3.47-3.73 s; an array_distinct per-row
+    shingle-array spine rooted at one repartition(doc_id) exchange
+    (killing the distinct aggregate, collect_list, and count-window)
+    4.1-4.9 -> 10.1-11.1 s — the exchange ships full shingle arrays
+    and per-row HOF array building loses to the codegen explode
+    pipeline. With r15's spread() negative, the current shape stands.
+
     EXACT-DUPLICATE COLLAPSE (enforced in code, not just documented —
     VERDICT r08 item 2): on duplicate-heavy corpora the all-pairs
     contract is the cost driver — a cluster of n identical docs emits

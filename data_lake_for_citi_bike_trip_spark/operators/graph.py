@@ -261,13 +261,18 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 4) -> DataFrame:
 
     Output: (node, level) with level in [0, max_depth]."""
     sess = edges.sparkSession
-    # NOT cached — measured wash-to-negative (r15 interleaved A/B:
-    # 2.58/2.64 s uncached vs 3.01/2.72 s cached at sf0.1): the
-    # co-purchase edge rebuild per round is one broadcast join +
-    # distinct, cheaper than the cache materialization + InMemoryRelation
-    # read it would replace (contrast sssp_weighted, whose cache
-    # measured a win — its weighted edge build carries an aggregate).
-    adj = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    # cached AGAIN in r16: the r15 A/B measured the cache
+    # wash-to-negative (2.58/2.64 s uncached vs 3.01/2.72 s cached) —
+    # but that measurement ran in the warm-across-queries world, where
+    # the copurchase edge subtree was usually already materialized by
+    # a NEIGHBORING graph query's cache. Under the r16 cold-start
+    # bench (data caches dropped between queries) the per-round
+    # rebuild recomputes the orders x lineitem join from parquet every
+    # round, and the same A/B flips decisively: uncached first/min
+    # 3.85-11.1 / 3.85-4.13 s vs cached 3.59-4.37 / 2.19-2.29 s.
+    adj = cached(
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    )
     visited = sess.createDataFrame(
         [(source, 0)], "node bigint, level bigint"
     ).localCheckpoint()
@@ -552,6 +557,15 @@ def frequent_triples(
     tie-break on the items) rather than an absolute cutoff — top-k by
     a count is the scale-portable contract. orderBy+limit plans as
     TakeOrderedAndProject (per-partition partial top-k).
+
+    COMBINATION-EXPLODE NEGATIVE RESULT (r16): rebuilding the pair and
+    triple enumeration as one collect_set-per-basket aggregate plus
+    nested-sequence combination explodes (two fewer join stages) was
+    output-IDENTICAL but measured slower — join chain 1.62-2.32 s vs
+    explode form 1.97-2.12 s interleaved at sf0.1 — because the
+    interpreted per-row HOF combination expressions lose to codegen'd
+    self-joins whose scan+distinct exchanges ReusedExchange already
+    dedupes. The join form stays.
     """
     baskets = lineitem.select(
         F.col("l_orderkey").alias("ok"),
