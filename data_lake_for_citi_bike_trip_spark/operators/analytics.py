@@ -308,12 +308,31 @@ def approx_distinct_users(events: DataFrame) -> DataFrame:
     # parallelize the partial only multiplied the per-day sketch count
     # crossing the final exchange (2.78/4.00 s before vs 2.91/4.21 s
     # with spread, consistent across rounds).
-    return events.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+    #
+    # r16 (guide §2.3 "shuffle fewer bytes"): the sketch runs over the
+    # ALREADY-DISTINCT (day, user) rows instead of the raw stream. HLL
+    # registers are a max over hashed values — inserting a duplicate is
+    # a no-op — so the estimate is BIT-IDENTICAL (verified row-for-row
+    # incl. approx_users); and the exact count needs the distinct
+    # anyway. The old single-agg form planned an Expand (distinct +
+    # non-distinct aggregate mix doubles every input row) and built one
+    # rsd=0.01 sketch (~100 KB of registers) per (day x map task) over
+    # the full stream — per-day sketch merges dominated the query.
+    # Post-distinct, AQE coalesces the tiny residue so only a handful
+    # of partial sketches exist. Measured 2.75-3.03 -> 0.87-0.90 s
+    # interleaved at sf0.1.
+    du = (
+        events.select(
+            F.to_date("ts").cast("string").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    return du.groupBy("day").agg(
         # default rsd=0.05 was observed to produce 5.2% error on real
         # groups; 0.01 keeps the estimate inside the 5% bound with a
         # still-tiny sketch
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("exact_users"),
     ).withColumn(
         "approx_ok",
         F.abs(F.col("approx_users") - F.col("exact_users")) * 100
