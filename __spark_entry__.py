@@ -1626,10 +1626,20 @@ def q_pystream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = time.monotonic() + 120
         while time.monotonic() < deadline:
-            got = scoped.table("q_pystream_agg").agg(F.sum("n")).first()[0]
-            if got == 10000:
-                break
-            time.sleep(0.3)
+            # DRIVER-side drain detection (r16): each progress entry is
+            # emitted after its batch fully commits to the sink, so
+            # summing numInputRows needs no Spark job — the old loop
+            # ran a full aggregate job over the memory table per 0.3 s
+            # poll. One confirming aggregate job still gates the return
+            # (the hard correctness check the TimeoutError protects).
+            read = sum(p["numInputRows"] for p in query.recentProgress)
+            if read >= 10000:
+                got = (
+                    scoped.table("q_pystream_agg").agg(F.sum("n")).first()[0]
+                )
+                if got == 10000:
+                    break
+            time.sleep(0.05)
         else:
             raise TimeoutError("pystream feed never fully drained")
     finally:
