@@ -3363,9 +3363,10 @@ def _release_ann_caches() -> None:
     ``.cache()``d DataFrames for the process lifetime, so a bench cell
     that only times the search after the first run is not an
     end-to-end cost. Registered with ``caching.on_data_release`` —
-    ``bench.py`` releases data caches between timed runs, making every
-    ann_* run include index construction; long-lived sessions reclaim
-    them at the usual ``release_caches`` maintenance moment."""
+    ``bench.py`` releases data caches between queries, making every
+    ann_* FIRST run include index construction (queries_first_run);
+    long-lived sessions reclaim them at the usual ``release_caches``
+    maintenance moment."""
     for idx in _IVF_INDEX_CACHE.values():
         try:
             idx.unpersist()
