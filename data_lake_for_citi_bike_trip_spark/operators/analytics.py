@@ -314,13 +314,15 @@ def approx_distinct_users(events: DataFrame) -> DataFrame:
     # registers are a max over hashed values — inserting a duplicate is
     # a no-op — so the estimate is BIT-IDENTICAL (verified row-for-row
     # incl. approx_users); and the exact count needs the distinct
-    # anyway. The old single-agg form planned an Expand (distinct +
-    # non-distinct aggregate mix doubles every input row) and built one
-    # rsd=0.01 sketch (~100 KB of registers) per (day x map task) over
-    # the full stream — per-day sketch merges dominated the query.
-    # Post-distinct, AQE coalesces the tiny residue so only a handful
-    # of partial sketches exist. Measured 2.75-3.03 -> 0.87-0.90 s
-    # interleaved at sf0.1.
+    # anyway. The old single-agg form (mixed distinct + non-distinct
+    # aggregate) was planned as a first aggregation phase KEYED ON
+    # (day, user_id) that carried the rsd=0.01 HLL buffer — 1,640
+    # register columns, see Input [1641] at node (5) of
+    # plans/r16/approx_distinct_users_before.txt — per (day, user)
+    # GROUP through both phases: ~15k sketch buffers built, merged and
+    # shuffled per run. Post-distinct the registers exist at day grain
+    # only (~30 buffers). Measured 2.75-3.03 -> 0.87-0.90 s interleaved
+    # at sf0.1.
     du = (
         events.select(
             F.to_date("ts").cast("string").alias("day"), "user_id"
