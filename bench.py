@@ -121,6 +121,12 @@ def main() -> None:
         # records whether the between-queries release ran.
         "queries_first_run": first_runs,
         "cold_data": cold_data,
+        # Core count the board ran at (local[$SPARK_GRAFT_CPUS]). Boards
+        # at different core counts are not comparable cell-for-cell, so
+        # history consumers (tools/bench_band.py, the prev-board flag
+        # below) must not mix them; entries without the field predate
+        # the stamp and were all 32-core.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
     }
 
     # Per-query history (appended per run) lets later rounds spot
@@ -140,7 +146,8 @@ def main() -> None:
         with open(hist_path) as f:
             for line in f:
                 rec = json.loads(line)
-                if rec.get("sf") == result["sf"]:
+                if (rec.get("sf") == result["sf"]
+                        and rec.get("cpus", 32) == result["cpus"]):
                     prev = rec
     except FileNotFoundError:
         pass

@@ -36,7 +36,7 @@ HIST = os.path.join(REPO, "BENCH_HISTORY.jsonl")
 OUT = os.path.join(REPO, "BENCH_BAND.json")
 
 
-def build_band(sf: float, n_boards: int) -> dict:
+def build_band(sf: float, n_boards: int, cpus: int = 32) -> dict:
     rows = []
     with open(HIST) as f:
         for line in f:
@@ -44,7 +44,11 @@ def build_band(sf: float, n_boards: int) -> dict:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if rec.get("sf") == sf and rec.get("queries"):
+            # Boards at a different core count time a different machine
+            # shape — keep them out of the band. Records without the
+            # stamp predate it and were all 32-core.
+            if (rec.get("sf") == sf and rec.get("queries")
+                    and rec.get("cpus", 32) == cpus):
                 rows.append(rec)
     rows = rows[-n_boards:]
     per_query: dict[str, list[float]] = {}
@@ -65,8 +69,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.1)
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--cpus", type=int, default=32)
     args = ap.parse_args()
-    band = build_band(args.sf, args.n)
+    band = build_band(args.sf, args.n, args.cpus)
     with open(OUT, "w") as f:
         json.dump({"sf": args.sf, "n_boards": args.n, "band": band}, f,
                   indent=1, sort_keys=True)
