@@ -943,3 +943,44 @@ def test_asof_auto_chooser_picks_segmented_on_hot_key(spark, monkeypatch):
         f"memoized gate re-submitted jobs: {list(jobs)}"
     )
     caching.release_caches()
+
+
+def test_alsobought_hitrate_counts_and_empty_test_half(spark):
+    """Pins the r16 single-pass restructure: n_hits comes from a
+    match-marker count over ONE left join (top's (p, q) rows are
+    unique, so the probe neither drops nor duplicates), replacing the
+    semi-join + separate counts. Hand-checked fixture:
+
+    train half (days 1-2): orders {1: [10, 11], 2: [10, 11, 12]}
+      pairs: (10,11)x2 votes, (10,12), (11,12), + mirrors
+      top-3 per part covers all pairs -> trained parts {10, 11, 12}
+    test half (days 3-4): orders {3: [10, 11], 4: [10, 13]}
+      test pairs: (10,11), (11,10), (10,13), (13,10) -> n_test = 4
+      hits: (10,11) and (11,10) trained -> n_hits = 2
+    """
+    rows = [
+        (1, 10, "1992-01-01"), (1, 11, "1992-01-01"),
+        (2, 10, "1992-01-02"), (2, 11, "1992-01-02"), (2, 12, "1992-01-02"),
+        (3, 10, "1992-01-04"), (3, 11, "1992-01-04"),
+        (4, 10, "1992-01-04"), (4, 13, "1992-01-04"),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_shipdate string"
+    )
+    try:
+        out = analytics.alsobought_hitrate(li, k=3).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_trained_parts == 3
+        assert r.n_test_pairs == 4
+        assert r.n_hits == 2
+        assert r.hitrate_bp == 5000
+
+        # single-day input: mid == that day, every row lands in the
+        # train half, the test half is empty — the n_test > 0 guard
+        # must yield zero rows, not a divide-by-zero
+        one_day = li.where(F.col("l_shipdate") == "1992-01-01")
+        assert analytics.alsobought_hitrate(one_day, k=3).count() == 0
+    finally:
+        from data_lake_for_citi_bike_trip_spark import caching
+        caching.release_caches()
