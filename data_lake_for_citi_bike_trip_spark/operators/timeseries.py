@@ -375,9 +375,20 @@ def theil_sen_slope(trips: DataFrame, max_days: int = 64) -> DataFrame:
             .alias("slope_e6"),
         )
     )
+    # n_pairs needs no second Window pass: daily is (station, day)
+    # unique by construction (it IS a groupBy on those keys), so the
+    # x1 < x2 self-join emits exactly C(n_days, 2) rows per station —
+    # n_pairs = n_days * (n_days - 1) div 2 is a per-row expression
+    # over the n_days already carried. The unbounded count-over-
+    # partition Window this replaces buffered every station's full
+    # pair list a second time (guide S2.4 — r16; plan diff:
+    # plans/r16/theil_sen_{before,after}.txt, one Window node dropped).
+    # Interleaved A/B at sf0.1: a WASH on the bench (1.29-2.10 vs
+    # 1.33-1.59 s, pairs are <= C(64,2) rows x 50 stations) — kept for
+    # the plan shape, output verified row-identical both forms.
     w = Window.partitionBy("station").orderBy("slope_e6", "x1", "x2")
     ranked = pairs.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n_pairs", F.count(F.lit(1)).over(Window.partitionBy("station"))
+        "n_pairs", F.expr("n_days * (n_days - 1) div 2")
     )
     return ranked.where(
         F.col("rk") == F.expr("(n_pairs + 1) div 2")  # lower median
